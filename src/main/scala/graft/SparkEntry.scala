@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Relational, VectorSearch}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All registered operator modules; each Q carries its Spark impl and
+    * (when SQL-expressible) its DuckDB oracle. */
+  def modules: Seq[QModule] = Seq(Relational, VectorSearch)
+
+  private lazy val registry: Seq[Q] = modules.flatMap(_.all)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * End-to-end search + evaluate (SURVEY §3.2): brute-force top-10 over
+    * the embeddings table, label ground truth, Recall@{1,5,10}. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    registry.find(_.name == "v04_recall").get.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

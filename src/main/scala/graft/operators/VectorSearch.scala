@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QModule, Tables}
+import graft.functions.VectorFunctions._
+
+/** The vector-search core of SURVEY.md §2: brute-force cosine top-k (X1 +
+  * T1 + W1), retrieval-quality metrics Recall@K / Precision@K / MRR
+  * (J6 + A1-A3 + A9), vector scalar functions (F7/F8), and the HNSW
+  * layer-assignment analysis (V6 + A8 + F9).
+  *
+  * Ground truth: the driver's `embeddings` table carries a `label` column;
+  * we treat "same label" as the qrels relevance relation, which gives a
+  * deterministic, SQL-expressible oracle (the reference's qrels are an
+  * external file, `000:122-128`; the metric MATH is what is being
+  * verified, mirroring `utils.py:15-110`).
+  *
+  * Scale notes (100 TB design): the query side is always the small side →
+  * broadcast; the corpus side streams. Top-k uses window row_number here
+  * for oracle parity; the bench path uses the fused mapPartitions kernel
+  * with per-partition heaps ([[BruteForce]]) so no full sort of q×n rows
+  * ever happens.
+  */
+object VectorSearch extends QModule {
+
+  /** DuckDB double-precision dot product of two list columns via parallel
+    * unnest — mirrors [[graft.functions.VectorFunctions.dot]] exactly
+    * (double accumulation in list order). */
+  private def duckDot(a: String, b: String): String =
+    s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
+
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  // ---------------------------------------------------------------- v01
+  /** F8: L2 norms of all embeddings (the normalize-once trick's input,
+    * `004:193-196`). */
+  private val v01 = Q(
+    "v01_l2_norm",
+    (s, d) => {
+      import s.implicits._
+      emb(s, d)
+        .select($"vec_id", round(l2Norm($"embedding"), 4).as("norm"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id,
+      round(sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                  FROM (SELECT unnest(embedding) AS x) zz)), 4) AS norm
+    FROM embeddings ORDER BY vec_id"""))
+
+  // ---------------------------------------------------------------- v02
+  /** F7: pairwise cosine similarity for a small id block. */
+  private val v02 = Q(
+    "v02_cosine_pairs",
+    (s, d) => {
+      import s.implicits._
+      val a = emb(s, d).filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val b = emb(s, d).filter($"vec_id" < 10).select($"vec_id".as("did"), $"embedding".as("de"))
+      a.crossJoin(b)
+        .filter($"qid" < $"did")
+        .select(
+          $"qid",
+          $"did",
+          round(dot($"qe", $"de") / (l2Norm($"qe") * l2Norm($"de")), 4).as("cos"))
+        .orderBy($"qid", $"did")
+    },
+    Some(s"""SELECT a.vec_id AS qid, b.vec_id AS did,
+      round(${duckDot("a.embedding", "b.embedding")}
+        / (sqrt(${duckDot("a.embedding", "a.embedding")})
+           * sqrt(${duckDot("b.embedding", "b.embedding")})), 4) AS cos
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 5 AND b.vec_id < 10 AND a.vec_id < b.vec_id
+    ORDER BY qid, did"""))
+
+  // ---------------------------------------------------------------- v03
+  /** X1 + T1 + W1: brute-force cosine top-10 per query (the reference's
+    * canonical query, `002:170-197`). Queries = vec_id < 20 (broadcast
+    * side); corpus = all embeddings; self-match excluded; ties broken by
+    * doc_id for determinism. Scores are equal-rank ties only at double
+    * precision, so rank/doc_id are hash-stable across engines. */
+  private val v03 = Q(
+    "v03_brute_topk",
+    (s, d) => topK(s, d, maxQueryId = 20, k = 10)
+      .select(col("query_id"), col("rnk"), col("doc_id")),
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+    SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  /** Shared search frame: (query_id, doc_id, score, rnk) for queries with
+    * vec_id < maxQueryId, top-k by dot product (embeddings are
+    * pre-normalized so dot ≡ cosine; asserted in tests). */
+  def topK(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val q = e.filter($"vec_id" < maxQueryId).select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("doc_id"), $"embedding".as("de"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    broadcast(q)
+      .crossJoin(c)
+      .filter($"query_id" =!= $"doc_id")
+      .select($"query_id", $"doc_id", dot($"qe", $"de").as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+  }
+
+  /** Relevance ground truth: same-label pairs (excluding self), with the
+    * per-query relevant count (reference: flattened qrels `000:238-255`;
+    * ALL judged docs count as relevant — the grade-0 quirk of `002:313`). */
+  def relevant(s: SparkSession, d: String, maxQueryId: Int): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"label")
+    val q = e.filter($"vec_id" < maxQueryId).select($"vec_id".as("query_id"), $"label")
+    q.join(e.select($"vec_id".as("doc_id"), $"label"), Seq("label"))
+      .filter($"query_id" =!= $"doc_id")
+      .select($"query_id", $"doc_id")
+  }
+
+  private val duckRelevant =
+    """rel AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id
+        FROM embeddings q JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 100)"""
+
+  private val duckRanked =
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored),
+      topk AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= 10)"""
+
+  /** J6 hit frame + per-query relevant counts, for queries vec_id < 100,
+    * k = 10: one row per (query, retrieved doc) with hit flag + rnk. */
+  private def hitFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = topK(s, d, maxQueryId = 100, k = 10)
+    val rel = relevant(s, d, maxQueryId = 100)
+    val nRel = rel.groupBy($"query_id").agg(count(lit(1)).as("n_rel"))
+    k.join(rel.withColumn("hit", lit(1)), Seq("query_id", "doc_id"), "left_outer")
+      .na.fill(0, Seq("hit"))
+      .join(nRel, Seq("query_id"), "inner") // inner: skip queries w/o relevant (utils.py:37-38)
+  }
+
+  // ---------------------------------------------------------------- v04
+  /** A1 Recall@K ∈ {1,5,10} (utils.py:15-46): per query |topK ∩ rel| /
+    * |rel|, then unweighted mean over queries (A9 two-level). */
+  private val v04 = Q(
+    "v04_recall",
+    (s, d) => {
+      import s.implicits._
+      hitFrame(s, d)
+        .groupBy($"query_id", $"n_rel")
+        .agg(
+          sum(when($"hit" === 1 && $"rnk" <= 1, 1).otherwise(0)).as("h1"),
+          sum(when($"hit" === 1 && $"rnk" <= 5, 1).otherwise(0)).as("h5"),
+          sum(when($"hit" === 1 && $"rnk" <= 10, 1).otherwise(0)).as("h10"))
+        .agg(
+          round(avg($"h1".cast("double") / $"n_rel"), 4).as("recall_1"),
+          round(avg($"h5".cast("double") / $"n_rel"), 4).as("recall_5"),
+          round(avg($"h10".cast("double") / $"n_rel"), 4).as("recall_10"),
+          count(lit(1)).as("n_queries"))
+    },
+    Some(s"""WITH $duckRanked, $duckRelevant,
+      nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
+      hits AS (
+        SELECT t.query_id, t.rnk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit, n.n_rel
+        FROM topk t
+        LEFT JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        JOIN nrel n ON t.query_id = n.query_id),
+      per_q AS (
+        SELECT query_id, n_rel,
+               sum(CASE WHEN hit = 1 AND rnk <= 1 THEN 1 ELSE 0 END) AS h1,
+               sum(CASE WHEN hit = 1 AND rnk <= 5 THEN 1 ELSE 0 END) AS h5,
+               sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1 ELSE 0 END) AS h10
+        FROM hits GROUP BY query_id, n_rel)
+    SELECT round(avg(CAST(h1 AS DOUBLE) / n_rel), 4) AS recall_1,
+           round(avg(CAST(h5 AS DOUBLE) / n_rel), 4) AS recall_5,
+           round(avg(CAST(h10 AS DOUBLE) / n_rel), 4) AS recall_10,
+           count(*) AS n_queries
+    FROM per_q"""))
+
+  // ---------------------------------------------------------------- v05
+  /** A2 Precision@K ∈ {1,5,10} (utils.py:49-82): per query |topK ∩ rel| /
+    * min(K, retrieved) — denominator is the ACTUAL retrieved count
+    * (utils.py:77-79). */
+  private val v05 = Q(
+    "v05_precision",
+    (s, d) => {
+      import s.implicits._
+      hitFrame(s, d)
+        .groupBy($"query_id")
+        .agg(
+          sum(when($"hit" === 1 && $"rnk" <= 1, 1).otherwise(0)).as("h1"),
+          sum(when($"hit" === 1 && $"rnk" <= 5, 1).otherwise(0)).as("h5"),
+          sum(when($"hit" === 1 && $"rnk" <= 10, 1).otherwise(0)).as("h10"),
+          sum(when($"rnk" <= 1, 1).otherwise(0)).as("d1"),
+          sum(when($"rnk" <= 5, 1).otherwise(0)).as("d5"),
+          sum(when($"rnk" <= 10, 1).otherwise(0)).as("d10"))
+        .agg(
+          round(avg($"h1".cast("double") / $"d1"), 4).as("precision_1"),
+          round(avg($"h5".cast("double") / $"d5"), 4).as("precision_5"),
+          round(avg($"h10".cast("double") / $"d10"), 4).as("precision_10"))
+    },
+    Some(s"""WITH $duckRanked, $duckRelevant,
+      hits AS (
+        SELECT t.query_id, t.rnk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit
+        FROM topk t
+        LEFT JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        WHERE t.query_id IN (SELECT query_id FROM rel)),
+      per_q AS (
+        SELECT query_id,
+               sum(CASE WHEN hit = 1 AND rnk <= 1 THEN 1 ELSE 0 END) AS h1,
+               sum(CASE WHEN hit = 1 AND rnk <= 5 THEN 1 ELSE 0 END) AS h5,
+               sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1 ELSE 0 END) AS h10,
+               sum(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS d1,
+               sum(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS d5,
+               sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS d10
+        FROM hits GROUP BY query_id)
+    SELECT round(avg(CAST(h1 AS DOUBLE) / d1), 4) AS precision_1,
+           round(avg(CAST(h5 AS DOUBLE) / d5), 4) AS precision_5,
+           round(avg(CAST(h10 AS DOUBLE) / d10), 4) AS precision_10
+    FROM per_q"""))
+
+  // ---------------------------------------------------------------- v06
+  /** A3 MRR (utils.py:85-110): per query 1/rank of first relevant hit in
+    * the top-10, else 0; unweighted mean. */
+  private val v06 = Q(
+    "v06_mrr",
+    (s, d) => {
+      import s.implicits._
+      hitFrame(s, d)
+        .groupBy($"query_id")
+        .agg(min(when($"hit" === 1, $"rnk")).as("first_hit"))
+        .agg(
+          round(avg(coalesce(lit(1.0) / $"first_hit", lit(0.0))), 4).as("mrr"),
+          count(lit(1)).as("n_queries"))
+    },
+    Some(s"""WITH $duckRanked, $duckRelevant,
+      hits AS (
+        SELECT t.query_id, t.rnk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit
+        FROM topk t
+        LEFT JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        WHERE t.query_id IN (SELECT query_id FROM rel)),
+      per_q AS (
+        SELECT query_id, min(CASE WHEN hit = 1 THEN rnk END) AS first_hit
+        FROM hits GROUP BY query_id)
+    SELECT round(avg(coalesce(1.0 / first_hit, 0.0)), 4) AS mrr,
+           count(*) AS n_queries
+    FROM per_q"""))
+
+  // ---------------------------------------------------------------- v07
+  /** V6 + F9 + A8: HNSW layer assignment floor(-ln(U) · 1/ln(M)) over
+    * M ∈ {4,8,16,32,64}, N=5000 (reference `006:45-69`; seed-exact parity
+    * with Python RNG is out of contract, so U comes from a shared LCG on
+    * the node id — deterministic and identical in both engines). */
+  private val v07 = Q(
+    "v07_layer_assignment",
+    (s, d) => {
+      import s.implicits._
+      val ms = Seq(4, 8, 16, 32, 64).toDF("m")
+      val u = ((($"id" * 1103515245L + 12345L) % 2147483648L) + 1.0) / 2147483649.0
+      s.range(5000)
+        .toDF("id")
+        .crossJoin(broadcast(ms))
+        .withColumn("layer", floor(-log(u) / log($"m".cast("double"))).cast("long"))
+        .groupBy($"m", $"layer")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("pct", round($"cnt" * 100.0 / 5000.0, 4))
+        .orderBy($"m", $"layer")
+    },
+    Some("""WITH nodes AS (SELECT unnest(range(0, 5000)) AS id),
+      ms AS (SELECT unnest([4, 8, 16, 32, 64]) AS m),
+      u AS (SELECT id, m,
+              (((id * 1103515245 + 12345) % 2147483648) + 1.0) / 2147483649.0 AS uu
+            FROM nodes, ms),
+      layers AS (SELECT m, CAST(floor(-ln(uu) / ln(CAST(m AS DOUBLE))) AS BIGINT) AS layer FROM u)
+    SELECT m, layer, count(*) AS cnt, round(count(*) * 100.0 / 5000.0, 4) AS pct
+    FROM layers GROUP BY m, layer ORDER BY m, layer"""))
+
+  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07)
+}
