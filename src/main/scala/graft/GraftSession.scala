@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that builds the engine's SparkSession so every entry point
+  * (Verify, Bench, tests) gets identical session-level config — notably
+  * `nanosAsLong`, which the events table needs at scan time (VERDICT r1
+  * flagged setting it inside the table loader as a read side effect).
+  */
+object GraftSession {
+
+  /** @param cpus local parallelism; shuffle partitions match it so a
+    *             local[32] run doesn't pay 200 near-empty reducers. */
+  def build(cpus: String): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS); read raw nanos as long
+      // (Tables.events re-derives a micros TimestampType column).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE on: runtime coalescing + skew-join splitting are part of the
+      // 100 TB design (SURVEY §4.2).
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Functions.register(spark)
+    spark
+  }
+}

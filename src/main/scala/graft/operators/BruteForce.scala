@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The fused brute-force scoring kernel (SURVEY §4.3.1–2): scores every
+  * (query, corpus-vector) pair and keeps per-query bounded k-heaps inside
+  * each corpus partition, so the shuffle carries only `partitions × q × k`
+  * candidate rows instead of the full `q × n` scored cross product — no
+  * full sort, no per-query-key skewed shuffle.
+  *
+  * Mirrors the matrix formulation of the reference
+  * (`notebooks/002-brute_force_similarity.py:170-197`: one kernel call
+  * scores the whole corpus against a query batch) re-expressed for Spark's
+  * execution model: queries are the small side (broadcast to every task as
+  * plain primitive arrays), the corpus streams through `mapPartitions`, and
+  * the tiny candidate set is re-ranked globally.
+  *
+  * 100 TB design notes:
+  *  - the corpus is never collected, sorted, or shuffled by query key; each
+  *    task emits at most q×k rows regardless of partition size;
+  *  - accumulation is double, in array order — bitwise-identical to the HOF
+  *    oracle form ([[graft.functions.VectorFunctions.dot]]) and DuckDB, so
+  *    the kernel is hash-checkable against both;
+  *  - ties broken by ascending doc id everywhere (heap AND final re-rank)
+  *    for cross-engine determinism.
+  */
+object BruteForce {
+
+  /** One candidate hit; `worse-than` ordering lives in [[TopKHeap]]. */
+  private final case class Hit(score: Double, docId: Long)
+
+  /** Bounded max-k heap: keeps the k best (score desc, docId asc) seen.
+    * Backing is a scala PriorityQueue ordered worst-first so the head is
+    * the eviction candidate. O(log k) insert, O(k log k) drain.
+    */
+  private final class TopKHeap(k: Int) {
+    // head = worst kept hit: lowest score, then HIGHEST docId (so that on
+    // equal scores the larger id is evicted first).
+    private val ord: Ordering[Hit] = Ordering.by(h => (-h.score, h.docId))
+    private val pq = scala.collection.mutable.PriorityQueue.empty[Hit](ord)
+
+    def offer(score: Double, docId: Long): Unit =
+      if (pq.size < k) pq.enqueue(Hit(score, docId))
+      else {
+        val w = pq.head
+        if (score > w.score || (score == w.score && docId < w.docId)) {
+          pq.dequeue()
+          pq.enqueue(Hit(score, docId))
+        }
+      }
+
+    def drain(): Iterator[Hit] = pq.iterator
+  }
+
+  /** Top-k-per-query by dot product (cosine on pre-normalized vectors).
+    *
+    * @param corpus      (id: Long, vec: Array[Float]) — the big side
+    * @param queries     (id, vec) pairs — the SMALL side (broadcast)
+    * @param k           hits kept per query
+    * @param excludeSelf drop corpus rows whose id equals the query id
+    * @return (query_id, doc_id, score, rnk) with rnk ∈ [1, k]
+    */
+  def topK(
+      corpus: Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val candidates = corpus.mapPartitions { rows =>
+      val qs = bc.value
+      val nq = qs.length
+      val heaps = Array.fill(nq)(new TopKHeap(k))
+      rows.foreach { case (docId, vec) =>
+        var qi = 0
+        while (qi < nq) {
+          val (qid, qv) = qs(qi)
+          if (!(excludeSelf && qid == docId)) {
+            val n = math.min(qv.length, vec.length)
+            var s = 0.0
+            var i = 0
+            while (i < n) { s += qv(i).toDouble * vec(i).toDouble; i += 1 }
+            heaps(qi).offer(s, docId)
+          }
+          qi += 1
+        }
+      }
+      Iterator.range(0, nq).flatMap { qi =>
+        val qid = qs(qi)._1
+        heaps(qi).drain().map(h => (qid, h.docId, h.score))
+      }
+    }.toDF("query_id", "doc_id", "score")
+
+    // Global re-rank of the tiny candidate frame (≤ partitions × q × k rows).
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    candidates
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+  }
+
+  /** Convenience wrapper over DataFrames with (idCol, vecCol) layout; the
+    * query side is collected driver-side — it must be the genuinely small
+    * side (≤ thousands of rows), which every SURVEY §2 query guarantees.
+    */
+  def topKFromFrames(
+      corpus: DataFrame,
+      queryFrame: DataFrame,
+      k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queryFrame
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    topK(corpus.select(col("id").cast("long"), col("vec")).as[(Long, Array[Float])], qs, k, excludeSelf)
+  }
+}

@@ -19,10 +19,11 @@ import graft.functions.VectorFunctions._
   * verified, mirroring `utils.py:15-110`).
   *
   * Scale notes (100 TB design): the query side is always the small side →
-  * broadcast; the corpus side streams. Top-k uses window row_number here
-  * for oracle parity; the bench path uses the fused mapPartitions kernel
-  * with per-partition heaps ([[BruteForce]]) so no full sort of q×n rows
-  * ever happens.
+  * broadcast; the corpus side streams. Top-k runs on the fused
+  * mapPartitions kernel with per-partition bounded heaps ([[BruteForce]])
+  * so no full sort or q×n shuffle ever happens; the crossJoin+window form
+  * survives as [[topKWindow]], the plan-level oracle the kernel is
+  * cross-checked against in tests.
   */
 object VectorSearch extends QModule {
 
@@ -82,7 +83,8 @@ object VectorSearch extends QModule {
     * precision, so rank/doc_id are hash-stable across engines. */
   private val v03 = Q(
     "v03_brute_topk",
-    (s, d) => topK(s, d, maxQueryId = 20, k = 10)
+    // query_id < 20 ⊂ the shared (maxQ=100) frame → filter, don't rescan.
+    (s, d) => searchFrame(s, d).filter(col("query_id") < 20)
       .select(col("query_id"), col("rnk"), col("doc_id")),
     Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
       scored AS (
@@ -95,10 +97,25 @@ object VectorSearch extends QModule {
         FROM scored)
     SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
-  /** Shared search frame: (query_id, doc_id, score, rnk) for queries with
+  /** Top-k search frame: (query_id, doc_id, score, rnk) for queries with
     * vec_id < maxQueryId, top-k by dot product (embeddings are
-    * pre-normalized so dot ≡ cosine; asserted in tests). */
+    * pre-normalized so dot ≡ cosine; asserted in tests). Executes on the
+    * fused [[BruteForce]] kernel. */
   def topK(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    BruteForce.topKFromFrames(
+      corpus = e.select($"vec_id".as("id"), $"embedding".as("vec")),
+      queryFrame = e.filter($"vec_id" < maxQueryId).select($"vec_id".as("id"), $"embedding".as("vec")),
+      k = k,
+      excludeSelf = true)
+  }
+
+  /** The naive crossJoin + window-sort plan (round-1 execution path), kept
+    * as the in-engine oracle the kernel is equivalence-tested against —
+    * NOT used by any registry entry (it shuffles and sorts all q×n scored
+    * rows; scale-killer per SURVEY §4.3). */
+  def topKWindow(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
     val q = e.filter($"vec_id" < maxQueryId).select($"vec_id".as("query_id"), $"embedding".as("qe"))
@@ -111,6 +128,16 @@ object VectorSearch extends QModule {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= k)
   }
+
+  /** Memoized top-10 frame for the canonical query population (vec_id <
+    * 100), shared by v03–v06: Verify/Bench run registry entries as
+    * independent jobs in ONE session, so without this each metric query
+    * would pay the full corpus scan again (VERDICT r1, perf item 3). */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def searchFrame(s: SparkSession, d: String): DataFrame =
+    frameCache.computeIfAbsent((s, d), _ => topK(s, d, maxQueryId = 100, k = 10).cache())
 
   /** Relevance ground truth: same-label pairs (excluding self), with the
     * per-query relevant count (reference: flattened qrels `000:238-255`;
@@ -146,7 +173,7 @@ object VectorSearch extends QModule {
     * k = 10: one row per (query, retrieved doc) with hit flag + rnk. */
   private def hitFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val k = topK(s, d, maxQueryId = 100, k = 10)
+    val k = searchFrame(s, d)
     val rel = relevant(s, d, maxQueryId = 100)
     val nRel = rel.groupBy($"query_id").agg(count(lit(1)).as("n_rel"))
     k.join(rel.withColumn("hit", lit(1)), Seq("query_id", "doc_id"), "left_outer")
