@@ -186,20 +186,7 @@ object VectorSearch extends QModule {
     * |rel|, then unweighted mean over queries (A9 two-level). */
   private val v04 = Q(
     "v04_recall",
-    (s, d) => {
-      import s.implicits._
-      hitFrame(s, d)
-        .groupBy($"query_id", $"n_rel")
-        .agg(
-          sum(when($"hit" === 1 && $"rnk" <= 1, 1).otherwise(0)).as("h1"),
-          sum(when($"hit" === 1 && $"rnk" <= 5, 1).otherwise(0)).as("h5"),
-          sum(when($"hit" === 1 && $"rnk" <= 10, 1).otherwise(0)).as("h10"))
-        .agg(
-          round(avg($"h1".cast("double") / $"n_rel"), 4).as("recall_1"),
-          round(avg($"h5".cast("double") / $"n_rel"), 4).as("recall_5"),
-          round(avg($"h10".cast("double") / $"n_rel"), 4).as("recall_10"),
-          count(lit(1)).as("n_queries"))
-    },
+    (s, d) => Metrics.recallAtK(hitFrame(s, d), Seq(1, 5, 10)),
     Some(s"""WITH $duckRanked, $duckRelevant,
       nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
       hits AS (
@@ -225,22 +212,7 @@ object VectorSearch extends QModule {
     * (utils.py:77-79). */
   private val v05 = Q(
     "v05_precision",
-    (s, d) => {
-      import s.implicits._
-      hitFrame(s, d)
-        .groupBy($"query_id")
-        .agg(
-          sum(when($"hit" === 1 && $"rnk" <= 1, 1).otherwise(0)).as("h1"),
-          sum(when($"hit" === 1 && $"rnk" <= 5, 1).otherwise(0)).as("h5"),
-          sum(when($"hit" === 1 && $"rnk" <= 10, 1).otherwise(0)).as("h10"),
-          sum(when($"rnk" <= 1, 1).otherwise(0)).as("d1"),
-          sum(when($"rnk" <= 5, 1).otherwise(0)).as("d5"),
-          sum(when($"rnk" <= 10, 1).otherwise(0)).as("d10"))
-        .agg(
-          round(avg($"h1".cast("double") / $"d1"), 4).as("precision_1"),
-          round(avg($"h5".cast("double") / $"d5"), 4).as("precision_5"),
-          round(avg($"h10".cast("double") / $"d10"), 4).as("precision_10"))
-    },
+    (s, d) => Metrics.precisionAtK(hitFrame(s, d), Seq(1, 5, 10)),
     Some(s"""WITH $duckRanked, $duckRelevant,
       hits AS (
         SELECT t.query_id, t.rnk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit
@@ -266,15 +238,7 @@ object VectorSearch extends QModule {
     * the top-10, else 0; unweighted mean. */
   private val v06 = Q(
     "v06_mrr",
-    (s, d) => {
-      import s.implicits._
-      hitFrame(s, d)
-        .groupBy($"query_id")
-        .agg(min(when($"hit" === 1, $"rnk")).as("first_hit"))
-        .agg(
-          round(avg(coalesce(lit(1.0) / $"first_hit", lit(0.0))), 4).as("mrr"),
-          count(lit(1)).as("n_queries"))
-    },
+    (s, d) => Metrics.mrr(hitFrame(s, d)),
     Some(s"""WITH $duckRanked, $duckRelevant,
       hits AS (
         SELECT t.query_id, t.rnk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit
