@@ -103,6 +103,38 @@ object BruteForce {
       .filter($"rnk" <= k)
   }
 
+  /** Nearest-centroid assignment (the IVF build step, [[Ann]]): for each
+    * corpus vector, the argmax-dot centroid — ties to the smallest
+    * centroid id. Same execution shape as [[topK]]: centroids broadcast,
+    * corpus streams, NO shuffle at all (narrow map) — the n×C crossJoin +
+    * window alternative would shuffle every scored row.
+    *
+    * @return (id, centroid_id, score)
+    */
+  def assign(
+      corpus: Dataset[(Long, Array[Float])],
+      centroids: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    corpus.map { case (id, vec) =>
+      val cs = bc.value
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      var ci = 0
+      while (ci < cs.length) {
+        val (cid, cv) = cs(ci)
+        val n = math.min(cv.length, vec.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += cv(i).toDouble * vec(i).toDouble; i += 1 }
+        if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
+        ci += 1
+      }
+      (id, bestId, bestScore)
+    }.toDF("id", "centroid_id", "score")
+  }
+
   /** Convenience wrapper over DataFrames with (idCol, vecCol) layout; the
     * query side is collected driver-side — it must be the genuinely small
     * side (≤ thousands of rows), which every SURVEY §2 query guarantees.

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, VectorSearch}
+
+/** IVF index build/search properties (SURVEY §5.2 ANN recall gate):
+  * probing everything reproduces the exact result; overlap with the exact
+  * top-10 is monotone in nProbe; the index artifact is persisted
+  * partitioned and rebuilt only when absent; the probed scan is
+  * partition-pruned. */
+class AnnSpec extends SparkSpec {
+
+  private def overlapAtProbe(np: Int): Double = {
+    import spark.implicits._
+    val exact = VectorSearch.searchFrame(spark, sf001)
+      .select($"query_id", $"doc_id")
+    val ann = Ann.search(spark, sf001, maxQueryId = 100, k = 10, nProbe = np)
+      .select($"query_id", $"doc_id")
+    ann.join(exact, Seq("query_id", "doc_id")).count().toDouble / exact.count()
+  }
+
+  test("probing ALL centroids reproduces the exact brute-force top-10") {
+    val nCentroids = Ann.centroids(spark, sf001).count().toInt
+    assert(overlapAtProbe(nCentroids) == 1.0)
+  }
+
+  test("overlap with exact top-10 is monotone non-decreasing in nProbe") {
+    val overlaps = Seq(1, 4, 8, 20).map(overlapAtProbe)
+    assert(overlaps.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true },
+      s"non-monotone: $overlaps")
+    // The dial must actually move: probing more must eventually beat nProbe=1.
+    assert(overlaps.last > overlaps.head)
+  }
+
+  test("index is persisted partitioned by centroid_id and not rebuilt") {
+    val path = Ann.buildIndex(spark, sf0001)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("centroid_id=")))
+    val mtime = new java.io.File(s"$path/_SUCCESS").lastModified()
+    Ann.buildIndex(spark, sf0001) // second call must be a no-op
+    assert(new java.io.File(s"$path/_SUCCESS").lastModified() == mtime)
+  }
+
+  test("probed search plan prunes index partitions (PartitionFilters present)") {
+    val plan = Ann.search(spark, sf0001, maxQueryId = 5, k = 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    // The index scan must carry a partition filter on centroid_id — i.e.
+    // a dynamic pruning or pushed filter, not a full scan of every
+    // centroid directory.
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"no partition pruning in plan:\n$plan")
+  }
+
+  test("every centroid assignment is the argmax-dot centroid (spot check)") {
+    import spark.implicits._
+    val cents = Ann.centroids(spark, sf0001)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val sample = Ann.loadIndex(spark, sf0001)
+      .filter($"doc_id" < 50)
+      .select($"doc_id", $"embedding", $"centroid_id")
+      .as[(Long, Array[Float], Long)].collect()
+    sample.foreach { case (docId, vec, assigned) =>
+      val best = cents.map { case (cid, cv) =>
+        val s = cv.zip(vec).foldLeft(0.0) { case (acc, (a, b)) => acc + a.toDouble * b.toDouble }
+        (cid, s)
+      }.maxBy { case (cid, s) => (s, -cid) }._1
+      assert(assigned == best, s"doc $docId assigned $assigned, argmax is $best")
+    }
+  }
+}
