@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, QModule, Tables}
+
+/** File-format sources and sinks (SURVEY §2.1): JSONL corpus scan/sink
+  * (S2/S3/K1, `001:98-116`, `000:374-407`), TSV qrels scan with header
+  * skip + int cast (S4, `001:118-125`), multiLine JSON report scan with
+  * latest-per-dir selection (S6, `005:46-80`) feeding the benchmark
+  * comparison (A7 speedup vs the brute_force row, `005:469-487`; T5
+  * argmin/argmax findings `005:493-503`), plus F6 from_json/to_json and
+  * P4 coalesce-defaults.
+  *
+  * The JSONL/TSV entries are ROUND TRIPS: the engine derives a file from
+  * the driver's parquet tables, writes it with the sink under test, reads
+  * it back with the source under test, and the DuckDB oracle computes the
+  * same result straight from parquet — so a defect in either direction
+  * breaks the hash.
+  */
+object FileFormats extends QModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Scratch dir per (sf-dir) for round-trip files. */
+  private def scratch(d: String, name: String): String =
+    s"/tmp/graft_io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  // ---------------------------------------------------------------- q17
+  /** K1 + S2 + P4: JSONL corpus sink/scan round trip with nullable fields.
+    * title present only for even ids, metadata map only for ids % 3 == 0 —
+    * Spark's JSON sink omits null fields per line (exactly the shape of
+    * real BEIR corpus JSONL), and the read-back projection restores the
+    * reference's `.get('title','')` / `.get('metadata',{})` defaults
+    * (`000:396-401`, `001:103-105`). */
+  private val q17 = Q(
+    "q17_jsonl_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val path = scratch(d, "corpus_jsonl")
+      t(s, d, "documents")
+        .select(
+          $"doc_id",
+          when($"doc_id" % 2 === 0, upper($"lang")).as("title"),
+          $"text",
+          when($"doc_id" % 3 === 0, map(lit("src"), $"source")).as("metadata"))
+        .coalesce(1)
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("title", StringType),
+        StructField("text", StringType),
+        StructField("metadata", MapType(StringType, StringType))))
+      s.read.schema(schema).json(path)
+        .select(
+          $"doc_id",
+          coalesce($"title", lit("")).as("title_filled"),
+          coalesce(element_at($"metadata", "src"), lit("none")).as("src_meta"),
+          length($"text").cast("long").as("text_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE '' END AS title_filled,
+      CASE WHEN doc_id % 3 = 0 THEN source ELSE 'none' END AS src_meta,
+      CAST(length(text) AS BIGINT) AS text_len
+    FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q18
+  /** S4 + K(csv): TSV qrels sink/scan round trip — header row written and
+    * skipped on read, relevance cast to INT (`001:118-125` tab-split,
+    * header skip, int cast; 4 copies in the reference). Aggregates to the
+    * reference's "avg qrels per query" stat (`000:231`). */
+  private val q18 = Q(
+    "q18_tsv_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val path = scratch(d, "qrels_tsv")
+      t(s, d, "embeddings")
+        .select(
+          ($"vec_id" % 50).as("query_id"),
+          $"vec_id".as("doc_id"),
+          ($"label" % 3).cast("string").as("relevance")) // string on disk, cast back on read
+        .coalesce(1)
+        .write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("doc_id", LongType),
+        StructField("relevance", StringType)))
+      val qrels = s.read
+        .option("sep", "\t").option("header", "true").schema(schema).csv(path)
+        .withColumn("relevance", $"relevance".cast("int"))
+      qrels
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_judged"), sum($"relevance").cast("long").as("sum_rel"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          round(avg($"n_judged"), 4).as("avg_qrels_per_query"),
+          sum($"sum_rel").as("total_relevance"))
+    },
+    Some("""SELECT count(*) AS n_queries,
+      round(avg(n_judged), 4) AS avg_qrels_per_query,
+      sum(sum_rel) AS total_relevance
+    FROM (SELECT vec_id % 50 AS query_id, count(*) AS n_judged,
+                 CAST(sum(label % 3) AS BIGINT) AS sum_rel
+          FROM embeddings GROUP BY 1)"""))
+
+  // ---------------------------------------------------------------- q19
+  /** S6 + W2 + A7 + T5: the benchmark-comparison pipeline of
+    * `005-compare_benchmarks.py` in its real shape — multiLine JSON report
+    * scan over the per-method report dirs, method derived from the
+    * directory via input_file_name, LATEST report per method by embedded
+    * timestamp (the reference keys on file mtime, `005:62`, which a git
+    * checkout does not preserve — the timestamp field carries the same
+    * ordering), schema-variant normalization (`performance` vs
+    * `search_latency_cpu`, `005:106-117`), then speedup vs the
+    * brute_force row (`005:469-487`). Fixture numbers are the reference's
+    * published BASELINE.md values, so the expected output is static. */
+  private val q19 = Q(
+    "q19_report_compare",
+    (s, _) => {
+      import s.implicits._
+      val raw = s.read
+        .option("multiLine", "true")
+        .json("/root/repo/fixtures/reports/*/")
+        .withColumn("method_dir", regexp_extract(input_file_name(), "reports/([^/]+)/", 1))
+      val w = Window.partitionBy($"method_dir").orderBy($"metadata.timestamp".desc)
+      val latest = raw
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select(
+          $"method",
+          coalesce($"performance.avg_latency_ms", $"search_latency_cpu.avg_latency_ms")
+            .as("avg_latency_ms"),
+          coalesce($"performance.qps", $"search_latency_cpu.qps").as("qps"),
+          $"recall.10".as("recall_10"),
+          $"mrr")
+      val bf = latest.filter($"method" === "brute_force")
+        .select($"avg_latency_ms".as("bf_latency"))
+      latest
+        .crossJoin(broadcast(bf))
+        .select(
+          $"method", $"avg_latency_ms", $"qps", $"recall_10", $"mrr",
+          round($"bf_latency" / $"avg_latency_ms", 4).as("speedup_vs_bf"))
+        .orderBy($"method")
+    },
+    Some("""SELECT * FROM (VALUES
+      ('brute_force', 699.43, 1.43, 0.81, 0.6253, 1.0),
+      ('faiss', 0.08, 11805.0, 0.7683, 0.5101, 8742.875),
+      ('hnswlib', 0.46, 2165.7, 0.7433, 0.5318, 1520.5)
+    ) AS t(method, avg_latency_ms, qps, recall_10, mrr, speedup_vs_bf)
+    ORDER BY method"""))
+
+  // ---------------------------------------------------------------- q20
+  /** F6 from_json/to_json round trip: serialize a nested struct per doc,
+    * parse it back, extract fields — must be an identity on the data
+    * (reference parses JSON per line at `001:101` and serializes at
+    * `000:402`). */
+  private val q20 = Q(
+    "q20_json_funcs",
+    (s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("lang", StringType),
+        StructField("stats", StructType(Seq(StructField("n_chars", LongType))))))
+      t(s, d, "documents")
+        .filter($"doc_id" < 50)
+        .select(
+          $"doc_id",
+          to_json(struct(
+            $"doc_id".as("id"),
+            $"lang",
+            struct($"n_chars").as("stats"))).as("js"))
+        .select($"doc_id", from_json($"js", schema).as("parsed"))
+        .select(
+          $"doc_id",
+          $"parsed.lang".as("lang"),
+          $"parsed.stats.n_chars".as("n_chars"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
+
+  override def all: Seq[Q] = Seq(q17, q18, q19, q20)
+}

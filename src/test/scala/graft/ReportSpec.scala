@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Metrics
+import graft.sources.Report
+
+/** K3 report sink round trip: build the nested report from metric frames,
+  * write it, read it back with the multiLine JSON scan, and check every
+  * field survives. */
+class ReportSpec extends SparkSpec {
+
+  test("nested metrics report write → read round trip") {
+    import spark.implicits._
+    val hits = Seq(
+      (1L, 1L, 1, 2L), (1L, 2L, 0, 2L),
+      (2L, 1L, 0, 1L), (2L, 2L, 1, 1L)).toDF("query_id", "rnk", "hit", "n_rel")
+    val report = Report.build(
+      spark, "unit_test",
+      Metrics.recallAtK(hits, Seq(1, 2)),
+      Metrics.precisionAtK(hits, Seq(1, 2)),
+      Metrics.mrr(hits),
+      ks = Seq(1, 2), pks = Seq(1, 2),
+      avgLatencyMs = 12.5, qps = 80.0, timestamp = "2026-08-12T00:00:00")
+
+    val dir = Files.createTempDirectory("graft_report").toString
+    val path = Report.write(report, dir)
+    assert(path.endsWith("unit_test_20260812000000.json"))
+
+    val back = spark.read.option("multiLine", "true").json(path)
+    val r = back.collect().head
+    assert(r.getAs[String]("method") == "unit_test")
+    val perf = r.getAs[org.apache.spark.sql.Row]("performance")
+    assert(perf.getAs[Double]("avg_latency_ms") == 12.5)
+    assert(perf.getAs[Long]("total_queries") == 2L)
+    // schema inference reads the JSON map as a struct keyed "1"/"2"
+    val recall = r.getAs[org.apache.spark.sql.Row]("recall")
+    // q1: hit@1 of 2 rel → 0.5@1, 0.5@2; q2: hit@2 → 0@1, 1.0@2
+    assert(recall.getAs[Double]("1") == 0.25 && recall.getAs[Double]("2") == 0.75)
+    assert(r.getAs[Double]("mrr") == 0.75) // (1.0 + 0.5) / 2
+  }
+}
