@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, Relational, TextPipeline, VectorSearch}
+import graft.operators.{Ann, Multimodal, Relational, Sampling, TextPipeline, VectorSearch}
 import graft.sources.FileFormats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,7 +10,8 @@ object SparkEntry {
 
   /** All registered operator modules; each Q carries its Spark impl and
     * (when SQL-expressible) its DuckDB oracle. */
-  def modules: Seq[QModule] = Seq(Relational, VectorSearch, Ann, TextPipeline, FileFormats)
+  def modules: Seq[QModule] =
+    Seq(Relational, VectorSearch, Ann, TextPipeline, Sampling, Multimodal, FileFormats)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QModule, Tables}
+
+/** Deterministic, distribution-safe sampling (SURVEY §2.9): the
+  * stratified subset of `000-get_data.py:291-361` (keep ALL relevant rows,
+  * sample the anti-join pool, assert nothing relevant was lost) and the
+  * seeded without-replacement query sample of `003:121-124`.
+  *
+  * `rand(seed)` is partitioning-sensitive in Spark (SURVEY §7.4 hard part
+  * 3), so the uniform variate is a pure function of the row KEY — the same
+  * LCG used by v07 — which makes the sample identical under any
+  * partitioning, any engine, and any cluster size. That is the property
+  * that matters at 100 TB: re-running the subset job on different
+  * executors must reproduce the same subset.
+  */
+object Sampling extends QModule {
+
+  /** U(0,1) from a row key: same LCG as v07_layer_assignment. */
+  private def lcgU(key: Column): Column =
+    (((key * lit(1103515245L) + lit(12345L)) % lit(2147483648L)) + lit(1.0)) / lit(2147483649.0)
+
+  private def duckLcgU(key: String): String =
+    s"((($key * 1103515245 + 12345) % 2147483648) + 1.0) / 2147483649.0"
+
+  // ---------------------------------------------------------------- q27
+  /** R1 + J7: stratified subset — keep every customer with an URGENT
+    * order (the "relevant" stratum), add a ~30% key-deterministic sample
+    * of the others, and emit the integrity summary INCLUDING the
+    * missing-relevant count, which must be 0 (the reference's "Missing
+    * relevant docs should be 0" assertion, `000:348-359`). */
+  private val q27 = Q(
+    "q27_subset_sample",
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables(s, d, "customer")
+      val relevant = cust
+        .join(
+          Tables(s, d, "orders").filter($"o_orderpriority" === "1-URGENT")
+            .select($"o_custkey".as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+      val pool = cust.join(relevant.select($"c_custkey"), Seq("c_custkey"), "left_anti")
+      val sampled = pool.filter(lcgU($"c_custkey") < 0.3)
+      val subset = relevant.select($"c_custkey").union(sampled.select($"c_custkey"))
+      val missing = relevant.select($"c_custkey")
+        .join(subset, Seq("c_custkey"), "left_anti")
+      subset
+        .agg(count(lit(1)).as("n_subset"))
+        .crossJoin(relevant.agg(count(lit(1)).as("n_relevant")))
+        .crossJoin(sampled.agg(count(lit(1)).as("n_sampled")))
+        .crossJoin(missing.agg(count(lit(1)).as("n_missing_relevant")))
+    },
+    Some(s"""WITH relevant AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+      pool AS (SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM relevant)),
+      sampled AS (SELECT c_custkey FROM pool WHERE ${duckLcgU("c_custkey")} < 0.3),
+      subset AS (SELECT c_custkey FROM relevant UNION ALL SELECT c_custkey FROM sampled)
+    SELECT (SELECT count(*) FROM subset) AS n_subset,
+           (SELECT count(*) FROM relevant) AS n_relevant,
+           (SELECT count(*) FROM sampled) AS n_sampled,
+           (SELECT count(*) FROM relevant WHERE c_custkey NOT IN (SELECT c_custkey FROM subset))
+             AS n_missing_relevant"""))
+
+  // ---------------------------------------------------------------- q28
+  /** R2 + P3: exactly-N without-replacement query sample — filter to
+    * queries that HAVE ground truth (≥1 same-label partner, the
+    * has-ground-truth semi join of `002:139`), order by the key-LCG
+    * variate, take the first 100. Deterministic under any partitioning
+    * (global sort on (u, key)). */
+  private val q28 = Q(
+    "q28_query_sample",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables(s, d, "embeddings").select($"vec_id", $"label")
+      val withTruth = e
+        .join(
+          e.select($"vec_id".as("other_id"), $"label"),
+          Seq("label"))
+        .filter($"vec_id" =!= $"other_id")
+        .select($"vec_id")
+        .distinct()
+      withTruth
+        .withColumn("u", lcgU($"vec_id"))
+        .orderBy($"u", $"vec_id")
+        .limit(100)
+        .select($"vec_id", round($"u", 6).as("u"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH with_truth AS (
+        SELECT DISTINCT a.vec_id FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      u AS (SELECT vec_id, ${duckLcgU("vec_id")} AS u FROM with_truth)
+    SELECT vec_id, round(u, 6) AS u FROM u ORDER BY u, vec_id LIMIT 100"""))
+
+  override def all: Seq[Q] = Seq(q27, q28)
+}

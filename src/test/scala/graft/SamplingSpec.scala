@@ -1,0 +1,42 @@
+package graft
+
+/** The sampling contract (SURVEY §7.4 hard part 3): key-deterministic
+  * samples must be identical under any partitioning, and the stratified
+  * subset must never lose a relevant row. */
+class SamplingSpec extends SparkSpec {
+
+  test("subset sample keeps ALL relevant rows (n_missing_relevant == 0)") {
+    val r = SparkEntry.queries("q27_subset_sample")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n_missing_relevant") == 0L)
+    assert(r.getAs[Long]("n_subset") ==
+      r.getAs[Long]("n_relevant") + r.getAs[Long]("n_sampled"))
+  }
+
+  test("query sample is deterministic across repeated runs and partitionings") {
+    import spark.implicits._
+    def run(): Seq[Long] =
+      SparkEntry.queries("q28_query_sample")(spark, sf001)
+        .select($"vec_id").as[Long].collect().toSeq.sorted
+    val a = run()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = run()
+      assert(a == b, "sample changed under different shuffle partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(a.size == 100)
+  }
+
+  test("multimodal decode stub: known bytes → known features") {
+    val f = graft.operators.Multimodal.decodeStub("abc".getBytes("UTF-8"))
+    // bytes 97,98,99: mean 98/255, range 2/255, size 3/1000
+    assert(math.abs(f(0) - 98.0f / 255.0f) < 1e-7)
+    assert(math.abs(f(1) - 2.0f / 255.0f) < 1e-7)
+    assert(math.abs(f(2) - 0.003f) < 1e-7)
+  }
+
+  test("frame sampling arithmetic matches ceil(ceil(n/16)/stride)") {
+    for ((n, want) <- Seq((157L, 3L), (16L, 1L), (17L, 1L), (256L, 4L), (1L, 1L)))
+      assert(graft.operators.Multimodal.sampledFrames(n, 4) == want, s"n=$n")
+  }
+}
