@@ -118,7 +118,9 @@ object TextPipeline extends QModule {
 
   def jaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
     import s.implicits._
-    val sh = docs(s, d).select($"doc_id", shingles($"text").as("s"))
+    // cache: the shingle projection feeds the two join branches AND both
+    // size lookups — without it the per-doc shingle transform runs 4×.
+    val sh = docs(s, d).select($"doc_id", shingles($"text").as("s")).cache()
     val sizes = sh.select($"doc_id", size($"s").as("n"))
     val tok = sh.select($"doc_id", explode($"s").as("tok"))
     tok.select($"doc_id".as("doc_a"), $"tok")
@@ -163,11 +165,15 @@ object TextPipeline extends QModule {
       import s.implicits._
       val sh = docs(s, d).select($"doc_id", shingles($"text").as("s")).cache()
       val consts = permConsts
+      // Hash each shingle ONCE (the char-polynomial is the expensive part:
+      // 8 substring+ascii ops per shingle); the 32 permutations are then
+      // cheap arithmetic over the pre-hashed LONG array.
+      val hashed = sh.select($"doc_id", transform($"s", x => shingleHash(x)).as("hs"))
       val mh = consts.zipWithIndex.map { case ((a, b), j) =>
-        array_min(transform($"s", x => (lit(a) * shingleHash(x) + lit(b)) % lit(MinHashPrime)))
+        array_min(transform($"hs", h => (lit(a) * h + lit(b)) % lit(MinHashPrime)))
           .as(s"mh$j")
       }
-      val sigs = sh.select(($"doc_id" +: mh): _*)
+      val sigs = hashed.select(($"doc_id" +: mh): _*)
       val nBands = MinHashPerms / BandRows
       val bandCols = (0 until nBands).map { bIdx =>
         struct(
