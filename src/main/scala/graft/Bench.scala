@@ -16,6 +16,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus)
+    // Warm-up: JVM/codegen/scheduler start-up must not be billed to the
+    // first timed query (it was inflating it ~10×).
+    spark.range(1000000L).selectExpr("sum(id)").collect()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Ann, Multimodal, Relational, Sampling, TextPipeline, VectorSearch}
 import graft.sources.FileFormats
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +12,7 @@ object SparkEntry {
   /** All registered operator modules; each Q carries its Spark impl and
     * (when SQL-expressible) its DuckDB oracle. */
   def modules: Seq[QModule] =
-    Seq(Relational, VectorSearch, Ann, TextPipeline, Sampling, Multimodal, FileFormats)
+    Seq(Relational, VectorSearch, Ann, TextPipeline, Sampling, Multimodal, FileFormats, Streams)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

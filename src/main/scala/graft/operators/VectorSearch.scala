@@ -281,5 +281,28 @@ object VectorSearch extends QModule {
     SELECT m, layer, count(*) AS cnt, round(count(*) * 100.0 / 5000.0, 4) AS pct
     FROM layers GROUP BY m, layer ORDER BY m, layer"""))
 
-  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07)
+  // ---------------------------------------------------------------- v11
+  /** F8 in its ingest role: the normalize-once trick (`004:187-196`) as a
+    * registry query — L2-normalize each embedding, emit the first
+    * component of the unit vector and its norm (≡ 1). On pre-normalized
+    * fixtures this is near-identity, which is exactly the invariant worth
+    * checking at ingest. */
+  private val v11 = Q(
+    "v11_normalize",
+    (s, d) => {
+      import s.implicits._
+      emb(s, d)
+        .select($"vec_id", l2Normalize($"embedding").as("unit"))
+        .select(
+          $"vec_id",
+          round(element_at($"unit", 1), 6).as("e0"),
+          round(l2Norm($"unit"), 6).as("unit_norm"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""SELECT vec_id,
+      round(embedding[1] / sqrt(${duckDot("embedding", "embedding")}), 6) AS e0,
+      CAST(1.0 AS DOUBLE) AS unit_norm
+    FROM embeddings ORDER BY vec_id"""))
+
+  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11)
 }

@@ -183,5 +183,36 @@ object FileFormats extends QModule {
     },
     Some("""SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
 
-  override def all: Seq[Q] = Seq(q17, q18, q19, q20)
+  // ---------------------------------------------------------------- q31
+  /** K2 + S5: parquet sink/scan round trip for the embeddings layout —
+    * write (id, ARRAY<FLOAT>) with zstd compression (the engine's NPZ
+    * replacement, SURVEY K2: "same role: compact columnar vectors"), read
+    * it back, and verify content via per-vector norms. The reference's
+    * post-save reload-and-verify pattern (`001:296-328`). */
+  private val q31 = Q(
+    "q31_parquet_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val path = scratch(d, "embeddings_parquet")
+      t(s, d, "embeddings")
+        .select($"vec_id", $"embedding", $"label")
+        .write.mode("overwrite").option("compression", "zstd").parquet(path)
+      val back = s.read.parquet(path)
+      back
+        .select(
+          $"vec_id",
+          size($"embedding").cast("long").as("dim"),
+          round(
+            sqrt(aggregate($"embedding", lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("norm"),
+          $"label".cast("long").as("label"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      round(sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                  FROM (SELECT unnest(embedding) AS x) zz)), 4) AS norm,
+      CAST(label AS BIGINT) AS label
+    FROM embeddings ORDER BY vec_id"""))
+
+  override def all: Seq[Q] = Seq(q17, q18, q19, q20, q31)
 }

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.{Q, QModule, Tables}
+
+/** Structured Streaming surface (capability headroom per SURVEY §2.11 —
+  * the reference has no streams, but the engine's stream story is part of
+  * the 100 TB design): transforms are written ONCE against DataFrames and
+  * run identically in batch (where the DuckDB oracle checks them) and
+  * under `readStream` with a watermark (where the test suite checks them
+  * against the batch result on the same rows).
+  *
+  * Two canonical stateful shapes:
+  *  - tumbling-window aggregation with late-data tolerance
+  *    ([[hourlyAgg]]) — watermark + window();
+  *  - keyed running state ([[latestPerUser]]) via
+  *    `KeyValueGroupedDataset.mapGroupsWithState` — the upsert/compaction
+  *    primitive behind streaming dedup.
+  */
+object Streams extends QModule {
+
+  /** Typed event row (events.parquet via [[Tables.events]]; `ts` is the
+    * micros-precision timestamp derived from the nanos column). */
+  case class Event(
+      event_id: Long,
+      user_id: Long,
+      event_type: String,
+      ts: Timestamp,
+      ts_ns: Long,
+      value: Double)
+
+  /** Tumbling 1-hour window aggregate — the SAME function serves the
+    * batch registry query (q32) and the streaming test. In streaming
+    * mode, pass a watermark so state for closed windows is evicted (late
+    * rows beyond it are dropped — bounded state at any scale). */
+  def hourlyAgg(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val e = watermark.fold(events)(w => events.withWatermark("ts", w))
+    e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("total_value"))
+  }
+
+  /** Keyed running "latest" state: for each user keep the event with the
+    * max (ts, event_id). In batch each group is one invocation with empty
+    * initial state; in streaming the state carries across micro-batches —
+    * identical results either way, asserted in tests. */
+  def latestPerUser(events: Dataset[Event]): Dataset[(Long, Long, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Event, (Long, Long, String)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Event]) =>
+          val latest = (state.getOption.iterator ++ it)
+            .maxBy(e => (e.ts_ns, e.event_id)) // nanos-exact: micros ts can tie
+          state.update(latest)
+          (uid, latest.event_id, latest.event_type)
+      }
+  }
+
+  /** Typed view of the events table for the stateful operators. */
+  def typedEvents(s: SparkSession, d: String): Dataset[Event] = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("ts_ns"), col("value"))
+      .as[Event]
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** The streaming hourly aggregation executed in BATCH mode (same code
+    * path Catalyst plans for the stream, minus the stateful exchange) —
+    * oracle-checked; the streaming execution of the identical function is
+    * covered by StreamingSpec against MemoryStream. */
+  private val q32 = Q(
+    "q32_stream_hourly_batch",
+    (s, d) => hourlyAgg(Tables(s, d, "events")).orderBy(col("hour"), col("event_type")),
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      count(*) AS cnt, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  // ---------------------------------------------------------------- q33
+  /** The keyed running-state operator in batch mode: latest event per
+    * user via mapGroupsWithState — must equal the declarative
+    * window/row_number form (q16), which is exactly what the oracle
+    * computes. */
+  private val q33 = Q(
+    "q33_stream_latest_batch",
+    (s, d) => {
+      import s.implicits._
+      latestPerUser(typedEvents(s, d))
+        .toDF("user_id", "event_id", "event_type")
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, event_id, event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id"""))
+
+  override def all: Seq[Q] = Seq(q32, q33)
+}

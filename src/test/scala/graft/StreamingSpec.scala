@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** The streaming transforms must produce the SAME result when the events
+  * arrive as a stream (across multiple micro-batches, carrying state) as
+  * when they run in one batch — that equivalence is the whole point of
+  * writing the transform once (SURVEY §2.11 / Streams scaladoc). */
+class StreamingSpec extends SparkSpec {
+
+  private def fixtureEvents: Seq[Event] = {
+    Streams.typedEvents(spark, sf0001).collect().toSeq
+  }
+
+  test("hourly window agg: streamed micro-batches == batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val stream = MemoryStream[Event]
+    val q = Streams
+      .hourlyAgg(stream.toDF(), watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("hourly_out").outputMode("complete").start()
+    try {
+      // feed in three micro-batches to exercise state carry-over
+      val chunks = events.grouped(math.max(1, events.size / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("hourly_out")
+        .select($"hour", $"event_type", $"cnt", $"total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Streams.hourlyAgg(Tables(spark, sf0001, "events"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful latest-per-user: streamed state across batches == batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val stream = MemoryStream[Event]
+    val q = Streams.latestPerUser(stream.toDS())
+      .toDF("user_id", "event_id", "event_type")
+      .writeStream.format("memory").queryName("latest_out").outputMode("update").start()
+    try {
+      // two batches split so many users appear in BOTH (state must merge)
+      val (a, b) = events.sortBy(_.ts_ns).splitAt(events.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      // update mode emits per-batch rows; the latest row per user wins
+      val streamed = spark.table("latest_out")
+        .withColumn("ord", monotonically_increasing_id())
+        .orderBy($"ord".desc)
+        .dropDuplicates("user_id")
+        .select($"user_id", $"event_id", $"event_type")
+        .collect().map(_.toSeq).toSet
+      val batch = Streams.latestPerUser(Streams.typedEvents(spark, sf0001))
+        .toDF("user_id", "event_id", "event_type")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
