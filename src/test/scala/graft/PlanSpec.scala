@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators.VectorSearch
+
+/** Plan-quality regression tests (SURVEY §4.2's "free" optimizations must
+  * STAY free): predicate pushdown reaching the parquet scan, column
+  * pruning, broadcast joins for small dims, map-side partial aggregation,
+  * whole-stage codegen, and the absence of all-pairs joins in every
+  * vector/dedup path. These assert the plan SHAPE, so a future change
+  * that silently de-optimizes (e.g. a cast blocking pushdown, a join
+  * falling back to nested-loop) fails the suite rather than the bench. */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf001)
+
+  test("q02: filters push down to the parquet scan; scan is column-pruned") {
+    val plan = formatted(q("q02_filter_revenue"))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range not pushed")
+    assert(plan.contains("LessThan(l_quantity,24.0)"), "quantity bound not pushed")
+    // lineitem has 16 columns; the scan must read only the 4 referenced.
+    val read = plan.linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
+    assert(read.count(_ == ',') == 3, s"scan reads more than 4 columns: $read")
+  }
+
+  test("q03: dimension join is a broadcast hash join, not sort-merge") {
+    val plan = q("q03_segment_revenue").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q01: aggregation is map-side partial + whole-stage codegen") {
+    val df = q("q01_pricing_summary")
+    assert(df.queryExecution.executedPlan.toString.contains("partial_sum"),
+      "no map-side combine before the shuffle")
+    // codegen stage markers (*(n)) appear in the FINAL adaptive plan only
+    // after execution
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"))
+    assert(finalPlan.contains("*("), s"no whole-stage codegen span:\n${finalPlan.take(1500)}")
+  }
+
+  test("search path has no cartesian/nested-loop join and no q×n shuffle") {
+    val plan = VectorSearch.topK(spark, sf001, maxQueryId = 100, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the only wide operator should be the final window over candidates
+    assert(plan.contains("SerializeFromObject"), "kernel mapPartitions missing from plan")
+  }
+
+  test("events scan prunes unread columns (q15 reads 3 of 6)") {
+    val plan = formatted(q("q15_events_hourly"))
+    val read = plan.linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
+    assert(!read.contains("props"), s"unused props column read: $read")
+    assert(!read.contains("event_id"), s"unused event_id column read: $read")
+  }
+}
