@@ -44,26 +44,11 @@ object TextPipeline extends QModule {
                               for i in range(1, len(ws) - 1)]) AS s
         FROM toks)"""
 
-  /** Portable shingle hash in [0, 2^31−1): base-31 polynomial over the
-    * first 8 chars (padded with '_'), reduced mod P, then a Knuth
-    * multiplicative mix mod P. Every intermediate product stays below
-    * 2^63 in BOTH engines (max ≈ (P−1) × 2654435761 ≈ 5.7e18), so no
-    * overflow under Spark ANSI mode or DuckDB BIGINT. Defined identically
-    * in [[duckHash]]. */
-  private def shingleHash(x: Column): Column = {
-    val padded = concat(x, lit("________"))
-    val poly = (1 to 8)
-      .map(i => ascii(substring(padded, i, 1)).cast("long") * lit(math.pow(31, i - 1).toLong))
-      .reduce(_ + _)
-    ((poly % lit(MinHashPrime)) * lit(2654435761L)) % lit(MinHashPrime)
-  }
+  /** Portable shingle hash in [0, 2^31−1) — see
+    * [[graft.functions.PortableHash]] for the cross-engine contract. */
+  private def shingleHash(x: Column): Column = graft.functions.PortableHash.hash(x)
 
-  private def duckHash(x: String): String = {
-    val poly = (1 to 8)
-      .map(i => s"CAST(ascii(substring($x || '________', $i, 1)) AS BIGINT) * ${math.pow(31, i - 1).toLong}")
-      .mkString("(", " + ", ")")
-    s"((($poly % $MinHashPrime) * 2654435761) % $MinHashPrime)"
-  }
+  private def duckHash(x: String): String = graft.functions.PortableHash.duckHash(x)
 
   /** Exact 3-gram Jaccard pairs ≥ τ — the DuckDB oracle shared by q22
     * (inverted-index exact) and q23 (MinHash+LSH): both must produce
@@ -342,5 +327,43 @@ object TextPipeline extends QModule {
     SELECT vec_a, vec_b, round(dt, 4) AS cosine
     FROM scored WHERE dt >= 0.45 ORDER BY vec_a, vec_b"""))
 
-  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26)
+  // ---------------------------------------------------------------- q34
+  /** V1 — embedding generation via the pluggable [[graft.functions.TextEncoder]]
+    * stage (hashing-trick featurizer, dim 16): encode each document and
+    * emit the first 4 components of the unit vector. One narrow
+    * projection, no shuffle — the execution shape a real model encoder
+    * slots into. */
+  private val q34 = Q(
+    "q34_featurize",
+    (s, d) => {
+      import s.implicits._
+      val enc = graft.functions.HashProjectionEncoder(16)
+      docs(s, d)
+        .filter($"doc_id" < 100)
+        .select($"doc_id", enc.encode($"text").as("emb"))
+        .select(
+          $"doc_id",
+          round(element_at($"emb", 1), 6).as("e0"),
+          round(element_at($"emb", 2), 6).as("e1"),
+          round(element_at($"emb", 3), 6).as("e2"),
+          round(element_at($"emb", 4), 6).as("e3"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val enc = graft.functions.HashProjectionEncoder(16)
+      val sums = enc.duckSums("hs").zipWithIndex
+        .map { case (sql, i) => s"$sql AS s$i" }.mkString(", ")
+      val normExpr = (0 until 16).map(i => s"s$i * s$i").mkString("sqrt(", " + ", ")")
+      s"""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents WHERE doc_id < 100),
+        hashed AS (SELECT doc_id, [${graft.functions.PortableHash.duckHash("w")} for w in ws] AS hs FROM toks),
+        sums AS (SELECT doc_id, $sums FROM hashed),
+        normed AS (SELECT doc_id, $normExpr AS nrm, s0, s1, s2, s3 FROM sums)
+      SELECT doc_id, round(s0 / nrm, 6) AS e0, round(s1 / nrm, 6) AS e1,
+             round(s2 / nrm, 6) AS e2, round(s3 / nrm, 6) AS e3
+      FROM normed ORDER BY doc_id"""
+    })
+
+  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q34)
 }
