@@ -1,0 +1,118 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `collect_top_k(score, id, k)` — bounded-heap top-k as a first-class
+  * Catalyst aggregate (SURVEY §4.3.1: "the single most valuable custom
+  * piece"). Where `Window.partitionBy(key).orderBy(score)` sorts EVERY
+  * row of each partition group, this aggregate keeps an O(k) heap per
+  * group with map-side partial aggregation: each task emits at most k
+  * candidates per group into the shuffle, exactly like Spark's own
+  * `TakeOrderedAndProject` but keyed.
+  *
+  * Ordering: score DESC, then id ASC (the engine-wide deterministic
+  * tie-break). Output: ARRAY<STRUCT<score: DOUBLE, id: LONG>> in final
+  * rank order — `posexplode` it to get (rank-1, struct) rows.
+  */
+case class TopKAgg(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKAgg.Heap] {
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
+
+  override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null) {
+      buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKAgg.Heap, other: TopKAgg.Heap): TopKAgg.Heap = {
+    other.foreach((s, i) => buf.offer(s, i))
+    buf
+  }
+
+  override def eval(buf: TopKAgg.Heap): Any = {
+    val sorted = buf.sortedDesc()
+    new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) })
+  }
+
+  override def serialize(buf: TopKAgg.Heap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val items = buf.sortedDesc()
+    out.writeInt(items.length)
+    items.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKAgg.Heap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val heap = new TopKAgg.Heap(k)
+    var j = 0
+    while (j < n) { heap.offer(in.readDouble(), in.readLong()); j += 1 }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKAgg =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopKAgg {
+
+  /** Bounded worst-first heap: head = eviction candidate (lowest score,
+    * then HIGHEST id). Same ordering contract as the BruteForce kernel. */
+  final class Heap(k: Int) {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by { case (s, i) => (-s, i) }
+    private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+
+    def offer(score: Double, id: Long): Unit =
+      if (pq.size < k) pq.enqueue((score, id))
+      else {
+        val (ws, wi) = pq.head
+        if (score > ws || (score == ws && id < wi)) {
+          pq.dequeue()
+          pq.enqueue((score, id))
+        }
+      }
+
+    def foreach(f: (Double, Long) => Unit): Unit = pq.foreach { case (s, i) => f(s, i) }
+
+    /** Final rank order: score desc, id asc. */
+    def sortedDesc(): Array[(Double, Long)] =
+      pq.toArray.sortBy { case (s, i) => (-s, i) }
+  }
+
+  /** Column API: `collect_top_k(score, id, k)`. */
+  def collectTopK(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftInternal
+    val e = TopKAgg(GraftInternal.expression(score), GraftInternal.expression(id), k)
+    GraftInternal.column(e.toAggregateExpression())
+  }
+}

@@ -95,15 +95,15 @@ object Ann extends QModule {
 
     // Candidate generation: partition-pruned join against the index. The
     // probed side is tiny → broadcast; only probed centroid partitions of
-    // the index are read.
+    // the index are read. Final rank via the bounded-heap aggregate — no
+    // per-query window sort over the rescored candidates.
     val idx = loadIndex(s, d)
-    val wRank = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
-    idx
-      .join(broadcast(probed), Seq("centroid_id"))
-      .filter($"query_id" =!= $"doc_id")
-      .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"embedding").as("score"))
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .filter($"rnk" <= k)
+    BruteForce.rerank(
+      idx
+        .join(broadcast(probed), Seq("centroid_id"))
+        .filter($"query_id" =!= $"doc_id")
+        .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"embedding").as("score")),
+      k)
   }
 
   // ------------------------------------------------------------ oracle SQL

@@ -96,11 +96,23 @@ object BruteForce {
       }
     }.toDF("query_id", "doc_id", "score")
 
-    // Global re-rank of the tiny candidate frame (≤ partitions × q × k rows).
-    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    rerank(candidates, k)
+  }
+
+  /** Global re-rank of a candidate frame (query_id, doc_id, score) via the
+    * [[graft.functions.TopKAgg]] bounded-heap aggregate — map-side partial
+    * top-k, no per-query window sort (SURVEY §4.3.1). */
+  def rerank(candidates: DataFrame, k: Int): DataFrame = {
+    import candidates.sparkSession.implicits._
     candidates
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter($"rnk" <= k)
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.collectTopK($"score", $"doc_id", k).as("topk"))
+      .select($"query_id", posexplode($"topk").as(Seq("pos", "hit")))
+      .select(
+        $"query_id",
+        $"hit.id".as("doc_id"),
+        $"hit.score".as("score"),
+        ($"pos" + 1).cast("long").as("rnk"))
   }
 
   /** Nearest-centroid assignment (the IVF build step, [[Ann]]): for each

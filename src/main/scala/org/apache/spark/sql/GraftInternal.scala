@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column↔Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`): Spark 4 removed the
+  * public `Column(expr)` constructor, and a library shipping custom
+  * Catalyst expressions (graft.functions.TopKAgg) still needs to surface
+  * them as Columns. This is the only file outside the `graft` namespace.
+  */
+object GraftInternal {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
