@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, L2NormExpr, TopKAgg}
+
+/** The standard extension entry point: start any Spark application with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` and the engine's
+  * functions are injected at session build — no imperative registration
+  * call needed. ([[Functions.register]] remains for sessions the library
+  * builds itself, e.g. [[GraftSession]]; both register the identical
+  * builders.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[L2NormExpr].getName, "vec_norm"),
+      (exprs: Seq[Expression]) => L2NormExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("collect_top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "collect_top_k"),
+      (exprs: Seq[Expression]) =>
+        TopKAgg(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()))
+  }
+}

@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftInternal {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply an extensions object's injected functions to a registry —
+    * `SparkSessionExtensions.registerFunctions` is `private[sql]`; tests
+    * use this to observe injection without building a second session. */
+  def registerFunctions(
+      ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+    : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
 }
