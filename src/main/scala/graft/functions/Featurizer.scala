@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** V1 — embedding generation as a pluggable encoder stage (SURVEY §2.10:
@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
 trait TextEncoder {
   def dim: Int
 
-  /** text column → ARRAY<DOUBLE> of length [[dim]], L2-normalized. */
-  def encode(text: Column): Column
+  /** Add `outCol` (ARRAY<DOUBLE> length [[dim]], L2-normalized) encoding
+    * `textCol`. Frame-level rather than a single Column expression so the
+    * implementation can stage intermediate projections — higher-order
+    * functions inline their argument expressions, and a one-expression
+    * encode would re-evaluate the token-hash pass once per referencing
+    * lambda (measured 2× on the norm division alone). */
+  def encode(df: DataFrame, textCol: String, outCol: String): DataFrame
 }
 
 /** The hashing-trick encoder: bucket = hash(token) mod dim, sign = bit 4
@@ -30,18 +35,35 @@ trait TextEncoder {
 final case class HashProjectionEncoder(dim: Int) extends TextEncoder {
   require(dim > 0 && dim <= 16, "sign bit must not overlap bucket bits")
 
-  override def encode(text: Column): Column = {
-    val hs = transform(split(trim(text), "\\s+"), w => PortableHash.hash(w))
-    val sums = (0 until dim).map { i =>
+  override def encode(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    // stage 1: hash tokens once per row (bound column, not inlined into
+    // downstream lambdas)
+    val hsCol = s"__${outCol}_hs"
+    val sumsCol = s"__${outCol}_sums"
+    val withHs = df.withColumn(
+      hsCol,
+      transform(split(trim(col(textCol)), "\\s+"), w => PortableHash.hash(w)))
+    // stage 2: ONE aggregate pass with an array accumulator (per-dim
+    // conditional sums as separate aggregate() calls would re-scan and
+    // re-hash `dim` times)
+    val withSums = withHs.withColumn(
+      sumsCol,
       aggregate(
-        hs,
-        lit(0.0),
-        (acc, h) =>
-          acc + when(h % dim === i,
-            when(shiftright(h, 4) % 2 === 0, 1.0).otherwise(-1.0)).otherwise(0.0))
-    }
-    val norm = sqrt(sums.map(s => s * s).reduce(_ + _))
-    array(sums.map(s => s / norm): _*)
+        col(hsCol),
+        array_repeat(lit(0.0), dim),
+        (acc, h) => {
+          val sign = when(shiftright(h, 4) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+          transform(acc, (v, i) => v + when(h % dim === i.cast("long"), sign).otherwise(0.0))
+        }))
+    // stage 3: normalize; the norm aggregate re-evaluates per element but
+    // over the BOUND 16-element sums column — trivial
+    withSums
+      .withColumn(
+        outCol,
+        transform(
+          col(sumsCol),
+          s => s / sqrt(aggregate(col(sumsCol), lit(0.0), (a, x) => a + x * x))))
+      .drop(hsCol, sumsCol)
   }
 
   /** DuckDB replication: same per-dim signed sums + normalization over

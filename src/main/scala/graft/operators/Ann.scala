@@ -75,36 +75,44 @@ object Ann extends QModule {
     df.withColumn("centroid_id", col("centroid_id").cast("long"))
   }
 
-  /** V3/V5 search: top-k per query with nProbe probed partitions.
-    * @return (query_id, doc_id, score, rnk) */
-  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
+  /** Scored candidates with their probe rank: (query_id, doc_id, score,
+    * prn) for probe ranks ≤ maxProbe. Probe sets are NESTED in nProbe —
+    * the nProbe=j candidate set is exactly `prn <= j` — which lets the
+    * sensitivity sweep score ONE candidate frame at the widest probe and
+    * derive every narrower probe level by filter instead of re-reading
+    * the index per level. */
+  def scoredCandidates(s: SparkSession, d: String, maxQueryId: Int, maxProbe: Int): DataFrame = {
     import s.implicits._
     val q = emb(s, d)
       .filter($"vec_id" < maxQueryId)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
 
-    // Probe selection: top-nProbe centroids per query (q × C rows — both
-    // tiny; broadcast the centroid side).
+    // Probe selection: top-maxProbe centroids per query (q × C rows —
+    // both tiny; broadcast the centroid side).
     val wProbe = Window.partitionBy($"query_id").orderBy($"cscore".desc, $"centroid_id".asc)
     val probed = q
       .crossJoin(broadcast(centroids(s, d)))
       .select($"query_id", $"qe", $"centroid_id", Functions.vecDot($"qe", $"ce").as("cscore"))
       .withColumn("prn", row_number().over(wProbe))
-      .filter($"prn" <= nProbe)
-      .select($"query_id", $"qe", $"centroid_id")
+      .filter($"prn" <= maxProbe)
+      .select($"query_id", $"qe", $"centroid_id", $"prn")
 
-    // Candidate generation: partition-pruned join against the index. The
+    // Candidate generation: partition-pruned join against the index; the
     // probed side is tiny → broadcast; only probed centroid partitions of
-    // the index are read. Final rank via the bounded-heap aggregate — no
-    // per-query window sort over the rescored candidates.
-    val idx = loadIndex(s, d)
-    BruteForce.rerank(
-      idx
-        .join(broadcast(probed), Seq("centroid_id"))
-        .filter($"query_id" =!= $"doc_id")
-        .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"embedding").as("score")),
-      k)
+    // the index are read.
+    loadIndex(s, d)
+      .join(broadcast(probed), Seq("centroid_id"))
+      .filter($"query_id" =!= $"doc_id")
+      .select($"query_id", $"doc_id",
+        Functions.vecDot($"qe", $"embedding").as("score"), $"prn")
   }
+
+  /** V3/V5 search: top-k per query with nProbe probed partitions. Final
+    * rank via the bounded-heap aggregate — no per-query window sort.
+    * @return (query_id, doc_id, score, rnk) */
+  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame =
+    BruteForce.rerank(
+      scoredCandidates(s, d, maxQueryId, nProbe).drop("prn"), k)
 
   // ------------------------------------------------------------ oracle SQL
   private def duckDot(a: String, b: String): String =
@@ -186,8 +194,12 @@ object Ann extends QModule {
       val nRel = rel.groupBy($"query_id").agg(count(lit(1)).as("n_rel"))
       val exact = VectorSearch.searchFrame(s, d) // cached exact top-10, maxQ=100
         .select($"query_id", $"doc_id", lit(1).as("in_exact"))
+      // ONE partition-pruned scoring pass at the widest probe level; each
+      // sweep level is a prn-filter + heap re-rank of the cached frame
+      // (probe sets are nested prefixes — see scoredCandidates).
+      val cand = scoredCandidates(s, d, maxQueryId = 100, maxProbe = SweepProbes.max).cache()
       val frames = SweepProbes.map { np =>
-        search(s, d, maxQueryId = 100, k = 10, nProbe = np)
+        BruteForce.rerank(cand.filter($"prn" <= np).drop("prn"), k = 10)
           .withColumn("n_probe", lit(np))
       }
       val all = frames.reduce(_ unionByName _)

@@ -36,6 +36,28 @@ object TextPipeline extends QModule {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** (doc_id, s) shingle frame. The tokenization is a SEPARATE projection
+    * from the shingle lambda: inside a higher-order function Catalyst
+    * re-evaluates free subexpressions per array element, so inlining
+    * `split(text)` there re-splits the document for every shingle term
+    * (~4.5M splits at sf0.1, measured 9 s); with `ws` bound one projection
+    * below, it is computed once per row (CollapseProject keeps expensive
+    * multiply-referenced projections separate). */
+  private def shingleFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ws = $"ws"
+    val n = size(ws)
+    docs(s, d)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      .select(
+        $"doc_id",
+        when(n >= 3,
+          array_distinct(transform(
+            sequence(lit(1), n - 2),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+          .otherwise(array().cast("array<string>")).as("s"))
+  }
+
   private val duckShingles =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
       sh AS (
@@ -105,7 +127,7 @@ object TextPipeline extends QModule {
     import s.implicits._
     // cache: the shingle projection feeds the two join branches AND both
     // size lookups — without it the per-doc shingle transform runs 4×.
-    val sh = docs(s, d).select($"doc_id", shingles($"text").as("s")).cache()
+    val sh = shingleFrame(s, d).cache()
     val sizes = sh.select($"doc_id", size($"s").as("n"))
     val tok = sh.select($"doc_id", explode($"s").as("tok"))
     tok.select($"doc_id".as("doc_a"), $"tok")
@@ -148,7 +170,7 @@ object TextPipeline extends QModule {
     "q23_minhash_lsh_neardup",
     (s, d) => {
       import s.implicits._
-      val sh = docs(s, d).select($"doc_id", shingles($"text").as("s")).cache()
+      val sh = shingleFrame(s, d).cache()
       val consts = permConsts
       // Hash each shingle ONCE (the char-polynomial is the expensive part:
       // 8 substring+ascii ops per shingle); the 32 permutations are then
@@ -166,7 +188,9 @@ object TextPipeline extends QModule {
           concat_ws("_", (0 until BandRows).map(r => col(s"mh${bIdx * BandRows + r}")): _*)
             .as("sig"))
       }
-      val banded = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bv"))
+      // cache: the band frame feeds BOTH sides of the candidate self-join;
+      // uncached, the full 32-permutation signature computation runs twice.
+      val banded = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bv")).cache()
       val cands = banded.select($"doc_id".as("doc_a"), $"bv")
         .join(banded.select($"doc_id".as("doc_b"), $"bv"), Seq("bv"))
         .filter($"doc_a" < $"doc_b")
@@ -203,7 +227,7 @@ object TextPipeline extends QModule {
     "q24_simhash_neardup",
     (s, d) => {
       import s.implicits._
-      val sh = docs(s, d).select($"doc_id", shingles($"text").as("s"))
+      val sh = shingleFrame(s, d)
       val tok = sh.select($"doc_id", explode($"s").as("t"))
         .withColumn("hv", shingleHash($"t"))
       val bitAggs = (0 until SimHashBits).map { b =>
@@ -220,7 +244,9 @@ object TextPipeline extends QModule {
           lit(i).as("band"),
           shiftright($"simhash", i * bandWidth).bitwiseAND(lit((1L << bandWidth) - 1)).as("v"))
       }
-      val banded = sim.select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("bv"))
+      // cache: both self-join branches — uncached, the 32 bit-sum
+      // aggregation runs twice.
+      val banded = sim.select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("bv")).cache()
       val cands = banded.select($"doc_id".as("doc_a"), $"simhash".as("sha"), $"bv")
         .join(banded.select($"doc_id".as("doc_b"), $"simhash".as("shb"), $"bv"), Seq("bv"))
         .filter($"doc_a" < $"doc_b")
@@ -338,9 +364,7 @@ object TextPipeline extends QModule {
     (s, d) => {
       import s.implicits._
       val enc = graft.functions.HashProjectionEncoder(16)
-      docs(s, d)
-        .filter($"doc_id" < 100)
-        .select($"doc_id", enc.encode($"text").as("emb"))
+      enc.encode(docs(s, d).filter($"doc_id" < 100), "text", "emb")
         .select(
           $"doc_id",
           round(element_at($"emb", 1), 6).as("e0"),

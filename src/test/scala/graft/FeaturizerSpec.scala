@@ -14,8 +14,8 @@ class FeaturizerSpec extends SparkSpec {
 
   test("encoded vectors are unit-norm and deterministic") {
     import spark.implicits._
-    val e = Tables(spark, sf001, "documents")
-      .select($"doc_id", enc.encode($"text").as("emb"))
+    val e = enc.encode(Tables(spark, sf001, "documents"), "text", "emb")
+      .select($"doc_id", $"emb")
     val norms = e.select(VectorFunctions.l2Norm($"emb").as("n"))
       .agg(min($"n").as("lo"), max($"n").as("hi")).collect().head
     assert(math.abs(norms.getAs[Double]("lo") - 1.0) < 1e-9)
@@ -27,8 +27,8 @@ class FeaturizerSpec extends SparkSpec {
 
   test("near-dup documents are closer in encoder space than random pairs") {
     import spark.implicits._
-    val emb = Tables(spark, sf001, "documents")
-      .select($"doc_id", enc.encode($"text").as("emb")).cache()
+    val emb = enc.encode(Tables(spark, sf001, "documents"), "text", "emb")
+      .select($"doc_id", $"emb").cache()
     def cosOf(pairs: org.apache.spark.sql.DataFrame): Double =
       pairs
         .join(emb.select($"doc_id".as("doc_a"), $"emb".as("ea")), Seq("doc_a"))
