@@ -56,6 +56,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("SerializeFromObject"), "kernel mapPartitions missing from plan")
   }
 
+  test("bucketed range join (q38) is an equi-join, not a nested loop") {
+    val plan = q("q38_range_join").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range join fell back to all-pairs")
+    assert(plan.contains("Join") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
   test("events scan prunes unread columns (q15 reads 3 of 6)") {
     val plan = formatted(q("q15_events_hourly"))
     val read = plan.linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
