@@ -40,8 +40,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Headline: brute-force search at the reference's own scale (1M × 384,
+    // 100 queries, top-100) for a like-for-like BASELINE.md comparison.
+    val kernel =
+      try {
+        spark.catalog.clearCache() // drop query-suite caches before the 1.5 GB corpus
+        val (msq, qps) = KernelBench.run(spark)
+        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":$msq,"qps":$qps,"baseline_ms_per_query":699.43}"""
+      } catch {
+        case e: Throwable =>
+          errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          "null"
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop()

@@ -73,14 +73,21 @@ object BruteForce {
     val bc = spark.sparkContext.broadcast(queries)
 
     val candidates = corpus.mapPartitions { rows =>
+      // hoist the query tuples into parallel primitive-friendly arrays —
+      // the inner loop runs nq × |partition| times and a per-iteration
+      // Tuple2 deref is measurable at 1M × 100
       val qs = bc.value
       val nq = qs.length
+      val qids = new Array[Long](nq)
+      val qvecs = new Array[Array[Float]](nq)
+      var t = 0
+      while (t < nq) { qids(t) = qs(t)._1; qvecs(t) = qs(t)._2; t += 1 }
       val heaps = Array.fill(nq)(new TopKHeap(k))
       rows.foreach { case (docId, vec) =>
         var qi = 0
         while (qi < nq) {
-          val (qid, qv) = qs(qi)
-          if (!(excludeSelf && qid == docId)) {
+          if (!(excludeSelf && qids(qi) == docId)) {
+            val qv = qvecs(qi)
             val n = math.min(qv.length, vec.length)
             var s = 0.0
             var i = 0
@@ -91,8 +98,7 @@ object BruteForce {
         }
       }
       Iterator.range(0, nq).flatMap { qi =>
-        val qid = qs(qi)._1
-        heaps(qi).drain().map(h => (qid, h.docId, h.score))
+        heaps(qi).drain().map(h => (qids(qi), h.docId, h.score))
       }
     }.toDF("query_id", "doc_id", "score")
 
