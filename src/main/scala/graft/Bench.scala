@@ -45,8 +45,8 @@ object Bench {
     val kernel =
       try {
         spark.catalog.clearCache() // drop query-suite caches before the 1.5 GB corpus
-        val (msq, qps) = KernelBench.run(spark)
-        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":$msq,"qps":$qps,"baseline_ms_per_query":699.43}"""
+        val r = KernelBench.run(spark)
+        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":${r.bfMsPerQuery},"qps":${r.bfQps},"baseline_ms_per_query":699.43,"ann_build_sec":${r.annBuildSec},"ann_ms_per_query":${r.annMsPerQuery},"ann_qps":${r.annQps},"ann_recall_vs_exact":${r.annRecallVsExact},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918}"""
       } catch {
         case e: Throwable =>
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

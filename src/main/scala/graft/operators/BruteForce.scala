@@ -121,6 +121,54 @@ object BruteForce {
         ($"pos" + 1).cast("long").as("rnk"))
   }
 
+  /** IVF-probed variant of [[topK]]: corpus rows carry a centroid id and
+    * each query carries a probe mask over centroids — the expensive dot
+    * product runs ONLY when the doc's centroid is probed by the query
+    * (the in-memory analog of [[Ann]]'s partition-pruned scan; at nProbe
+    * of C centroids, ~nProbe/C of the pairs are scored).
+    *
+    * @param probes probes(qi)(centroidId) — whether query qi probes it
+    */
+  def topKProbed(
+      corpus: Dataset[(Long, Int, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      probes: Array[Array[Boolean]],
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcP = spark.sparkContext.broadcast(probes)
+
+    val candidates = corpus.mapPartitions { rows =>
+      val qs = bcQ.value
+      val pr = bcP.value
+      val nq = qs.length
+      val qids = new Array[Long](nq)
+      val qvecs = new Array[Array[Float]](nq)
+      var t = 0
+      while (t < nq) { qids(t) = qs(t)._1; qvecs(t) = qs(t)._2; t += 1 }
+      val heaps = Array.fill(nq)(new TopKHeap(k))
+      rows.foreach { case (docId, cid, vec) =>
+        var qi = 0
+        while (qi < nq) {
+          if (pr(qi)(cid)) {
+            val qv = qvecs(qi)
+            val n = math.min(qv.length, vec.length)
+            var s = 0.0
+            var i = 0
+            while (i < n) { s += qv(i).toDouble * vec(i).toDouble; i += 1 }
+            heaps(qi).offer(s, docId)
+          }
+          qi += 1
+        }
+      }
+      Iterator.range(0, nq).flatMap { qi =>
+        heaps(qi).drain().map(h => (qids(qi), h.docId, h.score))
+      }
+    }.toDF("query_id", "doc_id", "score")
+    rerank(candidates, k)
+  }
+
   /** Nearest-centroid assignment (the IVF build step, [[Ann]]): for each
     * corpus vector, the argmax-dot centroid — ties to the smallest
     * centroid id. Same execution shape as [[topK]]: centroids broadcast,
