@@ -83,10 +83,12 @@ object Multimodal extends QModule {
     "q29_multimodal_meta",
     (s, d) => {
       import s.implicits._
-      val frames = udf((n: Long) => sampledFrames(n, 4))
+      // pure column arithmetic (≡ sampledFrames(n, 4)) — stays inside
+      // whole-stage codegen, no UDF in the path
+      val frames = ceil(ceil($"meta.n_bytes" / 16.0) / 4.0).cast("long")
       table(s, d)
         .withColumn("n_frames_sampled",
-          when($"modality" === "video", frames($"meta.n_bytes")).otherwise(lit(0L)))
+          when($"modality" === "video", frames).otherwise(lit(0L)))
         .groupBy($"modality")
         .agg(
           count(lit(1)).as("n_items"),
