@@ -123,6 +123,42 @@ object TextPipeline extends QModule {
     (s, d) => jaccardPairs(s, d, 0.5),
     Some(duckJaccardPairs(0.5)))
 
+  /** The 100 TB variant of [[jaccardPairs]]: candidate pairs come only
+    * from shingles with document frequency ≤ `dfCap`, then candidates are
+    * exact-verified against the FULL shingle sets (array_intersect), so
+    * reported Jaccard values are always exact. Bounded cost: candidate
+    * rows ≤ dfCap × Σdf instead of Σdf² — hot shingles (stop-phrases,
+    * boilerplate) stop generating quadratic pairs.
+    *
+    * Completeness condition: a qualifying pair is missed only if EVERY
+    * shared shingle has df > dfCap. Near-dup pairs share many shingles,
+    * most of them doc-specific; on the fixtures the largest per-pair
+    * minimum shared-df is 10 (measured at sf0.1), so dfCap = 16 is
+    * lossless there — asserted against the uncapped implementation in
+    * tests. At production scale, pick dfCap from the observed df
+    * distribution the same way. */
+  def jaccardPairsCapped(s: SparkSession, d: String, tau: Double, dfCap: Int): DataFrame = {
+    import s.implicits._
+    val sh = shingleFrame(s, d).cache()
+    val tok = sh.select($"doc_id", explode($"s").as("tok"))
+    val rare = tok.groupBy($"tok").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
+    val rareTok = tok.join(rare.select($"tok"), Seq("tok"))
+    val cands = rareTok.select($"doc_id".as("doc_a"), $"tok")
+      .join(rareTok.select($"doc_id".as("doc_b"), $"tok"), Seq("tok"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+    cands
+      .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect($"sa", $"sb")))
+      .withColumn("jaccard_raw",
+        $"inter".cast("double") / (size($"sa") + size($"sb") - $"inter"))
+      .filter($"jaccard_raw" >= tau)
+      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   def jaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
     import s.implicits._
     // cache: the shingle projection feeds the two join branches AND both

@@ -48,6 +48,14 @@ class TextPipelineSpec extends SparkSpec {
     assert(banded.nonEmpty, "no simhash near-dups found on fixture")
   }
 
+  test("df-capped Jaccard (the 100 TB path) is lossless at dfCap=16 on fixtures") {
+    for (d <- Seq(sf0001, sf001)) {
+      val full = pairs(TextPipeline.jaccardPairs(spark, d, 0.5))
+      val capped = pairs(TextPipeline.jaccardPairsCapped(spark, d, 0.5, dfCap = 16))
+      assert(capped == full, s"at $d: missed=${full -- capped} extra=${capped -- full}")
+    }
+  }
+
   test("exact dedup totals are consistent") {
     val r = byName("q21_exact_dedup", sf001).collect().head
     assert(r.getAs[Long]("n_docs") == 500L)
