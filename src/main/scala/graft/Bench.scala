@@ -38,7 +38,6 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Headline: brute-force search at the reference's own scale (1M × 384,
     // 100 queries, top-100) for a like-for-like BASELINE.md comparison.
@@ -52,6 +51,8 @@ object Bench {
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           "null"
       }
+    // serialize errors only now — the kernel benchmark above may add one
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)

@@ -62,7 +62,12 @@ final case class HashProjectionEncoder(dim: Int) extends TextEncoder {
         outCol,
         transform(
           col(sumsCol),
-          s => s / sqrt(aggregate(col(sumsCol), lit(0.0), (a, x) => a + x * x))))
+          s => {
+            val nrm = sqrt(aggregate(col(sumsCol), lit(0.0), (a, x) => a + x * x))
+            // all-cancelling (or empty) token sets yield a zero vector,
+            // not 0/0 nulls — documented contract exception
+            when(nrm === 0.0, lit(0.0)).otherwise(s / nrm)
+          }))
       .drop(hsCol, sumsCol)
   }
 

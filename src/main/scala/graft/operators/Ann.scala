@@ -62,8 +62,7 @@ object Ann extends QModule {
       val corpus = emb(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
         .as[(Long, Array[Float])]
       BruteForce.assign(corpus, cs)
-        .select($"id".as("doc_id"), $"centroid_id")
-        .join(emb(s, d).select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+        .select($"id".as("doc_id"), $"centroid_id", $"vec".as("embedding"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     }
     path

@@ -28,31 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object BruteForce {
 
-  /** One candidate hit; `worse-than` ordering lives in [[TopKHeap]]. */
-  private final case class Hit(score: Double, docId: Long)
-
-  /** Bounded max-k heap: keeps the k best (score desc, docId asc) seen.
-    * Backing is a scala PriorityQueue ordered worst-first so the head is
-    * the eviction candidate. O(log k) insert, O(k log k) drain.
-    */
-  private final class TopKHeap(k: Int) {
-    // head = worst kept hit: lowest score, then HIGHEST docId (so that on
-    // equal scores the larger id is evicted first).
-    private val ord: Ordering[Hit] = Ordering.by(h => (-h.score, h.docId))
-    private val pq = scala.collection.mutable.PriorityQueue.empty[Hit](ord)
-
-    def offer(score: Double, docId: Long): Unit =
-      if (pq.size < k) pq.enqueue(Hit(score, docId))
-      else {
-        val w = pq.head
-        if (score > w.score || (score == w.score && docId < w.docId)) {
-          pq.dequeue()
-          pq.enqueue(Hit(score, docId))
-        }
-      }
-
-    def drain(): Iterator[Hit] = pq.iterator
-  }
+  // The bounded worst-first heap lives in graft.functions.TopKAgg.Heap —
+  // ONE implementation of the (score desc, id asc) eviction contract,
+  // shared by the kernel and the collect_top_k aggregate.
+  private type TopKHeap = graft.functions.TopKAgg.Heap
 
   /** Top-k-per-query by dot product (cosine on pre-normalized vectors).
     *
@@ -82,7 +61,7 @@ object BruteForce {
       val qvecs = new Array[Array[Float]](nq)
       var t = 0
       while (t < nq) { qids(t) = qs(t)._1; qvecs(t) = qs(t)._2; t += 1 }
-      val heaps = Array.fill(nq)(new TopKHeap(k))
+      val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(k))
       rows.foreach { case (docId, vec) =>
         var qi = 0
         while (qi < nq) {
@@ -98,7 +77,9 @@ object BruteForce {
         }
       }
       Iterator.range(0, nq).flatMap { qi =>
-        heaps(qi).drain().map(h => (qids(qi), h.docId, h.score))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        heaps(qi).foreach((s, id) => out += ((qids(qi), id, s)))
+        out.iterator
       }
     }.toDF("query_id", "doc_id", "score")
 
@@ -147,7 +128,7 @@ object BruteForce {
       val qvecs = new Array[Array[Float]](nq)
       var t = 0
       while (t < nq) { qids(t) = qs(t)._1; qvecs(t) = qs(t)._2; t += 1 }
-      val heaps = Array.fill(nq)(new TopKHeap(k))
+      val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(k))
       rows.foreach { case (docId, cid, vec) =>
         var qi = 0
         while (qi < nq) {
@@ -163,7 +144,9 @@ object BruteForce {
         }
       }
       Iterator.range(0, nq).flatMap { qi =>
-        heaps(qi).drain().map(h => (qids(qi), h.docId, h.score))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        heaps(qi).foreach((s, id) => out += ((qids(qi), id, s)))
+        out.iterator
       }
     }.toDF("query_id", "doc_id", "score")
     rerank(candidates, k)
@@ -183,6 +166,8 @@ object BruteForce {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
+    // the vector rides along in the output so an index build is ONE
+    // narrow pass — no rejoin against the corpus to recover it
     corpus.map { case (id, vec) =>
       val cs = bc.value
       var bestId = -1L
@@ -197,8 +182,8 @@ object BruteForce {
         if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
         ci += 1
       }
-      (id, bestId, bestScore)
-    }.toDF("id", "centroid_id", "score")
+      (id, bestId, bestScore, vec)
+    }.toDF("id", "centroid_id", "score", "vec")
   }
 
   /** Convenience wrapper over DataFrames with (idCol, vecCol) layout; the

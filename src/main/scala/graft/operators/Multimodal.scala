@@ -51,6 +51,7 @@ object Multimodal extends QModule {
     * A real image decoder would emit e.g. pooled channel statistics with
     * the same (binary → Array[Float]) contract. */
   def decodeStub(content: Array[Byte]): Array[Float] = {
+    if (content.isEmpty) return Array(0.0f, 0.0f, 0.0f)
     var sum = 0L
     var mn = 255
     var mx = 0

@@ -43,6 +43,16 @@ object TextPipeline extends QModule {
     * (~4.5M splits at sf0.1, measured 9 s); with `ws` bound one projection
     * below, it is computed once per row (CollapseProject keeps expensive
     * multiply-referenced projections separate). */
+  /** One cached shingle frame per (session, dir) — q22/q23/q24 and the
+    * capped variant all consume the identical projection; without the memo
+    * each query materialized and cached its own copy (3× storage in a
+    * Verify/Bench session that runs them all). */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def shingleFrameCached(s: SparkSession, d: String): DataFrame =
+    shingleCache.computeIfAbsent((s, d), _ => shingleFrame(s, d).cache())
+
   private def shingleFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ws = $"ws"
@@ -139,7 +149,7 @@ object TextPipeline extends QModule {
     * distribution the same way. */
   def jaccardPairsCapped(s: SparkSession, d: String, tau: Double, dfCap: Int): DataFrame = {
     import s.implicits._
-    val sh = shingleFrame(s, d).cache()
+    val sh = shingleFrameCached(s, d)
     val tok = sh.select($"doc_id", explode($"s").as("tok"))
     val rare = tok.groupBy($"tok").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
     val rareTok = tok.join(rare.select($"tok"), Seq("tok"))
@@ -163,7 +173,7 @@ object TextPipeline extends QModule {
     import s.implicits._
     // cache: the shingle projection feeds the two join branches AND both
     // size lookups — without it the per-doc shingle transform runs 4×.
-    val sh = shingleFrame(s, d).cache()
+    val sh = shingleFrameCached(s, d)
     val sizes = sh.select($"doc_id", size($"s").as("n"))
     val tok = sh.select($"doc_id", explode($"s").as("tok"))
     tok.select($"doc_id".as("doc_a"), $"tok")
@@ -206,7 +216,7 @@ object TextPipeline extends QModule {
     "q23_minhash_lsh_neardup",
     (s, d) => {
       import s.implicits._
-      val sh = shingleFrame(s, d).cache()
+      val sh = shingleFrameCached(s, d)
       val consts = permConsts
       // Hash each shingle ONCE (the char-polynomial is the expensive part:
       // 8 substring+ascii ops per shingle); the 32 permutations are then
@@ -263,7 +273,7 @@ object TextPipeline extends QModule {
     "q24_simhash_neardup",
     (s, d) => {
       import s.implicits._
-      val sh = shingleFrame(s, d)
+      val sh = shingleFrameCached(s, d)
       val tok = sh.select($"doc_id", explode($"s").as("t"))
         .withColumn("hv", shingleHash($"t"))
       val bitAggs = (0 until SimHashBits).map { b =>
