@@ -16,6 +16,8 @@ import graft.functions.{DotProduct, L2NormExpr, TopKAgg}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.CosineStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneCosineQueries)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

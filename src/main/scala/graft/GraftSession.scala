@@ -27,6 +27,7 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.register(spark)
+    graft.plans.CosineTopK.install(spark)
     spark
   }
 }

@@ -12,6 +12,12 @@ object GraftInternal {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a catalyst LogicalPlan (classic
+    * `Dataset.ofRows` is `private[sql]`) — needed to surface custom
+    * logical nodes like graft.plans.CosineCandidates. */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Apply an extensions object's injected functions to a registry —
     * `SparkSessionExtensions.registerFunctions` is `private[sql]`; tests
     * use this to observe injection without building a second session. */
