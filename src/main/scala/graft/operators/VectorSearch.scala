@@ -104,11 +104,14 @@ object VectorSearch extends QModule {
   def topK(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
-    BruteForce.topKFromFrames(
-      corpus = e.select($"vec_id".as("id"), $"embedding".as("vec")),
-      queryFrame = e.filter($"vec_id" < maxQueryId).select($"vec_id".as("id"), $"embedding".as("vec")),
-      k = k,
-      excludeSelf = true)
+    val corpus = e.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val qs = corpus.filter($"id" < maxQueryId)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    // the planned-operator form (CosineCandidates node + strategy + exec)
+    // — same kernel arithmetic as BruteForce.topK (equivalence tested),
+    // but visible to Catalyst: EXPLAIN shows the node and the
+    // PruneCosineQueries rule can shrink its query set
+    graft.plans.CosineTopK.topK(corpus, qs, k, excludeSelf = true)
   }
 
   /** The naive crossJoin + window-sort plan (round-1 execution path), kept

@@ -48,12 +48,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("search path has no cartesian/nested-loop join and no q×n shuffle") {
-    val plan = VectorSearch.topK(spark, sf001, maxQueryId = 100, k = 10)
+    // params chosen to NOT match the cached searchFrame plan fragment, so
+    // the assertion sees the real operator, not an InMemoryTableScan
+    val plan = VectorSearch.topK(spark, sf001, maxQueryId = 50, k = 7)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    // the only wide operator should be the final window over candidates
-    assert(plan.contains("SerializeFromObject"), "kernel mapPartitions missing from plan")
+    // the search executes on the planned kernel operator
+    assert(plan.contains("CosineCandidatesExec"), s"kernel exec missing from plan:\n${plan.take(1200)}")
   }
 
   test("bucketed range join (q38) is an equi-join, not a nested loop") {
