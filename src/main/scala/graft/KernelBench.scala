@@ -77,10 +77,10 @@ object KernelBench {
     // warm-up: one small search so codegen/broadcast setup is not billed
     BruteForce.topK(corpus, queries.take(2), k = 10, excludeSelf = false).count()
 
-    // best of two timed passes — single-pass numbers swing ±40% on a
+    // best of three timed passes — single-pass numbers swing ±40% on a
     // shared host; min is the standard peak-throughput estimator
     var exact: Set[(Long, Long)] = null
-    val bfSec = (1 to 2).map { _ =>
+    val bfSec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       val res = BruteForce.topK(corpus, queries, K, excludeSelf = false)
       exact = hits(res)
@@ -129,7 +129,7 @@ object KernelBench {
     }
 
     var annRows: Set[(Long, Long)] = null
-    val annSec = (1 to 2).map { _ =>
+    val annSec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       annRows = hits(BruteForce.topKProbed(indexed, queries, probes, K))
       (System.nanoTime() - t0) / 1e9
