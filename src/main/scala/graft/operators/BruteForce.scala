@@ -31,7 +31,6 @@ object BruteForce {
   // The bounded worst-first heap lives in graft.functions.TopKAgg.Heap —
   // ONE implementation of the (score desc, id asc) eviction contract,
   // shared by the kernel and the collect_top_k aggregate.
-  private type TopKHeap = graft.functions.TopKAgg.Heap
 
   /** Top-k-per-query by dot product (cosine on pre-normalized vectors).
     *

@@ -430,8 +430,11 @@ object TextPipeline extends QModule {
         hashed AS (SELECT doc_id, [${graft.functions.PortableHash.duckHash("w")} for w in ws] AS hs FROM toks),
         sums AS (SELECT doc_id, $sums FROM hashed),
         normed AS (SELECT doc_id, $normExpr AS nrm, s0, s1, s2, s3 FROM sums)
-      SELECT doc_id, round(s0 / nrm, 6) AS e0, round(s1 / nrm, 6) AS e1,
-             round(s2 / nrm, 6) AS e2, round(s3 / nrm, 6) AS e3
+      SELECT doc_id,
+             round(CASE WHEN nrm = 0 THEN 0.0 ELSE s0 / nrm END, 6) AS e0,
+             round(CASE WHEN nrm = 0 THEN 0.0 ELSE s1 / nrm END, 6) AS e1,
+             round(CASE WHEN nrm = 0 THEN 0.0 ELSE s2 / nrm END, 6) AS e2,
+             round(CASE WHEN nrm = 0 THEN 0.0 ELSE s3 / nrm END, 6) AS e3
       FROM normed ORDER BY doc_id"""
     })
 

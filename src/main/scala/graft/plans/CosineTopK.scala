@@ -38,8 +38,13 @@ object CosineTopK {
     require(
       fields.length == 2 &&
         fields(0).dataType == LongType &&
-        fields(1).dataType.isInstanceOf[ArrayType],
-      s"corpus must be (LONG id, ARRAY vec), got ${corpus.schema.simpleString}")
+        (fields(1).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }),
+      s"corpus must be (LONG id, ARRAY<FLOAT> vec) — the exec reads 4-byte floats " +
+        s"positionally, so any other element type silently corrupts scores; " +
+        s"got ${corpus.schema.simpleString}")
     val node = CosineCandidates(
       queries.map { case (id, v) => (id, v.toSeq) },
       k,
@@ -90,7 +95,6 @@ case class CosineCandidates(
   // (observed as a native crash in UnsafeRow.getLong)
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     child.outputSet
-  override def maxRows: Option[Long] = Some(queries.size.toLong * k * 4096)
   override def simpleString(maxFields: Int): String =
     s"CosineCandidates [queries=${queries.size}, k=$k, excludeSelf=$excludeSelf]"
   override protected def withNewChildInternal(newChild: LogicalPlan): CosineCandidates =

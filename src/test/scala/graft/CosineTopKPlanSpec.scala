@@ -29,7 +29,13 @@ class CosineTopKPlanSpec extends SparkSpec {
     val planned = CosineTopK.topK(corpus, qs, k = 10, excludeSelf = true)
       .select($"query_id", $"rnk", $"doc_id", $"score")
       .collect().map(_.toSeq).toSet
-    val kernel = VectorSearch.topK(spark, sf0001, maxQueryId = 15, k = 10)
+    // compare against the Dataset-kernel path DIRECTLY (VectorSearch.topK
+    // itself routes through the planned operator now, which would make
+    // this comparison vacuous)
+    val kernel = graft.operators.BruteForce.topKFromFrames(
+      corpus.toDF("id", "vec"),
+      corpus.filter($"id" < 15).toDF("id", "vec"),
+      k = 10, excludeSelf = true)
       .select($"query_id", $"rnk", $"doc_id", $"score")
       .collect().map(_.toSeq).toSet
     assert(planned == kernel)
