@@ -37,7 +37,10 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // Keep the line SHORT: the driver parses it from a bounded stdout tail
+    // (r2's full-precision line overflowed the buffer -> "parsed": null).
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Headline: brute-force search at the reference's own scale (1M × 384,
     // 100 queries, top-100) for a like-for-like BASELINE.md comparison.
@@ -45,7 +48,7 @@ object Bench {
       try {
         spark.catalog.clearCache() // drop query-suite caches before the 1.5 GB corpus
         val r = KernelBench.run(spark)
-        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":${r.bfMsPerQuery},"qps":${r.bfQps},"baseline_ms_per_query":699.43,"ann_build_sec":${r.annBuildSec},"ann_ms_per_query":${r.annMsPerQuery},"ann_qps":${r.annQps},"ann_recall_vs_exact":${r.annRecallVsExact},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918}"""
+        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(r.annRecallVsExact))},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918}"""
       } catch {
         case e: Throwable =>
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -54,10 +57,10 @@ object Bench {
     // serialize errors only now — the kernel benchmark above may add one
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"errors":$errJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
-    spark.stop()
+    spark.stop() // stop BEFORE printing so no further logging can push the
+    println(line) // JSON line out of the driver's bounded stdout tail
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -14,15 +14,10 @@ object Functions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", exprs => L2NormExpr(exprs(0)), "built-in")
-    // collect_top_k(score, id, k) — k must be a foldable literal.
+    // collect_top_k(score, id, k) — k must be a foldable integer literal;
+    // the shared builder validates and reports clearly if it is not.
     reg.createOrReplaceTempFunction(
-      "collect_top_k",
-      exprs =>
-        graft.functions.TopKAgg(
-          exprs(0),
-          exprs(1),
-          exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
+      "collect_top_k", graft.functions.TopKAgg.fromExprs, "built-in")
   }
 
   /** Codegen'd dot product (register first — [[GraftSession.build]] does). */

@@ -29,8 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("collect_top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "collect_top_k"),
-      (exprs: Seq[Expression]) =>
-        TopKAgg(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue())
-          .toAggregateExpression()))
+      (exprs: Seq[Expression]) => TopKAgg.fromExprs(exprs)))
   }
 }

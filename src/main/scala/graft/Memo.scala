@@ -1,0 +1,52 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped DataFrame memo with eviction (ADVICE r2: the per-module
+  * ConcurrentHashMap memos and per-invocation `.cache()`s were never
+  * unpersisted, so a long-lived JVM that recycles sessions accumulated
+  * stale cached plans and storage).
+  *
+  * One `.cache()`d frame per (session, key), shared by every registry
+  * query that needs it; when the owning session's SparkContext stops, all
+  * of that session's entries are unpersisted and dropped. Within a live
+  * session the entry count is bounded by the distinct keys the engine
+  * uses (one per memoized stage × SF dir).
+  */
+object Memo {
+
+  private val entries = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Get-or-build the cached frame for (s, key). `build` runs at most once
+    * per live (session, key); the result is `.cache()`d. */
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    if (hooked.add(s)) {
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = drop(s)
+      })
+    }
+    entries.computeIfAbsent((s, key), _ => build.cache())
+  }
+
+  /** Unpersist and forget every entry owned by `s` (idempotent; also
+    * invoked automatically when the session's context stops). */
+  def drop(s: SparkSession): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.unpersist(blocking = false)
+        catch { case _: Throwable => () } // context may already be down
+        it.remove()
+      }
+    }
+    hooked.remove(s)
+  }
+
+  /** Visible for tests. */
+  private[graft] def size: Int = entries.size()
+}

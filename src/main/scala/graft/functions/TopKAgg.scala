@@ -29,6 +29,8 @@ case class TopKAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKAgg.Heap] {
 
+  require(k > 0, s"collect_top_k: k must be positive, got $k")
+
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
@@ -88,6 +90,7 @@ object TopKAgg {
   /** Bounded worst-first heap: head = eviction candidate (lowest score,
     * then HIGHEST id). Same ordering contract as the BruteForce kernel. */
   final class Heap(k: Int) {
+    require(k > 0, s"Heap capacity must be positive, got $k")
     private val ord: Ordering[(Double, Long)] =
       Ordering.by { case (s, i) => (-s, i) }
     private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
@@ -107,6 +110,26 @@ object TopKAgg {
     /** Final rank order: score desc, id asc. */
     def sortedDesc(): Array[(Double, Long)] =
       pq.toArray.sortBy { case (s, i) => (-s, i) }
+  }
+
+  /** SQL builder shared by the function-registry and extension
+    * registrations: validates arity and that k is a foldable integer
+    * literal BEFORE eval'ing it, so `collect_top_k(s, i, some_col)` fails
+    * with a clear message instead of a confusing eval error. */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    require(
+      exprs.length == 3,
+      s"collect_top_k expects 3 arguments (score, id, k), got ${exprs.length}")
+    require(
+      exprs(2).foldable,
+      "collect_top_k: k must be a literal integer, not a column or non-foldable expression")
+    val kVal = exprs(2).eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"collect_top_k: k must be an integer literal, got $other")
+    }
+    TopKAgg(exprs(0), exprs(1), kVal).toAggregateExpression()
   }
 
   /** Column API: `collect_top_k(score, id, k)`. */

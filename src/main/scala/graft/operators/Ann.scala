@@ -195,8 +195,11 @@ object Ann extends QModule {
         .select($"query_id", $"doc_id", lit(1).as("in_exact"))
       // ONE partition-pruned scoring pass at the widest probe level; each
       // sweep level is a prn-filter + heap re-rank of the cached frame
-      // (probe sets are nested prefixes — see scoredCandidates).
-      val cand = scoredCandidates(s, d, maxQueryId = 100, maxProbe = SweepProbes.max).cache()
+      // (probe sets are nested prefixes — see scoredCandidates). Memoized
+      // per session so repeated invocations reuse ONE cached copy, evicted
+      // on session stop (ADVICE r2).
+      val cand = graft.Memo.cached(s, s"ann-cand:$d")(
+        scoredCandidates(s, d, maxQueryId = 100, maxProbe = SweepProbes.max))
       val frames = SweepProbes.map { np =>
         BruteForce.rerank(cand.filter($"prn" <= np).drop("prn"), k = 10)
           .withColumn("n_probe", lit(np))

@@ -106,11 +106,11 @@ object Multimodal extends QModule {
                CAST(n_chars % 64 + 16 AS BIGINT) AS width,
                CAST(n_chars * 7 % 64 + 16 AS BIGINT) AS height
         FROM documents)
-    SELECT modality, count(*) AS n_items, sum(n_bytes) AS total_bytes,
+    SELECT modality, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height,
-           sum(CASE WHEN modality = 'video'
-                    THEN CAST(ceil(ceil(n_bytes / 16.0) / 4.0) AS BIGINT) ELSE 0 END)
-             AS total_frames_sampled
+           CAST(sum(CASE WHEN modality = 'video'
+                         THEN CAST(ceil(ceil(n_bytes / 16.0) / 4.0) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS total_frames_sampled
     FROM mm GROUP BY modality ORDER BY modality"""))
 
   // ---------------------------------------------------------------- q30

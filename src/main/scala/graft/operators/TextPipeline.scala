@@ -47,11 +47,8 @@ object TextPipeline extends QModule {
     * capped variant all consume the identical projection; without the memo
     * each query materialized and cached its own copy (3× storage in a
     * Verify/Bench session that runs them all). */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def shingleFrameCached(s: SparkSession, d: String): DataFrame =
-    shingleCache.computeIfAbsent((s, d), _ => shingleFrame(s, d).cache())
+    graft.Memo.cached(s, s"shingles:$d")(shingleFrame(s, d))
 
   private def shingleFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -115,7 +112,7 @@ object TextPipeline extends QModule {
           sum(when($"n" > 1, 1).otherwise(0)).cast("long").as("n_dup_groups"),
           sum(when($"n" > 1, $"n").otherwise(0)).cast("long").as("n_dup_docs"))
     },
-    Some("""SELECT sum(n) AS n_docs, count(*) AS n_distinct,
+    Some("""SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
     FROM (SELECT md5(lower(trim(text))) AS fp, count(*) AS n FROM documents GROUP BY 1)"""))
@@ -234,9 +231,11 @@ object TextPipeline extends QModule {
           concat_ws("_", (0 until BandRows).map(r => col(s"mh${bIdx * BandRows + r}")): _*)
             .as("sig"))
       }
-      // cache: the band frame feeds BOTH sides of the candidate self-join;
-      // uncached, the full 32-permutation signature computation runs twice.
-      val banded = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bv")).cache()
+      // memo: the band frame feeds BOTH sides of the candidate self-join
+      // (uncached, the full 32-permutation signature computation runs
+      // twice) and is evicted with the session (ADVICE r2).
+      val banded = graft.Memo.cached(s, s"minhash-bands:$d")(
+        sigs.select($"doc_id", explode(array(bandCols: _*)).as("bv")))
       val cands = banded.select($"doc_id".as("doc_a"), $"bv")
         .join(banded.select($"doc_id".as("doc_b"), $"bv"), Seq("bv"))
         .filter($"doc_a" < $"doc_b")
@@ -256,16 +255,20 @@ object TextPipeline extends QModule {
     Some(duckJaccardPairs(0.5)))
 
   // ---------------------------------------------------------------- q24
-  /** Near-dup via 32-bit SimHash + banded candidate join: per doc, each
+  /** Near-dup via 31-bit SimHash + banded candidate join: per doc, each
     * simhash bit is the sign of the sum of ±1 contributions from every
     * shingle's hash bit; near-dups are pairs at hamming distance ≤ 3.
-    * Candidates come from a 4-band × 8-bit equi-join — by pigeonhole, two
-    * hashes within hamming 3 MUST agree on at least one band, so banding
-    * is exact (no recall loss), while the join key keeps the plan
+    * 31 bits, not 32: [[graft.functions.PortableHash]] values are < 2^31,
+    * so bit 31 of the shingle hash — and therefore of the simhash — is
+    * always 0 and carries no information (ADVICE r2).
+    * Candidates come from a 4-band (8+8+8+7 bit) equi-join — by
+    * pigeonhole, two hashes within hamming 3 MUST agree on at least one
+    * of the 4 bands, so banding is exact (no recall loss) regardless of
+    * unequal band widths, while the join key keeps the plan
     * bucket-shaped. The oracle recomputes the full simhash in SQL and
     * cross-checks via an all-pairs xor/bit_count (feasible at oracle SF).
     */
-  private val SimHashBits = 32
+  private val SimHashBits = 31
   private val SimHashBands = 4
   private val HammingMax = 3
 
@@ -284,15 +287,19 @@ object TextPipeline extends QModule {
         .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _)
       val sim = bits.select($"doc_id", simVal.as("simhash"))
-      val bandWidth = SimHashBits / SimHashBands
+      // ceil-width bands: 8+8+8+7 over 31 bits — the last band is narrower
+      val bandWidth = (SimHashBits + SimHashBands - 1) / SimHashBands
       val bandCols = (0 until SimHashBands).map { i =>
+        val lo = i * bandWidth
+        val w = math.min(bandWidth, SimHashBits - lo)
         struct(
           lit(i).as("band"),
-          shiftright($"simhash", i * bandWidth).bitwiseAND(lit((1L << bandWidth) - 1)).as("v"))
+          shiftright($"simhash", lo).bitwiseAND(lit((1L << w) - 1)).as("v"))
       }
-      // cache: both self-join branches — uncached, the 32 bit-sum
-      // aggregation runs twice.
-      val banded = sim.select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("bv")).cache()
+      // memo: both self-join branches (uncached, the per-bit-sum
+      // aggregation runs twice), evicted with the session (ADVICE r2).
+      val banded = graft.Memo.cached(s, s"simhash-bands:$d")(
+        sim.select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("bv")))
       val cands = banded.select($"doc_id".as("doc_a"), $"simhash".as("sha"), $"bv")
         .join(banded.select($"doc_id".as("doc_b"), $"simhash".as("shb"), $"bv"), Seq("bv"))
         .filter($"doc_a" < $"doc_b")

@@ -135,12 +135,10 @@ object VectorSearch extends QModule {
   /** Memoized top-10 frame for the canonical query population (vec_id <
     * 100), shared by v03–v06: Verify/Bench run registry entries as
     * independent jobs in ONE session, so without this each metric query
-    * would pay the full corpus scan again (VERDICT r1, perf item 3). */
-  private val frameCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * would pay the full corpus scan again (VERDICT r1, perf item 3).
+    * Session-scoped with eviction via [[graft.Memo]] (ADVICE r2). */
   def searchFrame(s: SparkSession, d: String): DataFrame =
-    frameCache.computeIfAbsent((s, d), _ => topK(s, d, maxQueryId = 100, k = 10).cache())
+    graft.Memo.cached(s, s"vsearch-top10:$d")(topK(s, d, maxQueryId = 100, k = 10))
 
   /** Relevance ground truth: same-label pairs (excluding self), with the
     * per-query relevant count (reference: flattened qrels `000:238-255`;

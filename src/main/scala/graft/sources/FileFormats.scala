@@ -102,7 +102,7 @@ object FileFormats extends QModule {
     },
     Some("""SELECT count(*) AS n_queries,
       round(avg(n_judged), 4) AS avg_qrels_per_query,
-      sum(sum_rel) AS total_relevance
+      CAST(sum(sum_rel) AS BIGINT) AS total_relevance
     FROM (SELECT vec_id % 50 AS query_id, count(*) AS n_judged,
                  CAST(sum(label % 3) AS BIGINT) AS sum_rel
           FROM embeddings GROUP BY 1)"""))

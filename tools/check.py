@@ -52,6 +52,14 @@ for name in sorted(os.listdir(outdir)):
         e = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)).reset_index(drop=True)
         for c in g.columns:
             gv, ev = g[c], e[c]
+            # The driver hashes STRING renderings of values, so an int column
+            # on one side vs float on the other ("500" vs "500.0") is a FAIL
+            # even when numerically equal. DuckDB's sum(BIGINT) -> HUGEINT ->
+            # pandas float64 is the classic trigger; oracles must CAST.
+            if gv.dtype.kind != ev.dtype.kind and 'f' in (gv.dtype.kind, ev.dtype.kind):
+                ok, why = False, (f"col {c} dtype kind {gv.dtype.kind} vs {ev.dtype.kind} "
+                                  "(driver hashes strings; CAST the oracle)")
+                break
             if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
                 bad = ~((gv.isna() & ev.isna()) | ((gv - ev).abs() < 1e-9))
             else:
