@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.BruteForce
+import graft.operators.VectorBlocks
 
 /** Brute-force search benchmark at the REFERENCE's own scale — 1M docs ×
   * 384 dims, 100 queries, top-100 (README:63-71; BASELINE.md brute force
@@ -62,56 +62,44 @@ object KernelBench {
     df.select("query_id", "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  /** Timed brute-force AND IVF-probed search at reference scale. */
+  /** Timed brute-force AND IVF-probed search at reference scale. The
+    * corpus lives as [[VectorBlocks.Block]]s in a DESERIALIZED RDD cache:
+    * a timed pass touches flat primitive arrays directly — no per-row
+    * Tungsten decode, no per-row Array[Float] allocation (which dominated
+    * the r2 numbers: ~1.5 GB of decode churn per pass at 1M × 384). */
   def run(spark: SparkSession): Result = {
     import spark.implicits._
     val corpus = spark.range(N.toLong)
       .map(id => (id, vec(id)))
       .toDF("id", "vec")
       .as[(Long, Array[Float])]
-      .cache()
-    corpus.count() // materialize — the "load embeddings" stage, untimed
+    val blocks = VectorBlocks.pack(corpus, Dim).cache()
+    blocks.count() // materialize — the "load embeddings" stage, untimed
 
     val queries = Array.tabulate(NQueries)(i => (i.toLong, vec(i.toLong)))
 
     // warm-up: one small search so codegen/broadcast setup is not billed
-    BruteForce.topK(corpus, queries.take(2), k = 10, excludeSelf = false).count()
+    VectorBlocks.topK(spark, blocks, queries.take(2), k = 10, excludeSelf = false).count()
 
     // best of three timed passes — single-pass numbers swing ±40% on a
     // shared host; min is the standard peak-throughput estimator
     var exact: Set[(Long, Long)] = null
     val bfSec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      val res = BruteForce.topK(corpus, queries, K, excludeSelf = false)
+      val res = VectorBlocks.topK(spark, blocks, queries, K, excludeSelf = false)
       exact = hits(res)
       require(exact.size == NQueries * K, s"expected ${NQueries * K} hits, got ${exact.size}")
       (System.nanoTime() - t0) / 1e9
     }.min
 
     // IVF build (timed separately, like the reference's index build):
-    // argmax-dot assignment against the cluster bases — bases are a pure
-    // function, so no broadcast needed.
+    // argmax-dot assignment against the cluster bases, block-level —
+    // one narrow pass, no shuffle.
     val tb = System.nanoTime()
-    val indexed = corpus.mapPartitions { rows =>
-      val cents = Array.tabulate(Centroids)(base)
-      rows.map { case (id, v) =>
-        var best = 0
-        var bestS = Double.NegativeInfinity
-        var c = 0
-        while (c < Centroids) {
-          val cv = cents(c)
-          var s = 0.0
-          var i = 0
-          while (i < Dim) { s += cv(i).toDouble * v(i).toDouble; i += 1 }
-          if (s > bestS) { bestS = s; best = c }
-          c += 1
-        }
-        (id, best, v)
-      }
-    }.cache()
+    val indexed = VectorBlocks.assign(blocks, Array.tabulate(Centroids)(base)).cache()
     indexed.count()
     val annBuildSec = (System.nanoTime() - tb) / 1e9
-    corpus.unpersist()
+    blocks.unpersist()
 
     // probe sets: top-NProbe centroids per query (driver-side planning —
     // 100 × 64 dots)
@@ -131,7 +119,7 @@ object KernelBench {
     var annRows: Set[(Long, Long)] = null
     val annSec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      annRows = hits(BruteForce.topKProbed(indexed, queries, probes, K))
+      annRows = hits(VectorBlocks.topKProbed(spark, indexed, queries, probes, K))
       (System.nanoTime() - t0) / 1e9
     }.min
     indexed.unpersist()

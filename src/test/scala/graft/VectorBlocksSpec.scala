@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BruteForce, VectorBlocks}
+
+/** The packed-block throughput kernel ([[graft.operators.VectorBlocks]])
+  * must retrieve the same results as the oracle-exact row kernel
+  * ([[BruteForce]]) on the real fixture embeddings. Scores may differ by
+  * float-rounding (the block kernel sums with 4 unrolled accumulators),
+  * so sets are compared on ids and scores on tolerance.
+  */
+class VectorBlocksSpec extends SparkSpec {
+
+  private def emb(maxQ: Int) = {
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "embeddings")
+    val corpus = e.select($"vec_id".as("id"), $"embedding".as("vec")).as[(Long, Array[Float])]
+    val qs = e.filter($"vec_id" < maxQ)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    (corpus, qs)
+  }
+
+  private def rankSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("query_id").cast("long"), col("rnk").cast("long"), col("doc_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("block kernel == row kernel on the sf0.001 fixture (ranks and ids)") {
+    val (corpus, qs) = emb(15)
+    val dim = qs.head._2.length
+    val blocks = VectorBlocks.pack(corpus, dim)
+    val fast = VectorBlocks.topK(spark, blocks, qs, k = 10, excludeSelf = true)
+    val exact = BruteForce.topK(corpus, qs, k = 10, excludeSelf = true)
+    assert(rankSet(fast) == rankSet(exact))
+  }
+
+  test("block kernel scores match the exact kernel within 1e-9") {
+    import spark.implicits._
+    val (corpus, qs) = emb(5)
+    val dim = qs.head._2.length
+    val blocks = VectorBlocks.pack(corpus, dim)
+    val fast = VectorBlocks.topK(spark, blocks, qs, k = 7, excludeSelf = true)
+      .select($"query_id", $"doc_id", $"score".as("bs"))
+    val exact = BruteForce.topK(corpus, qs, k = 7, excludeSelf = true)
+      .select($"query_id", $"doc_id", $"score".as("es"))
+    val joined = fast.join(exact, Seq("query_id", "doc_id"), "inner")
+    assert(joined.count() == 5 * 7)
+    assert(joined.filter(abs($"bs" - $"es") > 1e-9).count() == 0)
+  }
+
+  test("packing is invariant under repartitioning and partial blocks") {
+    val (corpus, qs) = emb(8)
+    val dim = qs.head._2.length
+    // 500 fixture rows over 17 partitions → every block is a partial block
+    val b17 = VectorBlocks.pack(corpus.repartition(17), dim)
+    val b1 = VectorBlocks.pack(corpus.repartition(1), dim)
+    val r17 = VectorBlocks.topK(spark, b17, qs, k = 5, excludeSelf = true)
+    val r1 = VectorBlocks.topK(spark, b1, qs, k = 5, excludeSelf = true)
+    assert(rankSet(r17) == rankSet(r1))
+  }
+
+  test("probed block kernel == unprobed when every centroid is probed") {
+    import spark.implicits._
+    val (corpus, qs) = emb(10)
+    val dim = qs.head._2.length
+    val cents = Tables(spark, sf0001, "embeddings")
+      .filter($"vec_id" % 25 === 0)
+      .select($"embedding").as[Array[Float]].collect()
+    val indexed = VectorBlocks.assign(VectorBlocks.pack(corpus, dim), cents)
+    val allProbes = Array.fill(qs.length)(Array.fill(cents.length)(true))
+    val probed = VectorBlocks.topKProbed(spark, indexed, qs, allProbes, k = 10)
+    val full = VectorBlocks.topK(spark, VectorBlocks.pack(corpus, dim), qs, k = 10,
+      excludeSelf = false)
+    assert(rankSet(probed) == rankSet(full))
+  }
+
+  test("block-level centroid assignment matches the row kernel's assign") {
+    import spark.implicits._
+    val (corpus, _) = emb(1)
+    val dim = 64
+    val centRows = Tables(spark, sf0001, "embeddings")
+      .filter($"vec_id" % 25 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val indexed = VectorBlocks.assign(VectorBlocks.pack(corpus, dim), centRows.map(_._2))
+    val got = indexed.flatMap(b => b.ids.zip(b.cids)).collect().toMap
+    val expected = BruteForce.assign(corpus, centRows)
+      .select($"id", $"centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // row kernel returns centroid IDs; block kernel returns centroid
+    // ARRAY INDICES — map through the sorted centroid id list
+    assert(got.map { case (id, ci) => id -> centRows(ci)._1 } == expected)
+  }
+}
