@@ -20,11 +20,58 @@ import graft.{Q, QModule, Tables}
   *  - SESSIONIZATION: gap-based session assignment via the
   *    lag + cumulative-sum window idiom (a new session starts where the
   *    gap from the previous event exceeds the threshold).
+  *
+  *  - AS-OF JOIN: "latest right row at or before each left row" executed
+  *    as UNION + running `last(ignoreNulls)` window ([[asofJoin]]) — one
+  *    shuffle by key, no inequality-join candidate explosion.
   */
 object Temporal extends QModule {
 
   private val GapMinutes = 30L
   private val BucketSeconds = 3600L
+
+  /** Scale-safe AS-OF join: for every `left` row, attach the payload of
+    * the latest `right` row with `right.tsCol <= left.tsCol` on the same
+    * `keyCol` (inclusive match, like DuckDB `ASOF JOIN ... ON l.ts >=
+    * r.ts`); unmatched left rows get a null payload (left-outer).
+    *
+    * Plan shape: tag right rows side=0 / left rows side=1, union, then a
+    * running `last(payload, ignoreNulls)` over
+    * `partitionBy(key).orderBy(ts, side, tieBreak)` and keep the left
+    * side. At equal `ts` the right row sorts first (side 0 < 1), which is
+    * exactly the inclusive semantics; among right rows sharing a `ts`,
+    * the greatest `tieBreak` wins (deterministic).
+    *
+    * 100 TB design: a naive inequality join plans as a nested loop (all
+    * pairs per key — quadratic); the union form is ONE hash exchange on
+    * the key plus a per-partition sort, the same cost as any windowed
+    * aggregate, and AQE can split skewed keys. `payload` is carried as a
+    * single struct column so the window computes one running value no
+    * matter how many right columns ride along.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payload: Seq[String],
+      tieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r = right.select(
+      col(keyCol),
+      col(tsCol),
+      struct((tieBreak +: payload.filterNot(_ == tieBreak)).map(col): _*).as("__asof"))
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col(s"__asof.$tieBreak"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l, allowMissingColumns = true)
+      .withColumn("__match", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p)): _*)
+  }
 
   // ---------------------------------------------------------------- q38
   /** For each user's event, count that user's OTHER events in the
@@ -123,5 +170,48 @@ object Temporal extends QModule {
            round(avg(dur_ns / 1e9), 4) AS avg_session_sec
     FROM sessions GROUP BY user_id ORDER BY user_id"""))
 
-  override def all: Seq[Q] = Seq(q38, q39)
+  // ---------------------------------------------------------------- q40
+  /** AS-OF join on the events stream: for each purchase, the user's
+    * latest click at or before it, plus the gap in seconds. Timestamps
+    * compare at MICROS precision (`ts_ns div 1000`): the fixture carries
+    * sub-microsecond nanos that DuckDB's TIMESTAMP truncates away, so the
+    * engine must round the same way for the oracle to be meaningful.
+    * Clicks are first deduped to max event_id per (user, ts) — DuckDB's
+    * ASOF picks an arbitrary row among equal timestamps; the dedup makes
+    * both sides deterministic. */
+  private val q40 = Q(
+    "q40_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = ev
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_us")
+      val clicks = ev
+        .filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts_us")
+        .agg(max($"event_id").as("click_id"))
+        .select($"user_id", $"ts_us", $"click_id", $"ts_us".as("click_ts_us"))
+      asofJoin(purchases, clicks, "user_id", "ts_us", Seq("click_id", "click_ts_us"), "click_id")
+        .select(
+          $"event_id",
+          $"user_id",
+          coalesce($"click_id", lit(-1L)).as("click_id"),
+          coalesce(round(($"ts_us" - $"click_ts_us") / 1e6, 4), lit(-1.0)).as("gap_sec"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           coalesce(c.click_id, -1) AS click_id,
+           coalesce(round((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 4), -1) AS gap_sec
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id"""))
+
+  override def all: Seq[Q] = Seq(q38, q39, q40)
 }
