@@ -18,6 +18,9 @@ object Functions {
     // the shared builder validates and reports clearly if it is not.
     reg.createOrReplaceTempFunction(
       "collect_top_k", graft.functions.TopKAgg.fromExprs, "built-in")
+    // kmv_distinct(hash, k) — K-Minimum-Values distinct sketch.
+    reg.createOrReplaceTempFunction(
+      "kmv_distinct", graft.functions.KmvAgg.fromExprs, "built-in")
   }
 
   /** Codegen'd dot product (register first — [[GraftSession.build]] does). */

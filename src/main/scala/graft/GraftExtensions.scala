@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, L2NormExpr, TopKAgg}
+import graft.functions.{DotProduct, KmvAgg, L2NormExpr, TopKAgg}
 
 /** The standard extension entry point: start any Spark application with
   * `--conf spark.sql.extensions=graft.GraftExtensions` and the engine's
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("collect_top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "collect_top_k"),
       (exprs: Seq[Expression]) => TopKAgg.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => KmvAgg.fromExprs(exprs)))
   }
 }

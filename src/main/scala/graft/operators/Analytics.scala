@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QModule, Tables}
+import graft.functions.{KmvAgg, PortableHash}
 
 /** Capability-headroom analytics (SURVEY §2.11: multi-level aggregation
   * and skew machinery the reference lacks but a warehouse user expects),
@@ -117,5 +118,50 @@ object Analytics extends QModule {
       round(avg(o_totalprice), 2) AS avg_price
     FROM orders GROUP BY 1 ORDER BY priority"""))
 
-  override def all: Seq[Q] = Seq(q35, q36, q37)
+  // ---------------------------------------------------------------- q41
+  /** K-Minimum-Values distinct sketch ([[graft.functions.KmvAgg]]) vs the
+    * exact distinct count, at four sketch sizes: the k=4096 row exercises
+    * the exact under-filled branch (sf0.01 has ~2k distinct partkeys),
+    * the smaller k's the estimator. The oracle replays the identical
+    * sketch in SQL — k smallest distinct [[PortableHash]] values, same
+    * (k−1)·P/h₍ₖ₎ arithmetic — so the check is exact, not tolerance. */
+  private val KmvKs = Seq(64, 256, 1024, 4096)
+  private val q41 = Q(
+    "q41_kmv_distinct",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+        .select($"l_partkey", PortableHash.hash($"l_partkey".cast("string")).as("hv"))
+      val aggCols = KmvKs.map(k => KmvAgg.kmvDistinct($"hv", k).as(s"est_$k")) :+
+        countDistinct($"l_partkey").as("exact_nd")
+      li.agg(aggCols.head, aggCols.tail: _*)
+        .select(
+          explode(array(KmvKs.map(k =>
+            struct(lit(k).as("k"), col(s"est_$k").as("est_raw"))): _*)).as("e"),
+          $"exact_nd")
+        .select(
+          $"e.k".as("k"),
+          round($"e.est_raw", 4).as("kmv_estimate"),
+          $"exact_nd".as("exact_distinct"),
+          round(abs($"e.est_raw" - $"exact_nd") / $"exact_nd", 4).as("rel_err"))
+        .orderBy($"k")
+    },
+    Some(s"""WITH h AS (
+        SELECT DISTINCT ${PortableHash.duckHash("CAST(l_partkey AS VARCHAR)")} AS hv
+        FROM lineitem),
+      ex AS (SELECT count(DISTINCT l_partkey) AS exact_nd FROM lineitem),
+      ranked AS (
+        SELECT ks.k, hv, row_number() OVER (PARTITION BY ks.k ORDER BY hv) AS rn
+        FROM h CROSS JOIN (VALUES ${KmvKs.map(k => s"($k)").mkString(",")}) ks(k)),
+      est AS (
+        SELECT k,
+               CASE WHEN count(*) < k THEN CAST(count(*) AS DOUBLE)
+                    ELSE (k - 1) * 2147483647.0 / max(hv) END AS est_raw
+        FROM ranked WHERE rn <= k GROUP BY k)
+    SELECT k, round(est_raw, 4) AS kmv_estimate,
+           exact_nd AS exact_distinct,
+           round(abs(est_raw - exact_nd) / exact_nd, 4) AS rel_err
+    FROM est CROSS JOIN ex ORDER BY k"""))
+
+  override def all: Seq[Q] = Seq(q35, q36, q37, q41)
 }
