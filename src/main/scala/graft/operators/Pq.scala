@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Functions, Q, QModule, Tables}
+import graft.functions.TopKAgg
+
+/** Product quantization — the FAISS-IVFPQ-analog compression layer
+  * (reference: `notebooks/004-faiss_demo.py:172-249` builds a FAISS index
+  * whose PQ variants are the standard scale path; SURVEY V4/V5).
+  *
+  * The corpus vector is split into [[M]] subspaces of [[SubDim]] dims;
+  * each subvector is replaced by the id of its nearest codebook entry
+  * (L2², ties to the smallest code id). A 64-dim float vector (256 B)
+  * becomes [[M]] = 8 small code ids — at the reference's 384-dim scale
+  * with 256-entry codebooks this is 1536 B → 48 B, a 32× compression.
+  *
+  * Search is ADC (asymmetric distance computation): per query, one tiny
+  * lookup table of query-subvector × codeword dots; each encoded doc
+  * scores as the sum of M table lookups ≈ dot(query, reconstruction).
+  * The ADC pass selects [[RCand]] candidates per query; the exact
+  * rescore touches only those (candidate ⋈ corpus on doc_id), so the
+  * full-precision vectors are read for a bounded candidate set, never
+  * the whole corpus.
+  *
+  * Codebooks are a deterministic corpus subset (`vec_id % Stride == 0`,
+  * the same fixed-seed trick as [[Ann]]) so the whole encode → search
+  * pipeline is reproducible and DuckDB-replayable — no k-means state.
+  *
+  * 100 TB design: encode is one narrow pass with the codebook broadcast
+  * (no shuffle); the encoded corpus is ~32× smaller than the raw vectors
+  * and is what the ADC scan reads — the scan that had to touch 100 TB now
+  * touches ~3 TB; per-task candidate heaps emit ≤ q×R rows into the final
+  * rerank, the same bounded shape as [[BruteForce.topK]].
+  */
+object Pq extends QModule {
+
+  /** Dims per subspace; M = dim / SubDim subspaces. */
+  val SubDim = 8
+
+  /** Every Stride-th vec_id is a codebook entry (20 codes at 500 rows). */
+  val Stride = 25
+
+  /** ADC candidates per query fed to the exact rescore. */
+  val RCand = 50
+
+  /** Codebook as (code_id, full vector), sorted by code_id; subvector m of
+    * entry j is `vecs(j)` slice `[m*SubDim, (m+1)*SubDim)`. */
+  def codebook(s: SparkSession, d: String): Array[(Long, Array[Float])] = {
+    import s.implicits._
+    Tables(s, d, "embeddings")
+      .filter($"vec_id" % Stride === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+  }
+
+  /** Encode every corpus vector: per subspace, the code_id of the nearest
+    * codebook subvector by L2² (ties → smallest code_id). One narrow
+    * mapPartitions pass, codebook broadcast. Output (doc_id, codes) where
+    * codes(m) is the winning code_id for subspace m. */
+  def encode(
+      corpus: Dataset[(Long, Array[Float])],
+      codes: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codes)
+    corpus.mapPartitions { rows =>
+      val cb = bc.value
+      rows.map { case (id, v) =>
+        val m = v.length / SubDim
+        val out = new Array[Long](m)
+        var mi = 0
+        while (mi < m) {
+          val off = mi * SubDim
+          var bestId = -1L
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cb.length) {
+            val cv = cb(j)._2
+            var d = 0.0
+            var i = 0
+            while (i < SubDim) {
+              val diff = v(off + i).toDouble - cv(off + i).toDouble
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; bestId = cb(j)._1 }
+            j += 1
+          }
+          out(mi) = bestId
+          mi += 1
+        }
+        (id, out)
+      }
+    }.toDF("doc_id", "codes")
+  }
+
+  /** ADC candidate generation: per query build the M × |codebook| lookup
+    * table of subspace dots, score every encoded doc as Σ_m lut(m,
+    * code(m)), keep the top [[RCand]] per query in bounded heaps. Scores
+    * here are SELECTION-only (approximate); the caller rescores exactly. */
+  def adcCandidates(
+      encoded: DataFrame,
+      codes: Array[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(codes)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    encoded
+      .select(col("doc_id").cast("long"), col("codes"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { rows =>
+        val cb = bcC.value
+        val qs = bcQ.value
+        val codeIdx = cb.iterator.zipWithIndex.map { case ((id, _), j) => id -> j }.toMap
+        val nq = qs.length
+        if (nq == 0) Iterator.empty
+        else {
+          val m = qs(0)._2.length / SubDim
+          // lut(qi)(mi * |cb| + j) = dot(query qi subspace mi, codeword j)
+          val lut = Array.ofDim[Double](nq, m * cb.length)
+          var qi = 0
+          while (qi < nq) {
+            val qv = qs(qi)._2
+            var mi = 0
+            while (mi < m) {
+              var j = 0
+              while (j < cb.length) {
+                val cv = cb(j)._2
+                var s = 0.0
+                var i = 0
+                while (i < SubDim) {
+                  s += qv(mi * SubDim + i).toDouble * cv(mi * SubDim + i).toDouble
+                  i += 1
+                }
+                lut(qi)(mi * cb.length + j) = s
+                j += 1
+              }
+              mi += 1
+            }
+            qi += 1
+          }
+          val heaps = Array.fill(nq)(new TopKAgg.Heap(RCand))
+          rows.foreach { case (docId, docCodes) =>
+            var q = 0
+            while (q < nq) {
+              if (qs(q)._1 != docId) {
+                var s = 0.0
+                var mi = 0
+                while (mi < m) {
+                  s += lut(q)(mi * cb.length + codeIdx(docCodes(mi)))
+                  mi += 1
+                }
+                heaps(q).offer(s, docId)
+              }
+              q += 1
+            }
+          }
+          Iterator.range(0, nq).flatMap { q =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            heaps(q).foreach((s, id) => out += ((qs(q)._1, id, s)))
+            out.iterator
+          }
+        }
+      }
+      .toDF("query_id", "doc_id", "approx")
+  }
+
+  /** Full PQ search: encode-if-needed corpus → ADC candidates → exact
+    * rescore of the candidate set only → top-k.
+    * @return (query_id, doc_id, score, rnk) */
+  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val cb = codebook(s, d)
+    val emb = Tables(s, d, "embeddings")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+      .as[(Long, Array[Float])]
+    val queries = corpus.filter($"id" < maxQueryId).collect().sortBy(_._1)
+    val encoded = graft.Memo.cached(s, s"pq-encoded:$d")(encode(corpus, cb))
+    val cands = adcCandidates(encoded, cb, queries)
+    // exact rescore: candidates are q × RCand rows (tiny) — broadcast them
+    // into the corpus join so only candidate vectors are re-read
+    val rescored = emb
+      .select($"vec_id".as("doc_id"), $"embedding")
+      .join(broadcast(cands.select($"query_id", $"doc_id", $"approx")), Seq("doc_id"))
+      .join(broadcast(
+        emb.filter($"vec_id" < maxQueryId).select($"vec_id".as("query_id"), $"embedding".as("qe"))),
+        Seq("query_id"))
+      .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"embedding").as("score"))
+    BruteForce.rerank(rescored, k)
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+  // DuckDB 1.0's binder fails when a LATERAL unnest references columns of
+  // a JOINed CTE directly; pre-flattening the join into a subquery `p`
+  // and unnesting p's columns binds fine.
+  private val lateralSub =
+    s"LATERAL (SELECT unnest(p.va) AS x, unnest(p.vb) AS y, unnest(generate_series(1, 64)) AS i) u"
+
+  /** Shared encode CTEs: codebook + per-(doc, subspace) nearest code. */
+  private val duckEncode =
+    s"""cb AS (SELECT vec_id AS code_id, embedding AS ce FROM embeddings
+            WHERE vec_id % $Stride = 0),
+      pairs AS (
+        SELECT p.doc_id, p.code_id, (u.i - 1) // $SubDim AS m,
+               (CAST(u.x AS DOUBLE) - CAST(u.y AS DOUBLE))
+               * (CAST(u.x AS DOUBLE) - CAST(u.y AS DOUBLE)) AS d2
+        FROM (SELECT e.vec_id AS doc_id, c.code_id, e.embedding AS va, c.ce AS vb
+              FROM embeddings e JOIN cb c ON true) p, $lateralSub),
+      dist AS (SELECT doc_id, code_id, m, sum(d2) AS d FROM pairs GROUP BY 1, 2, 3),
+      enc AS (
+        SELECT doc_id, m, code_id FROM (
+          SELECT doc_id, m, code_id,
+                 row_number() OVER (PARTITION BY doc_id, m ORDER BY d, code_id) AS rn
+          FROM dist)
+        WHERE rn = 1)"""
+
+  private def duckDot(a: String, b: String): String =
+    s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
+
+  // ---------------------------------------------------------------- v12
+  /** Encode surface: codes-per-codeword histogram by subspace — how the
+    * corpus distributes over each subspace's codebook (the inverted-list
+    * histogram of the PQ world, like v08 for IVF). */
+  private val v12 = Q(
+    "v12_pq_encode",
+    (s, d) => {
+      import s.implicits._
+      val cb = codebook(s, d)
+      val corpus = Tables(s, d, "embeddings")
+        .select($"vec_id".as("id"), $"embedding".as("vec"))
+        .as[(Long, Array[Float])]
+      graft.Memo.cached(s, s"pq-encoded:$d")(encode(corpus, cb))
+        .select(posexplode($"codes").as(Seq("m", "code_id")))
+        .groupBy($"m", $"code_id")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"m", $"code_id")
+    },
+    Some(s"""WITH $duckEncode
+      SELECT m, code_id, count(*) AS n_docs FROM enc
+      GROUP BY m, code_id ORDER BY m, code_id"""))
+
+  // ---------------------------------------------------------------- v13
+  /** PQ search end to end: ADC candidates (approximate, compressed-domain)
+    * → exact rescore → top-10 for queries vec_id < 20. The oracle replays
+    * the identical pipeline in SQL: same encode, same ADC score = dot of
+    * query with the PQ reconstruction, same RCand boundary, same exact
+    * rescore. */
+  private val v13 = Q(
+    "v13_pq_topk",
+    (s, d) => {
+      import s.implicits._
+      search(s, d, maxQueryId = 20, k = 10)
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""WITH $duckEncode,
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      -- ADC score == dot(query, PQ reconstruction): per (query, doc),
+      -- sum over subspaces of dot(q_sub, codeword_sub)
+      lut AS (
+        SELECT p.query_id, p.code_id, (u.i - 1) // $SubDim AS m,
+               sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE)) AS pdot
+        FROM (SELECT q.query_id, c.code_id, q.qe AS va, c.ce AS vb
+              FROM q JOIN cb c ON true) p, $lateralSub
+        GROUP BY 1, 2, 3),
+      approx AS (
+        SELECT l.query_id, e.doc_id, sum(l.pdot) AS ascore
+        FROM enc e JOIN lut l ON l.m = e.m AND l.code_id = e.code_id
+        WHERE e.doc_id <> l.query_id
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, doc_id) AS arn
+          FROM approx)
+        WHERE arn <= $RCand),
+      rescored AS (
+        SELECT cand.query_id, cand.doc_id, ${duckDot("qq.qe", "ee.embedding")} AS score
+        FROM cand
+        JOIN q qq ON qq.query_id = cand.query_id
+        JOIN embeddings ee ON ee.vec_id = cand.doc_id)
+    SELECT query_id, rnk, doc_id, round(score, 4) AS score FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM rescored)
+    WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v12, v13)
+}

@@ -198,7 +198,10 @@ object Temporal extends QModule {
           $"event_id",
           $"user_id",
           coalesce($"click_id", lit(-1L)).as("click_id"),
-          coalesce(round(($"ts_us" - $"click_ts_us") / 1e6, 4), lit(-1.0)).as("gap_sec"))
+          // exact integer micros, not rounded seconds: a round(x, 4) of
+          // the quotient can land on a half-way double where Spark
+          // (HALF_UP) and DuckDB disagree in the last digit
+          coalesce($"ts_us" - $"click_ts_us", lit(-1L)).as("gap_us"))
         .orderBy($"event_id")
     },
     Some("""WITH clicks AS (
@@ -208,7 +211,7 @@ object Temporal extends QModule {
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
     SELECT p.event_id, p.user_id,
            coalesce(c.click_id, -1) AS click_id,
-           coalesce(round((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 4), -1) AS gap_sec
+           coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
     FROM purchases p ASOF LEFT JOIN clicks c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id"""))

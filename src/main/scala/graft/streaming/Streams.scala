@@ -64,6 +64,30 @@ object Streams extends QModule {
       }
   }
 
+  /** Streaming exact dedup: keep the FIRST arrival per key. With a
+    * watermark, Spark evicts dedup state older than the watermark — the
+    * state store holds a bounded window of keys instead of every key ever
+    * seen, which is what makes streaming dedup viable on an unbounded
+    * 100 TB/day feed (late duplicates beyond the watermark are dropped as
+    * a matter of contract, not bug). */
+  def streamingDedup(stream: DataFrame, keys: Seq[String], watermark: String): DataFrame =
+    stream.withWatermark("ts", watermark).dropDuplicates(keys)
+
+  /** The batch-deterministic equivalent of [[streamingDedup]] under
+    * in-order arrival: first row per key by (micros ts, event_id).
+    * Micros, not nanos: the DuckDB oracle compares TIMESTAMP at micros
+    * precision, so the engine must pick winners the same way. */
+  def firstPerKey(events: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(expr("ts_ns div 1000").asc, col("event_id").asc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Typed view of the events table for the stateful operators. */
   def typedEvents(s: SparkSession, d: String): Dataset[Event] = {
     import s.implicits._
@@ -103,5 +127,26 @@ object Streams extends QModule {
           FROM events)
     WHERE rn = 1 ORDER BY user_id"""))
 
-  override def all: Seq[Q] = Seq(q32, q33)
+  // ---------------------------------------------------------------- q42
+  /** Streaming dedup in batch mode: first event per (user_id,
+    * event_type). The oracle is the declarative row_number form; the
+    * streaming execution of [[streamingDedup]] over the same rows is
+    * covered by StreamingSpec (first-arrival == first-by-ts under
+    * in-order feed). */
+  private val q42 = Q(
+    "q42_stream_dedup_batch",
+    (s, d) => {
+      import s.implicits._
+      firstPerKey(Tables(s, d, "events"), Seq("user_id", "event_type"))
+        .select($"user_id", $"event_type", $"event_id")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  override def all: Seq[Q] = Seq(q32, q33, q42)
 }

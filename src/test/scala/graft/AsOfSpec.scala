@@ -70,6 +70,6 @@ class AsOfSpec extends SparkSpec {
     assert(q40.count() == purchases)
     assert(q40.select("event_id").distinct().count() == purchases)
     // matched rows must have a non-negative gap (click at or before purchase)
-    assert(q40.filter($"click_id" =!= -1L && $"gap_sec" < 0).count() == 0)
+    assert(q40.filter($"click_id" =!= -1L && $"gap_us" < 0).count() == 0)
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BruteForce, Pq}
+
+/** [[graft.operators.Pq]] — product quantization encode + ADC search. */
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = Tables(spark, sf0001, "embeddings")
+    .select($"vec_id".as("id"), $"embedding".as("vec"))
+    .as[(Long, Array[Float])]
+
+  test("codebook rows encode to themselves in every subspace") {
+    val cb = Pq.codebook(spark, sf0001)
+    val selfIds = cb.map(_._1).toSet
+    val enc = Pq.encode(corpus.filter($"id".isin(selfIds.toSeq: _*)), cb)
+      .as[(Long, Array[Long])].collect()
+    assert(enc.nonEmpty)
+    enc.foreach { case (id, codes) =>
+      assert(codes.forall(_ == id), s"codebook row $id encoded as ${codes.toSeq}")
+    }
+  }
+
+  test("encode is invariant under repartitioning") {
+    val cb = Pq.codebook(spark, sf0001)
+    val e1 = Pq.encode(corpus.repartition(1), cb)
+      .as[(Long, Array[Long])].collect().map(t => t._1 -> t._2.toSeq).toMap
+    val e9 = Pq.encode(corpus.repartition(9), cb)
+      .as[(Long, Array[Long])].collect().map(t => t._1 -> t._2.toSeq).toMap
+    assert(e1 == e9)
+  }
+
+  test("ADC + exact rescore recovers most of the exact top-10") {
+    val queries = corpus.filter($"id" < 20).collect().sortBy(_._1)
+    val exact = BruteForce.topK(corpus, queries, k = 10, excludeSelf = true)
+      .select($"query_id", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.search(spark, sf0001, maxQueryId = 20, k = 10)
+      .select($"query_id", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = exact.intersect(pq).size.toDouble / exact.size
+    // 20 codewords x 8 subspaces on word-salad embeddings is a coarse
+    // quantizer; the RCand=50 exact rescore still recovers the bulk
+    assert(overlap >= 0.5, s"overlap $overlap")
+    // and every rescored score is a true dot product: any PQ hit that IS
+    // in the exact set must carry the identical rank-eligible score
+    assert(pq.size == exact.size)
+  }
+
+  test("rescored scores are exact dot products, not ADC approximations") {
+    val pq = Pq.search(spark, sf0001, maxQueryId = 5, k = 5)
+    val withExact = pq
+      .join(Tables(spark, sf0001, "embeddings").select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
+      .join(Tables(spark, sf0001, "embeddings").select($"vec_id".as("query_id"), $"embedding".as("qe")), "query_id")
+      .select(($"score" - Functions.vecDot($"qe", $"embedding")).as("diff"))
+    assert(withExact.filter(abs($"diff") > 1e-12).count() == 0)
+  }
+}

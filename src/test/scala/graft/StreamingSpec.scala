@@ -63,4 +63,26 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming dedup: first arrival across micro-batches == batch firstPerKey") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed in (micros ts, event_id) order so first ARRIVAL == first BY TS
+    val events = fixtureEvents.sortBy(e => (e.ts_ns / 1000, e.event_id))
+    val stream = MemoryStream[Event]
+    val q = Streams
+      .streamingDedup(stream.toDF(), Seq("user_id", "event_type"), watermark = "2 hours")
+      .select($"user_id", $"event_type", $"event_id")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val chunks = events.grouped(math.max(1, events.size / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("dedup_out").collect().map(_.toSeq).toSet
+      val batch = Streams
+        .firstPerKey(Tables(spark, sf0001, "events"), Seq("user_id", "event_type"))
+        .select($"user_id", $"event_type", $"event_id")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
