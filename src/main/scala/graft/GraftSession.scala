@@ -24,6 +24,10 @@ object GraftSession {
       // AQE on: runtime coalescing + skew-join splitting are part of the
       // 100 TB design (SURVEY §4.2).
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed-table home for the co-located-join operator (build-if-
+      // absent cache, like /tmp/graft_index) — keeps managed tables out
+      // of the repo's cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.register(spark)
