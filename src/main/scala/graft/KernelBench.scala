@@ -50,13 +50,24 @@ object KernelBench {
     a
   }
 
+  /** PQ params at bench scale: 384 dims = 48 subspaces × 8 dims, 256
+    * corpus-derived codewords → 48 B/doc (32× compression), rescore the
+    * ADC top-300 exactly for top-100. */
+  val PqSubDim = 8
+  val PqCodebook = 256
+  val PqRescore = 300
+
   final case class Result(
       bfMsPerQuery: Double,
       bfQps: Double,
       annBuildSec: Double,
       annMsPerQuery: Double,
       annQps: Double,
-      annRecallVsExact: Double)
+      annRecallVsExact: Double,
+      pqBuildSec: Double,
+      pqMsPerQuery: Double,
+      pqQps: Double,
+      pqRecallVsExact: Double)
 
   private def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("query_id", "doc_id").collect()
@@ -91,6 +102,37 @@ object KernelBench {
       require(exact.size == NQueries * K, s"expected ${NQueries * K} hits, got ${exact.size}")
       (System.nanoTime() - t0) / 1e9
     }.min
+
+    // PQ build (timed like the IVF build): block-level encode against a
+    // 256-entry corpus-derived codebook; the encoded corpus is 48 B/doc.
+    val codebook = Array.tabulate(PqCodebook)(j => vec(j.toLong))
+    val tp = System.nanoTime()
+    val encoded = VectorBlocks.encodePq(blocks, codebook, PqSubDim).cache()
+    encoded.count()
+    val pqBuildSec = (System.nanoTime() - tp) / 1e9
+
+    // PQ search: ADC candidate scan over the compressed corpus + exact
+    // rescore of the top-PqRescore per query from the float blocks.
+    var pqRows: Set[(Long, Long)] = null
+    val pqSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // per-partition heaps emit ≤ p×q×r rows (each doc lives in exactly
+      // one partition, so no (q,d) duplicates); trim to the GLOBAL
+      // top-r per query driver-side so the rescore touches q×r docs,
+      // not p×q×r
+      val cands = VectorBlocks
+        .adcCandidates(spark, encoded, codebook, PqSubDim, queries, PqRescore)
+        .collect()
+        .groupBy(_._1)
+        .valuesIterator
+        .flatMap(_.sortBy { case (_, d, s) => (-s, d) }.take(PqRescore))
+        .map { case (q, d, _) => (q, d) }
+        .toArray
+      pqRows = hits(VectorBlocks.rescore(spark, blocks, queries, cands, K))
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    encoded.unpersist()
+    val pqRecall = pqRows.count(exact.contains).toDouble / exact.size
 
     // IVF build (timed separately, like the reference's index build):
     // argmax-dot assignment against the cluster bases, block-level —
@@ -131,6 +173,10 @@ object KernelBench {
       annBuildSec = annBuildSec,
       annMsPerQuery = annSec * 1000.0 / NQueries,
       annQps = NQueries / annSec,
-      annRecallVsExact = recall)
+      annRecallVsExact = recall,
+      pqBuildSec = pqBuildSec,
+      pqMsPerQuery = pqSec * 1000.0 / NQueries,
+      pqQps = NQueries / pqSec,
+      pqRecallVsExact = pqRecall)
   }
 }

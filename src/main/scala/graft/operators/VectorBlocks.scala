@@ -208,6 +208,178 @@ object VectorBlocks {
     rerank(spark, candidates, k)
   }
 
+  /** PQ code block: row i's M subspace code indices occupy
+    * `codes[i*m, (i+1)*m)` (unsigned bytes — codebooks cap at 256). At
+    * 384 dims this is 48 B/row vs 1536 B raw: the ADC scan reads a corpus
+    * 32× smaller than the float blocks. */
+  final case class CodeBlock(ids: Array[Long], m: Int, codes: Array[Byte])
+
+  /** PQ encode over packed blocks: per row and subspace, the index of the
+    * nearest codebook entry by L2² (ties → lowest index). One narrow
+    * broadcast pass, no shuffle — the block analog of
+    * [[Pq.encode]]. Codebook entries are FULL vectors; subspace mi of
+    * entry j is its `[mi*subDim, (mi+1)*subDim)` slice. */
+  def encodePq(
+      blocks: RDD[Block],
+      codebook: Array[Array[Float]],
+      subDim: Int): RDD[CodeBlock] = {
+    require(codebook.length <= 256, s"PQ codebook capped at 256 entries, got ${codebook.length}")
+    val bc = blocks.sparkContext.broadcast(codebook)
+    blocks.map { b =>
+      val cb = bc.value
+      val dim = b.dim
+      val m = dim / subDim
+      val n = b.ids.length
+      val codes = new Array[Byte](n * m)
+      var r = 0
+      while (r < n) {
+        val off = r * dim
+        var mi = 0
+        while (mi < m) {
+          val soff = mi * subDim
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cb.length) {
+            val cv = cb(j)
+            var dd = 0.0
+            var i = 0
+            while (i < subDim) {
+              val diff = b.data(off + soff + i).toDouble - cv(soff + i).toDouble
+              dd += diff * diff
+              i += 1
+            }
+            if (dd < bestD) { bestD = dd; best = j }
+            j += 1
+          }
+          codes(r * m + mi) = (best & 0xFF).toByte
+          mi += 1
+        }
+        r += 1
+      }
+      CodeBlock(b.ids, m, codes)
+    }
+  }
+
+  /** ADC top-r candidate pass over code blocks. The lookup table is
+    * TRANSPOSED — `lut((mi*|cb| + code) * nq + q)` — so the inner loop
+    * accumulates one (subspace, code) row across ALL queries with
+    * stride-1 access instead of scattering per query. Scores are
+    * approximate (dot of query with the PQ reconstruction); callers
+    * rescore exactly. Emits ≤ p×q×r rows. */
+  def adcCandidates(
+      spark: SparkSession,
+      codeBlocks: RDD[CodeBlock],
+      codebook: Array[Array[Float]],
+      subDim: Int,
+      queries: Array[(Long, Array[Float])],
+      r: Int): RDD[(Long, Long, Double)] = {
+    val bcC = spark.sparkContext.broadcast(codebook)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    codeBlocks.mapPartitions { bs =>
+      val cb = bcC.value
+      val qs = bcQ.value
+      val nq = qs.length
+      if (nq == 0) Iterator.empty
+      else {
+        val dim = qs(0)._2.length
+        val m = dim / subDim
+        val nCb = cb.length
+        // transposed LUT: entry ((mi*nCb + j)*nq + q) = dot(q_sub, cb_j_sub)
+        val lut = new Array[Double](m * nCb * nq)
+        var mi = 0
+        while (mi < m) {
+          var j = 0
+          while (j < nCb) {
+            val cv = cb(j)
+            var q = 0
+            while (q < nq) {
+              val qv = qs(q)._2
+              var s = 0.0
+              var i = 0
+              while (i < subDim) {
+                s += qv(mi * subDim + i).toDouble * cv(mi * subDim + i).toDouble
+                i += 1
+              }
+              lut((mi * nCb + j) * nq + q) = s
+              q += 1
+            }
+            j += 1
+          }
+          mi += 1
+        }
+        val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(r))
+        val acc = new Array[Double](nq)
+        bs.foreach { b =>
+          val n = b.ids.length
+          var row = 0
+          while (row < n) {
+            java.util.Arrays.fill(acc, 0.0)
+            var s = 0
+            while (s < m) {
+              val code = b.codes(row * m + s) & 0xFF
+              val base = (s * nCb + code) * nq
+              var q = 0
+              while (q < nq) { acc(q) += lut(base + q); q += 1 }
+              s += 1
+            }
+            val docId = b.ids(row)
+            var q = 0
+            while (q < nq) {
+              if (qs(q)._1 != docId) heaps(q).offer(acc(q), docId)
+              q += 1
+            }
+            row += 1
+          }
+        }
+        Iterator.range(0, nq).flatMap { q =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          heaps(q).foreach((s, id) => out += ((qs(q)._1, id, s)))
+          out.iterator
+        }
+      }
+    }
+  }
+
+  /** Exact rescore of an ADC candidate set: one pass over the FLOAT
+    * blocks probing a broadcast doc→queries map (one hash lookup per
+    * row; full dots only for the ~q×r candidate hits), then the usual
+    * bounded re-rank. The expensive full-precision data is touched for
+    * a bounded candidate set — never scanned per query. */
+  def rescore(
+      spark: SparkSession,
+      blocks: RDD[Block],
+      queries: Array[(Long, Array[Float])],
+      candidates: Array[(Long, Long)], // (query_id, doc_id)
+      k: Int): DataFrame = {
+    val qIdx = queries.iterator.map(_._1).zipWithIndex.toMap
+    val byDoc = new scala.collection.mutable.HashMap[Long, List[Int]]()
+    candidates.foreach { case (qid, did) =>
+      byDoc.update(did, qIdx(qid) :: byDoc.getOrElse(did, Nil))
+    }
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcByDoc = spark.sparkContext.broadcast(byDoc.toMap)
+    val scored = blocks.mapPartitions { bs =>
+      val qs = bcQ.value
+      val probe = bcByDoc.value
+      bs.flatMap { b =>
+        val n = b.ids.length
+        val dim = b.dim
+        Iterator.range(0, n).flatMap { row =>
+          probe.get(b.ids(row)) match {
+            case None => Iterator.empty
+            case Some(qids) =>
+              val off = row * dim
+              qids.iterator.map { qi =>
+                (qs(qi)._1, b.ids(row), dotRow(qs(qi)._2, b.data, off, dim))
+              }
+          }
+        }
+      }
+    }
+    rerank(spark, scored, k)
+  }
+
   private def emit(
       qids: Array[Long],
       heaps: Array[graft.functions.TopKAgg.Heap]): Iterator[(Long, Long, Double)] =

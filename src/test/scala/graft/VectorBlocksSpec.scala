@@ -75,6 +75,36 @@ class VectorBlocksSpec extends SparkSpec {
     assert(rankSet(probed) == rankSet(full))
   }
 
+  test("block PQ encode matches the row-level Pq.encode on the fixture") {
+    import spark.implicits._
+    val (corpus, _) = emb(1)
+    val cb = operators.Pq.codebook(spark, sf0001) // (code_id, vec) sorted by id
+    val rowEnc = operators.Pq.encode(corpus, cb)
+      .as[(Long, Array[Long])].collect()
+      .map(t => t._1 -> t._2.toSeq).toMap
+    val blockEnc = VectorBlocks
+      .encodePq(VectorBlocks.pack(corpus, 64), cb.map(_._2), operators.Pq.SubDim)
+      .flatMap(c => c.ids.zipWithIndex.map { case (id, r) =>
+        id -> c.codes.slice(r * c.m, (r + 1) * c.m).map(b => cb(b & 0xFF)._1).toSeq
+      })
+      .collect().toMap
+    assert(blockEnc == rowEnc)
+  }
+
+  test("ADC with r >= corpus size + rescore reproduces the exact top-k") {
+    val (corpus, qs) = emb(8)
+    val dim = qs.head._2.length
+    val blocks = VectorBlocks.pack(corpus, dim)
+    val cb = operators.Pq.codebook(spark, sf0001).map(_._2)
+    val encoded = VectorBlocks.encodePq(blocks, cb, operators.Pq.SubDim)
+    val cands = VectorBlocks
+      .adcCandidates(spark, encoded, cb, operators.Pq.SubDim, qs, r = 600)
+      .map { case (q, d, _) => (q, d) }.collect()
+    val viaPq = VectorBlocks.rescore(spark, blocks, qs, cands, k = 10)
+    val exact = VectorBlocks.topK(spark, blocks, qs, k = 10, excludeSelf = true)
+    assert(rankSet(viaPq) == rankSet(exact))
+  }
+
   test("block-level centroid assignment matches the row kernel's assign") {
     import spark.implicits._
     val (corpus, _) = emb(1)
