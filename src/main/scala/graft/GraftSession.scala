@@ -26,8 +26,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       // bucketed-table home for the co-located-join operator (build-if-
       // absent cache, like /tmp/graft_index) — keeps managed tables out
-      // of the repo's cwd
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // of the repo's cwd. Scoped PER PROCESS: two concurrent JVMs (forked
+      // test suite, bench + verify) sharing one warehouse can race on the
+      // stale-location cleanup, one deleting a table dir the other's
+      // catalog still points at (ADVICE r3).
+      .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.register(spark)

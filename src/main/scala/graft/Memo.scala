@@ -22,14 +22,31 @@ object Memo {
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Get-or-build the cached frame for (s, key). `build` runs at most once
-    * per live (session, key); the result is `.cache()`d. */
+    * per live (session, key); the result is `.cache()`d. Every call also
+    * lazily sweeps entries whose context has since stopped (ADVICE r3: the
+    * ApplicationEnd listener alone never fires for a session retired while
+    * the shared context lives on — stopped-context entries would pin
+    * DataFrames and SparkSessions until application end). */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    sweepStopped()
     if (hooked.add(s)) {
       s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = drop(s)
       })
     }
     entries.computeIfAbsent((s, key), _ => build.cache())
+  }
+
+  /** Drop every entry whose owning context is stopped. Entry count is
+    * bounded (one per memoized stage × SF dir), so the scan is cheap. */
+  private def sweepStopped(): Unit = {
+    val it = entries.keySet().iterator()
+    val dead = scala.collection.mutable.Set.empty[SparkSession]
+    while (it.hasNext) {
+      val owner = it.next()._1
+      if (owner.sparkContext.isStopped) dead += owner
+    }
+    dead.foreach(drop)
   }
 
   /** Unpersist and forget every entry owned by `s` (idempotent; also

@@ -54,12 +54,16 @@ object Bucketing extends QModule {
     (ot, lt)
   }
 
+  /** The warehouse dir is per-process ([[graft.GraftSession]] appends the
+    * PID), so the only stale data this can meet is a previous session of
+    * THIS process — no cross-JVM race. listFiles() may still return null
+    * on a concurrent delete or IO error; treat that as already-empty. */
   private def clearStaleLocation(s: SparkSession, table: String): Unit = {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val dir = new java.io.File(wh, table)
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(); ()
       }
       rm(dir)

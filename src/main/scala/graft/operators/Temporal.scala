@@ -57,6 +57,18 @@ object Temporal extends QModule {
       payload: Seq[String],
       tieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // internal plumbing columns must not exist in either input, and the
+    // attached payload must not shadow a left column (ADVICE r3: a silent
+    // collision would corrupt the running-last window or the final select)
+    val reserved = Seq("__asof", "__side", "__match")
+    val inputCols = (leftCols ++ right.columns).toSet
+    require(
+      reserved.forall(!inputCols.contains(_)),
+      s"asofJoin: inputs must not contain reserved columns ${reserved.mkString(", ")}")
+    val payloadClash = payload.filter(leftCols.contains)
+    require(
+      payloadClash.isEmpty,
+      s"asofJoin: payload columns ${payloadClash.mkString(", ")} collide with left's columns")
     val r = right.select(
       col(keyCol),
       col(tsCol),

@@ -64,14 +64,21 @@ object Streams extends QModule {
       }
   }
 
-  /** Streaming exact dedup: keep the FIRST arrival per key. With a
-    * watermark, Spark evicts dedup state older than the watermark — the
-    * state store holds a bounded window of keys instead of every key ever
-    * seen, which is what makes streaming dedup viable on an unbounded
-    * 100 TB/day feed (late duplicates beyond the watermark are dropped as
-    * a matter of contract, not bug). */
+  /** Streaming exact dedup: keep the FIRST arrival per key among rows
+    * whose event times fall within `watermark` of each other.
+    *
+    * `dropDuplicates(keys)` would never evict state in Spark unless the
+    * watermarked column is itself a dedup key (ADVICE r3) — on an
+    * unbounded feed the key set grows forever.
+    * `dropDuplicatesWithinWatermark` is the bounded-state form: a key's
+    * state is dropped once the watermark passes its event time, so the
+    * store holds only the trailing window of keys. The contract that buys
+    * bounded state: a duplicate arriving with an event time more than
+    * `watermark` after the first occurrence is emitted again (its state
+    * was evicted), so `watermark` must cover the duplicate-arrival spread
+    * of the feed. */
   def streamingDedup(stream: DataFrame, keys: Seq[String], watermark: String): DataFrame =
-    stream.withWatermark("ts", watermark).dropDuplicates(keys)
+    stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
   /** The batch-deterministic equivalent of [[streamingDedup]] under
     * in-order arrival: first row per key by (micros ts, event_id).

@@ -63,6 +63,17 @@ class AsOfSpec extends SparkSpec {
     assert(all.count(_.isInstanceOf[ShuffleExchangeExec]) <= 2) // union legs
   }
 
+  test("rejects reserved internal names and payload collisions") {
+    val clash = left.withColumn("__side", lit(1))
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(clash, right, "k", "ts", Seq("rid"), "rid")
+    }
+    val clashPayload = left.withColumn("rid", lit(0L))
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(clashPayload, right, "k", "ts", Seq("rid"), "rid")
+    }
+  }
+
   test("q40 oracle parity shape: every purchase appears exactly once") {
     val q40 = SparkEntry.queries("q40_asof_join")(spark, sf0001)
     val purchases = Tables(spark, sf0001, "events")

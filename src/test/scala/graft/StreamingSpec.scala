@@ -71,7 +71,10 @@ class StreamingSpec extends SparkSpec {
     val events = fixtureEvents.sortBy(e => (e.ts_ns / 1000, e.event_id))
     val stream = MemoryStream[Event]
     val q = Streams
-      .streamingDedup(stream.toDF(), Seq("user_id", "event_type"), watermark = "2 hours")
+      // watermark must cover the fixture's whole event-time span: within-
+      // watermark dedup re-emits a duplicate whose predecessor's state was
+      // already evicted, and here we want exact parity with batch firstPerKey
+      .streamingDedup(stream.toDF(), Seq("user_id", "event_type"), watermark = "365 days")
       .select($"user_id", $"event_type", $"event_id")
       .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
     try {
