@@ -121,13 +121,19 @@ object TextPipeline extends QModule {
   /** Near-dup detection by exact 3-gram Jaccard ≥ 0.5 via an
     * INVERTED-INDEX join: explode shingles, equi-join on the shingle,
     * count shared shingles per pair, compute J from set sizes. The join
-    * key is the shingle — pairs that share nothing never meet, so cost is
-    * Σ df(shingle)², not n². At 100 TB add a df-cap on hot shingles
-    * (drop shingles with df > limit — they only ever confirm pairs other
-    * shingles already found). */
+    * key is the shingle — pairs that share nothing never meet.
+    *
+    * The registry runs the DF-CAPPED form ([[jaccardPairsCapped]]) — the
+    * shape that survives 100 TB: candidate generation is bounded by
+    * dfCap × Σdf instead of Σdf² (a single hot boilerplate shingle can't
+    * go quadratic), and every reported Jaccard is still exact because
+    * candidates are verified against the FULL shingle sets. The uncapped
+    * [[jaccardPairs]] is its equivalence oracle in TextPipelineSpec. */
+  val JaccardDfCap = 16
+
   private val q22 = Q(
     "q22_jaccard_neardup",
-    (s, d) => jaccardPairs(s, d, 0.5),
+    (s, d) => jaccardPairsCapped(s, d, 0.5, JaccardDfCap),
     Some(duckJaccardPairs(0.5)))
 
   /** The 100 TB variant of [[jaccardPairs]]: candidate pairs come only

@@ -10,6 +10,10 @@ class SamplingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_missing_relevant") == 0L)
     assert(r.getAs[Long]("n_subset") ==
       r.getAs[Long]("n_relevant") + r.getAs[Long]("n_sampled"))
+    // exact-count trim: the sample is exactly ceil(30% of the pool)
+    val nCust = Tables(spark, sf001, "customer").count()
+    val pool = nCust - r.getAs[Long]("n_relevant")
+    assert(r.getAs[Long]("n_sampled") == math.ceil(0.3 * pool).toLong)
   }
 
   test("query sample is deterministic across repeated runs and partitionings") {
