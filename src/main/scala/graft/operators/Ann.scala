@@ -191,7 +191,8 @@ object Ann extends QModule {
       import s.implicits._
       val rel = VectorSearch.relevant(s, d, maxQueryId = 100)
       val nRel = rel.groupBy($"query_id").agg(count(lit(1)).as("n_rel"))
-      val exact = VectorSearch.searchFrame(s, d) // cached exact top-10, maxQ=100
+      val exact = VectorSearch.searchFrame(s, d) // cached exact frame, maxQ=100
+        .filter($"rnk" <= 10) // overlap_10 compares against the exact TOP-10
         .select($"query_id", $"doc_id", lit(1).as("in_exact"))
       // ONE partition-pruned scoring pass at the widest probe level; each
       // sweep level is a prn-filter + heap re-rank of the cached frame

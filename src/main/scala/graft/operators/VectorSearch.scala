@@ -83,8 +83,9 @@ object VectorSearch extends QModule {
     * precision, so rank/doc_id are hash-stable across engines. */
   private val v03 = Q(
     "v03_brute_topk",
-    // query_id < 20 ⊂ the shared (maxQ=100) frame → filter, don't rescan.
-    (s, d) => searchFrame(s, d).filter(col("query_id") < 20)
+    // query_id < 20 ⊂ the shared (maxQ=100, k=100) frame → filter, don't
+    // rescan (top-10 is a rank prefix of the top-100 frame).
+    (s, d) => searchFrame(s, d).filter(col("query_id") < 20 && col("rnk") <= 10)
       .select(col("query_id"), col("rnk"), col("doc_id")),
     Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
       scored AS (
@@ -132,13 +133,25 @@ object VectorSearch extends QModule {
       .filter($"rnk" <= k)
   }
 
-  /** Memoized top-10 frame for the canonical query population (vec_id <
-    * 100), shared by v03–v06: Verify/Bench run registry entries as
-    * independent jobs in ONE session, so without this each metric query
-    * would pay the full corpus scan again (VERDICT r1, perf item 3).
-    * Session-scoped with eviction via [[graft.Memo]] (ADVICE r2). */
+  /** Retrieval depth of the shared frame — the reference retrieves 100
+    * per query (`002:29` top_k=100) and evaluates recall up to K=100. */
+  val FrameK = 100
+
+  /** Recall K set {1,5,10,20,50,100} and precision K set {1,5,10} — the
+    * reference's full k_values (`002:29`, `utils.py:15-82`), so the
+    * engine's report is row-for-row comparable to
+    * `reports/brute_force/brute_force_20251002_132738.json:10-23`. */
+  val RecallKs = Seq(1, 5, 10, 20, 50, 100)
+  val PrecisionKs = Seq(1, 5, 10)
+
+  /** Memoized top-[[FrameK]] frame for the canonical query population
+    * (vec_id < 100), shared by v03–v06 and the sweep: Verify/Bench run
+    * registry entries as independent jobs in ONE session, so without this
+    * each metric query would pay the full corpus scan again (VERDICT r1,
+    * perf item 3). Session-scoped with eviction via [[graft.Memo]]
+    * (ADVICE r2). Callers needing the top-10 view filter `rnk <= 10`. */
   def searchFrame(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cached(s, s"vsearch-top10:$d")(topK(s, d, maxQueryId = 100, k = 10))
+    graft.Memo.cached(s, s"vsearch-top$FrameK:$d")(topK(s, d, maxQueryId = 100, k = FrameK))
 
   /** Relevance ground truth: same-label pairs (excluding self), with the
     * per-query relevant count (reference: flattened qrels `000:238-255`;
@@ -168,7 +181,7 @@ object VectorSearch extends QModule {
         SELECT query_id, doc_id,
                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
         FROM scored),
-      topk AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= 10)"""
+      topk AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= 100)"""
 
   /** J6 hit frame + per-query relevant counts, for queries vec_id < 100,
     * k = 10: one row per (query, retrieved doc) with hit flag + rnk. */
@@ -183,12 +196,18 @@ object VectorSearch extends QModule {
   }
 
   // ---------------------------------------------------------------- v04
-  /** A1 Recall@K ∈ {1,5,10} (utils.py:15-46): per query |topK ∩ rel| /
-    * |rel|, then unweighted mean over queries (A9 two-level). */
+  /** A1 Recall@K over the FULL reference K set {1,5,10,20,50,100}
+    * (`002:29`, utils.py:15-46): per query |topK ∩ rel| / |rel|, then
+    * unweighted mean over queries (A9 two-level). */
   private val v04 = Q(
     "v04_recall",
-    (s, d) => Metrics.recallAtK(hitFrame(s, d), Seq(1, 5, 10)),
-    Some(s"""WITH $duckRanked, $duckRelevant,
+    (s, d) => Metrics.recallAtK(hitFrame(s, d), RecallKs),
+    Some {
+      val hSums = RecallKs.map(k =>
+        s"sum(CASE WHEN hit = 1 AND rnk <= $k THEN 1 ELSE 0 END) AS h$k").mkString(",\n               ")
+      val hAvgs = RecallKs.map(k =>
+        s"round(avg(CAST(h$k AS DOUBLE) / n_rel), 4) AS recall_$k").mkString(",\n           ")
+      s"""WITH $duckRanked, $duckRelevant,
       nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
       hits AS (
         SELECT t.query_id, t.rnk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit, n.n_rel
@@ -197,23 +216,20 @@ object VectorSearch extends QModule {
         JOIN nrel n ON t.query_id = n.query_id),
       per_q AS (
         SELECT query_id, n_rel,
-               sum(CASE WHEN hit = 1 AND rnk <= 1 THEN 1 ELSE 0 END) AS h1,
-               sum(CASE WHEN hit = 1 AND rnk <= 5 THEN 1 ELSE 0 END) AS h5,
-               sum(CASE WHEN hit = 1 AND rnk <= 10 THEN 1 ELSE 0 END) AS h10
+               $hSums
         FROM hits GROUP BY query_id, n_rel)
-    SELECT round(avg(CAST(h1 AS DOUBLE) / n_rel), 4) AS recall_1,
-           round(avg(CAST(h5 AS DOUBLE) / n_rel), 4) AS recall_5,
-           round(avg(CAST(h10 AS DOUBLE) / n_rel), 4) AS recall_10,
+    SELECT $hAvgs,
            count(*) AS n_queries
-    FROM per_q"""))
+    FROM per_q"""
+    })
 
   // ---------------------------------------------------------------- v05
-  /** A2 Precision@K ∈ {1,5,10} (utils.py:49-82): per query |topK ∩ rel| /
-    * min(K, retrieved) — denominator is the ACTUAL retrieved count
-    * (utils.py:77-79). */
+  /** A2 Precision@K ∈ {1,5,10} (utils.py:49-82, the reference's own
+    * precision K set): per query |topK ∩ rel| / min(K, retrieved) —
+    * denominator is the ACTUAL retrieved count (utils.py:77-79). */
   private val v05 = Q(
     "v05_precision",
-    (s, d) => Metrics.precisionAtK(hitFrame(s, d), Seq(1, 5, 10)),
+    (s, d) => Metrics.precisionAtK(hitFrame(s, d), PrecisionKs),
     Some(s"""WITH $duckRanked, $duckRelevant,
       hits AS (
         SELECT t.query_id, t.rnk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit
@@ -236,7 +252,8 @@ object VectorSearch extends QModule {
 
   // ---------------------------------------------------------------- v06
   /** A3 MRR (utils.py:85-110): per query 1/rank of first relevant hit in
-    * the top-10, else 0; unweighted mean. */
+    * the FULL retrieved list (top-[[FrameK]], like the reference's
+    * k=100 retrieval), else 0; unweighted mean. */
   private val v06 = Q(
     "v06_mrr",
     (s, d) => Metrics.mrr(hitFrame(s, d)),

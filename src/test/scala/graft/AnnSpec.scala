@@ -14,6 +14,7 @@ class AnnSpec extends SparkSpec {
   private def overlapAtProbe(np: Int): Double = {
     import spark.implicits._
     val exact = VectorSearch.searchFrame(spark, sf001)
+      .filter($"rnk" <= 10)
       .select($"query_id", $"doc_id")
     val ann = Ann.search(spark, sf001, maxQueryId = 100, k = 10, nProbe = np)
       .select($"query_id", $"doc_id")

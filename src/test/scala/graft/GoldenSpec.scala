@@ -16,7 +16,8 @@ class GoldenSpec extends SparkSpec {
       SparkEntry.queries("v04_recall")(spark, sf0001),
       SparkEntry.queries("v05_precision")(spark, sf0001),
       SparkEntry.queries("v06_mrr")(spark, sf0001),
-      ks = Seq(1, 5, 10), pks = Seq(1, 5, 10),
+      ks = graft.operators.VectorSearch.RecallKs,
+      pks = graft.operators.VectorSearch.PrecisionKs,
       avgLatencyMs = 0.0, qps = 0.0, timestamp = "golden")
 
     val got = report.collect().head
@@ -30,11 +31,11 @@ class GoldenSpec extends SparkSpec {
     assert(gPerf.getAs[Long]("total_queries") == wPerf.getAs[Long]("total_queries"))
     val gRecall = got.getAs[Map[String, Double]]("recall")
     val wRecall = want.getAs[org.apache.spark.sql.Row]("recall") // json reads map as struct
-    for (k <- Seq("1", "5", "10"))
+    for (k <- graft.operators.VectorSearch.RecallKs.map(_.toString))
       assert(gRecall(k) == wRecall.getAs[Double](k), s"recall@$k")
     val gPrec = got.getAs[Map[String, Double]]("precision")
     val wPrec = want.getAs[org.apache.spark.sql.Row]("precision")
-    for (k <- Seq("1", "5", "10"))
+    for (k <- graft.operators.VectorSearch.PrecisionKs.map(_.toString))
       assert(gPrec(k) == wPrec.getAs[Double](k), s"precision@$k")
     assert(got.getAs[Double]("mrr") == want.getAs[Double]("mrr"))
   }

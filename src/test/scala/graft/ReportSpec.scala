@@ -21,7 +21,11 @@ class ReportSpec extends SparkSpec {
       Metrics.precisionAtK(hits, Seq(1, 2)),
       Metrics.mrr(hits),
       ks = Seq(1, 2), pks = Seq(1, 2),
-      avgLatencyMs = 12.5, qps = 80.0, timestamp = "2026-08-12T00:00:00")
+      avgLatencyMs = 12.5, qps = 80.0, timestamp = "2026-08-12T00:00:00",
+      buildLatency = Some((512.75, 1950.23)),
+      efSensitivity = Seq(
+        Report.SweepLevel(1, 0.5, 0.010, 200.0),
+        Report.SweepLevel(4, 0.75, 0.025, 80.0)))
 
     val dir = Files.createTempDirectory("graft_report").toString
     val path = Report.write(report, dir)
@@ -38,5 +42,13 @@ class ReportSpec extends SparkSpec {
     // q1: hit@1 of 2 rel → 0.5@1, 0.5@2; q2: hit@2 → 0@1, 1.0@2
     assert(recall.getAs[Double]("1") == 0.25 && recall.getAs[Double]("2") == 0.75)
     assert(r.getAs[Double]("mrr") == 0.75) // (1.0 + 0.5) / 2
+    // optional sections survive the round trip in the reference shape
+    val bl = r.getAs[org.apache.spark.sql.Row]("build_latency")
+    assert(bl.getAs[Double]("total_seconds") == 512.75)
+    assert(bl.getAs[Double]("vectors_per_second") == 1950.23)
+    val ef = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ef_sensitivity")
+    assert(ef.map(_.getAs[Long]("ef")) == Seq(1L, 4L))
+    assert(ef.map(_.getAs[Double]("recall@10")) == Seq(0.5, 0.75))
+    assert(ef.map(_.getAs[Double]("qps")) == Seq(200.0, 80.0))
   }
 }
