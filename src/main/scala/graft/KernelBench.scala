@@ -40,6 +40,10 @@ object KernelBench {
     * would make any ANN look uniformly bad. */
   private def base(c: Int): Array[Float] = raw(0x5eed0000L + c)
 
+  /** Visible for diagnostics tooling. */
+  private[graft] def vecPublic(id: Long): Array[Float] = vec(id)
+  private[graft] def basePublic(c: Int): Array[Float] = base(c)
+
   /** Doc vector: 70% its cluster's base + 30% noise. */
   private def vec(id: Long): Array[Float] = {
     val b = base((id % Centroids).toInt)
@@ -51,11 +55,15 @@ object KernelBench {
   }
 
   /** PQ params at bench scale: 384 dims = 48 subspaces × 8 dims, 256
-    * corpus-derived codewords → 48 B/doc (32× compression), rescore the
-    * ADC top-300 exactly for top-100. */
-  val PqSubDim = 8
+    * k-means-TRAINED codewords per subspace ([[operators.PqTrain]]) →
+    * 48 B/doc (32× compression). Search composes with the IVF probe
+    * lists (ADC only within the NProbe probed lists — the FAISS IVFPQ
+    * shape), then rescores the global ADC top-300 exactly for top-100. */
+  val PqSubDim = 4
   val PqCodebook = 256
-  val PqRescore = 300
+  val PqRescore = 500
+  val PqTrainSample = 16384
+  val PqTrainIters = 10
 
   final case class Result(
       bfMsPerQuery: Double,
@@ -103,45 +111,15 @@ object KernelBench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    // PQ build (timed like the IVF build): block-level encode against a
-    // 256-entry corpus-derived codebook; the encoded corpus is 48 B/doc.
-    val codebook = Array.tabulate(PqCodebook)(j => vec(j.toLong))
-    val tp = System.nanoTime()
-    val encoded = VectorBlocks.encodePq(blocks, codebook, PqSubDim).cache()
-    encoded.count()
-    val pqBuildSec = (System.nanoTime() - tp) / 1e9
-
-    // PQ search: ADC candidate scan over the compressed corpus + exact
-    // rescore of the top-PqRescore per query from the float blocks.
-    var pqRows: Set[(Long, Long)] = null
-    val pqSec = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      // per-partition heaps emit ≤ p×q×r rows (each doc lives in exactly
-      // one partition, so no (q,d) duplicates); trim to the GLOBAL
-      // top-r per query driver-side so the rescore touches q×r docs,
-      // not p×q×r
-      val cands = VectorBlocks
-        .adcCandidates(spark, encoded, codebook, PqSubDim, queries, PqRescore)
-        .collect()
-        .groupBy(_._1)
-        .valuesIterator
-        .flatMap(_.sortBy { case (_, d, s) => (-s, d) }.take(PqRescore))
-        .map { case (q, d, _) => (q, d) }
-        .toArray
-      pqRows = hits(VectorBlocks.rescore(spark, blocks, queries, cands, K))
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    encoded.unpersist()
-    val pqRecall = pqRows.count(exact.contains).toDouble / exact.size
-
     // IVF build (timed separately, like the reference's index build):
     // argmax-dot assignment against the cluster bases, block-level —
-    // one narrow pass, no shuffle.
+    // one narrow pass, no shuffle. Built BEFORE PQ: the compressed path
+    // composes with these probe lists (IVFPQ).
+    val cents = Array.tabulate(Centroids)(base)
     val tb = System.nanoTime()
-    val indexed = VectorBlocks.assign(blocks, Array.tabulate(Centroids)(base)).cache()
+    val indexed = VectorBlocks.assign(blocks, cents).cache()
     indexed.count()
     val annBuildSec = (System.nanoTime() - tb) / 1e9
-    blocks.unpersist()
 
     // probe sets: top-NProbe centroids per query (driver-side planning —
     // 100 × 64 dots)
@@ -164,8 +142,58 @@ object KernelBench {
       annRows = hits(VectorBlocks.topKProbed(spark, indexed, queries, probes, K))
       (System.nanoTime() - t0) / 1e9
     }.min
-    indexed.unpersist()
     val recall = annRows.count(exact.contains).toDouble / exact.size
+
+    // PQ build (timed like the IVF build): per-subspace k-means training
+    // over a deterministic strided sample of RESIDUALS (v − its centroid —
+    // the FAISS IVFPQ by_residual layout: within a probed list the
+    // centroid term is common, so the codebook's whole resolution goes to
+    // the part that actually ranks candidates), then block-level residual
+    // encode of the INDEXED corpus (cids ride along for probe pruning);
+    // 48 B/doc.
+    val tp = System.nanoTime()
+    val sample = Array.tabulate(PqTrainSample) { j =>
+      val v = vec(j.toLong * (N / PqTrainSample))
+      var bestC = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < Centroids) {
+        val cv = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < Dim) { s += cv(i).toDouble * v(i).toDouble; i += 1 }
+        if (s > bestS) { bestS = s; bestC = c }
+        c += 1
+      }
+      val cv = cents(bestC)
+      Array.tabulate(Dim)(i => v(i) - cv(i))
+    }
+    val codebook = operators.PqTrain.trainComposite(sample, Dim, PqSubDim, PqCodebook, PqTrainIters)
+    val encoded = VectorBlocks.encodePqResidual(indexed, cents, codebook, PqSubDim).cache()
+    encoded.count()
+    val pqBuildSec = (System.nanoTime() - tp) / 1e9
+
+    // PQ search: FUSED single-job IVFPQ — probed query-major ADC with a
+    // per-partition top-PqRescore trim, immediate exact rescore against
+    // the partition's own float blocks, treeReduce of the exact top-K.
+    // warm-up (2 queries): JIT for the fused kernel, not billed
+    VectorBlocks.ivfpqSearch(
+      indexed, encoded, cents, codebook, PqSubDim,
+      queries.take(2), probes.take(2), rCand = 10, k = 10)
+    var pqRows: Set[(Long, Long)] = null
+    val pqSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val topK = VectorBlocks.ivfpqSearch(
+        indexed, encoded, cents, codebook, PqSubDim, queries, probes, PqRescore, K)
+      pqRows = topK.iterator.zipWithIndex.flatMap { case (ids, qi) =>
+        ids.iterator.map(d => (queries(qi)._1, d))
+      }.toSet
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    encoded.unpersist()
+    indexed.unpersist()
+    blocks.unpersist()
+    val pqRecall = pqRows.count(exact.contains).toDouble / exact.size
 
     Result(
       bfMsPerQuery = bfSec * 1000.0 / NQueries,

@@ -13,8 +13,10 @@ class PqSpec extends SparkSpec {
     .select($"vec_id".as("id"), $"embedding".as("vec"))
     .as[(Long, Array[Float])]
 
-  test("codebook rows encode to themselves in every subspace") {
-    val cb = Pq.codebook(spark, sf0001)
+  test("INIT codebook rows encode to themselves in every subspace") {
+    // self-encoding holds for the untrained init (codewords ARE corpus
+    // rows); the trained codebook replaces them with cell means
+    val cb = Pq.codebookInit(spark, sf0001).map { case (id, v) => (id, v.map(_.toDouble)) }
     val selfIds = cb.map(_._1).toSet
     val enc = Pq.encode(corpus.filter($"id".isin(selfIds.toSeq: _*)), cb)
       .as[(Long, Array[Long])].collect()
@@ -22,6 +24,26 @@ class PqSpec extends SparkSpec {
     enc.foreach { case (id, codes) =>
       assert(codes.forall(_ == id), s"codebook row $id encoded as ${codes.toSeq}")
     }
+  }
+
+  test("Lloyd training does not increase total quantization error") {
+    val init = Pq.codebookInit(spark, sf0001).map { case (id, v) => (id, v.map(_.toDouble)) }
+    val trained = Pq.codebook(spark, sf0001)
+    val docs = corpus.collect()
+    def sse(cb: Array[(Long, Array[Double])]): Double =
+      docs.iterator.map { case (_, v) =>
+        (0 until v.length / Pq.SubDim).map { mi =>
+          cb.iterator.map { case (_, cv) =>
+            (0 until Pq.SubDim).map { i =>
+              val diff = v(mi * Pq.SubDim + i).toDouble - cv(mi * Pq.SubDim + i)
+              diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    val (e0, e1) = (sse(init), sse(trained))
+    assert(e1 <= e0, s"trained SSE $e1 > init SSE $e0")
+    assert(e1 < e0, "training changed nothing — Lloyd step is a no-op")
   }
 
   test("encode is invariant under repartitioning") {

@@ -78,8 +78,8 @@ class VectorBlocksSpec extends SparkSpec {
   test("block PQ encode matches the row-level Pq.encode on the fixture") {
     import spark.implicits._
     val (corpus, _) = emb(1)
-    val cb = operators.Pq.codebook(spark, sf0001) // (code_id, vec) sorted by id
-    val rowEnc = operators.Pq.encode(corpus, cb)
+    val cb = operators.Pq.codebookInit(spark, sf0001) // (code_id, vec) sorted by id
+    val rowEnc = operators.Pq.encode(corpus, cb.map(t => (t._1, t._2.map(_.toDouble))))
       .as[(Long, Array[Long])].collect()
       .map(t => t._1 -> t._2.toSeq).toMap
     val blockEnc = VectorBlocks
@@ -95,7 +95,7 @@ class VectorBlocksSpec extends SparkSpec {
     val (corpus, qs) = emb(8)
     val dim = qs.head._2.length
     val blocks = VectorBlocks.pack(corpus, dim)
-    val cb = operators.Pq.codebook(spark, sf0001).map(_._2)
+    val cb = operators.Pq.codebookInit(spark, sf0001).map(_._2)
     val encoded = VectorBlocks.encodePq(blocks, cb, operators.Pq.SubDim)
     val cands = VectorBlocks
       .adcCandidates(spark, encoded, cb, operators.Pq.SubDim, qs, r = 600)
@@ -103,6 +103,26 @@ class VectorBlocksSpec extends SparkSpec {
     val viaPq = VectorBlocks.rescore(spark, blocks, qs, cands, k = 10)
     val exact = VectorBlocks.topK(spark, blocks, qs, k = 10, excludeSelf = true)
     assert(rankSet(viaPq) == rankSet(exact))
+  }
+
+  test("fused ivfpqSearch with full probes and r >= corpus reproduces the exact top-k") {
+    val (corpus, qs) = emb(8)
+    val dim = qs.head._2.length
+    val cb = operators.Pq.codebookInit(spark, sf0001).map(_._2)
+    val cents = cb.take(4) // any small deterministic centroid set
+    val indexed = VectorBlocks.assign(VectorBlocks.pack(corpus, dim), cents).cache()
+    val encoded = VectorBlocks.encodePqResidual(indexed, cents, cb, operators.Pq.SubDim)
+    val allProbes = Array.fill(qs.length)(Array.fill(cents.length)(true))
+    val got = VectorBlocks
+      .ivfpqSearch(indexed, encoded, cents, cb, operators.Pq.SubDim, qs, allProbes,
+        rCand = 600, k = 10)
+    val exact = VectorBlocks.topK(spark, indexed, qs, k = 10, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    qs.zipWithIndex.foreach { case ((qid, _), qi) =>
+      assert(got(qi).toSeq == exact(qid), s"query $qid")
+    }
+    indexed.unpersist()
   }
 
   test("block-level centroid assignment matches the row kernel's assign") {
