@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, Ann, Bucketing, Multimodal, Pq, Relational, Sampling, Temporal, TextPipeline, VectorSearch}
-import graft.sources.FileFormats
+import graft.sources.{FileFormats, ReportLoop}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -12,7 +12,7 @@ object SparkEntry {
   /** All registered operator modules; each Q carries its Spark impl and
     * (when SQL-expressible) its DuckDB oracle. */
   def modules: Seq[QModule] =
-    Seq(Relational, VectorSearch, Ann, Pq, TextPipeline, Sampling, Multimodal, FileFormats, Streams, Analytics, Temporal, Bucketing)
+    Seq(Relational, VectorSearch, Ann, Pq, TextPipeline, Sampling, Multimodal, FileFormats, ReportLoop, Streams, Analytics, Temporal, Bucketing)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

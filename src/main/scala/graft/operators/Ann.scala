@@ -133,11 +133,44 @@ object Ann extends QModule {
     BruteForce.rerank(
       scoredCandidates(s, d, maxQueryId, nProbe).drop("prn"), k)
 
+  /** V7 with the TIMING dimension (VERDICT r3 missing #1): per nProbe
+    * level, run a FRESH partition-pruned search (each level really reads
+    * only its nProbe index partitions — the wall time is the level's true
+    * search cost, like the reference re-searching per ef,
+    * `003:408-458`), record wall seconds + QPS, and compute recall@10
+    * against the label ground truth. Rows feed the report's
+    * `ef_sensitivity` array ([[graft.sources.Report.SweepLevel]]). */
+  def sweepTimed(s: SparkSession, d: String): Seq[graft.sources.Report.SweepLevel] = {
+    import s.implicits._
+    val rel = VectorSearch.relevant(s, d, maxQueryId = 100)
+    val nRel = rel.groupBy($"query_id").agg(count(lit(1)).as("n_rel"))
+    buildIndex(s, d) // build-if-absent outside the timed region
+    SweepProbes.map { np =>
+      val t0 = System.nanoTime()
+      val frame = search(s, d, maxQueryId = 100, k = 10, nProbe = np)
+      frame.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val perQ = frame
+        .join(rel.withColumn("hit", lit(1)), Seq("query_id", "doc_id"), "left_outer")
+        .na.fill(0, Seq("hit"))
+        .join(nRel, Seq("query_id"), "inner")
+        .groupBy($"query_id", $"n_rel")
+        .agg(sum(when($"hit" === 1 && $"rnk" <= 10, 1).otherwise(0)).as("h10"))
+      val row = perQ
+        .agg(
+          round(avg($"h10".cast("double") / $"n_rel"), 4).as("recall_10"),
+          count(lit(1)).as("n_queries"))
+        .collect().head
+      val nQ = row.getAs[Long]("n_queries")
+      graft.sources.Report.SweepLevel(np, row.getAs[Double]("recall_10"), sec, nQ / sec)
+    }
+  }
+
   // ------------------------------------------------------------ oracle SQL
   private def duckDot(a: String, b: String): String =
     s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
 
-  private val duckCentAssign =
+  private[graft] val duckCentAssign =
     s"""cent AS (
         SELECT vec_id AS centroid_id, embedding AS ce FROM (
           SELECT vec_id, embedding,
@@ -153,7 +186,7 @@ object Ann extends QModule {
         WHERE rn = 1)"""
 
   /** Per-query ANN top-k as SQL, parameterized by query bound / k / nProbe. */
-  private def duckSearch(maxQ: Int, k: Int, nProbe: Int): String =
+  private[graft] def duckSearch(maxQ: Int, k: Int, nProbe: Int): String =
     s"""SELECT query_id, doc_id, rnk FROM (
         SELECT s.query_id, s.doc_id,
                row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rnk

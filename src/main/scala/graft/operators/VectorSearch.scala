@@ -195,13 +195,22 @@ object VectorSearch extends QModule {
       .join(nRel, Seq("query_id"), "inner") // inner: skip queries w/o relevant (utils.py:37-38)
   }
 
+  /** Public metric frames over the shared brute-force hit frame — used by
+    * v04–v06 AND the engine-written reports ([[graft.sources.ReportLoop]]). */
+  def metricsRecall(s: SparkSession, d: String): DataFrame =
+    Metrics.recallAtK(hitFrame(s, d), RecallKs)
+  def metricsPrecision(s: SparkSession, d: String): DataFrame =
+    Metrics.precisionAtK(hitFrame(s, d), PrecisionKs)
+  def metricsMrr(s: SparkSession, d: String): DataFrame =
+    Metrics.mrr(hitFrame(s, d))
+
   // ---------------------------------------------------------------- v04
   /** A1 Recall@K over the FULL reference K set {1,5,10,20,50,100}
     * (`002:29`, utils.py:15-46): per query |topK ∩ rel| / |rel|, then
     * unweighted mean over queries (A9 two-level). */
   private val v04 = Q(
     "v04_recall",
-    (s, d) => Metrics.recallAtK(hitFrame(s, d), RecallKs),
+    (s, d) => metricsRecall(s, d),
     Some {
       val hSums = RecallKs.map(k =>
         s"sum(CASE WHEN hit = 1 AND rnk <= $k THEN 1 ELSE 0 END) AS h$k").mkString(",\n               ")
@@ -229,7 +238,7 @@ object VectorSearch extends QModule {
     * denominator is the ACTUAL retrieved count (utils.py:77-79). */
   private val v05 = Q(
     "v05_precision",
-    (s, d) => Metrics.precisionAtK(hitFrame(s, d), PrecisionKs),
+    (s, d) => metricsPrecision(s, d),
     Some(s"""WITH $duckRanked, $duckRelevant,
       hits AS (
         SELECT t.query_id, t.rnk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit
@@ -256,7 +265,7 @@ object VectorSearch extends QModule {
     * k=100 retrieval), else 0; unweighted mean. */
   private val v06 = Q(
     "v06_mrr",
-    (s, d) => Metrics.mrr(hitFrame(s, d)),
+    (s, d) => metricsMrr(s, d),
     Some(s"""WITH $duckRanked, $duckRelevant,
       hits AS (
         SELECT t.query_id, t.rnk, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit

@@ -34,6 +34,15 @@ class AnnSpec extends SparkSpec {
     assert(overlaps.last > overlaps.head)
   }
 
+  test("timed sweep emits one level per probe width with sane timing fields") {
+    val levels = Ann.sweepTimed(spark, sf001)
+    assert(levels.map(_.ef) == Ann.SweepProbes)
+    levels.foreach { l =>
+      assert(l.searchTimeSec > 0.0 && l.qps > 0.0, s"level ${l.ef}")
+      assert(l.recall10 >= 0.0 && l.recall10 <= 1.0, s"level ${l.ef}")
+    }
+  }
+
   test("index is persisted partitioned by centroid_id and not rebuilt") {
     val path = Ann.buildIndex(spark, sf0001)
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
