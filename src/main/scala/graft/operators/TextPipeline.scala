@@ -154,14 +154,40 @@ object TextPipeline extends QModule {
     import s.implicits._
     val sh = shingleFrameCached(s, d)
     val tok = sh.select($"doc_id", explode($"s").as("tok"))
-    val rare = tok.groupBy($"tok").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
-    val rareTok = tok.join(rare.select($"tok"), Seq("tok"))
-    val cands = rareTok.select($"doc_id".as("doc_a"), $"tok")
-      .join(rareTok.select($"doc_id".as("doc_b"), $"tok"), Seq("tok"))
-      .filter($"doc_a" < $"doc_b")
+    // ONE aggregation builds each shingle's posting list; the df-cap drops
+    // hot shingles right there, and candidate pairs explode out of the
+    // (≤ dfCap)-sized lists in place — no second shuffle of the token
+    // frame through a self-join. Σ pairs ≤ dfCap × Σdf by construction.
+    val postings = tok
+      .groupBy($"tok")
+      .agg(collect_list($"doc_id").as("docs"))
+    // per-pair count of shared RARE shingles (narrow rows, map-side
+    // partial agg) + a per-doc budget of HOT shingles: since
+    // inter ≤ rare_inter + min(hot_a, hot_b), a sound Jaccard upper
+    // bound prunes candidates BEFORE the expensive wide-array verify —
+    // only near-qualifying pairs ever touch the full shingle sets
+    val rareCnt = postings
+      .filter(size($"docs").between(2, dfCap))
+      .select(explode(expr(
+        """flatten(transform(array_sort(docs), (x, i) ->
+             transform(slice(array_sort(docs), i + 2, size(docs) - i - 1), y ->
+               struct(x AS doc_a, y AS doc_b))))""")).as("pair"))
+      .groupBy($"pair.doc_a", $"pair.doc_b")
+      .agg(count(lit(1)).as("rinter"))
+    val hotToks = postings.filter(size($"docs") > dfCap).select($"tok")
+    val docStats = sh.select($"doc_id", size($"s").as("n"))
+      .join(
+        tok.join(broadcast(hotToks), Seq("tok"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("h")),
+        Seq("doc_id"), "left_outer")
+      .na.fill(0, Seq("h"))
+    val survivors = rareCnt
+      .join(broadcast(docStats.select($"doc_id".as("doc_a"), $"n".as("na"), $"h".as("ha"))), Seq("doc_a"))
+      .join(broadcast(docStats.select($"doc_id".as("doc_b"), $"n".as("nb"), $"h".as("hb"))), Seq("doc_b"))
+      .withColumn("imax", $"rinter" + least($"ha", $"hb"))
+      .filter($"imax".cast("double") / ($"na" + $"nb" - $"imax") >= tau)
       .select($"doc_a", $"doc_b")
-      .distinct()
-    cands
+    survivors
       .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), Seq("doc_a"))
       .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect($"sa", $"sb")))

@@ -553,17 +553,81 @@ object VectorBlocks {
     merged.map(_.ids)
   }
 
-  /** FUSED single-job IVFPQ search: ADC candidate selection AND exact
-    * rescore in one pass over `indexed.zip(encoded)` (the float and code
-    * RDDs are 1:1 by construction — encode is a narrow map — so zip is
-    * partition-local, no shuffle). Per partition and query: probed
-    * query-major ADC keeps a local top-`rCand` (by compressed score),
-    * those candidates are immediately rescored with exact dots against
-    * the partition's OWN float blocks, and only the exact top-`k` per
-    * query leaves the partition; a treeReduce merge yields the global
-    * answer. One job, zero shuffle, driver receives q × k rows.
+  /** One partition's IVFPQ index: rows bucketed by centroid with their
+    * precomputed LUT offsets AND a handle back to the partition's float
+    * blocks for the exact rescore. Built ONCE and cached — search passes
+    * do pure scoring (the bucket/offset pass used to be rebuilt per pass,
+    * ~400 MB of transient allocation per sweep that turned into GC drag
+    * inside a heap already holding the corpus caches). `fblocks` holds
+    * REFERENCES to the cached float Block objects, not copies. */
+  final case class PqPartIndex(
+      fblocks: Array[Block],
+      cidIds: Array[Array[Long]],
+      cidLoc: Array[Array[Long]], // blk<<32 | row
+      cidOffs: Array[Array[Int]], // row-major m offsets into a query LUT
+      m: Int,
+      nCb: Int)
+
+  /** Build the partition-local IVFPQ index over `indexed.zip(encoded)`
+    * (1:1 by construction — encode is a narrow map — so zip is
+    * partition-local, no shuffle). Caller caches the result. */
+  def buildPqIndex(
+      indexed: RDD[Block],
+      encoded: RDD[CodeBlock],
+      nCid: Int,
+      nCb: Int,
+      subDim: Int): RDD[PqPartIndex] =
+    indexed.zip(encoded).mapPartitions { pairs =>
+      val fblocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+      val cblocks = scala.collection.mutable.ArrayBuffer.empty[CodeBlock]
+      pairs.foreach { case (f, c) => fblocks += f; cblocks += c }
+      if (cblocks.isEmpty) Iterator.empty
+      else {
+        val m = cblocks.head.m
+        val cnt = new Array[Int](nCid)
+        cblocks.foreach { cb2 =>
+          var row = 0
+          while (row < cb2.ids.length) { cnt(cb2.cids(row)) += 1; row += 1 }
+        }
+        val cidIds = Array.tabulate(nCid)(c => new Array[Long](cnt(c)))
+        val cidLoc = Array.tabulate(nCid)(c => new Array[Long](cnt(c)))
+        val cidOffs = Array.tabulate(nCid)(c => new Array[Int](cnt(c) * m))
+        val fill = new Array[Int](nCid)
+        var blk = 0
+        cblocks.foreach { cb2 =>
+          val n = cb2.ids.length
+          var row = 0
+          while (row < n) {
+            val cid = cb2.cids(row)
+            val at = fill(cid)
+            cidIds(cid)(at) = cb2.ids(row)
+            cidLoc(cid)(at) = (blk.toLong << 32) | row.toLong
+            val dst = cidOffs(cid)
+            var s = 0
+            while (s < m) { dst(at * m + s) = s * nCb + (cb2.codes(row * m + s) & 0xFF); s += 1 }
+            fill(cid) = at + 1
+            row += 1
+          }
+          blk += 1
+        }
+        Iterator.single(PqPartIndex(fblocks.toArray, cidIds, cidLoc, cidOffs, m, nCb))
+      }
+    }
+
+  /** FUSED single-job IVFPQ search over a prebuilt [[PqPartIndex]] RDD.
+    * Per partition and query: probed query-major ADC keeps a local
+    * top-`rCand` (by compressed score), those candidates are immediately
+    * rescored with exact dots against the partition's OWN float blocks,
+    * and only the exact top-`k` per query leaves the partition; a
+    * treeReduce merge yields the global answer. One job, zero shuffle,
+    * driver receives q × k rows.
     *
-    * vs the two-job form (global ADC trim → broadcast → rescore pass):
+    * The per-query LUTs are computed ONCE on the driver and broadcast
+    * (one copy per executor JVM) instead of being rebuilt inside every
+    * task — q × M × nCb doubles is ~20 MB at bench scale, per TASK that
+    * was ~600 MB of transient allocation per pass.
+    *
+    * vs a two-job form (global ADC trim → broadcast → rescore pass):
     * no second scan of the float cache, no driver roundtrip between
     * stages, and the per-PARTITION rCand trim rescores a SUPERSET of the
     * global ADC top-rCand — recall can only improve.
@@ -571,8 +635,7 @@ object VectorBlocks {
     * @return per query (input order): exact-scored top-k doc ids
     */
   def ivfpqSearch(
-      indexed: RDD[Block],
-      encoded: RDD[CodeBlock],
+      index: RDD[PqPartIndex],
       centroids: Array[Array[Float]],
       codebook: Array[Array[Float]],
       subDim: Int,
@@ -594,92 +657,59 @@ object VectorBlocks {
         s
       }
     }
-    val sc = indexed.sparkContext
-    val bcC = sc.broadcast(codebook)
+    val dim = if (queries.isEmpty) 0 else queries(0)._2.length
+    val m = dim / subDim
+    val nCb = codebook.length
+    // driver-side LUTs: lut(q)(mi*nCb + j) = dot(query q subspace mi, cw j)
+    val lut = Array.ofDim[Double](queries.length, m * nCb)
+    var q = 0
+    while (q < queries.length) {
+      val qv = queries(q)._2
+      var mi = 0
+      while (mi < m) {
+        var j = 0
+        while (j < nCb) {
+          val cv = codebook(j)
+          var s = 0.0
+          var i = 0
+          while (i < subDim) {
+            s += qv(mi * subDim + i).toDouble * cv(mi * subDim + i).toDouble
+            i += 1
+          }
+          lut(q)(mi * nCb + j) = s
+          j += 1
+        }
+        mi += 1
+      }
+      q += 1
+    }
+    val sc = index.sparkContext
     val bcQ = sc.broadcast(queries)
     val bcByCid = sc.broadcast(byCid)
     val bcQc = sc.broadcast(qcDot)
-    val perPartition: RDD[Array[QRun]] = indexed.zip(encoded).mapPartitions { pairs =>
-      val cb = bcC.value
+    val bcLut = sc.broadcast(lut)
+    val perPartition: RDD[Array[QRun]] = index.mapPartitions { parts =>
       val qs = bcQ.value
       val cidQ = bcByCid.value
       val qc = bcQc.value
+      val luts = bcLut.value
       val nq = qs.length
-      if (nq == 0) Iterator.empty
-      else {
-        val dim = qs(0)._2.length
-        val m = dim / subDim
-        val nCb = cb.length
-        val lut = Array.ofDim[Double](nq, m * nCb)
-        var q = 0
-        while (q < nq) {
-          val qv = qs(q)._2
-          var mi = 0
-          while (mi < m) {
-            var j = 0
-            while (j < nCb) {
-              val cv = cb(j)
-              var s = 0.0
-              var i = 0
-              while (i < subDim) {
-                s += qv(mi * subDim + i).toDouble * cv(mi * subDim + i).toDouble
-                i += 1
-              }
-              lut(q)(mi * nCb + j) = s
-              j += 1
-            }
-            mi += 1
-          }
-          q += 1
-        }
-        // bucket pass over the zipped blocks: LUT offsets + float location
-        val fblocks = scala.collection.mutable.ArrayBuffer.empty[Block]
-        val nCid = cidQ.length
-        val rows = scala.collection.mutable.ArrayBuffer.empty[(Block, CodeBlock)]
-        pairs.foreach { p => rows += p; fblocks += p._1 }
-        val cnt = new Array[Int](nCid)
-        rows.foreach { case (_, cb2) =>
-          var row = 0
-          while (row < cb2.ids.length) { cnt(cb2.cids(row)) += 1; row += 1 }
-        }
-        val cidIds = Array.tabulate(nCid)(c => new Array[Long](cnt(c)))
-        val cidLoc = Array.tabulate(nCid)(c => new Array[Long](cnt(c))) // blk<<32|row
-        val cidOffs = Array.tabulate(nCid)(c => new Array[Int](cnt(c) * m))
-        val fill = new Array[Int](nCid)
-        var blk = 0
-        rows.foreach { case (_, cb2) =>
-          val n = cb2.ids.length
-          var row = 0
-          while (row < n) {
-            val cid = cb2.cids(row)
-            val at = fill(cid)
-            cidIds(cid)(at) = cb2.ids(row)
-            cidLoc(cid)(at) = (blk.toLong << 32) | row.toLong
-            val dst = cidOffs(cid)
-            var s = 0
-            while (s < m) { dst(at * m + s) = s * nCb + (cb2.codes(row * m + s) & 0xFF); s += 1 }
-            fill(cid) = at + 1
-            row += 1
-          }
-          blk += 1
-        }
-        // per query: ADC top-rCand (payload = float location), exact
-        // rescore of those rows, emit exact top-k
-        val out = Array.tabulate(nq) { qi =>
-          val lq = lut(qi)
+      parts.map { px =>
+        Array.tabulate(nq) { qi =>
+          val lq = luts(qi)
           val adc = new graft.functions.TopKAgg.Heap(rCand)
           var cid = 0
-          while (cid < nCid) {
+          while (cid < cidQ.length) {
             if (cidQ(cid).contains(qi)) {
               val base = qc(qi)(cid)
-              val locs = cidLoc(cid)
-              val offs = cidOffs(cid)
+              val locs = px.cidLoc(cid)
+              val offs = px.cidOffs(cid)
               var row = 0
               while (row < locs.length) {
                 var acc = base
-                val ro = row * m
+                val ro = row * px.m
                 var t = 0
-                while (t < m) { acc += lq(offs(ro + t)); t += 1 }
+                while (t < px.m) { acc += lq(offs(ro + t)); t += 1 }
                 adc.offer(acc, locs(row))
                 row += 1
               }
@@ -689,14 +719,13 @@ object VectorBlocks {
           val qv = qs(qi)._2
           val exact = new graft.functions.TopKAgg.Heap(k)
           adc.foreach { (_, loc) =>
-            val b = fblocks((loc >>> 32).toInt)
+            val b = px.fblocks((loc >>> 32).toInt)
             val row = (loc & 0xFFFFFFFFL).toInt
-            exact.offer(dotRow(qv, b.data, row * dim, dim), b.ids(row))
+            exact.offer(dotRow(qv, b.data, row * b.dim, b.dim), b.ids(row))
           }
           val sorted = exact.sortedDesc()
           QRun(sorted.map(_._1), sorted.map(_._2))
         }
-        Iterator.single(out)
       }
     }
     val merged = perPartition.treeReduce { (a, b) =>

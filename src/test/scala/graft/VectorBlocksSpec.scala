@@ -112,9 +112,11 @@ class VectorBlocksSpec extends SparkSpec {
     val cents = cb.take(4) // any small deterministic centroid set
     val indexed = VectorBlocks.assign(VectorBlocks.pack(corpus, dim), cents).cache()
     val encoded = VectorBlocks.encodePqResidual(indexed, cents, cb, operators.Pq.SubDim)
+    val pqIndex = VectorBlocks
+      .buildPqIndex(indexed, encoded, cents.length, cb.length, operators.Pq.SubDim)
     val allProbes = Array.fill(qs.length)(Array.fill(cents.length)(true))
     val got = VectorBlocks
-      .ivfpqSearch(indexed, encoded, cents, cb, operators.Pq.SubDim, qs, allProbes,
+      .ivfpqSearch(pqIndex, cents, cb, operators.Pq.SubDim, qs, allProbes,
         rCand = 600, k = 10)
     val exact = VectorBlocks.topK(spark, indexed, qs, k = 10, excludeSelf = false)
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
