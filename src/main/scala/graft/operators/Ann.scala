@@ -72,11 +72,15 @@ object Ann extends QModule {
     s"/tmp/graft_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}_c$Centroids"
 
   /** V2/V4 index build with K4 persistence: build-if-absent, partitioned
-    * by centroid_id. Returns the index location. */
+    * by centroid_id. Returns the index location. A sidecar meta file
+    * records the build's wall seconds and vectors/s — the reference
+    * report's `build_latency` section (`reports/hnswlib/…json:7-10`)
+    * reads it back even when the index is served from cache. */
   def buildIndex(s: SparkSession, d: String): String = {
     import s.implicits._
     val path = indexPath(d)
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
       val cs = centroids(s, d)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
       val corpus = emb(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
@@ -84,8 +88,24 @@ object Ann extends QModule {
       BruteForce.assign(corpus, cs)
         .select($"id".as("doc_id"), $"centroid_id", $"vec".as("embedding"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = s.read.parquet(path).count()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_build_meta.json"),
+        s"""{"total_seconds":$sec,"vectors_per_second":${n / sec}}""")
     }
     path
+  }
+
+  /** (build seconds, vectors/s) of the persisted index, if recorded. */
+  def buildMeta(s: SparkSession, d: String): Option[(Double, Double)] = {
+    val p = java.nio.file.Paths.get(buildIndex(s, d), "_build_meta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val txt = java.nio.file.Files.readString(p)
+      val re = """"total_seconds":([0-9.eE+-]+),"vectors_per_second":([0-9.eE+-]+)""".r
+      re.findFirstMatchIn(txt).map(m => (m.group(1).toDouble, m.group(2).toDouble))
+    }
   }
 
   /** Partition-pruned index scan: (doc_id, embedding, centroid_id). */

@@ -60,6 +60,7 @@ object ReportLoop extends QModule {
         avgLatencyMs = 1000.0 / levels.last.qps,
         qps = levels.last.qps,
         timestamp = FixedTs,
+        buildLatency = Ann.buildMeta(s, d),
         efSensitivity = levels),
       s"${reportsDir(d)}/ivf")
   }
