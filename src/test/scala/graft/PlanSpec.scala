@@ -66,6 +66,16 @@ class PlanSpec extends SparkSpec {
       plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
   }
 
+  test("text-pipeline queries reuse the memoized shingle frame (no recompute)") {
+    // VERDICT r3 #7: pin the memo hit with a plan assertion — if the
+    // cached shingle projection stops hitting, every text query silently
+    // re-runs the per-doc shingle transform and the suite drifts up
+    q("q22_jaccard_neardup").collect() // populates the session memo
+    val plan = q("q23_minhash_lsh_neardup").queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"shingle memo not hit — plan recomputes the shingle transform:\n${plan.take(1200)}")
+  }
+
   test("events scan prunes unread columns (q15 reads 3 of 6)") {
     val plan = formatted(q("q15_events_hourly"))
     val read = plan.linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
