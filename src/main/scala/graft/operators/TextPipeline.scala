@@ -477,5 +477,77 @@ object TextPipeline extends QModule {
       FROM normed ORDER BY doc_id"""
     })
 
-  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q34)
+  /** Collapse near-dup PAIRS into dedup CLUSTERS — the step a training
+    * pipeline actually runs (keep ONE doc per duplicate group): connected
+    * components over the Jaccard pair graph by min-label propagation,
+    * canonical doc = the component's smallest doc_id.
+    *
+    * Each iteration is one equi-join + groupBy-min (label travels one
+    * hop); the loop stops when no label changed, bounded by the
+    * component diameter — near-dup components are tiny chains/cliques,
+    * so a handful of iterations in practice. 100 TB note: this is the
+    * HashToMin shape; a production run on billion-edge graphs would use
+    * the large-star/small-star variant for O(log n) rounds, same
+    * per-round plan (join + min-agg, no driver-side graph).
+    *
+    * @return (doc_id, canonical_id) for every doc in ≥1 qualifying pair */
+  def dedupClusters(s: SparkSession, d: String, tau: Double): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairsCapped(s, d, tau, JaccardDfCap).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("lbl", $"doc_id")
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("dst"), $"lbl".as("nlbl")), Seq("dst"))
+        .groupBy($"src".as("doc_id"))
+        .agg(min($"nlbl").as("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .select($"doc_id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
+        .cache()
+      changed = next
+        .join(labels.select($"doc_id", $"lbl".as("old")), Seq("doc_id"))
+        .filter($"lbl" =!= $"old")
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select($"doc_id", $"lbl".as("canonical_id")).orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- q46
+  /** Dedup clustering over the τ=0.5 Jaccard pair graph. The oracle
+    * computes the same components with a recursive CTE (min reachable
+    * label per node) over the exact pair set. */
+  private val q46 = Q(
+    "q46_dedup_clusters",
+    (s, d) => dedupClusters(s, d, 0.5),
+    Some(s"""WITH RECURSIVE $duckShingles,
+      qpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM qpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM qpairs),
+      reach AS (
+        SELECT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS doc_id, min(lbl) AS canonical_id
+    FROM reach GROUP BY node ORDER BY doc_id"""))
+
+  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q34, q46)
 }

@@ -48,6 +48,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(banded.nonEmpty, "no simhash near-dups found on fixture")
   }
 
+  test("dedup clusters: canonical is the component minimum and is idempotent") {
+    import spark.implicits._
+    val labels = graft.operators.TextPipeline.dedupClusters(spark, sf001, 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.nonEmpty)
+    // canonical never exceeds the member id (min-label semantics)
+    labels.foreach { case (doc, canon) => assert(canon <= doc, s"$doc -> $canon") }
+    // the canonical doc of a cluster maps to itself
+    labels.values.toSet.foreach { c: Long => assert(labels(c) == c, s"canonical $c not fixed") }
+    // every near-dup pair landed in one cluster
+    val pairs = graft.operators.TextPipeline
+      .jaccardPairsCapped(spark, sf001, 0.5, graft.operators.TextPipeline.JaccardDfCap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b), s"pair ($a,$b) split") }
+  }
+
   test("df-capped Jaccard (the 100 TB path) is lossless at dfCap=16 on fixtures") {
     for (d <- Seq(sf0001, sf001)) {
       val full = pairs(TextPipeline.jaccardPairs(spark, d, 0.5))
