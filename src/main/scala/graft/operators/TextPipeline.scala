@@ -26,6 +26,10 @@ object TextPipeline extends QModule {
     * unigrams are useless on small vocabularies — measured: median
     * unigram-set Jaccard on the fixture is 0.63, while 3-gram background
     * is 0.024 with planted dups ≥ 0.5). */
+  /** Public seam: the word-3-gram shingle set of a raw text column (pure
+    * exprs — stream-safe). */
+  def shingleArray(text: Column): Column = shingles(text)
+
   private def shingles(text: Column): Column = {
     val ws = split(trim(text), "\\s+")
     val n = size(ws)
@@ -241,33 +245,46 @@ object TextPipeline extends QModule {
     (0 until MinHashPerms).map(_ => (next(), next()))
   }
 
+  /** The full banded-MinHash signature of a shingle-array column as ONE
+    * pure column expression: hash each shingle once, take the 32
+    * permutation minima, emit the 16 (band, sig) structs. Pure exprs =
+    * usable on batch tables AND unbounded streams ([[graft.streaming
+    * .Streams.streamingNearDup]]); shared by q23/q47. */
+  def bandArray(sCol: Column): Column = {
+    val hs = transform(sCol, x => shingleHash(x))
+    val mh = permConsts.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(MinHashPrime)))
+    }
+    val nBands = MinHashPerms / BandRows
+    array((0 until nBands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        concat_ws("_", (0 until BandRows).map(r => mh(bIdx * BandRows + r)): _*).as("sig"))
+    }: _*)
+  }
+
+  /** Memoized exploded band frame (doc_id, bv) over docs with ≥1 shingle
+    * (empty shingle sets would all share the degenerate empty signature —
+    * they can never pass exact verification anyway, so they're excluded
+    * at the source). Feeds both sides of q23's candidate self-join and
+    * q47's dup-flag join. */
+  private def bandFrameCached(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Memo.cached(s, s"minhash-bands:$d")(
+      shingleFrameCached(s, d)
+        .filter(size($"s") >= 1)
+        .select($"doc_id", explode(bandArray($"s")).as("bv")))
+  }
+
   private val q23 = Q(
     "q23_minhash_lsh_neardup",
     (s, d) => {
       import s.implicits._
       val sh = shingleFrameCached(s, d)
-      val consts = permConsts
-      // Hash each shingle ONCE (the char-polynomial is the expensive part:
-      // 8 substring+ascii ops per shingle); the 32 permutations are then
-      // cheap arithmetic over the pre-hashed LONG array.
-      val hashed = sh.select($"doc_id", transform($"s", x => shingleHash(x)).as("hs"))
-      val mh = consts.zipWithIndex.map { case ((a, b), j) =>
-        array_min(transform($"hs", h => (lit(a) * h + lit(b)) % lit(MinHashPrime)))
-          .as(s"mh$j")
-      }
-      val sigs = hashed.select(($"doc_id" +: mh): _*)
-      val nBands = MinHashPerms / BandRows
-      val bandCols = (0 until nBands).map { bIdx =>
-        struct(
-          lit(bIdx).as("band"),
-          concat_ws("_", (0 until BandRows).map(r => col(s"mh${bIdx * BandRows + r}")): _*)
-            .as("sig"))
-      }
       // memo: the band frame feeds BOTH sides of the candidate self-join
       // (uncached, the full 32-permutation signature computation runs
       // twice) and is evicted with the session (ADVICE r2).
-      val banded = graft.Memo.cached(s, s"minhash-bands:$d")(
-        sigs.select($"doc_id", explode(array(bandCols: _*)).as("bv")))
+      val banded = bandFrameCached(s, d)
       val cands = banded.select($"doc_id".as("doc_a"), $"bv")
         .join(banded.select($"doc_id".as("doc_b"), $"bv"), Seq("bv"))
         .filter($"doc_a" < $"doc_b")
@@ -549,5 +566,50 @@ object TextPipeline extends QModule {
     SELECT node AS doc_id, min(lbl) AS canonical_id
     FROM reach GROUP BY node ORDER BY doc_id"""))
 
-  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q34, q46)
+  // ---------------------------------------------------------------- q47
+  /** LSH dup FLAGS — the band-collision primitive behind streaming
+    * near-dup: a doc is flagged when any of its 16 band signatures is
+    * already owned by a SMALLER doc_id (the batch proxy for "arrived
+    * earlier"); `dup_of` is the smallest such owner. This is exactly the
+    * state transition [[graft.streaming.Streams.streamingNearDup]] makes
+    * per micro-batch, so the streaming operator is equivalence-tested
+    * against this entry. The oracle recomputes the full MinHash banding
+    * (portable hash → 32 permutations → 16 band signatures) in SQL. */
+  private val q47 = Q(
+    "q47_lsh_dup_flags",
+    (s, d) => {
+      import s.implicits._
+      val banded = bandFrameCached(s, d)
+      banded.select($"doc_id", $"bv")
+        .join(banded.select($"doc_id".as("owner"), $"bv"), Seq("bv"))
+        .filter($"owner" < $"doc_id")
+        .groupBy($"doc_id")
+        .agg(min($"owner").as("dup_of"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val perms = permConsts
+      val mhCols = perms.zipWithIndex.map { case ((a, b), j) =>
+        s"list_min([($a * h + $b) % $MinHashPrime for h in hs]) AS mh$j"
+      }.mkString(",\n               ")
+      val nBands = MinHashPerms / BandRows
+      val bandSelects = (0 until nBands).map { bIdx =>
+        val sig = (0 until BandRows)
+          .map(r => s"CAST(mh${bIdx * BandRows + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $bIdx AS band, $sig AS sig FROM mh"
+      }.mkString("(", ") UNION ALL (", ")")
+      s"""WITH $duckShingles,
+        nonempty AS (SELECT doc_id, s FROM sh WHERE len(s) >= 1),
+        hashed AS (SELECT doc_id, [${duckHash("w")} for w in s] AS hs FROM nonempty),
+        mh AS (SELECT doc_id,
+               $mhCols
+               FROM hashed),
+        bands AS ($bandSelects)
+      SELECT a.doc_id, min(b.doc_id) AS dup_of
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND b.doc_id < a.doc_id
+      GROUP BY a.doc_id ORDER BY a.doc_id"""
+    })
+
+  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47)
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 import graft.{Q, QModule, Tables}
+import graft.operators.TextPipeline
 
 /** Structured Streaming surface (capability headroom per SURVEY §2.11 —
   * the reference has no streams, but the engine's stream story is part of
@@ -93,6 +94,68 @@ object Streams extends QModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+  }
+
+  /** One exploded band signature of one streamed doc. */
+  case class BandRow(doc_id: Long, ts: Timestamp, band: Int, sig: String)
+
+  /** STREAMING near-dup candidate detection — MinHash-LSH band state on
+    * an unbounded doc feed: each arriving doc's 16 band signatures probe
+    * a keyed state store; a band already owned by an earlier arrival
+    * flags the doc as a near-dup candidate of that owner (the streaming
+    * face of q47, which is the batch equivalent with doc_id order as the
+    * arrival proxy — equivalence asserted in StreamingSpec).
+    *
+    * State is ONE long (the owning doc_id) per live band signature, and
+    * `EventTimeTimeout` drops a signature once the watermark passes its
+    * last sighting by `stateTtlMs` — bounded state on an unbounded feed,
+    * with the usual contract: a duplicate arriving after its band state
+    * expired is not flagged.
+    *
+    * @param docs (doc_id LONG, text STRING, ts TIMESTAMP)
+    * @return append stream of (doc_id, owner) — one row per colliding
+    *         band; aggregate `min(owner)` per doc downstream for the
+    *         q47-shaped verdict
+    */
+  def streamingNearDup(docs: DataFrame, watermark: String, stateTtlMs: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val sh = TextPipeline.shingleArray(col("text"))
+    val banded = docs
+      .withWatermark("ts", watermark)
+      .where(size(sh) >= 1)
+      .select(col("doc_id"), col("ts"), explode(TextPipeline.bandArray(sh)).as("bv"))
+      .select(col("doc_id"), col("ts"), col("bv.band").as("band"), col("bv.sig").as("sig"))
+      .as[BandRow]
+    banded
+      .groupByKey(r => s"${r.band}:${r.sig}")
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it: Iterator[BandRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // within a micro-batch, (event time, doc_id) is arrival order
+            val rows = it.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+            val out = Array.newBuilder[(Long, Long)]
+            var owner = state.getOption
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              owner match {
+                case Some(o) => out += ((r.doc_id, o))
+                case None    => owner = Some(r.doc_id)
+              }
+            }
+            owner.foreach(state.update)
+            // keep the signature alive TTL past its last sighting, but
+            // never at/behind the current watermark (Spark rejects that)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(maxTs + stateTtlMs, wm + 1))
+            out.result().iterator
+          }
+      }
+      .toDF("doc_id", "owner")
   }
 
   /** Typed view of the events table for the stateful operators. */

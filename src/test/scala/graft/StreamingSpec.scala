@@ -10,6 +10,10 @@ import graft.streaming.Streams.Event
   * arrive as a stream (across multiple micro-batches, carrying state) as
   * when they run in one batch — that equivalence is the whole point of
   * writing the transform once (SURVEY §2.11 / Streams scaladoc). */
+/** Streamed doc row for the near-dup test (top-level: Encoder derivation
+  * can't see method-local case classes). */
+case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
 class StreamingSpec extends SparkSpec {
 
   private def fixtureEvents: Seq[Event] = {
@@ -60,6 +64,30 @@ class StreamingSpec extends SparkSpec {
       val batch = Streams.latestPerUser(Streams.typedEvents(spark, sf0001))
         .toDF("user_id", "event_id", "event_type")
         .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup flags across micro-batches == batch q47 (id-ordered arrival)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // synthetic event times in doc_id order: arrival order == id order,
+    // which is exactly q47's batch proxy
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, t) => StreamDoc(id, t, new java.sql.Timestamp(1700000000000L + id * 1000L)) }
+    val stream = MemoryStream[StreamDoc]
+    val q = Streams
+      .streamingNearDup(stream.toDF(), watermark = "1 hour", stateTtlMs = 3600L * 1000L)
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      val chunks = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("neardup_out")
+        .groupBy($"doc_id").agg(min($"owner").as("dup_of"))
+        .as[(Long, Long)].collect().toMap
+      val batch = SparkEntry.queries("q47_lsh_dup_flags")(spark, sf0001)
+        .as[(Long, Long)].collect().toMap
       assert(streamed == batch)
     } finally q.stop()
   }
