@@ -611,5 +611,80 @@ object TextPipeline extends QModule {
       GROUP BY a.doc_id ORDER BY a.doc_id"""
     })
 
-  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47)
+  // ---------------------------------------------------------------- q48
+  /** The END-TO-END cleaning funnel every LLM-data pipeline runs before
+    * training, as ONE query: exact dedup (keep the smallest doc_id per
+    * content fingerprint) → near-dup dedup (keep only cluster canonicals
+    * from [[dedupClusters]]) → quality filter (≥5 words and
+    * stopword-ratio language-ID). Emitted as the funnel's stage counts.
+    *
+    * Plan shape: per-doc keep/drop FLAGS materialize in one frame (the
+    * q27 one-pass pattern — fingerprint-min and cluster labels join in,
+    * quality is pure column arithmetic) and a single conditional-sum
+    * aggregation produces the funnel — no per-stage subtree recompute. */
+  private val q48 = Q(
+    "q48_clean_corpus",
+    (s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select($"doc_id", $"text")
+      val fp = base.select($"doc_id", md5(lower(trim($"text"))).as("fp"))
+      val fpMin = fp.groupBy($"fp").agg(min($"doc_id").as("keep"))
+      val clusters = dedupClusters(s, d, 0.5).withColumnRenamed("canonical_id", "canon")
+      val ws = split(trim($"text"), "\\s+")
+      val stopArr = array(Stopwords.map(lit): _*)
+      base
+        .join(fp, Seq("doc_id"))
+        .join(fpMin, Seq("fp"))
+        .join(broadcast(clusters), Seq("doc_id"), "left_outer")
+        .select(
+          when($"doc_id" === $"keep", 1L).otherwise(0L).as("ex"),
+          when($"canon".isNull || $"canon" === $"doc_id", 1L).otherwise(0L).as("nd"),
+          when(
+            size(ws) >= 5 &&
+              (size(filter(ws, w => array_contains(stopArr, w))).cast("double") / size(ws)) >= 0.05,
+            1L).otherwise(0L).as("q"))
+        .agg(
+          count(lit(1)).as("n_input"),
+          sum($"ex").as("n_after_exact"),
+          sum($"ex" * $"nd").as("n_after_neardup"),
+          sum($"ex" * $"nd" * $"q").as("n_clean"))
+    },
+    Some(s"""WITH RECURSIVE $duckShingles,
+      qpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM qpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM qpairs),
+      reach AS (
+        SELECT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      labels AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node),
+      fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      fpmin AS (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY fp),
+      flags AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id = m.keep THEN 1 ELSE 0 END AS ex,
+               CASE WHEN l.canon IS NULL OR l.canon = d.doc_id THEN 1 ELSE 0 END AS nd,
+               CASE WHEN len(string_split_regex(trim(d.text), '\\s+')) >= 5
+                     AND CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                                w -> w IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+                         / len(string_split_regex(trim(d.text), '\\s+')) >= 0.05
+                    THEN 1 ELSE 0 END AS q
+        FROM documents d
+        JOIN fp f ON f.doc_id = d.doc_id
+        JOIN fpmin m ON m.fp = f.fp
+        LEFT JOIN labels l ON l.node = d.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_input,
+           CAST(sum(ex) AS BIGINT) AS n_after_exact,
+           CAST(sum(ex * nd) AS BIGINT) AS n_after_neardup,
+           CAST(sum(ex * nd * q) AS BIGINT) AS n_clean
+    FROM flags"""))
+
+  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48)
 }

@@ -64,6 +64,20 @@ class TextPipelineSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(labels(a) == labels(b), s"pair ($a,$b) split") }
   }
 
+  test("cleaning funnel is monotone and its near-dup stage matches the clusters") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q48_clean_corpus")(spark, sf001).collect().head
+    val (nIn, nEx, nNd, nCl) = (
+      r.getAs[Long]("n_input"), r.getAs[Long]("n_after_exact"),
+      r.getAs[Long]("n_after_neardup"), r.getAs[Long]("n_clean"))
+    assert(nIn >= nEx && nEx >= nNd && nNd >= nCl && nCl > 0, s"funnel $nIn/$nEx/$nNd/$nCl")
+    // the near-dup stage drops exactly the non-canonical cluster members
+    // (no exact dups at this SF, so the two stages don't interact)
+    val labels = graft.operators.TextPipeline.dedupClusters(spark, sf001, 0.5)
+      .as[(Long, Long)].collect()
+    if (nIn == nEx) assert(nEx - nNd == labels.count { case (d, c) => c != d })
+  }
+
   test("df-capped Jaccard (the 100 TB path) is lossless at dfCap=16 on fixtures") {
     for (d <- Seq(sf0001, sf001)) {
       val full = pairs(TextPipeline.jaccardPairs(spark, d, 0.5))
