@@ -34,7 +34,21 @@ object Memo {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = drop(s)
       })
     }
-    entries.computeIfAbsent((s, key), _ => build.cache())
+    // get-then-putIfAbsent, NOT computeIfAbsent: builds are memoized
+    // COMPOSITIONS (clusters → jaccard pairs → shingle frame), so `build`
+    // re-enters cached() — reentrant computeIfAbsent on one map is
+    // undefined behavior and was silently losing entries. The benign race
+    // (two threads building the same key once) just unpersists the loser.
+    val k = (s, key)
+    val existing = entries.get(k)
+    if (existing != null) existing
+    else {
+      if (sys.env.contains("GRAFT_MEMO_DEBUG")) println(s"MEMO MISS $key")
+      val built = build.cache()
+      val prev = entries.putIfAbsent(k, built)
+      if (prev != null) { built.unpersist(blocking = false); prev }
+      else built
+    }
   }
 
   /** Drop every entry whose owning context is stopped. Entry count is

@@ -154,7 +154,14 @@ object TextPipeline extends QModule {
     * lossless there — asserted against the uncapped implementation in
     * tests. At production scale, pick dfCap from the observed df
     * distribution the same way. */
-  def jaccardPairsCapped(s: SparkSession, d: String, tau: Double, dfCap: Int): DataFrame = {
+  def jaccardPairsCapped(s: SparkSession, d: String, tau: Double, dfCap: Int): DataFrame =
+    // memoized: q22 reports these pairs, q46/q48's clustering consumes
+    // them — one candidate-generation + verify pass per session
+    graft.Memo.cached(s, s"jaccard-capped:$d:$tau:$dfCap")(
+      computeJaccardPairsCapped(s, d, tau, dfCap))
+
+  private def computeJaccardPairsCapped(
+      s: SparkSession, d: String, tau: Double, dfCap: Int): DataFrame = {
     import s.implicits._
     val sh = shingleFrameCached(s, d)
     val tok = sh.select($"doc_id", explode($"s").as("tok"))
@@ -251,16 +258,26 @@ object TextPipeline extends QModule {
     * usable on batch tables AND unbounded streams ([[graft.streaming
     * .Streams.streamingNearDup]]); shared by q23/q47. */
   def bandArray(sCol: Column): Column = {
-    val hs = transform(sCol, x => shingleHash(x))
-    val mh = permConsts.map { case (a, b) =>
-      array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(MinHashPrime)))
-    }
     val nBands = MinHashPerms / BandRows
-    array((0 until nBands).map { bIdx =>
-      struct(
-        lit(bIdx).as("band"),
-        concat_ws("_", (0 until BandRows).map(r => mh(bIdx * BandRows + r)): _*).as("sig"))
-    }: _*)
+    def bandsFrom(hs: Column): Column = {
+      val mh = permConsts.map { case (a, b) =>
+        array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(MinHashPrime)))
+      }
+      array((0 until nBands).map { bIdx =>
+        struct(
+          lit(bIdx).as("band"),
+          concat_ws("_", (0 until BandRows).map(r => mh(bIdx * BandRows + r)): _*).as("sig"))
+      }: _*)
+    }
+    // LET-BINDING via a one-element transform: the hashed-shingle array
+    // (the expensive 24-char polynomial per shingle) is evaluated ONCE
+    // per row and bound to the lambda variable; writing it inline instead
+    // re-evaluates it inside every one of the 32 permutation expressions
+    // (measured 20× slower at sf0.1 — Catalyst does not CSE across the
+    // copies).
+    element_at(
+      transform(array(transform(sCol, x => shingleHash(x))), hs => bandsFrom(hs)),
+      1)
   }
 
   /** Memoized exploded band frame (doc_id, bv) over docs with ≥1 shingle
@@ -508,7 +525,12 @@ object TextPipeline extends QModule {
     * per-round plan (join + min-agg, no driver-side graph).
     *
     * @return (doc_id, canonical_id) for every doc in ≥1 qualifying pair */
-  def dedupClusters(s: SparkSession, d: String, tau: Double): DataFrame = {
+  def dedupClusters(s: SparkSession, d: String, tau: Double): DataFrame =
+    // memoized: q46 and the q48 funnel both need the labels; the
+    // propagation loop is ~diameter jobs, worth running once per session
+    graft.Memo.cached(s, s"dedup-clusters:$d:$tau")(computeDedupClusters(s, d, tau))
+
+  private def computeDedupClusters(s: SparkSession, d: String, tau: Double): DataFrame = {
     import s.implicits._
     val pairs = jaccardPairsCapped(s, d, tau, JaccardDfCap).select($"doc_a", $"doc_b")
     val edges = pairs
@@ -520,21 +542,41 @@ object TextPipeline extends QModule {
       .cache()
     var changed = 1L
     var iter = 0
+    var prev: DataFrame = labels // cached frames pending unpersist
     while (changed > 0 && iter < 25) {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("dst"), $"lbl".as("nlbl")), Seq("dst"))
         .groupBy($"src".as("doc_id"))
         .agg(min($"nlbl").as("nbr"))
+      // pointer doubling: also shortcut through the current label's OWN
+      // label (lbl is always a member doc, so the lookup is an equi-join
+      // on the label frame itself) — a chain of length L converges in
+      // O(log L) rounds instead of L, and each round is one fixed-cost
+      // set of tiny-shuffle jobs, which is what dominates wall time
+      val lol = labels.select($"lbl".as("__lk"), $"doc_id").join(
+        labels.select($"doc_id".as("__lk"), $"lbl".as("ll")), Seq("__lk"))
+        .select($"doc_id", $"ll")
+      // localCheckpoint, not cache: a cache only short-circuits EXECUTION —
+      // the LOGICAL plan keeps the whole iterative join chain (growing
+      // ~3× per round with the doubling join), and every downstream
+      // count() re-optimizes that exponential tree on the driver, which
+      // quickly dominates wall time. Checkpointing truncates the lineage
+      // each round, keeping both planning and recovery O(current frame).
+      // Eager = the one action per round that also feeds the convergence
+      // count.
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left_outer")
-        .select($"doc_id", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
-        .cache()
-      changed = next
-        .join(labels.select($"doc_id", $"lbl".as("old")), Seq("doc_id"))
-        .filter($"lbl" =!= $"old")
-        .count()
-      labels.unpersist(blocking = false)
-      labels = next
+        .join(lol, Seq("doc_id"), "left_outer")
+        .select(
+          $"doc_id",
+          least($"lbl", coalesce($"nbr", $"lbl"), coalesce($"ll", $"lbl")).as("nl"),
+          $"lbl")
+        .select($"doc_id", $"nl".as("lbl"), ($"nl" < $"lbl").as("ch"))
+        .localCheckpoint(true)
+      changed = next.filter($"ch").count()
+      prev.unpersist(blocking = false)
+      prev = next
+      labels = next.select($"doc_id", $"lbl")
       iter += 1
     }
     edges.unpersist(blocking = false)
