@@ -28,4 +28,18 @@ object Functions {
 
   /** Codegen'd L2 norm. */
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
+
+  /** U(0,1) from a row KEY — the engine-wide deterministic variate (same
+    * LCG as v07's layer assignment). A pure function of the key, so any
+    * selection built on it is identical under any partitioning and any
+    * engine. ONE definition (was triplicated across Sampling/Ann/Pq —
+    * the cross-engine constants are load-bearing for oracle parity). */
+  def keyLcgU(key: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    (((key * lit(1103515245L) + lit(12345L)) % lit(2147483648L)) + lit(1.0)) / lit(2147483649.0)
+  }
+
+  /** DuckDB rendering of [[keyLcgU]] — identical arithmetic. */
+  def duckKeyLcgU(key: String): String =
+    s"((($key * 1103515245 + 12345) % 2147483648) + 1.0) / 2147483649.0"
 }

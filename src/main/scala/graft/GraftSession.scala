@@ -32,9 +32,27 @@ object GraftSession {
       // catalog still points at (ADVICE r3).
       .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .getOrCreate()
+    registerWarehouseCleanup()
     spark.sparkContext.setLogLevel("WARN")
     Functions.register(spark)
     graft.plans.CosineTopK.install(spark)
     spark
   }
+
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** The per-PID warehouse is a throwaway build-if-absent cache; without
+    * cleanup every JVM run would leak a bucketed-table copy of the
+    * fixtures into /tmp. Best-effort recursive delete at JVM exit. */
+  private def registerWarehouseCleanup(): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      val dir = new java.io.File(s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        if (dir.exists()) rm(dir)
+      }))
+    }
 }

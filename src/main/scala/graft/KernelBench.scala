@@ -40,10 +40,6 @@ object KernelBench {
     * would make any ANN look uniformly bad. */
   private def base(c: Int): Array[Float] = raw(0x5eed0000L + c)
 
-  /** Visible for diagnostics tooling. */
-  private[graft] def vecPublic(id: Long): Array[Float] = vec(id)
-  private[graft] def basePublic(c: Int): Array[Float] = base(c)
-
   /** Doc vector: 70% its cluster's base + 30% noise. */
   private def vec(id: Long): Array[Float] = {
     val b = base((id % Centroids).toInt)
@@ -54,11 +50,13 @@ object KernelBench {
     a
   }
 
-  /** PQ params at bench scale: 384 dims = 48 subspaces × 8 dims, 256
+  /** PQ params at bench scale: 384 dims = 96 subspaces × 4 dims, 256
     * k-means-TRAINED codewords per subspace ([[operators.PqTrain]]) →
-    * 48 B/doc (32× compression). Search composes with the IVF probe
-    * lists (ADC only within the NProbe probed lists — the FAISS IVFPQ
-    * shape), then rescores the global ADC top-300 exactly for top-100. */
+    * 96 B/doc (16× compression; subDim 4 buys ~4 quantization levels per
+    * dim, which this noise-ranked synthetic corpus needs for recall).
+    * Search composes with the IVF probe lists (ADC only within the
+    * NProbe probed lists — the FAISS IVFPQ shape), then rescores each
+    * partition's ADC top-500 exactly for the top-100. */
   val PqSubDim = 4
   val PqCodebook = 256
   val PqRescore = 500

@@ -19,7 +19,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Memo {
 
   private val entries = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+  private val hooked = new ConcurrentHashMap[SparkSession, SparkListener]()
 
   /** Get-or-build the cached frame for (s, key). `build` runs at most once
     * per live (session, key); the result is `.cache()`d. Every call also
@@ -29,10 +29,13 @@ object Memo {
     * DataFrames and SparkSessions until application end). */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     sweepStopped()
-    if (hooked.add(s)) {
-      s.sparkContext.addSparkListener(new SparkListener {
+    if (!hooked.containsKey(s)) {
+      val listener = new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = drop(s)
-      })
+      }
+      if (hooked.putIfAbsent(s, listener) == null) {
+        s.sparkContext.addSparkListener(listener)
+      }
     }
     // get-then-putIfAbsent, NOT computeIfAbsent: builds are memoized
     // COMPOSITIONS (clusters → jaccard pairs → shingle frame), so `build`
@@ -64,7 +67,10 @@ object Memo {
   }
 
   /** Unpersist and forget every entry owned by `s` (idempotent; also
-    * invoked automatically when the session's context stops). */
+    * invoked automatically when the session's context stops). The
+    * session's listener is removed from the shared bus too — otherwise a
+    * long-lived context accumulates one closure (pinning its retired
+    * SparkSession) per session ever memoized. */
   def drop(s: SparkSession): Unit = {
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
@@ -75,7 +81,11 @@ object Memo {
         it.remove()
       }
     }
-    hooked.remove(s)
+    val listener = hooked.remove(s)
+    if (listener != null) {
+      try s.sparkContext.removeSparkListener(listener)
+      catch { case _: Throwable => () } // context may already be down
+    }
   }
 
   /** Visible for tests. */

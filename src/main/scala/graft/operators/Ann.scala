@@ -45,14 +45,12 @@ object Ann extends QModule {
 
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
-  /** U(0,1) from the row key — same LCG as v07/Sampling, so centroid
-    * SELECTION stays a pure function of vec_id: deterministic under any
-    * partitioning, any engine. */
-  private def lcgU(key: Column): Column =
-    (((key * lit(1103515245L) + lit(12345L)) % lit(2147483648L)) + lit(1.0)) / lit(2147483649.0)
+  /** U(0,1) from the row key — the shared engine-wide variate, so
+    * centroid SELECTION stays a pure function of vec_id: deterministic
+    * under any partitioning, any engine. */
+  private def lcgU(key: Column): Column = Functions.keyLcgU(key)
 
-  private def duckLcgU(key: String): String =
-    s"((($key * 1103515245 + 12345) % 2147483648) + 1.0) / 2147483649.0"
+  private def duckLcgU(key: String): String = Functions.duckKeyLcgU(key)
 
   /** The coarse-quantizer centroid set: the [[Centroids]] corpus vectors
     * with the smallest key-LCG variate — deterministic hash-based
@@ -169,10 +167,15 @@ object Ann extends QModule {
     // wall cost); evaluate recall for ALL levels in ONE unioned
     // aggregation afterwards — evaluation is not part of the reference's
     // timed region either (`003:408-458` times search, evaluates after)
+    var nSearched = 1L // queries actually searched (the QPS denominator)
     val timed = SweepProbes.map { np =>
       val frame = search(s, d, maxQueryId = 100, k = 10, nProbe = np).cache()
       val t0 = System.nanoTime()
-      frame.count()
+      val rows = frame.count()
+      // k results per searched query (corpus ≫ k at every fixture SF) —
+      // NOT the count of queries that happen to have ground truth, which
+      // would understate QPS for unjudged queries that were still timed
+      nSearched = math.max(1L, rows / 10)
       (np, frame, (System.nanoTime() - t0) / 1e9)
     }
     val unioned = timed
@@ -194,8 +197,10 @@ object Ann extends QModule {
       .toMap
     timed.map { case (np, frame, sec) =>
       frame.unpersist(blocking = false)
-      val (recall, nQ) = rows(np)
-      graft.sources.Report.SweepLevel(np, recall, sec, nQ / sec)
+      // a level with zero ground-truth-bearing queries still has a valid
+      // timing row; its recall is reported as 0
+      val recall = rows.get(np).map(_._1).getOrElse(0.0)
+      graft.sources.Report.SweepLevel(np, recall, sec, nSearched / sec)
     }
   }
 

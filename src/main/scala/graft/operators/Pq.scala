@@ -22,7 +22,7 @@ import graft.functions.TopKAgg
   * [[TrainSteps]] Lloyd iterations run AS SPARK JOBS: assignment is the
   * broadcast [[encode]] pass, the centroid update is a groupBy-average
   * whose result (≤ codes × dim cells) is all that ever reaches the
-  * driver. Components are rounded to 6 dp so the distributed double
+  * driver. Components are rounded to [[RoundDp]] dp so the distributed double
   * summation and the DuckDB oracle's land on identical codebooks, and
   * empty cells keep their previous codeword — the whole pipeline stays
   * reproducible and SQL-replayable with no RNG state.
@@ -59,11 +59,13 @@ object Pq extends QModule {
   /** ADC candidates per query fed to the exact rescore. */
   val RCand = 50
 
-  private def lcgU(key: org.apache.spark.sql.Column) =
-    (((key * lit(1103515245L) + lit(12345L)) % lit(2147483648L)) + lit(1.0)) / lit(2147483649.0)
+  /** Decimal places the trained centroid components are rounded to, in
+    * BOTH engines — the cross-engine reproducibility margin. */
+  val RoundDp = 5
 
-  private val duckU =
-    "(((vec_id * 1103515245 + 12345) % 2147483648) + 1.0) / 2147483649.0"
+  private def lcgU(key: org.apache.spark.sql.Column) = Functions.keyLcgU(key)
+
+  private val duckU = Functions.duckKeyLcgU("vec_id")
 
   private def corpusDs(s: SparkSession, d: String): Dataset[(Long, Array[Float])] = {
     import s.implicits._
@@ -89,7 +91,7 @@ object Pq extends QModule {
 
   /** One distributed Lloyd step: assign every corpus subvector to its
     * nearest codeword ([[encode]] — broadcast, no shuffle), then replace
-    * each (code, component) cell with the 6-dp-rounded mean of its
+    * each (code, component) cell with the [[RoundDp]]-dp-rounded mean of its
     * assigned values; cells with no assignment keep the previous value.
     * Only the ≤ codes × dim cell averages reach the driver. */
   private def lloydStep(
@@ -103,7 +105,11 @@ object Pq extends QModule {
       .select($"codes", posexplode($"vec").as(Seq("pos", "x")))
       .withColumn("code_id", element_at($"codes", (floor($"pos" / SubDim) + 1).cast("int")))
       .groupBy($"code_id", $"pos")
-      .agg(round(avg($"x".cast("double")), 6).as("cx"))
+      // 5 dp: wide enough that the distributed double summation and the
+      // oracle's single-threaded one can't straddle a rounding boundary
+      // (accumulated error ~1e-13 vs a 5e-6 half-step), precise enough
+      // that the codebook quality is unaffected at fixture magnitudes
+      .agg(round(avg($"x".cast("double")), RoundDp).as("cx"))
       .collect()
     val byId = cb.map { case (id, v) => id -> v.clone() }.toMap
     stats.foreach { r =>
@@ -278,7 +284,7 @@ object Pq extends QModule {
     s"LATERAL (SELECT unnest(p.va) AS x, unnest(p.vb) AS y, unnest(generate_series(1, 64)) AS i) u"
 
   /** One Lloyd step as SQL: assignment (argmin subspace L2² vs `inCb`),
-    * per-(code, component) 6-dp-rounded mean, previous-value fallback for
+    * per-(code, component) rounded mean, previous-value fallback for
     * empty cells — the exact arithmetic of [[lloydStep]]. */
   private def duckLloydStep(t: Int, inCb: String, outCb: String): String =
     s"""pairs$t AS (
@@ -295,7 +301,7 @@ object Pq extends QModule {
           FROM dist$t)
         WHERE rn = 1),
       comp$t AS (
-        SELECT a.code_id, u.i, round(avg(CAST(u.x AS DOUBLE)), 6) AS cx
+        SELECT a.code_id, u.i, round(avg(CAST(u.x AS DOUBLE)), $RoundDp) AS cx
         FROM asg$t a JOIN (SELECT vec_id, embedding AS va, embedding AS vb FROM embeddings) p
           ON p.vec_id = a.doc_id, $lateralSub
         WHERE (u.i - 1) // $SubDim = a.m

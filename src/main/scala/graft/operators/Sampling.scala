@@ -19,12 +19,10 @@ import graft.{Q, QModule, Tables}
   */
 object Sampling extends QModule {
 
-  /** U(0,1) from a row key: same LCG as v07_layer_assignment. */
-  private def lcgU(key: Column): Column =
-    (((key * lit(1103515245L) + lit(12345L)) % lit(2147483648L)) + lit(1.0)) / lit(2147483649.0)
+  /** U(0,1) from a row key — the shared engine-wide variate. */
+  private def lcgU(key: Column): Column = graft.Functions.keyLcgU(key)
 
-  private def duckLcgU(key: String): String =
-    s"((($key * 1103515245 + 12345) % 2147483648) + 1.0) / 2147483649.0"
+  private def duckLcgU(key: String): String = graft.Functions.duckKeyLcgU(key)
 
   // ---------------------------------------------------------------- q27
   /** R1 + J7: stratified subset with an EXACT-COUNT sample — keep every
@@ -37,10 +35,19 @@ object Sampling extends QModule {
     * Plan (VERDICT r3 wrong #3: the old form crossJoined four single-row
     * aggregates, each recomputing the relevant/pool/sampled subtrees):
     * ONE flag frame — customer ⟕ urgent-custkeys (is_rel) ⟕ the sampled
-    * id set (in_samp, a bounded broadcast of ≤ take rows) — and ONE
-    * aggregation pass of conditional sums over it. The exact-N sample is
-    * `orderBy(u, key).limit(take)` = TakeOrdered: per-partition top-take,
-    * driver merge of p × take rows — no global sort, scale-safe. */
+    * id set (in_samp) — and ONE aggregation pass of conditional sums
+    * over it. The exact-N sample is `orderBy(u, key).limit(take)` =
+    * TakeOrdered (per-partition top-take, driver merge of p × take
+    * rows — no global sort).
+    *
+    * Scale note: an exact-count FRACTION sample is inherently O(f·n) —
+    * `take` and the sampled-id broadcast grow with the table. This is
+    * the reference's own exact-target semantics reproduced faithfully;
+    * at 100 TB one keeps the key-deterministic variate but replaces the
+    * exact global trim with a u < f threshold (approximate count, zero
+    * coordination) or per-stratum quotas. `take` is clamped to Int range
+    * so a huge pool degrades to "sample everything expressible" rather
+    * than overflowing limit(). */
   private val q27 = Q(
     "q27_subset_sample",
     (s, d) => {
@@ -56,7 +63,7 @@ object Sampling extends QModule {
           .na.fill(0, Seq("is_rel")))
       // one bounded action to size the exact-count sample
       val nPool = flagged.filter($"is_rel" === 0).count()
-      val take = math.ceil(0.3 * nPool).toInt
+      val take = math.min(math.ceil(0.3 * nPool).toLong, Int.MaxValue.toLong).toInt
       val sampledIds = flagged
         .filter($"is_rel" === 0)
         .withColumn("u", lcgU($"c_custkey"))

@@ -663,13 +663,22 @@ object TextPipeline extends QModule {
     * Plan shape: per-doc keep/drop FLAGS materialize in one frame (the
     * q27 one-pass pattern — fingerprint-min and cluster labels join in,
     * quality is pure column arithmetic) and a single conditional-sum
-    * aggregation produces the funnel — no per-stage subtree recompute. */
+    * aggregation produces the funnel — no per-stage subtree recompute.
+    *
+    * The fingerprint here is CASE-SENSITIVE (`md5(trim(text))`, unlike
+    * q21's lowercased analysis fingerprint) so that exact-dup ⟹
+    * identical shingle sets ⟹ same near-dup cluster. That invariant is
+    * what lets the stages compose as independent flags: the cluster
+    * minimum always survives the exact stage, so ANDing the flags equals
+    * running the stages sequentially — with a LOOSER fingerprint than
+    * the tokenizer, a cluster whose canonical lost the exact stage could
+    * be dropped entirely instead of keeping one representative. */
   private val q48 = Q(
     "q48_clean_corpus",
     (s, d) => {
       import s.implicits._
       val base = docs(s, d).select($"doc_id", $"text")
-      val fp = base.select($"doc_id", md5(lower(trim($"text"))).as("fp"))
+      val fp = base.select($"doc_id", md5(trim($"text")).as("fp"))
       val fpMin = fp.groupBy($"fp").agg(min($"doc_id").as("keep"))
       val clusters = dedupClusters(s, d, 0.5).withColumnRenamed("canonical_id", "canon")
       val ws = split(trim($"text"), "\\s+")
@@ -707,7 +716,7 @@ object TextPipeline extends QModule {
         UNION
         SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
       labels AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node),
-      fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      fp AS (SELECT doc_id, md5(trim(text)) AS fp FROM documents),
       fpmin AS (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY fp),
       flags AS (
         SELECT d.doc_id,

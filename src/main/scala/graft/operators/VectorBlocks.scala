@@ -401,157 +401,6 @@ object VectorBlocks {
     }
   }
 
-  /** IVF+PQ composed ADC pass with a DISTRIBUTED global trim: per row,
-    * only the queries probing the row's centroid are scored (the FAISS
-    * IVFPQ shape — probe lists first, ADC within probed lists), so the
-    * compressed scan touches ~nProbe/C of all (query, doc) pairs; the
-    * per-partition top-r heaps are then merged with `treeReduce`, so the
-    * driver receives exactly q × r global candidates, never the p × q × r
-    * per-partition union (VERDICT r3 wrong #1c: the old bench leg
-    * collected every partition's candidates and trimmed driver-side).
-    *
-    * Loop order is QUERY-MAJOR for cache locality: a first cheap pass
-    * buckets the partition's rows by centroid and precomputes each row's
-    * M LUT offsets (query-invariant index math, done once per row); the
-    * scoring loop then runs (query → its probed centroids → rows), so
-    * one query's ~200 KB LUT stays cache-resident while its ~n·nProbe/C
-    * rows stream through sequentially — row-major order instead touches
-    * every probing query's LUT per row, a working set C/nProbe times
-    * larger that thrashes to L3.
-    *
-    * @return per query (in input order): top-r (score desc, id asc)
-    *         (doc_id) candidates by ADC score
-    */
-  def adcTopRProbed(
-      codeBlocks: RDD[CodeBlock],
-      codebook: Array[Array[Float]],
-      subDim: Int,
-      queries: Array[(Long, Array[Float])],
-      probes: Array[Array[Boolean]],
-      r: Int,
-      centroids: Array[Array[Float]] = Array.empty): Array[Array[Long]] = {
-    val nCentroids = if (probes.isEmpty) 0 else probes(0).length
-    val byCid: Array[Array[Int]] = Array.tabulate(nCentroids) { c =>
-      (0 until probes.length).filter(qi => probes(qi)(c)).toArray
-    }
-    // residual decode: score = dot(q, centroid(cid)) + ADC(residual) —
-    // qcDot is the tiny per-(query, centroid) first term (empty
-    // `centroids` = non-residual codes, term 0)
-    val qcDot: Array[Array[Double]] =
-      if (centroids.isEmpty) Array.fill(queries.length)(new Array[Double](nCentroids))
-      else Array.tabulate(queries.length) { qi =>
-        val qv = queries(qi)._2
-        Array.tabulate(centroids.length) { c =>
-          val cv = centroids(c)
-          var s = 0.0
-          var i = 0
-          while (i < qv.length) { s += qv(i).toDouble * cv(i).toDouble; i += 1 }
-          s
-        }
-      }
-    val sc = codeBlocks.sparkContext
-    val bcC = sc.broadcast(codebook)
-    val bcQ = sc.broadcast(queries)
-    val bcByCid = sc.broadcast(byCid)
-    val bcQc = sc.broadcast(qcDot)
-    // per-partition: one sorted-desc QRun per query — primitive parallel
-    // arrays, the shape the treeReduce merge consumes
-    val perPartition: RDD[Array[QRun]] = codeBlocks.mapPartitions { bs =>
-      val cb = bcC.value
-      val qs = bcQ.value
-      val cidQ = bcByCid.value
-      val qc = bcQc.value
-      val nq = qs.length
-      if (nq == 0) Iterator.empty
-      else {
-        val dim = qs(0)._2.length
-        val m = dim / subDim
-        val nCb = cb.length
-        // lut(q)(mi*nCb + j) = dot(query q's subspace mi, codeword j)
-        val lut = Array.ofDim[Double](nq, m * nCb)
-        var q = 0
-        while (q < nq) {
-          val qv = qs(q)._2
-          var mi = 0
-          while (mi < m) {
-            var j = 0
-            while (j < nCb) {
-              val cv = cb(j)
-              var s = 0.0
-              var i = 0
-              while (i < subDim) {
-                s += qv(mi * subDim + i).toDouble * cv(mi * subDim + i).toDouble
-                i += 1
-              }
-              lut(q)(mi * nCb + j) = s
-              j += 1
-            }
-            mi += 1
-          }
-          q += 1
-        }
-        // bucket pass: per centroid, row ids + precomputed LUT offsets
-        val nCid = cidQ.length
-        val cnt = new Array[Int](nCid)
-        val blocksArr = bs.toArray
-        blocksArr.foreach { b =>
-          var row = 0
-          while (row < b.ids.length) { cnt(b.cids(row)) += 1; row += 1 }
-        }
-        val cidIds = Array.tabulate(nCid)(c => new Array[Long](cnt(c)))
-        val cidOffs = Array.tabulate(nCid)(c => new Array[Int](cnt(c) * m))
-        val fill = new Array[Int](nCid)
-        blocksArr.foreach { b =>
-          val n = b.ids.length
-          var row = 0
-          while (row < n) {
-            val cid = b.cids(row)
-            val at = fill(cid)
-            cidIds(cid)(at) = b.ids(row)
-            val dst = cidOffs(cid)
-            var s = 0
-            while (s < m) { dst(at * m + s) = s * nCb + (b.codes(row * m + s) & 0xFF); s += 1 }
-            fill(cid) = at + 1
-            row += 1
-          }
-        }
-        // scoring pass: query-major, probed centroids only
-        val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(r))
-        var qi = 0
-        while (qi < nq) {
-          val lq = lut(qi)
-          val heap = heaps(qi)
-          var cid = 0
-          while (cid < nCid) {
-            if (cidQ(cid).contains(qi)) {
-              val base = qc(qi)(cid)
-              val ids = cidIds(cid)
-              val offs = cidOffs(cid)
-              var row = 0
-              while (row < ids.length) {
-                var acc = base
-                val ro = row * m
-                var t = 0
-                while (t < m) { acc += lq(offs(ro + t)); t += 1 }
-                heap.offer(acc, ids(row))
-                row += 1
-              }
-            }
-            cid += 1
-          }
-          qi += 1
-        }
-        Iterator.single(Array.tabulate(nq) { qi2 =>
-          val sorted = heaps(qi2).sortedDesc()
-          QRun(sorted.map(_._1), sorted.map(_._2))
-        })
-      }
-    }
-    val merged = perPartition.treeReduce { (a, b) =>
-      Array.tabulate(a.length)(qi => QRun.merge(a(qi), b(qi), r))
-    }
-    merged.map(_.ids)
-  }
 
   /** One partition's IVFPQ index: rows bucketed by centroid with their
     * precomputed LUT offsets AND a handle back to the partition's float

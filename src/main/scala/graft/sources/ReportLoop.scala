@@ -25,8 +25,11 @@ object ReportLoop extends QModule {
 
   private val FixedTs = "19700101000000"
 
+  /** Per-PID like the warehouse dir: the report file name is pinned (for
+    * scan determinism), so two JVMs sharing one directory would race
+    * truncate-and-write against the other's multiLine scan. */
   def reportsDir(d: String): String =
-    s"/tmp/graft_reports/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"/tmp/graft_reports_${ProcessHandle.current().pid()}/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
 
   /** Write the engine's brute-force report (fixed timestamp → fixed file
     * name, overwritten each run) and return its path. */
