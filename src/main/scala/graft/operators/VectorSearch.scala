@@ -336,5 +336,43 @@ object VectorSearch extends QModule {
       CAST(1.0 AS DOUBLE) AS unit_norm
     FROM embeddings ORDER BY vec_id"""))
 
-  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11)
+  // ---------------------------------------------------------------- v14
+  /** The SQL SURFACE end-to-end: the same top-k search written as plain
+    * `spark.sql` text over a temp view, through the engine's registered
+    * `vec_dot` (codegen'd Catalyst expression) and `collect_top_k`
+    * (bounded-heap aggregate) SQL functions — the "a user can just write
+    * SQL" claim under the oracle gate, not only in unit tests.
+    *
+    * Plan note: ad-hoc SQL with a `<>` join plans as a broadcast
+    * nested-loop over the 10-query side — the declarative fallback for
+    * one-off SQL, bounded here by the query filter. The API path
+    * (v03) runs the fused kernel; this entry exists to pin the FUNCTION
+    * semantics across the parser, not to be the scale path. */
+  private val v14 = Q(
+    "v14_sql_surface",
+    (s, d) => {
+      emb(s, d).createOrReplaceTempView("graft_emb")
+      s.sql("""
+        SELECT query_id, CAST(pos + 1 AS BIGINT) AS rnk, hit.id AS doc_id
+        FROM (
+          SELECT q.vec_id AS query_id,
+                 collect_top_k(vec_dot(q.embedding, c.embedding), c.vec_id, 10) AS topk
+          FROM graft_emb q JOIN graft_emb c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10
+          GROUP BY q.vec_id)
+        LATERAL VIEW posexplode(topk) t AS pos, hit
+        ORDER BY query_id, rnk""")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+    SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14)
 }
