@@ -152,7 +152,7 @@ object KernelBench {
     // centroid term is common, so the codebook's whole resolution goes to
     // the part that actually ranks candidates), then block-level residual
     // encode of the INDEXED corpus (cids ride along for probe pruning);
-    // 48 B/doc.
+    // Dim/PqSubDim one-byte codes per doc (96 B at 384-dim, PqSubDim 4).
     val tp = System.nanoTime()
     val sample = Array.tabulate(PqTrainSample) { j =>
       val v = vec(j.toLong * (N / PqTrainSample))

@@ -167,19 +167,20 @@ object Ann extends QModule {
     // wall cost); evaluate recall for ALL levels in ONE unioned
     // aggregation afterwards — evaluation is not part of the reference's
     // timed region either (`003:408-458` times search, evaluates after)
-    var nSearched = 1L // queries actually searched (the QPS denominator)
     val timed = SweepProbes.map { np =>
       val frame = search(s, d, maxQueryId = 100, k = 10, nProbe = np).cache()
       val t0 = System.nanoTime()
       val rows = frame.count()
       // k results per searched query (corpus ≫ k at every fixture SF) —
       // NOT the count of queries that happen to have ground truth, which
-      // would understate QPS for unjudged queries that were still timed
-      nSearched = math.max(1L, rows / 10)
-      (np, frame, (System.nanoTime() - t0) / 1e9)
+      // would understate QPS for unjudged queries that were still timed.
+      // Carried PER LEVEL (ADVICE r4: a shared var meant every level's QPS
+      // used the LAST level's query count).
+      val nSearched = math.max(1L, rows / 10)
+      (np, frame, (System.nanoTime() - t0) / 1e9, nSearched)
     }
     val unioned = timed
-      .map { case (np, frame, _) => frame.withColumn("n_probe", lit(np)) }
+      .map { case (np, frame, _, _) => frame.withColumn("n_probe", lit(np)) }
       .reduce(_ unionByName _)
     val rows = unioned
       .join(rel.withColumn("hit", lit(1)), Seq("query_id", "doc_id"), "left_outer")
@@ -195,7 +196,7 @@ object Ann extends QModule {
       .map(r => r.getAs[Int]("n_probe") ->
         (r.getAs[Double]("recall_10"), r.getAs[Long]("n_queries")))
       .toMap
-    timed.map { case (np, frame, sec) =>
+    timed.map { case (np, frame, sec, nSearched) =>
       frame.unpersist(blocking = false)
       // a level with zero ground-truth-bearing queries still has a valid
       // timing row; its recall is reported as 0

@@ -119,18 +119,30 @@ object Pq extends QModule {
   }
 
   private val cbCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[(Long, Array[Double])]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Long, Array[Double])]]()
 
   /** The TRAINED codebook: init + [[TrainSteps]] Lloyd steps (cached per
-    * session×dir — values are ≤ Codes × dim doubles). */
-  def codebook(s: SparkSession, d: String): Array[(Long, Array[Double])] =
-    cbCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    * session×dir — values are ≤ Codes × dim doubles). Keyed by the
+    * SparkSession REFERENCE (ADVICE r4: identityHashCode is not unique, so
+    * a collision could serve one session's codebook to another), and every
+    * call sweeps entries whose context has stopped, like [[graft.Memo]].
+    * get-then-putIfAbsent instead of computeIfAbsent: the build runs Spark
+    * jobs, and the benign double-build race beats holding a bin lock. */
+  def codebook(s: SparkSession, d: String): Array[(Long, Array[Double])] = {
+    val it = cbCache.keySet().iterator()
+    while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
+    val k = (s, d)
+    val existing = cbCache.get(k)
+    if (existing != null) existing
+    else {
       val corpus = corpusDs(s, d)
       var cb = codebookInit(s, d).map { case (id, v) => (id, v.map(_.toDouble)) }
       var t = 0
       while (t < TrainSteps) { cb = lloydStep(corpus, cb); t += 1 }
-      cb
-    })
+      val prev = cbCache.putIfAbsent(k, cb)
+      if (prev != null) prev else cb
+    }
+  }
 
   /** Encode every corpus vector: per subspace, the code_id of the nearest
     * codebook subvector by L2² (ties → smallest code_id). One narrow

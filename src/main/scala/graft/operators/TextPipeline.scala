@@ -83,9 +83,8 @@ object TextPipeline extends QModule {
 
   private def duckHash(x: String): String = graft.functions.PortableHash.duckHash(x)
 
-  /** Exact 3-gram Jaccard pairs ≥ τ — the DuckDB oracle shared by q22
-    * (inverted-index exact) and q23 (MinHash+LSH): both must produce
-    * exactly this set, mirroring the reference's cross-implementation
+  /** Exact 3-gram Jaccard pairs ≥ τ — the DuckDB oracle for q23
+    * (MinHash+LSH), mirroring the reference's cross-implementation
     * agreement pattern (hnswlib vs faiss vs brute force, SURVEY §5.1). */
   private def duckJaccardPairs(tau: Double): String =
     s"""WITH $duckShingles,
@@ -96,6 +95,29 @@ object TextPipeline extends QModule {
     SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
     FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $tau
     ORDER BY doc_a, doc_b"""
+
+  /** DF-CAPPED candidate CTE chain (append after [[duckShingles]]):
+    * candidate pairs share ≥1 shingle with document frequency ≤ dfCap,
+    * then `cpairs` carries the EXACT intersection/set sizes for those
+    * candidates. This mirrors [[jaccardPairsCapped]]'s semantics in SQL
+    * (ADVICE r4: the capped engine path was gated by an UNCAPPED oracle,
+    * so oracle equivalence held only on fixtures where the cap is
+    * lossless — mirroring the cap makes it hold by construction). The
+    * capped-vs-uncapped equivalence itself stays asserted in
+    * TextPipelineSpec. */
+  private def duckCappedPairCtes(dfCap: Int): String =
+    s"""tok AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+      dfreq AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+      rare AS (SELECT t.doc_id, t.tok FROM tok t JOIN dfreq USING (tok) WHERE dfreq.n <= $dfCap),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b USING (tok) WHERE a.doc_id < b.doc_id),
+      cpairs AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.s, sb.s)) AS inter, len(sa.s) AS na, len(sb.s) AS nb
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b)"""
 
   // ---------------------------------------------------------------- q21
   /** Exact dedup via content fingerprint (md5 of normalized text) — the
@@ -131,14 +153,19 @@ object TextPipeline extends QModule {
     * shape that survives 100 TB: candidate generation is bounded by
     * dfCap × Σdf instead of Σdf² (a single hot boilerplate shingle can't
     * go quadratic), and every reported Jaccard is still exact because
-    * candidates are verified against the FULL shingle sets. The uncapped
+    * candidates are verified against the FULL shingle sets. The oracle
+    * mirrors the df-cap ([[duckCappedPairCtes]]); the uncapped
     * [[jaccardPairs]] is its equivalence oracle in TextPipelineSpec. */
   val JaccardDfCap = 16
 
   private val q22 = Q(
     "q22_jaccard_neardup",
     (s, d) => jaccardPairsCapped(s, d, 0.5, JaccardDfCap),
-    Some(duckJaccardPairs(0.5)))
+    Some(s"""WITH $duckShingles,
+      ${duckCappedPairCtes(JaccardDfCap)}
+    SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+    FROM cpairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    ORDER BY doc_a, doc_b"""))
 
   /** The 100 TB variant of [[jaccardPairs]]: candidate pairs come only
     * from shingles with document frequency ≤ `dfCap`, then candidates are
@@ -586,17 +613,17 @@ object TextPipeline extends QModule {
   // ---------------------------------------------------------------- q46
   /** Dedup clustering over the τ=0.5 Jaccard pair graph. The oracle
     * computes the same components with a recursive CTE (min reachable
-    * label per node) over the exact pair set. */
+    * label per node) over the df-capped pair set — the same pair
+    * semantics the engine's [[jaccardPairsCapped]] feeds the
+    * propagation. */
   private val q46 = Q(
     "q46_dedup_clusters",
     (s, d) => dedupClusters(s, d, 0.5),
     Some(s"""WITH RECURSIVE $duckShingles,
+      ${duckCappedPairCtes(JaccardDfCap)},
       qpairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a, sh b
-        WHERE a.doc_id < b.doc_id
-          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        SELECT doc_a, doc_b FROM cpairs
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM qpairs
         UNION ALL
@@ -701,12 +728,10 @@ object TextPipeline extends QModule {
           sum($"ex" * $"nd" * $"q").as("n_clean"))
     },
     Some(s"""WITH RECURSIVE $duckShingles,
+      ${duckCappedPairCtes(JaccardDfCap)},
       qpairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a, sh b
-        WHERE a.doc_id < b.doc_id
-          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        SELECT doc_a, doc_b FROM cpairs
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM qpairs
         UNION ALL

@@ -492,10 +492,6 @@ object VectorBlocks {
       probes: Array[Array[Boolean]],
       rCand: Int,
       k: Int): Array[Array[Long]] = {
-    val nCentroids = if (probes.isEmpty) 0 else probes(0).length
-    val byCid: Array[Array[Int]] = Array.tabulate(nCentroids) { c =>
-      (0 until probes.length).filter(qi => probes(qi)(c)).toArray
-    }
     val qcDot: Array[Array[Double]] = Array.tabulate(queries.length) { qi =>
       val qv = queries(qi)._2
       Array.tabulate(centroids.length) { c =>
@@ -534,22 +530,26 @@ object VectorBlocks {
     }
     val sc = index.sparkContext
     val bcQ = sc.broadcast(queries)
-    val bcByCid = sc.broadcast(byCid)
+    // the probes matrix itself is the membership structure — probes(qi)(cid)
+    // is an O(1) test (ADVICE r4: a per-(centroid,query) linear Array scan
+    // wasted O(nCentroids × nQueries × avgProbeWidth) work per partition)
+    val bcProbes = sc.broadcast(probes)
     val bcQc = sc.broadcast(qcDot)
     val bcLut = sc.broadcast(lut)
     val perPartition: RDD[Array[QRun]] = index.mapPartitions { parts =>
       val qs = bcQ.value
-      val cidQ = bcByCid.value
+      val prb = bcProbes.value
       val qc = bcQc.value
       val luts = bcLut.value
       val nq = qs.length
       parts.map { px =>
         Array.tabulate(nq) { qi =>
           val lq = luts(qi)
+          val pq = prb(qi)
           val adc = new graft.functions.TopKAgg.Heap(rCand)
           var cid = 0
-          while (cid < cidQ.length) {
-            if (cidQ(cid).contains(qi)) {
+          while (cid < pq.length) {
+            if (pq(cid)) {
               val base = qc(qi)(cid)
               val locs = px.cidLoc(cid)
               val offs = px.cidOffs(cid)
@@ -577,9 +577,12 @@ object VectorBlocks {
         }
       }
     }
-    val merged = perPartition.treeReduce { (a, b) =>
+    // treeAggregate with a neutral zero, not treeReduce — an index RDD
+    // whose partitions are ALL empty would make treeReduce throw
+    val zero = Array.fill(queries.length)(QRun(Array.emptyDoubleArray, Array.emptyLongArray))
+    val mergeRuns = (a: Array[QRun], b: Array[QRun]) =>
       Array.tabulate(a.length)(qi => QRun.merge(a(qi), b(qi), k))
-    }
+    val merged = perPartition.treeAggregate(zero)(mergeRuns, mergeRuns)
     merged.map(_.ids)
   }
 
