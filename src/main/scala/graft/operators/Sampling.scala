@@ -129,5 +129,37 @@ object Sampling extends QModule {
       u AS (SELECT vec_id, ${duckLcgU("vec_id")} AS u FROM with_truth)
     SELECT vec_id, round(u, 6) AS u FROM u ORDER BY u, vec_id LIMIT 100"""))
 
-  override def all: Seq[Q] = Seq(q27, q28)
+  // ---------------------------------------------------------------- q50
+  /** Class-balanced sample — the training-mix primitive: exactly
+    * [[BalancedPerClass]] documents PER LANGUAGE, deterministically (the
+    * key-LCG variate again, so the mix is identical under any
+    * partitioning or cluster size).
+    *
+    * The per-group trim runs on the bounded-heap `collect_top_k`
+    * aggregate — map-side partial heaps of N per (task, group), no
+    * per-group window sort: at 100 TB with G groups the shuffle carries
+    * ≤ tasks × G × N candidate rows, not the table. Score is −u, so the
+    * heap's (score DESC, id ASC) order is exactly (u ASC, doc_id ASC) —
+    * the same total order the oracle's ROW_NUMBER uses. */
+  val BalancedPerClass = 20
+
+  private val q50 = Q(
+    "q50_balanced_sample",
+    (s, d) => {
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"lang", $"doc_id", (-lcgU($"doc_id")).as("negu"))
+        .groupBy($"lang")
+        .agg(graft.functions.TopKAgg.collectTopK($"negu", $"doc_id", BalancedPerClass).as("topk"))
+        .select($"lang", posexplode($"topk").as(Seq("pos", "hit")))
+        .select($"lang", ($"pos" + 1).cast("long").as("rnk"), $"hit.id".as("doc_id"))
+        .orderBy($"lang", $"rnk")
+    },
+    Some(s"""SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY ${duckLcgU("doc_id")}, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= $BalancedPerClass ORDER BY lang, rnk"""))
+
+  override def all: Seq[Q] = Seq(q27, q28, q50)
 }
