@@ -3,10 +3,13 @@ package graft
 import graft.operators.Fingerprint
 
 /** The winnowing fingerprint contract: the rolling hash must equal the
-  * positional Horner form (the oracle recomputes positionally, so this is
-  * the engine-side half of that agreement), and winnowing must honor its
-  * detection guarantee — any shared substring of ≥ W+K−1 chars yields a
-  * shared fingerprint. */
+  * positional Horner form over UNICODE CODE POINTS (the oracle recomputes
+  * positionally on DuckDB's code-point-indexed substring/ascii, so this
+  * is the engine-side half of that agreement — including outside ASCII),
+  * winnowing must honor its detection guarantee (any shared run of ≥
+  * W+K−1 points yields a shared fingerprint), the registered df-capped
+  * pair query must reproduce the exact pair set an independent naive
+  * implementation finds, and capped ≡ uncapped on the fixtures. */
 class FingerprintSpec extends SparkSpec {
 
   private val P = Fingerprint.P
@@ -14,14 +17,17 @@ class FingerprintSpec extends SparkSpec {
   private val K = Fingerprint.K
   private val W = Fingerprint.W
 
-  /** Positional (naive, O(n·K)) reference of the gram hash chain. */
-  private def naiveGramHashes(text: String): Array[Long] =
-    Array.tabulate(math.max(0, text.length - K + 1)) { i =>
+  /** Positional (naive, O(n·K)) reference of the gram hash chain, on
+    * code points — the oracle's exact arithmetic. */
+  private def naiveGramHashes(text: String): Array[Long] = {
+    val cp = text.codePoints().toArray
+    Array.tabulate(math.max(0, cp.length - K + 1)) { i =>
       var h = 0L
       var j = 0
-      while (j < K) { h = (h * 31 + text.charAt(i + j)) % P; j += 1 }
+      while (j < K) { h = (h * 31 + cp(i + j)) % P; j += 1 }
       h * Mix % P
     }
+  }
 
   /** Reference winnow: distinct window minima of the naive hashes. */
   private def naiveFingerprints(text: String): Set[Long] = {
@@ -57,12 +63,37 @@ class FingerprintSpec extends SparkSpec {
     }
   }
 
+  test("rolling kernel matches the positional reference beyond ASCII (BMP + astral)") {
+    // accented Latin, CJK, and astral emoji (UTF-16 surrogate pairs) —
+    // the texts where charAt-based hashing diverges from code points
+    val rng = new scala.util.Random(11)
+    val pools = Array((0x20, 0x7e), (0xc0, 0x17f), (0x4e00, 0x4fff), (0x1f300, 0x1f64f))
+    val texts = Seq.tabulate(20) { _ =>
+      val n = K + W - 1 + rng.nextInt(120)
+      val sb = new java.lang.StringBuilder
+      (0 until n).foreach { _ =>
+        val (lo, hi) = pools(rng.nextInt(pools.length))
+        sb.appendCodePoint(lo + rng.nextInt(hi - lo + 1))
+      }
+      sb.toString
+    } :+ ("café déjà vu 中文测试 " + new String(Character.toChars(0x1f600)) + " ") * 3
+    // the astral pool guarantees surrogate pairs: code-point length < char length
+    assert(texts.exists(t => t.codePointCount(0, t.length) < t.length))
+    val got = engineFingerprints(texts)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got.getOrElse(i.toLong, Set.empty[Long]) == naiveFingerprints(t), s"doc $i mismatch")
+    }
+  }
+
   test("docs with fewer than W grams are absent") {
-    val got = engineFingerprints(Seq("tiny", "a" * (K + W - 2), "long enough text here ok"))
+    val got = engineFingerprints(Seq(
+      "tiny",
+      "a" * (K + W - 2), // exactly W-1 grams
+      "long enough text for at least one winnow window here"))
     assert(!got.contains(0L) && !got.contains(1L) && got.contains(2L))
   }
 
-  test("winnowing guarantee: a shared substring of W+K-1 chars shares a fingerprint") {
+  test("winnowing guarantee: a shared substring of W+K-1 points shares a fingerprint") {
     val rng = new scala.util.Random(13)
     def rand(n: Int) = String.valueOf(Array.fill(n)(('a' + rng.nextInt(26)).toChar))
     val common = rand(W + K - 1)
@@ -75,12 +106,47 @@ class FingerprintSpec extends SparkSpec {
     }
   }
 
-  test("q49 finds the planted near-dup pairs and none below threshold") {
+  /** All qualifying pairs by brute force over the naive per-doc sets —
+    * no inverted index, no cap, no Spark: the fully independent path. */
+  private def naivePairs(dir: String): Set[(Long, Long, Long, Double)] = {
     import spark.implicits._
-    val rows = SparkEntry.queries("q49_winnow_fingerprint")(spark, sf0001)
-      .select($"sim").as[Double].collect()
-    assert(rows.nonEmpty, "no overlap pairs at sf0.001")
-    assert(rows.forall(_ >= Fingerprint.Tau))
+    val fps = Tables(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> naiveFingerprints(t) }
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+    (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      (ida, fa) = fps(i)
+      (idb, fb) = fps(j)
+      shared = (fa intersect fb).size.toLong
+      if shared > 0
+      sim = shared.toDouble / (fa.size + fb.size - shared)
+      if sim >= Fingerprint.Tau
+    } yield (ida, idb, shared, BigDecimal(sim).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+  }
+
+  test("q49 reports exactly the naive-reference pair set (identities, counts, sims)") {
+    import spark.implicits._
+    val expected = naivePairs(sf0001)
+    assert(expected.nonEmpty, "fixture lost its planted near-dups")
+    val got = SparkEntry.queries("q49_winnow_fingerprint")(spark, sf0001)
+      .select($"doc_a", $"doc_b", $"shared", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+  }
+
+  test("df-capped pairs equal the uncapped pairs on the fixtures") {
+    import spark.implicits._
+    Seq(sf0001, sf001).foreach { d =>
+      val capped = Fingerprint.winnowPairsCapped(spark, d, Fingerprint.Tau, Fingerprint.DfCap)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val uncapped = Fingerprint.winnowPairs(spark, d, Fingerprint.Tau)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(capped == uncapped, s"cap lost pairs at $d: ${uncapped -- capped}")
+    }
   }
 
   test("balanced sample: exactly N per class, deterministic under partitioning") {
