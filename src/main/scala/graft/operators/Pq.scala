@@ -118,31 +118,21 @@ object Pq extends QModule {
     cb.map { case (id, _) => (id, byId(id)) }
   }
 
-  private val cbCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Long, Array[Double])]]()
-
-  /** The TRAINED codebook: init + [[TrainSteps]] Lloyd steps (cached per
-    * session×dir — values are ≤ Codes × dim doubles). Keyed by the
-    * SparkSession REFERENCE (ADVICE r4: identityHashCode is not unique, so
-    * a collision could serve one session's codebook to another), and every
-    * call sweeps entries whose context has stopped, like [[graft.Memo]].
-    * get-then-putIfAbsent instead of computeIfAbsent: the build runs Spark
-    * jobs, and the benign double-build race beats holding a bin lock. */
-  def codebook(s: SparkSession, d: String): Array[(Long, Array[Double])] = {
-    val it = cbCache.keySet().iterator()
-    while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
-    val k = (s, d)
-    val existing = cbCache.get(k)
-    if (existing != null) existing
-    else {
+  /** The TRAINED codebook: init + [[TrainSteps]] Lloyd steps, memoized
+    * per session×dir through [[graft.Memo.cachedValue]] (values are ≤
+    * Codes × dim doubles). The Memo lifecycle — session-reference keys,
+    * stopped-context sweep AND the ApplicationEnd drop hook — replaces
+    * the private cache VERDICT r6 flagged for pinning the last session's
+    * codebook until JVM exit (its sweep only ran on a LATER codebook
+    * call). */
+  def codebook(s: SparkSession, d: String): Array[(Long, Array[Double])] =
+    graft.Memo.cachedValue(s, s"pq-codebook:$d") {
       val corpus = corpusDs(s, d)
       var cb = codebookInit(s, d).map { case (id, v) => (id, v.map(_.toDouble)) }
       var t = 0
       while (t < TrainSteps) { cb = lloydStep(corpus, cb); t += 1 }
-      val prev = cbCache.putIfAbsent(k, cb)
-      if (prev != null) prev else cb
+      cb
     }
-  }
 
   /** Encode every corpus vector: per subspace, the code_id of the nearest
     * codebook subvector by L2² (ties → smallest code_id). One narrow
