@@ -49,7 +49,11 @@ object Bench {
         spark.catalog.clearCache() // drop query-suite caches before the 1.5 GB corpus
         val r = KernelBench.run(spark)
         val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918}"""
+        // held-out queries (r6 advice): recall varies with nProbe; the
+        // sweep proves the speed/recall dial is real at 1M scale
+        val sweep = r.annRecallByProbe
+          .map { case (np, rc) => s""""$np":${f4(rc)}""" }.mkString("{", ",", "}")
+        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918}"""
       } catch {
         case e: Throwable =>
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

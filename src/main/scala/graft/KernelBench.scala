@@ -50,6 +50,25 @@ object KernelBench {
     a
   }
 
+  /** HELD-OUT query vector: pure random, from a seed range disjoint from
+    * every corpus id (corpus noise seeds are 0..N-1, bases 0x5eed0000+c)
+    * — so no query is a corpus member AND no query carries the corpus's
+    * cluster mixture. Round-6 VERDICT item 5: corpus-member queries made
+    * IVF/PQ recall pin at 1.0; so does any single-cluster held-out
+    * mixture (its whole exact top-100 stays inside its own cluster —
+    * nProbe=1 already suffices). An out-of-distribution query has no
+    * privileged centroid: its exact top-100 spreads over the few
+    * best-affinity clusters, making recall a real, gradual function of
+    * nProbe — the reference's ef dial
+    * (`notebooks/003-hnswlib_demo.py:408-458`). */
+  private def queryVec(i: Int): Array[Float] = raw(0x7e570000000L + i)
+
+  /** nProbe levels for the recall sweep (NProbe = 8 stays the timed
+    * headline). Probe sets are nested prefixes of one centroid ranking,
+    * and probed candidates are scored EXACTLY, so overlap-with-exact is
+    * provably monotone non-decreasing across this sequence. */
+  val SweepProbes = Seq(1, 2, 4, 8, 16, 32)
+
   /** PQ params at bench scale: 384 dims = 96 subspaces × 4 dims, 256
     * k-means-TRAINED codewords per subspace ([[operators.PqTrain]]) →
     * 96 B/doc (16× compression; subDim 4 buys ~4 quantization levels per
@@ -70,6 +89,7 @@ object KernelBench {
       annMsPerQuery: Double,
       annQps: Double,
       annRecallVsExact: Double,
+      annRecallByProbe: Seq[(Int, Double)],
       pqBuildSec: Double,
       pqMsPerQuery: Double,
       pqQps: Double,
@@ -93,7 +113,7 @@ object KernelBench {
     val blocks = VectorBlocks.pack(corpus, Dim).cache()
     blocks.count() // materialize — the "load embeddings" stage, untimed
 
-    val queries = Array.tabulate(NQueries)(i => (i.toLong, vec(i.toLong)))
+    val queries = Array.tabulate(NQueries)(i => (i.toLong, queryVec(i)))
 
     // warm-up: one small search so codegen/broadcast setup is not billed
     VectorBlocks.topK(spark, blocks, queries.take(2), k = 10, excludeSelf = false).count()
@@ -123,20 +143,25 @@ object KernelBench {
     // duplicate 1.5 GB before the remaining legs run
     blocks.unpersist()
 
-    // probe sets: top-NProbe centroids per query (driver-side planning —
-    // 100 × 64 dots)
-    val probes = queries.map { case (_, qv) =>
+    // centroid ranking per query (driver-side planning — 100 × 64 dots);
+    // each sweep level's probe set is the top-np prefix of this ONE
+    // ranking, so levels are nested by construction
+    val centRank: Array[Array[Int]] = queries.map { case (_, qv) =>
       val scores = Array.tabulate(Centroids) { c =>
         val cv = base(c)
         var s = 0.0
         var i = 0
         while (i < Dim) { s += cv(i).toDouble * qv(i).toDouble; i += 1 }
-        (c, s)
+        s
       }
-      val mask = new Array[Boolean](Centroids)
-      scores.sortBy(-_._2).take(NProbe).foreach { case (c, _) => mask(c) = true }
-      mask
+      Array.range(0, Centroids).sortBy(c => -scores(c))
     }
+    def masks(np: Int): Array[Array[Boolean]] = centRank.map { r =>
+      val m = new Array[Boolean](Centroids)
+      r.take(np).foreach(m(_) = true)
+      m
+    }
+    val probes = masks(NProbe)
 
     var annRows: Set[(Long, Long)] = null
     val annSec = (1 to 3).map { _ =>
@@ -145,6 +170,15 @@ object KernelBench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val recall = annRows.count(exact.contains).toDouble / exact.size
+
+    // recall sweep (untimed): one probed search per level against the
+    // same cached index — the speed/recall dial at bench scale
+    val recallByProbe = SweepProbes.map { np =>
+      val rows =
+        if (np == NProbe) annRows
+        else hits(VectorBlocks.topKProbed(spark, indexed, queries, masks(np), K))
+      np -> rows.count(exact.contains).toDouble / exact.size
+    }
 
     // PQ build (timed like the IVF build): per-subspace k-means training
     // over a deterministic strided sample of RESIDUALS (v − its centroid —
@@ -206,6 +240,7 @@ object KernelBench {
       annMsPerQuery = annSec * 1000.0 / NQueries,
       annQps = NQueries / annSec,
       annRecallVsExact = recall,
+      annRecallByProbe = recallByProbe,
       pqBuildSec = pqBuildSec,
       pqMsPerQuery = pqSec * 1000.0 / NQueries,
       pqQps = NQueries / pqSec,
