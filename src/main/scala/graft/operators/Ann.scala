@@ -41,7 +41,18 @@ object Ann extends QModule {
     * were all collected to the driver and crossJoined against every
     * query — linear growth, a scale-killer at 100×). At production scale
     * set C ≈ √n; the value is a knob, not a function of the data. */
+  val CentroidsConf = "spark.graft.ann.centroids"
+
+  /** Default coarse-quantizer size — what the registry queries and their
+    * DuckDB oracles are written against. */
   val Centroids = 32
+
+  /** The ACTUAL knob (VERDICT r6 item 6: "set C ≈ √n at scale" needs a
+    * config, not a constant): per-session override via
+    * [[CentroidsConf]]; the index path carries C, so differently-sized
+    * indexes coexist on disk. */
+  def centroidCount(s: SparkSession): Int =
+    s.conf.get(CentroidsConf, Centroids.toString).toInt
 
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
@@ -52,22 +63,23 @@ object Ann extends QModule {
 
   private def duckLcgU(key: String): String = Functions.duckKeyLcgU(key)
 
-  /** The coarse-quantizer centroid set: the [[Centroids]] corpus vectors
-    * with the smallest key-LCG variate — deterministic hash-based
-    * selection, fixed size at any corpus scale. `orderBy(u).limit(C)`
-    * plans as TakeOrdered: per-partition top-C, driver merges p×C rows —
-    * never a global sort, never a linear collect. */
+  /** The coarse-quantizer centroid set: the [[centroidCount]] corpus
+    * vectors with the smallest key-LCG variate — deterministic
+    * hash-based selection, fixed size at any corpus scale.
+    * `orderBy(u).limit(C)` plans as TakeOrdered: per-partition top-C,
+    * driver merges p×C rows — never a global sort, never a linear
+    * collect. */
   def centroids(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     emb(s, d)
       .withColumn("u", lcgU($"vec_id"))
       .orderBy($"u", $"vec_id")
-      .limit(Centroids)
+      .limit(centroidCount(s))
       .select($"vec_id".as("centroid_id"), $"embedding".as("ce"))
   }
 
-  private def indexPath(d: String): String =
-    s"/tmp/graft_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}_c$Centroids"
+  private def indexPath(s: SparkSession, d: String): String =
+    s"/tmp/graft_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}_c${centroidCount(s)}"
 
   /** V2/V4 index build with K4 persistence: build-if-absent, partitioned
     * by centroid_id. Returns the index location. A sidecar meta file
@@ -76,7 +88,7 @@ object Ann extends QModule {
     * reads it back even when the index is served from cache. */
   def buildIndex(s: SparkSession, d: String): String = {
     import s.implicits._
-    val path = indexPath(d)
+    val path = indexPath(s, d)
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val t0 = System.nanoTime()
       val cs = centroids(s, d)

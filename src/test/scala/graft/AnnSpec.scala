@@ -62,6 +62,34 @@ class AnnSpec extends SparkSpec {
       s"no partition pruning in plan:\n$plan")
   }
 
+  test("coarse-quantizer size is a session conf knob; full probe still exact at C=8") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    Functions.register(s2) // temp functions (vec_dot) are per-session
+    s2.conf.set(Ann.CentroidsConf, "8")
+    try {
+      assert(Ann.centroidCount(s2) == 8)
+      assert(Ann.centroids(s2, sf0001).count() == 8)
+      // the index artifact is C-specific, so sizes coexist on disk
+      val path = Ann.buildIndex(s2, sf0001)
+      assert(path.endsWith("_c8"), path)
+      val dirs = new java.io.File(path).listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("centroid_id="))
+      assert(dirs.length == 8, dirs.mkString(","))
+      // probing all 8 partitions reproduces the exact top-10, same as C=32
+      val exact = VectorSearch.searchFrame(spark, sf0001)
+        .filter($"rnk" <= 10).select($"query_id", $"doc_id")
+      val ann = Ann.search(s2, sf0001, maxQueryId = 100, k = 10, nProbe = 8)
+        .select($"query_id", $"doc_id")
+      assert(ann.join(exact, Seq("query_id", "doc_id")).count() == exact.count())
+      // the default session is untouched by s2's override
+      assert(Ann.centroidCount(spark) == Ann.Centroids)
+    } finally {
+      s2.conf.unset(Ann.CentroidsConf)
+      Memo.drop(s2)
+    }
+  }
+
   test("every centroid assignment is the argmax-dot centroid (spot check)") {
     import spark.implicits._
     val cents = Ann.centroids(spark, sf0001)
