@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.operators.VectorBlocks
+import graft.sources.Report
 
 /** Brute-force search benchmark at the REFERENCE's own scale — 1M docs ×
   * 384 dims, 100 queries, top-100 (README:63-71; BASELINE.md brute force
@@ -13,21 +14,72 @@ import graft.operators.VectorBlocks
   * analog of the reference's precomputed-embeddings load and is NOT part
   * of the timed search, exactly like the reference times only
   * `batch_brute_force_search` (`002:200-228`).
+  *
+  * Every scale knob lives in [[Cfg]] so the same end-to-end harness runs
+  * at 1M×384 from [[Bench]] and at fixture scale from KernelBenchSpec.
+  * The run CLOSES the report loop at bench scale (VERDICT r6 next #7):
+  * [[writeReports]] emits the reference-shaped per-method reports
+  * (`performance` / `recall` / `precision` / `mrr` / `build_latency` /
+  * `ef_sensitivity`) through [[Report.buildValues]], and
+  * [[Report.compare]] — the same `005-compare_benchmarks.py` pipeline
+  * q19 runs on committed fixtures — reads them back for the speedup
+  * table.
   */
 object KernelBench {
 
-  val N = 1000000
-  val Dim = 384
-  val NQueries = 100
-  val K = 100
-  val Centroids = 64
-  val NProbe = 8
+  /** One kernel-bench scale. `sweepProbes` drives the nProbe recall
+    * sweep; PQ fields mirror the FAISS IVFPQ shape (`pqSubDim`-dim
+    * subspaces, `pqCodebook` trained codewords, ADC top-`pqRescore`
+    * exact rescore). */
+  final case class Cfg(
+      n: Int,
+      dim: Int,
+      nQueries: Int,
+      k: Int,
+      centroids: Int,
+      nProbe: Int,
+      sweepProbes: Seq[Int],
+      pqSubDim: Int,
+      pqCodebook: Int,
+      pqRescore: Int,
+      pqTrainSample: Int,
+      pqTrainIters: Int)
 
-  private def raw(seed: Long): Array[Float] = {
-    val a = new Array[Float](Dim)
+  /** The reference's published scale: 1M × 384, 100 queries, top-100.
+    * PQ: 384 dims = 96 subspaces × 4 dims, 256 k-means-TRAINED codewords
+    * per subspace ([[operators.PqTrain]]) → 96 B/doc (16× compression;
+    * subDim 4 buys ~4 quantization levels per dim, which this
+    * noise-ranked synthetic corpus needs for recall). */
+  val Default: Cfg = Cfg(
+    n = 1000000,
+    dim = 384,
+    nQueries = 100,
+    k = 100,
+    centroids = 64,
+    nProbe = 8,
+    sweepProbes = Seq(1, 2, 4, 8, 16, 32),
+    pqSubDim = 4,
+    pqCodebook = 256,
+    pqRescore = 500,
+    pqTrainSample = 16384,
+    pqTrainIters = 10)
+
+  // headline constants quoted in Bench's JSON line
+  val N: Int = Default.n
+  val Dim: Int = Default.dim
+  val NQueries: Int = Default.nQueries
+  val K: Int = Default.k
+  val Centroids: Int = Default.centroids
+  val NProbe: Int = Default.nProbe
+  val SweepProbes: Seq[Int] = Default.sweepProbes
+  val PqSubDim: Int = Default.pqSubDim
+  val PqTrainIters: Int = Default.pqTrainIters
+
+  private[graft] def raw(cfg: Cfg, seed: Long): Array[Float] = {
+    val a = new Array[Float](cfg.dim)
     var state = seed * 6364136223846793005L + 1442695040888963407L
     var j = 0
-    while (j < Dim) {
+    while (j < cfg.dim) {
       state = state * 6364136223846793005L + 1442695040888963407L
       a(j) = ((state >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f
       j += 1
@@ -38,15 +90,15 @@ object KernelBench {
   /** Cluster bases — real embedding corpora are clustered, which is the
     * structure an IVF index exploits; pure-random vectors have none and
     * would make any ANN look uniformly bad. */
-  private def base(c: Int): Array[Float] = raw(0x5eed0000L + c)
+  private[graft] def base(cfg: Cfg, c: Int): Array[Float] = raw(cfg, 0x5eed0000L + c)
 
   /** Doc vector: 70% its cluster's base + 30% noise. */
-  private def vec(id: Long): Array[Float] = {
-    val b = base((id % Centroids).toInt)
-    val n = raw(id)
-    val a = new Array[Float](Dim)
+  private[graft] def vec(cfg: Cfg, id: Long): Array[Float] = {
+    val b = base(cfg, (id % cfg.centroids).toInt)
+    val n = raw(cfg, id)
+    val a = new Array[Float](cfg.dim)
     var j = 0
-    while (j < Dim) { a(j) = 0.7f * b(j) + 0.3f * n(j); j += 1 }
+    while (j < cfg.dim) { a(j) = 0.7f * b(j) + 0.3f * n(j); j += 1 }
     a
   }
 
@@ -61,26 +113,7 @@ object KernelBench {
     * best-affinity clusters, making recall a real, gradual function of
     * nProbe — the reference's ef dial
     * (`notebooks/003-hnswlib_demo.py:408-458`). */
-  private def queryVec(i: Int): Array[Float] = raw(0x7e570000000L + i)
-
-  /** nProbe levels for the recall sweep (NProbe = 8 stays the timed
-    * headline). Probe sets are nested prefixes of one centroid ranking,
-    * and probed candidates are scored EXACTLY, so overlap-with-exact is
-    * provably monotone non-decreasing across this sequence. */
-  val SweepProbes = Seq(1, 2, 4, 8, 16, 32)
-
-  /** PQ params at bench scale: 384 dims = 96 subspaces × 4 dims, 256
-    * k-means-TRAINED codewords per subspace ([[operators.PqTrain]]) →
-    * 96 B/doc (16× compression; subDim 4 buys ~4 quantization levels per
-    * dim, which this noise-ranked synthetic corpus needs for recall).
-    * Search composes with the IVF probe lists (ADC only within the
-    * NProbe probed lists — the FAISS IVFPQ shape), then rescores each
-    * partition's ADC top-500 exactly for the top-100. */
-  val PqSubDim = 4
-  val PqCodebook = 256
-  val PqRescore = 500
-  val PqTrainSample = 16384
-  val PqTrainIters = 10
+  private[graft] def queryVec(cfg: Cfg, i: Int): Array[Float] = raw(cfg, 0x7e570000000L + i)
 
   final case class Result(
       bfMsPerQuery: Double,
@@ -90,50 +123,107 @@ object KernelBench {
       annQps: Double,
       annRecallVsExact: Double,
       annRecallByProbe: Seq[(Int, Double)],
+      annSweep: Seq[Report.SweepLevel],
+      annRecallAtK: Seq[(Int, Double)],
+      annPrecisionAtK: Seq[(Int, Double)],
+      annMrr: Double,
       pqBuildSec: Double,
       pqMsPerQuery: Double,
       pqQps: Double,
-      pqRecallVsExact: Double)
+      pqRecallVsExact: Double,
+      pqRecallAtK: Seq[(Int, Double)],
+      pqPrecisionAtK: Seq[(Int, Double)],
+      pqMrr: Double)
 
-  private def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-    df.select("query_id", "doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  /** Report K grids, trimmed to the run's k (the reference's
+    * {1,5,10,20,50,100} / {1,5,10}, `utils.py:70-86`). */
+  def recallKs(cfg: Cfg): Seq[Int] = Seq(1, 5, 10, 20, 50, 100).filter(_ <= cfg.k)
+  def precisionKs(cfg: Cfg): Seq[Int] = Seq(1, 5, 10).filter(_ <= cfg.k)
+
+  /** Per-query doc ids in rank order, from a (query_id, doc_id, rnk)
+    * result frame. Bounded collect: nQueries × k rows. */
+  private[graft] def ranked(df: org.apache.spark.sql.DataFrame): Map[Long, Array[Long]] =
+    df.select("query_id", "doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2) }
+
+  private def flatHits(r: Map[Long, Array[Long]]): Set[(Long, Long)] =
+    r.iterator.flatMap { case (q, ds) => ds.iterator.map(q -> _) }.toSet
+
+  /** Recall@j / precision@j / MRR of `got` against the exact ranking as
+    * ground truth: recall@j intersects the two top-j prefixes (the
+    * standard ANN recall curve); precision@j and MRR treat the exact
+    * top-k as THE relevant set (the qrels analog when ground truth is
+    * exact search). */
+  private[graft] def rankedMetrics(
+      exact: Map[Long, Array[Long]],
+      got: Map[Long, Array[Long]],
+      ks: Seq[Int],
+      pks: Seq[Int]): (Seq[(Int, Double)], Seq[(Int, Double)], Double) = {
+    val qids = exact.keys.toArray
+    val nQ = qids.length.toDouble
+    val rec = ks.map { j =>
+      j -> qids.map { q =>
+        val e = exact(q).take(j).toSet
+        got.getOrElse(q, Array.emptyLongArray).take(j).count(e.contains).toDouble / j
+      }.sum / nQ
+    }
+    val prec = pks.map { j =>
+      j -> qids.map { q =>
+        val rel = exact(q).toSet
+        got.getOrElse(q, Array.emptyLongArray).take(j).count(rel.contains).toDouble / j
+      }.sum / nQ
+    }
+    val mrr = qids.map { q =>
+      val rel = exact(q).toSet
+      val idx = got.getOrElse(q, Array.emptyLongArray).indexWhere(rel.contains)
+      if (idx < 0) 0.0 else 1.0 / (idx + 1)
+    }.sum / nQ
+    (rec, prec, mrr)
+  }
+
+  def run(spark: SparkSession): Result = run(spark, Default)
 
   /** Timed brute-force AND IVF-probed search at reference scale. The
     * corpus lives as [[VectorBlocks.Block]]s in a DESERIALIZED RDD cache:
     * a timed pass touches flat primitive arrays directly — no per-row
     * Tungsten decode, no per-row Array[Float] allocation (which dominated
     * the r2 numbers: ~1.5 GB of decode churn per pass at 1M × 384). */
-  def run(spark: SparkSession): Result = {
+  def run(spark: SparkSession, cfg: Cfg): Result = {
     import spark.implicits._
-    val corpus = spark.range(N.toLong)
-      .map(id => (id, vec(id)))
+    val bcCfg = cfg
+    val corpus = spark.range(cfg.n.toLong)
+      .map(id => (id, vec(bcCfg, id)))
       .toDF("id", "vec")
       .as[(Long, Array[Float])]
-    val blocks = VectorBlocks.pack(corpus, Dim).cache()
+    val blocks = VectorBlocks.pack(corpus, cfg.dim).cache()
     blocks.count() // materialize — the "load embeddings" stage, untimed
 
-    val queries = Array.tabulate(NQueries)(i => (i.toLong, queryVec(i)))
+    val queries = Array.tabulate(cfg.nQueries)(i => (i.toLong, queryVec(cfg, i)))
 
     // warm-up: one small search so codegen/broadcast setup is not billed
     VectorBlocks.topK(spark, blocks, queries.take(2), k = 10, excludeSelf = false).count()
 
     // best of three timed passes — single-pass numbers swing ±40% on a
     // shared host; min is the standard peak-throughput estimator
-    var exact: Set[(Long, Long)] = null
+    var exactRanked: Map[Long, Array[Long]] = null
     val bfSec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      val res = VectorBlocks.topK(spark, blocks, queries, K, excludeSelf = false)
-      exact = hits(res)
-      require(exact.size == NQueries * K, s"expected ${NQueries * K} hits, got ${exact.size}")
+      val res = VectorBlocks.topK(spark, blocks, queries, cfg.k, excludeSelf = false)
+      exactRanked = ranked(res)
       (System.nanoTime() - t0) / 1e9
     }.min
+    val exact = flatHits(exactRanked)
+    require(
+      exact.size == cfg.nQueries * cfg.k,
+      s"expected ${cfg.nQueries * cfg.k} hits, got ${exact.size}")
 
     // IVF build (timed separately, like the reference's index build):
     // argmax-dot assignment against the cluster bases, block-level —
     // one narrow pass, no shuffle. Built BEFORE PQ: the compressed path
     // composes with these probe lists (IVFPQ).
-    val cents = Array.tabulate(Centroids)(base)
+    val cents = Array.tabulate(cfg.centroids)(base(cfg, _))
     val tb = System.nanoTime()
     val indexed = VectorBlocks.assign(blocks, cents).cache()
     indexed.count()
@@ -147,38 +237,55 @@ object KernelBench {
     // each sweep level's probe set is the top-np prefix of this ONE
     // ranking, so levels are nested by construction
     val centRank: Array[Array[Int]] = queries.map { case (_, qv) =>
-      val scores = Array.tabulate(Centroids) { c =>
-        val cv = base(c)
+      val scores = Array.tabulate(cfg.centroids) { c =>
+        val cv = cents(c)
         var s = 0.0
         var i = 0
-        while (i < Dim) { s += cv(i).toDouble * qv(i).toDouble; i += 1 }
+        while (i < cfg.dim) { s += cv(i).toDouble * qv(i).toDouble; i += 1 }
         s
       }
-      Array.range(0, Centroids).sortBy(c => -scores(c))
+      Array.range(0, cfg.centroids).sortBy(c => -scores(c))
     }
     def masks(np: Int): Array[Array[Boolean]] = centRank.map { r =>
-      val m = new Array[Boolean](Centroids)
+      val m = new Array[Boolean](cfg.centroids)
       r.take(np).foreach(m(_) = true)
       m
     }
-    val probes = masks(NProbe)
+    val probes = masks(cfg.nProbe)
 
-    var annRows: Set[(Long, Long)] = null
+    var annRanked: Map[Long, Array[Long]] = null
     val annSec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      annRows = hits(VectorBlocks.topKProbed(spark, indexed, queries, probes, K))
+      annRanked = ranked(VectorBlocks.topKProbed(spark, indexed, queries, probes, cfg.k))
       (System.nanoTime() - t0) / 1e9
     }.min
+    val annRows = flatHits(annRanked)
     val recall = annRows.count(exact.contains).toDouble / exact.size
+    val (annRec, annPrec, annMrr) =
+      rankedMetrics(exactRanked, annRanked, recallKs(cfg), precisionKs(cfg))
 
-    // recall sweep (untimed): one probed search per level against the
-    // same cached index — the speed/recall dial at bench scale
-    val recallByProbe = SweepProbes.map { np =>
-      val rows =
-        if (np == NProbe) annRows
-        else hits(VectorBlocks.topKProbed(spark, indexed, queries, masks(np), K))
-      np -> rows.count(exact.contains).toDouble / exact.size
+    // recall sweep: one TIMED fresh probed search per level against the
+    // same cached index — the speed/recall dial at bench scale, in the
+    // row shape of the reference's `ef_sensitivity` array (per-level
+    // wall time is a single pass, like the reference's per-ef re-search)
+    val r10 = math.min(10, cfg.k)
+    val sweep = cfg.sweepProbes.map { np =>
+      val t0 = System.nanoTime()
+      val lvlRanked =
+        ranked(VectorBlocks.topKProbed(spark, indexed, queries, masks(np), cfg.k))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val lvlFlat = flatHits(lvlRanked)
+      val overlapK = lvlFlat.count(exact.contains).toDouble / exact.size
+      // keysIterator, not keys: Map.keys is a Set, whose .map would
+      // DEDUPLICATE equal per-query fractions before the sum
+      val recall10 = exactRanked.keysIterator.map { q =>
+        val e = exactRanked(q).take(r10).toSet
+        lvlRanked.getOrElse(q, Array.emptyLongArray).take(r10).count(e.contains).toDouble / r10
+      }.sum / cfg.nQueries
+      (np, overlapK, Report.SweepLevel(np, recall10, sec, cfg.nQueries / sec))
     }
+    val recallByProbe = sweep.map { case (np, ov, _) => np -> ov }
+    val annSweep = sweep.map(_._3)
 
     // PQ build (timed like the IVF build): per-subspace k-means training
     // over a deterministic strided sample of RESIDUALS (v − its centroid —
@@ -188,26 +295,27 @@ object KernelBench {
     // encode of the INDEXED corpus (cids ride along for probe pruning);
     // Dim/PqSubDim one-byte codes per doc (96 B at 384-dim, PqSubDim 4).
     val tp = System.nanoTime()
-    val sample = Array.tabulate(PqTrainSample) { j =>
-      val v = vec(j.toLong * (N / PqTrainSample))
+    val sample = Array.tabulate(cfg.pqTrainSample) { j =>
+      val v = vec(cfg, j.toLong * (cfg.n / cfg.pqTrainSample))
       var bestC = 0
       var bestS = Double.NegativeInfinity
       var c = 0
-      while (c < Centroids) {
+      while (c < cfg.centroids) {
         val cv = cents(c)
         var s = 0.0
         var i = 0
-        while (i < Dim) { s += cv(i).toDouble * v(i).toDouble; i += 1 }
+        while (i < cfg.dim) { s += cv(i).toDouble * v(i).toDouble; i += 1 }
         if (s > bestS) { bestS = s; bestC = c }
         c += 1
       }
       val cv = cents(bestC)
-      Array.tabulate(Dim)(i => v(i) - cv(i))
+      Array.tabulate(cfg.dim)(i => v(i) - cv(i))
     }
-    val codebook = operators.PqTrain.trainComposite(sample, Dim, PqSubDim, PqCodebook, PqTrainIters)
-    val encoded = VectorBlocks.encodePqResidual(indexed, cents, codebook, PqSubDim)
+    val codebook = operators.PqTrain.trainComposite(
+      sample, cfg.dim, cfg.pqSubDim, cfg.pqCodebook, cfg.pqTrainIters)
+    val encoded = VectorBlocks.encodePqResidual(indexed, cents, codebook, cfg.pqSubDim)
     val pqIndex = VectorBlocks
-      .buildPqIndex(indexed, encoded, Centroids, PqCodebook, PqSubDim)
+      .buildPqIndex(indexed, encoded, cfg.centroids, cfg.pqCodebook, cfg.pqSubDim)
       .cache()
     pqIndex.count()
     val pqBuildSec = (System.nanoTime() - tp) / 1e9
@@ -217,33 +325,84 @@ object KernelBench {
     // the partition's own float blocks, treeReduce of the exact top-K.
     // warm-up (2 queries): JIT for the fused kernel, not billed
     VectorBlocks.ivfpqSearch(
-      pqIndex, cents, codebook, PqSubDim,
+      pqIndex, cents, codebook, cfg.pqSubDim,
       queries.take(2), probes.take(2), rCand = 10, k = 10)
-    var pqRows: Set[(Long, Long)] = null
+    var pqTopK: Array[Array[Long]] = null
     val pqSec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      val topK = VectorBlocks.ivfpqSearch(
-        pqIndex, cents, codebook, PqSubDim, queries, probes, PqRescore, K)
-      pqRows = topK.iterator.zipWithIndex.flatMap { case (ids, qi) =>
-        ids.iterator.map(d => (queries(qi)._1, d))
-      }.toSet
+      pqTopK = VectorBlocks.ivfpqSearch(
+        pqIndex, cents, codebook, cfg.pqSubDim, queries, probes, cfg.pqRescore, cfg.k)
       (System.nanoTime() - t0) / 1e9
     }.min
     pqIndex.unpersist()
     indexed.unpersist()
+    // ivfpqSearch returns ids sorted by exact score desc — position is rank
+    val pqRanked: Map[Long, Array[Long]] =
+      pqTopK.iterator.zipWithIndex.map { case (ids, qi) => queries(qi)._1 -> ids }.toMap
+    val pqRows = flatHits(pqRanked)
     val pqRecall = pqRows.count(exact.contains).toDouble / exact.size
+    val (pqRec, pqPrec, pqMrr) =
+      rankedMetrics(exactRanked, pqRanked, recallKs(cfg), precisionKs(cfg))
 
     Result(
-      bfMsPerQuery = bfSec * 1000.0 / NQueries,
-      bfQps = NQueries / bfSec,
+      bfMsPerQuery = bfSec * 1000.0 / cfg.nQueries,
+      bfQps = cfg.nQueries / bfSec,
       annBuildSec = annBuildSec,
-      annMsPerQuery = annSec * 1000.0 / NQueries,
-      annQps = NQueries / annSec,
+      annMsPerQuery = annSec * 1000.0 / cfg.nQueries,
+      annQps = cfg.nQueries / annSec,
       annRecallVsExact = recall,
       annRecallByProbe = recallByProbe,
+      annSweep = annSweep,
+      annRecallAtK = annRec,
+      annPrecisionAtK = annPrec,
+      annMrr = annMrr,
       pqBuildSec = pqBuildSec,
-      pqMsPerQuery = pqSec * 1000.0 / NQueries,
-      pqQps = NQueries / pqSec,
-      pqRecallVsExact = pqRecall)
+      pqMsPerQuery = pqSec * 1000.0 / cfg.nQueries,
+      pqQps = cfg.nQueries / pqSec,
+      pqRecallVsExact = pqRecall,
+      pqRecallAtK = pqRec,
+      pqPrecisionAtK = pqPrec,
+      pqMrr = pqMrr)
+  }
+
+  /** Close the report loop at bench scale: write one reference-shaped
+    * report per method (`brute_force` / `ivf` / `ivfpq`) under
+    * `dir/<method>/`, exactly the tree [[Report.compare]] — and the
+    * reference's `005-compare_benchmarks.py` — consumes. Ground truth for
+    * recall / precision / MRR is the exact search itself, so the
+    * brute_force row scores 1.0 by definition (stated, not measured);
+    * the IVF report carries `build_latency` and the timed nProbe sweep as
+    * `ef_sensitivity`, the IVFPQ report carries its own `build_latency`
+    * (reference `reports/hnswlib/…json:7-10,40-77`). */
+  def writeReports(
+      spark: SparkSession,
+      cfg: Cfg,
+      r: Result,
+      dir: String,
+      timestamp: String): String = {
+    val ks = recallKs(cfg)
+    val pks = precisionKs(cfg)
+    Report.write(
+      Report.buildValues(
+        spark, "brute_force",
+        ks.map(_ -> 1.0), pks.map(_ -> 1.0), mrr = 1.0, nQueries = cfg.nQueries.toLong,
+        avgLatencyMs = r.bfMsPerQuery, qps = r.bfQps, timestamp = timestamp),
+      s"$dir/brute_force")
+    Report.write(
+      Report.buildValues(
+        spark, "ivf",
+        r.annRecallAtK, r.annPrecisionAtK, r.annMrr, cfg.nQueries.toLong,
+        avgLatencyMs = r.annMsPerQuery, qps = r.annQps, timestamp = timestamp,
+        buildLatency = Some((r.annBuildSec, cfg.n / r.annBuildSec)),
+        efSensitivity = r.annSweep),
+      s"$dir/ivf")
+    Report.write(
+      Report.buildValues(
+        spark, "ivfpq",
+        r.pqRecallAtK, r.pqPrecisionAtK, r.pqMrr, cfg.nQueries.toLong,
+        avgLatencyMs = r.pqMsPerQuery, qps = r.pqQps, timestamp = timestamp,
+        buildLatency = Some((r.pqBuildSec, cfg.n / r.pqBuildSec))),
+      s"$dir/ivfpq")
+    dir
   }
 }

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -120,32 +119,7 @@ object FileFormats extends QModule {
     * published BASELINE.md values, so the expected output is static. */
   private val q19 = Q(
     "q19_report_compare",
-    (s, _) => {
-      import s.implicits._
-      val raw = s.read
-        .option("multiLine", "true")
-        .json("/root/repo/fixtures/reports/*/")
-        .withColumn("method_dir", regexp_extract(input_file_name(), "reports/([^/]+)/", 1))
-      val w = Window.partitionBy($"method_dir").orderBy($"metadata.timestamp".desc)
-      val latest = raw
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select(
-          $"method",
-          coalesce($"performance.avg_latency_ms", $"search_latency_cpu.avg_latency_ms")
-            .as("avg_latency_ms"),
-          coalesce($"performance.qps", $"search_latency_cpu.qps").as("qps"),
-          $"recall.10".as("recall_10"),
-          $"mrr")
-      val bf = latest.filter($"method" === "brute_force")
-        .select($"avg_latency_ms".as("bf_latency"))
-      latest
-        .crossJoin(broadcast(bf))
-        .select(
-          $"method", $"avg_latency_ms", $"qps", $"recall_10", $"mrr",
-          round($"bf_latency" / $"avg_latency_ms", 4).as("speedup_vs_bf"))
-        .orderBy($"method")
-    },
+    (s, _) => Report.compare(s, "/root/repo/fixtures/reports/*/"),
     Some("""SELECT * FROM (VALUES
       ('brute_force', 699.43, 1.43, 0.81, 0.6253, 1.0),
       ('faiss', 0.08, 11805.0, 0.7683, 0.5101, 8742.875),

@@ -41,18 +41,47 @@ object Report {
     val r = recall.collect().head
     val p = precision.collect().head
     val m = mrrDf.collect().head
-    val nQ = r.getAs[Long]("n_queries")
-    val recallPairs = ks.flatMap(k => Seq(lit(k.toString), lit(r.getAs[Double](s"recall_$k"))))
-    val precisionPairs = pks.flatMap(k => Seq(lit(k.toString), lit(p.getAs[Double](s"precision_$k"))))
+    buildValues(
+      spark,
+      method,
+      ks.map(k => k -> r.getAs[Double](s"recall_$k")),
+      pks.map(k => k -> p.getAs[Double](s"precision_$k")),
+      m.getAs[Double]("mrr"),
+      r.getAs[Long]("n_queries"),
+      avgLatencyMs,
+      qps,
+      timestamp,
+      buildLatency,
+      efSensitivity)
+  }
+
+  /** Same report row from plain driver-side values — the entry point for
+    * callers whose metrics never lived in a DataFrame (the 1M-scale
+    * [[graft.KernelBench]] computes recall-vs-exact from collected ranked
+    * hits). */
+  def buildValues(
+      spark: SparkSession,
+      method: String,
+      recallAtK: Seq[(Int, Double)],
+      precisionAtK: Seq[(Int, Double)],
+      mrr: Double,
+      nQueries: Long,
+      avgLatencyMs: Double,
+      qps: Double,
+      timestamp: String,
+      buildLatency: Option[(Double, Double)] = None,
+      efSensitivity: Seq[SweepLevel] = Nil): DataFrame = {
+    val recallPairs = recallAtK.flatMap { case (k, v) => Seq(lit(k.toString), lit(v)) }
+    val precisionPairs = precisionAtK.flatMap { case (k, v) => Seq(lit(k.toString), lit(v)) }
     val base = Seq(
       lit(method).as("method"),
       struct(
         lit(avgLatencyMs).as("avg_latency_ms"),
         lit(qps).as("qps"),
-        lit(nQ).as("total_queries")).as("performance"),
+        lit(nQueries).as("total_queries")).as("performance"),
       map(recallPairs: _*).as("recall"),
       map(precisionPairs: _*).as("precision"),
-      lit(m.getAs[Double]("mrr")).as("mrr"),
+      lit(mrr).as("mrr"),
       struct(lit(timestamp).as("timestamp")).as("metadata"))
     val withBuild = buildLatency.fold(base) { case (totalSec, vecPerSec) =>
       base :+ struct(
@@ -68,6 +97,49 @@ object Report {
           lit(l.searchTimeSec).as("search_time"),
           lit(l.qps).as("qps"))): _*).as("ef_sensitivity")
     spark.range(1).select(cols: _*)
+  }
+
+  /** The `005-compare_benchmarks.py` pipeline (reference `005:62,106-117,
+    * 469-487`) over any per-method report tree: multiLine scan of
+    * `glob` (one subdirectory per method), method derived from the
+    * report file's PARENT directory name, latest report per method by
+    * embedded timestamp, schema-variant normalization (`performance` vs
+    * `search_latency_cpu`), then speedup vs the brute_force row. Shared
+    * by q19 (committed fixture reports) and the kernel-bench loop
+    * (reports the engine wrote itself at 1M scale). */
+  def compare(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read
+      .option("multiLine", "true")
+      .json(glob)
+      .withColumn("method_dir", regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1))
+    val w = Window.partitionBy($"method_dir").orderBy($"metadata.timestamp".desc)
+    // the alternate latency layout exists only in some report generations
+    // (`005:106-117`); coalesce against it only when the scanned tree's
+    // inferred schema actually has it, so engine-written trees (pure
+    // `performance`) resolve too
+    val hasAlt = raw.schema.fieldNames.contains("search_latency_cpu")
+    def norm(field: String) =
+      if (hasAlt) coalesce(col(s"performance.$field"), col(s"search_latency_cpu.$field"))
+      else col(s"performance.$field")
+    val latest = raw
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(
+        $"method",
+        norm("avg_latency_ms").as("avg_latency_ms"),
+        norm("qps").as("qps"),
+        $"recall.10".as("recall_10"),
+        $"mrr")
+    val bf = latest.filter($"method" === "brute_force")
+      .select($"avg_latency_ms".as("bf_latency"))
+    latest
+      .crossJoin(broadcast(bf))
+      .select(
+        $"method", $"avg_latency_ms", $"qps", $"recall_10", $"mrr",
+        round($"bf_latency" / $"avg_latency_ms", 4).as("speedup_vs_bf"))
+      .orderBy($"method")
   }
 
   /** Write one pretty-ish JSON report file under `dir/<method>_<ts>.json`
