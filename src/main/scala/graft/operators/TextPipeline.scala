@@ -762,5 +762,141 @@ object TextPipeline extends QModule {
            CAST(sum(ex * nd * q) AS BIGINT) AS n_clean
     FROM flags"""))
 
-  override def all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48)
+  // ---------------------------------------------------------------- q51
+  /** Benchmark decontamination — the standard pre-training hygiene step
+    * (industry practice checks 8–13-token n-gram overlap between the
+    * training corpus and held-out eval benchmarks; on this fixture's
+    * 31-word vocabulary a 5-gram has the same selectivity). Eval set =
+    * `doc_id % 10 == 0` (the "benchmark suite"); a train doc is
+    * contaminated when it shares ≥ 1 distinct word-5-gram with ANY eval
+    * doc.
+    *
+    * Scale shape: an eval benchmark is SMALL BY CONSTRUCTION (thousands
+    * of docs against a 100 TB corpus), so its distinct gram set is
+    * broadcast — the train side streams map-side through the semi-join
+    * with no shuffle of the corpus; the only shuffle is the distinct
+    * over matching doc_ids, bounded by the contamination count. */
+  private val DecontamK = 5
+
+  /** Distinct word-`DecontamK`-gram array (same construction as
+    * [[shingles]], wider window). */
+  private def decontamGrams(text: Column): Column = {
+    val ws = split(trim(text), "\\s+")
+    val n = size(ws)
+    when(n >= DecontamK,
+      array_distinct(transform(
+        sequence(lit(1), n - (DecontamK - 1)),
+        i => concat_ws(" ", (0 until DecontamK).map(j => element_at(ws, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val q51 = Q(
+    "q51_decontaminate",
+    (s, d) => {
+      import s.implicits._
+      val grams = docs(s, d)
+        .select($"doc_id", explode(decontamGrams($"text")).as("gram"))
+      val evalGrams = grams.filter($"doc_id" % 10 === 0).select($"gram").distinct()
+      val contaminated = grams
+        .filter($"doc_id" % 10 =!= 0)
+        .join(broadcast(evalGrams), "gram")
+        .select($"doc_id")
+        .distinct()
+      docs(s, d)
+        .filter($"doc_id" % 10 =!= 0)
+        .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_train"),
+          sum(coalesce($"hit", lit(0))).cast("long").as("n_contaminated"))
+        .orderBy($"source")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      gr AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+                              for i in range(1, len(ws) - 3)]) AS g
+        FROM toks),
+      tg AS (SELECT doc_id, unnest(g) AS gram FROM gr),
+      eg AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 10 = 0),
+      hits AS (
+        SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON t.gram = e.gram
+        WHERE t.doc_id % 10 <> 0)
+    SELECT d.source, count(*) AS n_train,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 10 <> 0
+    GROUP BY d.source ORDER BY d.source"""))
+
+  // ---------------------------------------------------------------- q52
+  /** PII redaction — scrub emails and phone-shaped tokens from the corpus
+    * and account for every removal (a training pipeline must prove WHAT
+    * it scrubbed, not just scrub). The fixture text carries no PII, so
+    * the query PLANTS deterministic synthetic PII first (email for even
+    * ids, phone for ids % 3 == 0 — the q17/q18 derive-then-roundtrip
+    * pattern), then redacts with the regex pair and aggregates counts and
+    * size deltas per source. Patterns use explicit character classes
+    * (`[0-9]`, no `\d`/`\b`) so Java regex (Spark) and RE2 (DuckDB)
+    * agree. Narrow projection → regexp in whole-stage codegen → one
+    * partial-aggregated groupBy on a low-cardinality key: shuffle is 5
+    * rows per partition at any corpus size. */
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  private val q52 = Q(
+    "q52_pii_redact",
+    (s, d) => {
+      import s.implicits._
+      val aug = docs(s, d).select(
+        $"source",
+        concat(
+          $"text",
+          when($"doc_id" % 2 === 0,
+            concat(lit(" contact "), $"source", lit("_"), $"doc_id", lit("@mail.example")))
+            .otherwise(lit("")),
+          when($"doc_id" % 3 === 0,
+            concat(lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("aug"))
+      aug
+        .select(
+          $"source",
+          $"aug",
+          regexp_count($"aug", lit(EmailRe)).as("n_email"),
+          regexp_count($"aug", lit(PhoneRe)).as("n_phone"),
+          regexp_replace(
+            regexp_replace($"aug", EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>").as("red"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_email").cast("long").as("emails_redacted"),
+          sum($"n_phone").cast("long").as("phones_redacted"),
+          sum(length($"red")).cast("long").as("redacted_chars"),
+          sum(length($"aug") - length($"red")).cast("long").as("chars_removed"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH aug AS (
+        SELECT source,
+          text ||
+          CASE WHEN doc_id % 2 = 0
+               THEN ' contact ' || source || '_' || doc_id || '@mail.example' ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0
+               THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS aug
+        FROM documents),
+      red AS (
+        SELECT source, aug,
+          len(regexp_extract_all(aug, '$EmailRe')) AS n_email,
+          len(regexp_extract_all(aug, '$PhoneRe')) AS n_phone,
+          regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+                         '$PhoneRe', '<PHONE>', 'g') AS red
+        FROM aug)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+      CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+      CAST(sum(length(red)) AS BIGINT) AS redacted_chars,
+      CAST(sum(length(aug) - length(red)) AS BIGINT) AS chars_removed
+    FROM red GROUP BY source ORDER BY source"""))
+
+  override def all: Seq[Q] =
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52)
 }
