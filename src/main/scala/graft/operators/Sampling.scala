@@ -161,5 +161,105 @@ object Sampling extends QModule {
         FROM documents)
       WHERE rn <= $BalancedPerClass ORDER BY lang, rnk"""))
 
-  override def all: Seq[Q] = Seq(q27, q28, q50)
+  // ---------------------------------------------------------------- q53
+  /** Sequence packing — the step that turns a cleaned corpus into
+    * fixed-length training sequences: stream docs in a deterministic
+    * order, accumulate token counts, and cut a new sequence every
+    * [[PackSeqLen]] tokens (greedy stream packing; docs are not split,
+    * so a doc whose window starts in bin b belongs to b).
+    *
+    * Scale shape: packing is computed on METADATA ONLY (doc_id, token
+    * count — ~16 B/row), never on the text; the running-sum window runs
+    * per (source, shard) with shard = doc_id % [[PackShards]], so the
+    * sort is embarrassingly parallel and no shard's partition exceeds
+    * 1/shards of a source even when one domain dominates the corpus. At
+    * 100 TB the bin assignment joins back to the text by doc_id
+    * afterwards — a co-partitioned join, not part of the window. */
+  val PackSeqLen = 256
+  val PackShards = 8
+
+  private val q53 = Q(
+    "q53_sequence_pack",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(s, d, "documents").select(
+        $"source",
+        $"doc_id",
+        ($"doc_id" % PackShards).as("shard"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val binned = toks
+        .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+        .withColumn("bin", floor($"cum_before" / lit(PackSeqLen.toDouble)))
+      val perBin = binned
+        .groupBy($"source", $"shard", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
+      perBin
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_bins"),
+          sum($"n_docs").cast("long").as("n_docs"),
+          sum($"bin_tokens").cast("long").as("total_tokens"),
+          round(avg($"bin_tokens".cast("double") / PackSeqLen), 4).as("avg_fill"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH toks AS (
+        SELECT source, doc_id, doc_id % $PackShards AS shard,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      binned AS (
+        SELECT source, shard, n_tok,
+               COALESCE(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM toks),
+      per_bin AS (
+        SELECT source, shard, CAST(floor(cum_before / ${PackSeqLen.toDouble}) AS BIGINT) AS bin,
+               count(*) AS n_docs, sum(n_tok) AS bin_tokens
+        FROM binned GROUP BY 1, 2, 3)
+    SELECT source, count(*) AS n_bins,
+      CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+      round(avg(CAST(bin_tokens AS DOUBLE) / $PackSeqLen), 4) AS avg_fill
+    FROM per_bin GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q54
+  /** Temperature-weighted domain mixing — the pretraining-mix primitive:
+    * per-domain sampling targets ∝ n^α with α = 0.5 (T = 2), flattening
+    * the natural distribution so small domains are upsampled relative to
+    * the dominant one. Weights are RELATIVE TO THE LARGEST domain, not
+    * sum-normalized: max() is order-deterministic where a floating sum
+    * over domains is not, and `floor(budget · sqrt(n/max))` amplifies
+    * the 4th decimal — sqrt and one division are correctly rounded IEEE
+    * ops, so the engine and the oracle compute bit-identical doubles.
+    * Two tiny aggregates on a low-cardinality key; nothing scales with
+    * corpus size but the first count. */
+  val MixBudget = 10000.0
+
+  private val q54 = Q(
+    "q54_domain_mixture",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables(s, d, "documents")
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      val mx = counts.agg(max($"n_docs").as("max_docs"))
+      counts
+        .crossJoin(broadcast(mx))
+        .select(
+          $"source",
+          $"n_docs",
+          round(sqrt($"n_docs".cast("double") / $"max_docs"), 4).as("rel_weight"),
+          floor(lit(MixBudget) * sqrt($"n_docs".cast("double") / $"max_docs"))
+            .cast("long").as("target_docs"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      mx AS (SELECT max(n_docs) AS max_docs FROM counts)
+    SELECT source, n_docs,
+      round(sqrt(CAST(n_docs AS DOUBLE) / max_docs), 4) AS rel_weight,
+      CAST(floor($MixBudget * sqrt(CAST(n_docs AS DOUBLE) / max_docs)) AS BIGINT) AS target_docs
+    FROM counts, mx ORDER BY source"""))
+
+  override def all: Seq[Q] = Seq(q27, q28, q50, q53, q54)
 }
