@@ -897,6 +897,68 @@ object TextPipeline extends QModule {
       CAST(sum(length(aug) - length(red)) AS BIGINT) AS chars_removed
     FROM red GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- q55
+  /** Repetition-based quality filter — the Gopher-rule family: a doc is
+    * dropped when its duplicate-word ratio (1 − distinct/total) or its
+    * top-2-gram token fraction (tokens covered by the single most
+    * frequent word bigram) crosses threshold. Thresholds sit at the
+    * fixture's upper decile so the funnel drops a realistic ~7%.
+    *
+    * Scale shape: both metrics are PER-DOC higher-order expressions —
+    * the most-frequent-bigram count is `array_max` over per-distinct-
+    * bigram `filter` counts, O(L²) in the doc's word count but entirely
+    * map-side (no explode, no gram shuffle; whole-stage codegen keeps
+    * it in one stage). The only shuffle is the 5-row per-lang summary.
+    * Long docs at 100 TB are length-chunked upstream, bounding L. */
+  val RepDupMax = 0.75
+  val RepTop2Max = 0.15
+
+  private val q55 = Q(
+    "q55_repetition_filter",
+    (s, d) => {
+      import s.implicits._
+      val base = docs(s, d)
+        .select($"lang", split(trim($"text"), "\\s+").as("ws"))
+        .select(
+          $"lang",
+          $"ws",
+          transform(
+            sequence(lit(1), size($"ws") - 1),
+            i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1))).as("g2"))
+      val m = base.select(
+        $"lang",
+        (lit(1.0) - size(array_distinct($"ws")).cast("double") / size($"ws")).as("dup_ratio"),
+        (array_max(transform(
+          array_distinct($"g2"),
+          g => size(filter($"g2", x => x === g)))).cast("double") * 2 / size($"ws"))
+          .as("top2_frac"))
+      m.groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(($"dup_ratio" < RepDupMax && $"top2_frac" < RepTop2Max).cast("long"))
+            .cast("long").as("n_kept"),
+          round(avg($"dup_ratio"), 4).as("avg_dup_ratio"),
+          round(avg($"top2_frac"), 4).as("avg_top2_frac"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH toks AS (
+        SELECT lang, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+      m AS (
+        SELECT lang,
+          1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_ratio,
+          CAST(list_max(list_transform(
+                 list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]),
+                 g -> len(list_filter([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))],
+                                      x -> x = g)))) AS DOUBLE)
+            * 2 / len(ws) AS top2_frac
+        FROM toks)
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(CASE WHEN dup_ratio < $RepDupMax AND top2_frac < $RepTop2Max
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      round(avg(dup_ratio), 4) AS avg_dup_ratio,
+      round(avg(top2_frac), 4) AS avg_top2_frac
+    FROM m GROUP BY lang ORDER BY lang"""))
+
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55)
 }

@@ -82,4 +82,29 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("props"), s"unused props column read: $read")
     assert(!read.contains("event_id"), s"unused event_id column read: $read")
   }
+
+  test("decontamination (q51): corpus joins are broadcast — no sort-merge, no corpus shuffle") {
+    val plan = q("q51_decontaminate").queryExecution.executedPlan.toString
+    // the eval gram set and the contaminated-id set build the hash sides;
+    // the exploded corpus side streams through both joins map-side
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "corpus-side shuffle crept into the semi-join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sequence packing (q53): window partitions by (source, shard), text not in any shuffle") {
+    val plan = formatted(q("q53_sequence_pack"))
+    assert(plan.contains("Window"), "running-sum window missing")
+    assert(plan.contains("windowspecdefinition(source"), "window not partitioned by source")
+    // the shuffles carry metadata only — text collapses into the
+    // scan-side projection (n_tok) and must not ride any Exchange
+    val lines = plan.linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => lines(i + 1)
+    }
+    assert(exchangeInputs.nonEmpty, "no Exchange details found in formatted plan")
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"), s"raw text column rides a shuffle: $in")
+    }
+  }
 }
