@@ -380,6 +380,11 @@ object KernelBench {
       r: Result,
       dir: String,
       timestamp: String): String = {
+    // the report contract is keyed on recall@10: Report.compare reads
+    // `recall.10` and the sweep rows are labeled `recall@10` — a k < 10
+    // run would emit a report the comparison cannot resolve (and mislabel
+    // the sweep), so refuse it here rather than fail downstream
+    require(cfg.k >= 10, s"report loop requires k >= 10 (recall@10 contract), got k=${cfg.k}")
     val ks = recallKs(cfg)
     val pks = precisionKs(cfg)
     Report.write(

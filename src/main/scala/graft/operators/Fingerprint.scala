@@ -166,10 +166,8 @@ object Fingerprint extends QModule {
       .groupBy($"fp")
       .agg(collect_list($"doc_id").as("docs"))
       .filter(size($"docs").between(2, dfCap))
-      .select(explode(expr(
-        """flatten(transform(array_sort(docs), (x, i) ->
-             transform(slice(array_sort(docs), i + 2, size(docs) - i - 1), y ->
-               struct(x AS doc_a, y AS doc_b))))""")).as("pair"))
+      .select(array_sort($"docs").as("docs")) // own projection — see Postings.pairStructs
+      .select(explode(Postings.pairStructs($"docs")).as("pair"))
       .select($"pair.doc_a", $"pair.doc_b")
       .distinct()
     cand

@@ -206,10 +206,8 @@ object TextPipeline extends QModule {
     // only near-qualifying pairs ever touch the full shingle sets
     val rareCnt = postings
       .filter(size($"docs").between(2, dfCap))
-      .select(explode(expr(
-        """flatten(transform(array_sort(docs), (x, i) ->
-             transform(slice(array_sort(docs), i + 2, size(docs) - i - 1), y ->
-               struct(x AS doc_a, y AS doc_b))))""")).as("pair"))
+      .select(array_sort($"docs").as("docs")) // own projection — see Postings.pairStructs
+      .select(explode(Postings.pairStructs($"docs")).as("pair"))
       .groupBy($"pair.doc_a", $"pair.doc_b")
       .agg(count(lit(1)).as("rinter"))
     val hotToks = postings.filter(size($"docs") > dfCap).select($"tok")
@@ -771,12 +769,16 @@ object TextPipeline extends QModule {
     * contaminated when it shares ≥ 1 distinct word-5-gram with ANY eval
     * doc.
     *
-    * Scale shape: an eval benchmark is SMALL BY CONSTRUCTION (thousands
-    * of docs against a 100 TB corpus), so its distinct gram set is
-    * broadcast — the train side streams map-side through the semi-join
+    * Scale shape: the eval set is CAPPED AT [[DecontamEvalCap]] DOCS —
+    * the id cap, not the modulus, is what licenses the broadcast: an
+    * eval benchmark is a fixed artifact (thousands of docs), while a
+    * plain percentage split would grow with the corpus and blow the
+    * broadcast at scale. With the bound, the distinct eval-gram set is
+    * broadcast and the train side streams map-side through the semi-join
     * with no shuffle of the corpus; the only shuffle is the distinct
     * over matching doc_ids, bounded by the contamination count. */
   private val DecontamK = 5
+  val DecontamEvalCap = 100000L
 
   /** Distinct word-`DecontamK`-gram array (same construction as
     * [[shingles]], wider window). */
@@ -794,16 +796,17 @@ object TextPipeline extends QModule {
     "q51_decontaminate",
     (s, d) => {
       import s.implicits._
+      val isEval = (col("doc_id") % 10 === 0) && (col("doc_id") < DecontamEvalCap)
       val grams = docs(s, d)
         .select($"doc_id", explode(decontamGrams($"text")).as("gram"))
-      val evalGrams = grams.filter($"doc_id" % 10 === 0).select($"gram").distinct()
+      val evalGrams = grams.filter(isEval).select($"gram").distinct()
       val contaminated = grams
-        .filter($"doc_id" % 10 =!= 0)
+        .filter(!isEval)
         .join(broadcast(evalGrams), "gram")
         .select($"doc_id")
         .distinct()
       docs(s, d)
-        .filter($"doc_id" % 10 =!= 0)
+        .filter(!isEval)
         .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
         .groupBy($"source")
         .agg(
@@ -811,22 +814,22 @@ object TextPipeline extends QModule {
           sum(coalesce($"hit", lit(0))).cast("long").as("n_contaminated"))
         .orderBy($"source")
     },
-    Some("""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
       gr AS (
         SELECT doc_id,
                list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
                               for i in range(1, len(ws) - 3)]) AS g
         FROM toks),
       tg AS (SELECT doc_id, unnest(g) AS gram FROM gr),
-      eg AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 10 = 0),
+      eg AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 10 = 0 AND doc_id < $DecontamEvalCap),
       hits AS (
         SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON t.gram = e.gram
-        WHERE t.doc_id % 10 <> 0)
+        WHERE NOT (t.doc_id % 10 = 0 AND t.doc_id < $DecontamEvalCap))
     SELECT d.source, count(*) AS n_train,
            CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-    WHERE d.doc_id % 10 <> 0
+    WHERE NOT (d.doc_id % 10 = 0 AND d.doc_id < $DecontamEvalCap)
     GROUP BY d.source ORDER BY d.source"""))
 
   // ---------------------------------------------------------------- q52
@@ -913,25 +916,37 @@ object TextPipeline extends QModule {
   val RepDupMax = 0.75
   val RepTop2Max = 0.15
 
+  /** Append `dup_ratio` and `top2_frac` to `df` from its `text` column
+    * (per-doc HOF expressions — see q55's scale note). A doc with < 2
+    * words has no bigram: `top2_frac` is null there (the guarded empty
+    * bigram array makes `array_max` null on BOTH engines — an unguarded
+    * `sequence(1, n-1)` would DESCEND through [1, 0] at n = 1 and throw
+    * on `element_at(ws, 0)`). Package-visible for the short-doc spec. */
+  private[graft] def withRepetitionMetrics(df: DataFrame, text: Column): DataFrame =
+    df
+      .withColumn("ws", split(trim(text), "\\s+"))
+      .withColumn(
+        "g2",
+        when(size(col("ws")) >= 2,
+          transform(
+            sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn(
+        "dup_ratio",
+        lit(1.0) - size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+      .withColumn(
+        "top2_frac",
+        array_max(transform(
+          array_distinct(col("g2")),
+          g => size(filter(col("g2"), x => x === g)))).cast("double") * 2 / size(col("ws")))
+      .drop("ws", "g2")
+
   private val q55 = Q(
     "q55_repetition_filter",
     (s, d) => {
       import s.implicits._
-      val base = docs(s, d)
-        .select($"lang", split(trim($"text"), "\\s+").as("ws"))
-        .select(
-          $"lang",
-          $"ws",
-          transform(
-            sequence(lit(1), size($"ws") - 1),
-            i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1))).as("g2"))
-      val m = base.select(
-        $"lang",
-        (lit(1.0) - size(array_distinct($"ws")).cast("double") / size($"ws")).as("dup_ratio"),
-        (array_max(transform(
-          array_distinct($"g2"),
-          g => size(filter($"g2", x => x === g)))).cast("double") * 2 / size($"ws"))
-          .as("top2_frac"))
+      val m = withRepetitionMetrics(docs(s, d).select($"lang", $"text"), $"text")
       m.groupBy($"lang")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -92,4 +92,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("n_distinct") + r.getAs[Long]("n_dup_docs") -
       r.getAs[Long]("n_dup_groups") >= r.getAs[Long]("n_distinct"))
   }
+
+  test("repetition metrics survive short docs: empty, 1-word, 2-word, degenerate") {
+    // the fixture corpus has >= 10 words per doc, so the short-doc path
+    // (unguarded sequence(1, n-1) would DESCEND and throw at n = 1) is
+    // exercised here on constructed rows
+    import spark.implicits._
+    val df = Seq(
+      (0L, ""), // trim -> [""] (1 token)
+      (1L, "word"),
+      (2L, "a b"),
+      (3L, "x x x x"),
+      (4L, "a b a b a b")).toDF("doc_id", "text")
+    val m = TextPipeline.withRepetitionMetrics(df, $"text")
+      .select($"doc_id", $"dup_ratio", $"top2_frac")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(m(0L) == ((0.0, None)), "single-token doc must have null top2_frac")
+    assert(m(1L) == ((0.0, None)))
+    assert(m(2L) == ((0.0, Some(1.0)))) // one bigram covering both tokens
+    assert(m(3L) == ((0.75, Some(1.5)))) // "x x" occurs 3x of 4 tokens: 6/4
+    assert(m(4L)._1 == (1.0 - 2.0 / 6.0))
+    assert(m(4L)._2 == Some(6.0 / 6.0)) // "a b" occurs 3x: 6 tokens covered of 6
+  }
 }
