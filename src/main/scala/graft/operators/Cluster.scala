@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QModule, Tables}
+
+/** Embedding-space domain clustering — the training-mix curation step a
+  * 100 TB pipeline runs between near-dup removal and temperature mixing
+  * (q54): discover latent domains by k-means over the embedding column,
+  * then weight/filter per discovered cluster. The reference's corpus has
+  * an explicit label column; clustering is how that column is MADE when
+  * the crawl doesn't come labeled.
+  *
+  * Two layers:
+  *   - [[assignments]] — deterministic seeded nearest-centroid
+  *     assignment (seeds = the K lowest vec_ids). SQL-expressible, so
+  *     q57 is oracle-gated on it end-to-end.
+  *   - [[lloyd]] — Lloyd refinement of those seeds. Each step is ONE
+  *     narrow pass over the corpus (centroids broadcast, per-partition
+  *     partial sums) + a K×P-row driver combine; vectors never shuffle
+  *     and never reach the driver. Convergence (non-increasing inertia)
+  *     is property-tested in ClusterSpec; the refined assignment is not
+  *     oracle-gated (iterative float means are not portably expressible
+  *     in SQL) — the SEEDED assignment q57 gates shares all the
+  *     assignment arithmetic with it via [[BruteForce.assign]].
+  *
+  * 100 TB design: K is a config-bounded constant (same argument as
+  * [[Ann.Centroids]]); assignment is the shuffle-free broadcast-argmax
+  * kernel shared with the IVF build; the only shuffles in q57 are the
+  * K-row groupBy and nothing else. Lloyd cost is iters × one corpus scan.
+  */
+object Cluster extends QModule {
+
+  /** Cluster count for the registry query and its oracle. Like
+    * [[Ann.Centroids]] this is a knob, not a function of corpus size. */
+  val K = 8
+
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  /** Deterministic seeds: the [[K]] corpus vectors with the smallest
+    * vec_ids. `orderBy.limit` plans as TakeOrdered (per-partition top-K,
+    * driver merges P×K rows — no global sort). */
+  def seeds(s: SparkSession, d: String): Array[(Long, Array[Float])] = {
+    import s.implicits._
+    emb(s, d)
+      .select($"vec_id", $"embedding")
+      .orderBy($"vec_id")
+      .limit(K)
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+  }
+
+  /** Nearest-centroid assignment of every embedding to the seeded
+    * centroids: (id, centroid_id, score, vec), score = dot product
+    * (embeddings are pre-normalized, so dot ≡ cosine), ties to the
+    * smallest centroid id. Narrow map over the corpus. */
+  def assignments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, d)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .as[(Long, Array[Float])]
+    BruteForce.assign(corpus, seeds(s, d))
+  }
+
+  /** Shared oracle CTE chain: the seeded nearest-centroid assignment
+    * recomputed the way the kernel deliberately does NOT — crossJoin +
+    * window argmax (rn = 1 rows are the assignment). */
+  private def duckAssign: String =
+    s"""c AS (SELECT vec_id AS centroid_id, embedding AS ce
+               FROM embeddings ORDER BY vec_id LIMIT $K),
+      scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               ${VectorSearch.duckDot("e.embedding", "c.ce")} AS score
+        FROM embeddings e, c),
+      best AS (
+        SELECT vec_id, centroid_id, score,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, centroid_id) AS rn
+        FROM scored)"""
+
+  // ---------------------------------------------------------------- q57
+  /** Per-cluster census over the seeded assignment: size and mean
+    * similarity-to-centroid. */
+  private val q57 = Q(
+    "q57_domain_cluster",
+    (s, d) => {
+      import s.implicits._
+      assignments(s, d)
+        .groupBy($"centroid_id".as("cluster_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg($"score"), 4).as("avg_sim"))
+        .orderBy($"cluster_id")
+    },
+    Some(s"""WITH $duckAssign
+    SELECT centroid_id AS cluster_id, count(*) AS n, round(avg(score), 4) AS avg_sim
+    FROM best WHERE rn = 1 GROUP BY centroid_id ORDER BY cluster_id"""))
+
+  // ---------------------------------------------------------------- q58
+  /** Temperature-weighted mixing over DISCOVERED domains — the q54
+    * primitive ([[Sampling]]) applied to q57's clusters: when the crawl
+    * carries no source label, the pretraining mix is built from
+    * embedding clusters instead. Same bit-deterministic max-relative
+    * n^0.5 weighting (see q54's doc for why max-relative, not
+    * sum-normalized). Cost beyond the assignment pass: two K-row
+    * aggregates. */
+  val MixBudget = 10000.0
+
+  private val q58 = Q(
+    "q58_cluster_mixture",
+    (s, d) => {
+      import s.implicits._
+      val counts = assignments(s, d)
+        .groupBy($"centroid_id".as("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+      val mx = counts.agg(max($"n").as("max_n"))
+      counts
+        .crossJoin(broadcast(mx))
+        .select(
+          $"cluster_id",
+          $"n",
+          round(sqrt($"n".cast("double") / $"max_n"), 4).as("rel_weight"),
+          floor(lit(MixBudget) * sqrt($"n".cast("double") / $"max_n"))
+            .cast("long").as("target_docs"))
+        .orderBy($"cluster_id")
+    },
+    Some(s"""WITH $duckAssign,
+      counts AS (SELECT centroid_id AS cluster_id, count(*) AS n
+                 FROM best WHERE rn = 1 GROUP BY centroid_id),
+      mx AS (SELECT max(n) AS max_n FROM counts)
+    SELECT cluster_id, n,
+      round(sqrt(CAST(n AS DOUBLE) / max_n), 4) AS rel_weight,
+      CAST(floor($MixBudget * sqrt(CAST(n AS DOUBLE) / max_n)) AS BIGINT) AS target_docs
+    FROM counts, mx ORDER BY cluster_id"""))
+
+  // ------------------------------------------------------------- Lloyd
+  /** One Lloyd step: assign every vector to its nearest centroid (dot
+    * argmax — on normalized inputs this is the L2 argmin) and return the
+    * per-cluster means. Per-partition partial sums make the shuffled/
+    * collected data K×P rows of (id, sum[dim], count) — independent of
+    * corpus size. An emptied cluster keeps its previous centroid. The
+    * new means are NOT re-normalized: spherical k-means would
+    * re-project, but keeping raw means keeps the inertia argument exact
+    * (the mean minimizes Σ‖v−c‖² over c for the fixed assignment). */
+  /** argmin-L2 cluster index of `vec` among `cents` (ties to the lower
+    * index). Uses the expansion ‖v−c‖² = ‖v‖² − 2·dot + ‖c‖²: with
+    * `cNorm2` precomputed, the argmin is the argmax of 2·dot − ‖c‖², so
+    * the scan is one fused dot product per centroid. NOTE: this is NOT
+    * plain dot-argmax ([[BruteForce.assign]]) — Lloyd means lose unit
+    * norm after the first update, and dot-argmax would break the
+    * monotone-inertia guarantee there. On the unit-norm SEEDS the two
+    * rules agree, which is what lets q57 gate the shared arithmetic. */
+  private def argminL2(vec: Array[Float], cents: Array[(Long, Array[Float])], cNorm2: Array[Double]): Int = {
+    var bestCi = 0
+    var bestScore = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)._2
+      var dotAcc = 0.0
+      var i = 0
+      val n = math.min(cv.length, vec.length)
+      while (i < n) { dotAcc += cv(i).toDouble * vec(i).toDouble; i += 1 }
+      val sAcc = 2.0 * dotAcc - cNorm2(ci)
+      if (sAcc > bestScore) { bestScore = sAcc; bestCi = ci }
+      ci += 1
+    }
+    bestCi
+  }
+
+  private def norms2(cs: Array[(Long, Array[Float])]): Array[Double] =
+    cs.map(_._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+
+  def lloydStep(
+      corpus: Dataset[(Long, Array[Float])],
+      cs: Array[(Long, Array[Float])]): Array[(Long, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((cs, norms2(cs)))
+    val partials: Array[(Long, Array[Double], Long)] = corpus
+      .mapPartitions { it =>
+        val (cents, cn2) = bc.value
+        val kk = cents.length
+        var dim = 0
+        val sums = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val counts = new Array[Long](kk)
+        it.foreach { case (_, vec) =>
+          if (sums.isEmpty) {
+            dim = vec.length
+            var i = 0
+            while (i < kk) { sums += new Array[Double](dim); i += 1 }
+          }
+          val bestCi = argminL2(vec, cents, cn2)
+          val sArr = sums(bestCi)
+          var i = 0
+          while (i < dim) { sArr(i) += vec(i).toDouble; i += 1 }
+          counts(bestCi) += 1
+        }
+        Iterator.range(0, kk).filter(counts(_) > 0).map { ci =>
+          (cents(ci)._1, sums(ci), counts(ci))
+        }
+      }
+      .collect()
+    val byId = partials.groupBy(_._1)
+    cs.map { case (cid, old) =>
+      byId.get(cid) match {
+        case Some(parts) =>
+          val dim = parts.head._2.length
+          val total = parts.map(_._3).sum
+          val mean = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            var acc = 0.0
+            parts.foreach(p => acc += p._2(i))
+            mean(i) = (acc / total).toFloat
+            i += 1
+          }
+          (cid, mean)
+        case None => (cid, old)
+      }
+    }
+  }
+
+  /** `iters` Lloyd steps from the deterministic seeds. */
+  def lloyd(s: SparkSession, d: String, iters: Int): Array[(Long, Array[Float])] = {
+    import s.implicits._
+    val corpus = emb(s, d)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .as[(Long, Array[Float])]
+    (1 to iters).foldLeft(seeds(s, d))((cs, _) => lloydStep(corpus, cs))
+  }
+
+  /** k-means inertia Σ min_c ‖v − c‖² — the quantity Lloyd monotonically
+    * non-increases. One narrow pass (centroids broadcast) + a scalar
+    * reduce; the per-vector argmin is the same [[argminL2]] rule the
+    * Lloyd step assigns with, which is what makes the monotonicity
+    * argument airtight. */
+  def inertia(s: SparkSession, d: String, cs: Array[(Long, Array[Float])]): Double = {
+    import s.implicits._
+    val corpus = emb(s, d)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .as[(Long, Array[Float])]
+    val bc = s.sparkContext.broadcast((cs, norms2(cs)))
+    corpus
+      .map { case (_, vec) =>
+        val (cents, cn2) = bc.value
+        val ci = argminL2(vec, cents, cn2)
+        val cv = cents(ci)._2
+        var acc = 0.0
+        var i = 0
+        val n = math.min(cv.length, vec.length)
+        while (i < n) {
+          val dlt = vec(i).toDouble - cv(i).toDouble
+          acc += dlt * dlt
+          i += 1
+        }
+        acc
+      }
+      .reduce(_ + _)
+  }
+
+  override def all: Seq[Q] = Seq(q57, q58)
+}

@@ -150,12 +150,21 @@ object Temporal extends QModule {
         .agg(
           count(lit(1)).as("n_events"),
           (max($"ts_ns") - min($"ts_ns")).as("dur_ns"))
+      // the averages are stated as exact-integer sums divided ONCE —
+      // `avg(dur_ns / 1e9)` sums doubles in partition order, and at
+      // sf0.1 one user's mean lands exactly on a round(…,4) tie
+      // (61.75065: sum 2 964 031 200 000 ns over 48 sessions), where
+      // the engines' different summation orders rounded to 61.7507 vs
+      // 61.7506. Integer sums are order-free, so the pre-round double
+      // is bit-identical on both sides by construction.
       sessions
         .groupBy($"user_id")
         .agg(
           count(lit(1)).as("n_sessions"),
-          round(avg($"n_events"), 4).as("avg_events_per_session"),
-          round(avg($"dur_ns" / 1e9), 4).as("avg_session_sec"))
+          round(sum($"n_events").cast("double") / count(lit(1)), 4)
+            .as("avg_events_per_session"),
+          round(sum($"dur_ns").cast("double") / count(lit(1)) / 1e9, 4)
+            .as("avg_session_sec"))
         .orderBy($"user_id")
     },
     Some(s"""WITH ordered AS (
@@ -178,8 +187,8 @@ object Temporal extends QModule {
                epoch_ns(max(ts)) - epoch_ns(min(ts)) AS dur_ns
         FROM numbered GROUP BY 1, 2)
     SELECT user_id, count(*) AS n_sessions,
-           round(avg(n_events), 4) AS avg_events_per_session,
-           round(avg(dur_ns / 1e9), 4) AS avg_session_sec
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_events_per_session,
+           round(CAST(sum(dur_ns) AS DOUBLE) / count(*) / 1e9, 4) AS avg_session_sec
     FROM sessions GROUP BY user_id ORDER BY user_id"""))
 
   // ---------------------------------------------------------------- q40

@@ -54,11 +54,17 @@ object TextPipeline extends QModule {
   private def shingleFrameCached(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, s"shingles:$d")(shingleFrame(s, d))
 
-  private def shingleFrame(s: SparkSession, d: String): DataFrame = {
+  private def shingleFrame(s: SparkSession, d: String): DataFrame =
+    shingleFrameOf(s, docs(s, d))
+
+  /** (doc_id, s) shingle frame over an arbitrary documents-shaped frame
+    * (doc_id, text) — the seam q56 and the specs share with the
+    * dir-loading path above. */
+  private[graft] def shingleFrameOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     import s.implicits._
     val ws = $"ws"
     val n = size(ws)
-    docs(s, d)
+    docsDf
       .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
       .select(
         $"doc_id",
@@ -974,6 +980,80 @@ object TextPipeline extends QModule {
       round(avg(top2_frac), 4) AS avg_top2_frac
     FROM m GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------- q56
+  /** Cross-document boilerplate detection — the corpus-level complement
+    * of q55's within-doc repetition (RefinedWeb/CCNet-style: crawls are
+    * full of headers, footers and licence blocks that repeat ACROSS
+    * pages). A word-3-gram is "hot" when its document frequency reaches
+    * H = max([[BoilerDfFloor]], ceil([[BoilerDfFrac]] · n_docs)) — a
+    * RELATIVE cutoff so the rule keeps meaning as the corpus grows — and
+    * a doc's boilerplate fraction is the share of its distinct (hashed)
+    * grams that are hot; docs at ≥ [[BoilerFlagTau]] are flagged.
+    *
+    * Scale shape: gram df is ONE hash-groupBy on the 31-bit
+    * [[graft.functions.PortableHash]] of the gram (the gram STRING never
+    * shuffles); per-doc distinctness is `array_distinct` map-side, so
+    * the df input is already one row per (doc, gram). The hot set joins
+    * back as a standard equi-join on the hash that AQE broadcasts when
+    * it fits. No pairwise comparison anywhere — total cost is O(total
+    * grams), the same budget q22's df-cap computation already pays. */
+  val BoilerDfFloor = 5L
+  val BoilerDfFrac = 0.002
+  val BoilerFlagTau = 0.5
+
+  /** Per-doc boilerplate metrics over a documents-shaped frame — the
+    * testable seam (q56 runs it on the driver tables; the spec plants
+    * a boilerplate block across synthetic docs). Docs with < 3 words
+    * have no 3-gram and drop out (mirrored in the oracle, where
+    * `unnest` of the empty list yields no rows). */
+  private[graft] def boilerplateFrame(s: SparkSession, docsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val tok = shingleFrameOf(s, docsDf)
+      .select($"doc_id", array_distinct(transform($"s", g => shingleHash(g))).as("hs"))
+      .select($"doc_id", explode($"hs").as("h"))
+    val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
+    // H is a SCALAR function of one count — resolved driver-side so the
+    // hot-set filter is a literal predicate, not a 1-row join (the
+    // crossJoin(count-frame) alternative plans as a nested-loop join,
+    // which the plan suite forbids). count() on parquet is metadata-cheap.
+    val hotCutoff = math.max(BoilerDfFloor, math.ceil(docsDf.count() * BoilerDfFrac).toLong)
+    val hot = dfreq
+      .filter($"df" >= hotCutoff)
+      .select($"h", lit(1L).as("hot"))
+    tok
+      .join(hot, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce($"hot", lit(0L))).cast("long").as("n_hot"))
+      .select(
+        $"doc_id",
+        $"n_grams",
+        $"n_hot",
+        round($"n_hot".cast("double") / $"n_grams", 4).as("hot_frac"),
+        ($"n_hot".cast("double") / $"n_grams" >= BoilerFlagTau).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
+  private val q56 = Q(
+    "q56_boilerplate",
+    (s, d) => boilerplateFrame(s, docs(s, d)),
+    Some(s"""WITH $duckShingles,
+      tok AS (SELECT DISTINCT doc_id, ${duckHash("g")} AS h
+              FROM (SELECT doc_id, unnest(s) AS g FROM sh) u),
+      dfreq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      hot AS (SELECT h FROM dfreq, nd
+              WHERE df >= greatest($BoilerDfFloor, CAST(ceil(n_docs * $BoilerDfFrac) AS BIGINT))),
+      per AS (SELECT t.doc_id, count(*) AS n_grams,
+                     CAST(sum(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+              FROM tok t LEFT JOIN hot ON t.h = hot.h
+              GROUP BY t.doc_id)
+    SELECT doc_id, n_grams, n_hot,
+           round(CAST(n_hot AS DOUBLE) / n_grams, 4) AS hot_frac,
+           (CAST(n_hot AS DOUBLE) / n_grams >= $BoilerFlagTau) AS flagged
+    FROM per ORDER BY doc_id"""))
+
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56)
 }

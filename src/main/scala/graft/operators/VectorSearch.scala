@@ -30,7 +30,7 @@ object VectorSearch extends QModule {
   /** DuckDB double-precision dot product of two list columns via parallel
     * unnest — mirrors [[graft.functions.VectorFunctions.dot]] exactly
     * (double accumulation in list order). */
-  private def duckDot(a: String, b: String): String =
+  private[operators] def duckDot(a: String, b: String): String =
     s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
 
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")

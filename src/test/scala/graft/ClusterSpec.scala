@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Cluster
+
+/** Domain clustering (q57 + Lloyd refinement): the seeded assignment is
+  * exhaustive and deterministic under repartitioning, and Lloyd's
+  * inertia is monotonically non-increasing from the seeds (the classic
+  * convergence guarantee — each step's mean update minimizes the fixed
+  * assignment's objective).
+  */
+class ClusterSpec extends SparkSpec {
+
+  test("seeded assignment covers every vector exactly once") {
+    for (d <- Seq(sf0001, sf001)) {
+      val a = Cluster.assignments(spark, d)
+      val total = Tables(spark, d, "embeddings").count()
+      assert(a.count() == total, s"at $d: assignment dropped/duplicated rows")
+      assert(a.select("id").distinct().count() == total)
+      val clusters = a.select("centroid_id").distinct().count()
+      assert(clusters > 1 && clusters <= Cluster.K,
+        s"at $d: degenerate clustering ($clusters clusters)")
+    }
+  }
+
+  test("assignment is deterministic under repartitioning") {
+    import org.apache.spark.sql.functions.col
+    val base = Cluster.assignments(spark, sf0001)
+      .select("id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val shuffled = {
+      import spark.implicits._
+      val corpus = Tables(spark, sf0001, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .repartition(13)
+        .as[(Long, Array[Float])]
+      operators.BruteForce.assign(corpus, Cluster.seeds(spark, sf0001))
+        .select("id", "centroid_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(base == shuffled)
+  }
+
+  test("Lloyd inertia is monotonically non-increasing over 3 steps and improves on the seeds") {
+    val d = sf0001
+    import spark.implicits._
+    val corpus = Tables(spark, d, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+      .as[(Long, Array[Float])]
+    val steps = (0 to 3).scanLeft(Cluster.seeds(spark, d)) { (cs, _) =>
+      Cluster.lloydStep(corpus, cs)
+    }.take(4)
+    val inertias = steps.map(cs => Cluster.inertia(spark, d, cs))
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia increased: $inertias")
+    }
+    // arbitrary id-ordered seeds are a bad clustering of a planted
+    // cluster mixture — one Lloyd step must strictly improve it
+    assert(inertias(1) < inertias(0) * 0.999, s"Lloyd step did not improve: $inertias")
+  }
+
+  test("q57 cluster census is consistent with the raw assignment") {
+    val census = SparkEntry.queries("q57_domain_cluster")(spark, sf001).collect()
+    val total = census.map(_.getAs[Long]("n")).sum
+    assert(total == Tables(spark, sf001, "embeddings").count())
+    census.foreach { r =>
+      val sim = r.getAs[Double]("avg_sim")
+      assert(sim >= -1.0001 && sim <= 1.0001, s"avg_sim out of range: $r")
+    }
+  }
+}

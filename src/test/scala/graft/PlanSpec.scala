@@ -107,4 +107,36 @@ class PlanSpec extends SparkSpec {
       assert(!in.contains("text#"), s"raw text column rides a shuffle: $in")
     }
   }
+
+  test("boilerplate (q56): inverted-index joins only — no all-pairs join, gram strings never shuffle") {
+    val plan = q("q56_boilerplate").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in q56:\n${plan.take(2000)}")
+    // the df/hot-set joins key on the 31-bit hash; the shuffled row must
+    // be (doc_id, h) — the gram string stays in the map-side projection
+    val formattedPlan = formatted(q("q56_boilerplate"))
+    val lines = formattedPlan.linesIterator.toSeq
+    lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => lines(i + 1)
+    }.foreach { in =>
+      assert(!in.contains("text#") && !in.contains(" g#") && !in.contains(" s#"),
+        s"gram/text column rides a shuffle: $in")
+    }
+  }
+
+  test("domain clustering (q57): join-free broadcast kernel — only the K-row census shuffles") {
+    val df = q("q57_domain_cluster")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q57 should be join-free (broadcast argmax kernel):\n${plan.take(2000)}")
+    // embeddings must not ride the census shuffle: the agg input is
+    // (centroid_id, score) only
+    val formattedPlan = formatted(df)
+    val lines = formattedPlan.linesIterator.toSeq
+    lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => lines(i + 1)
+    }.foreach { in =>
+      assert(!in.contains("vec#") && !in.contains("embedding#"),
+        s"embedding column rides a shuffle: $in")
+    }
+  }
 }

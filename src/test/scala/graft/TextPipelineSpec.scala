@@ -116,4 +116,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(m(4L)._1 == (1.0 - 2.0 / 6.0))
     assert(m(4L)._2 == Some(6.0 / 6.0)) // "a b" occurs 3x: 6 tokens covered of 6
   }
+
+  test("q56 flags docs dominated by a cross-document boilerplate block, not unique docs") {
+    import spark.implicits._
+    // 6 docs share a 10-word boilerplate block (its 8 grams hit df=6 ≥
+    // the floor of 5) plus a 3-word unique tail; 6 docs are fully unique.
+    val boiler = "this site uses cookies accept all cookies to continue reading"
+    val docsDf = (
+      (1 to 6).map(i => (i.toLong, s"$boiler unique$i tail$i words$i")) ++
+        (7 to 12).map(i => (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i"))
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.boilerplateFrame(spark, docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 12)
+    (1 to 6).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getAs[Long]("n_hot") == 8L, s"doc $i: ${r}")
+      assert(r.getAs[Boolean]("flagged"), s"boilerplate doc $i not flagged: $r")
+    }
+    (7 to 12).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getAs[Long]("n_hot") == 0L, s"unique doc $i has hot grams: $r")
+      assert(!r.getAs[Boolean]("flagged"))
+    }
+  }
+
+  test("q56 is non-degenerate on the fixtures: hot grams exist, no doc lost") {
+    for (d <- Seq(sf0001, sf001)) {
+      val out = byName("q56_boilerplate", d)
+      val rows = out.collect()
+      assert(rows.length == Tables(spark, d, "documents").count())
+      assert(rows.map(_.getAs[Long]("n_hot")).sum > 0, s"no hot grams at $d")
+    }
+  }
 }
