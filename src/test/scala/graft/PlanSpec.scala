@@ -71,9 +71,11 @@ class PlanSpec extends SparkSpec {
     // cached shingle projection stops hitting, every text query silently
     // re-runs the per-doc shingle transform and the suite drifts up
     q("q22_jaccard_neardup").collect() // populates the session memo
-    val plan = q("q23_minhash_lsh_neardup").queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"),
-      s"shingle memo not hit — plan recomputes the shingle transform:\n${plan.take(1200)}")
+    for (name <- Seq("q23_minhash_lsh_neardup", "q56_boilerplate")) {
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"$name: shingle memo not hit — plan recomputes the shingle transform:\n${plan.take(1200)}")
+    }
   }
 
   test("events scan prunes unread columns (q15 reads 3 of 6)") {
