@@ -136,26 +136,30 @@ object Temporal extends QModule {
     "q39_sessionize",
     (s, d) => {
       import s.implicits._
-      val wOrd = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
-      val wCum = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      // MICROS precision throughout, like q40: DuckDB truncates the
+      // fixture's TIMESTAMP(NANOS) to µs, so ordering, gap tests and
+      // durations must all run on `ts_ns div 1000` for the two engines
+      // to see the same instants (at full nanos, sub-µs duration
+      // residue pushed one sf0.1 user's mean across a round(…,4)
+      // boundary: engine 61.75065000…, oracle 61.75064997…).
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val wCum = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gapNs = GapMinutes * 60L * 1000000000L
+      val gapUs = GapMinutes * 60L * 1000000L
       val sessions = Tables(s, d, "events")
-        .select($"user_id", $"event_id", $"ts_ns")
-        .withColumn("prev_ts", lag($"ts_ns", 1).over(wOrd))
+        .select($"user_id", $"event_id", expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("prev_ts", lag($"ts_us", 1).over(wOrd))
         .withColumn("new_session",
-          when($"prev_ts".isNull || $"ts_ns" - $"prev_ts" > gapNs, 1).otherwise(0))
+          when($"prev_ts".isNull || $"ts_us" - $"prev_ts" > gapUs, 1).otherwise(0))
         .withColumn("session_id", sum($"new_session").over(wCum))
         .groupBy($"user_id", $"session_id")
         .agg(
           count(lit(1)).as("n_events"),
-          (max($"ts_ns") - min($"ts_ns")).as("dur_ns"))
+          (max($"ts_us") - min($"ts_us")).as("dur_us"))
       // the averages are stated as exact-integer sums divided ONCE —
-      // `avg(dur_ns / 1e9)` sums doubles in partition order, and at
-      // sf0.1 one user's mean lands exactly on a round(…,4) tie
-      // (61.75065: sum 2 964 031 200 000 ns over 48 sessions), where
-      // the engines' different summation orders rounded to 61.7507 vs
-      // 61.7506. Integer sums are order-free, so the pre-round double
+      // `avg(dur_us / 1e6)` would sum doubles in partition order, and a
+      // mean landing near a round(…,4) tie would round apart across
+      // engines. Integer sums are order-free, so the pre-round double
       // is bit-identical on both sides by construction.
       sessions
         .groupBy($"user_id")
@@ -163,7 +167,7 @@ object Temporal extends QModule {
           count(lit(1)).as("n_sessions"),
           round(sum($"n_events").cast("double") / count(lit(1)), 4)
             .as("avg_events_per_session"),
-          round(sum($"dur_ns").cast("double") / count(lit(1)) / 1e9, 4)
+          round(sum($"dur_us").cast("double") / count(lit(1)) / 1e6, 4)
             .as("avg_session_sec"))
         .orderBy($"user_id")
     },
@@ -184,11 +188,11 @@ object Temporal extends QModule {
         FROM flagged),
       sessions AS (
         SELECT user_id, session_id, count(*) AS n_events,
-               epoch_ns(max(ts)) - epoch_ns(min(ts)) AS dur_ns
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         FROM numbered GROUP BY 1, 2)
     SELECT user_id, count(*) AS n_sessions,
            round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_events_per_session,
-           round(CAST(sum(dur_ns) AS DOUBLE) / count(*) / 1e9, 4) AS avg_session_sec
+           round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6, 4) AS avg_session_sec
     FROM sessions GROUP BY user_id ORDER BY user_id"""))
 
   // ---------------------------------------------------------------- q40
