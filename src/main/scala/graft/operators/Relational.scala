@@ -358,9 +358,11 @@ object Relational extends QModule {
     "q16_latest_event",
     (s, d) => {
       import s.implicits._
+      // µs-truncated ordering: the oracle ranks DuckDB's µs TIMESTAMP,
+      // so the engine must not break ties on sub-µs nanos it alone sees
       val w = Window
         .partitionBy($"user_id")
-        .orderBy($"ts_ns".desc, $"event_id".desc)
+        .orderBy(expr("ts_ns div 1000").desc, $"event_id".desc)
       t(s, d, "events")
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)

@@ -95,25 +95,29 @@ object Temporal extends QModule {
     "q38_range_join",
     (s, d) => {
       import s.implicits._
+      // MICROS precision (q39/q40 contract): the oracle's interval
+      // predicate runs on DuckDB's µs-truncated TIMESTAMP, so the range
+      // bounds must not consult sub-µs nanos — a pair within 1 µs of the
+      // exact 1 h boundary would otherwise split the engines
       val ev = Tables(s, d, "events")
-        .select($"event_id", $"user_id", $"ts_ns")
+        .select($"event_id", $"user_id", expr("ts_ns div 1000").as("ts_us"))
       val probe = ev
-        .withColumn("bucket", expr(s"ts_ns div ${BucketSeconds * 1000000000L}"))
+        .withColumn("bucket", expr(s"ts_us div ${BucketSeconds * 1000000L}"))
       // each probe row looks in its own and the previous bucket
       val probeExp = probe
         .withColumn("b", explode(array($"bucket", $"bucket" - 1)))
-        .select($"event_id", $"user_id", $"ts_ns", $"b")
+        .select($"event_id", $"user_id", $"ts_us", $"b")
       val build = ev
         .select(
           $"user_id",
           $"event_id".as("other_id"),
-          $"ts_ns".as("other_ts"),
-          expr(s"ts_ns div ${BucketSeconds * 1000000000L}").as("b"))
+          $"ts_us".as("other_ts"),
+          expr(s"ts_us div ${BucketSeconds * 1000000L}").as("b"))
       probeExp
         .join(build, Seq("user_id", "b"))
         .filter(
-          $"other_ts" >= $"ts_ns" - lit(BucketSeconds * 1000000000L) &&
-          $"other_ts" < $"ts_ns" &&
+          $"other_ts" >= $"ts_us" - lit(BucketSeconds * 1000000L) &&
+          $"other_ts" < $"ts_us" &&
           $"other_id" =!= $"event_id")
         .groupBy($"event_id")
         .agg(count(lit(1)).as("n_prior_events"))

@@ -58,8 +58,14 @@ object Streams extends QModule {
       .groupByKey(_.user_id)
       .mapGroupsWithState[Event, (Long, Long, String)](GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[Event]) =>
+          // MICROS precision with event_id tie-break, matching the q33
+          // oracle's `ORDER BY ts DESC, event_id DESC` over DuckDB's
+          // µs-truncated TIMESTAMP — ranking on the sub-µs nanos the
+          // oracle cannot see would silently diverge on a same-µs pair
+          // (the q39 ns-vs-µs lesson; no such pair exists in current
+          // fixtures, but fixtures are regenerated every round)
           val latest = (state.getOption.iterator ++ it)
-            .maxBy(e => (e.ts_ns, e.event_id)) // nanos-exact: micros ts can tie
+            .maxBy(e => (e.ts_ns / 1000L, e.event_id))
           state.update(latest)
           (uid, latest.event_id, latest.event_type)
       }
