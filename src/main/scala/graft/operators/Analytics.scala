@@ -46,10 +46,15 @@ object Analytics extends QModule {
     "q35_rollup",
     (s, d) => {
       import s.implicits._
+      // revenue in EXACT CENTS: at sf0.1 one rollup group's float sum
+      // sits EXACTLY on a round(,4) boundary (measured margin 0.0) —
+      // whether the two engines agree is a coin flip on summation order.
+      // Integer cents commute; one division at the end, mirrored.
       Tables(s, d, "orders")
         .rollup($"o_orderpriority", $"o_orderstatus")
         .agg(
-          round(sum($"o_totalprice") / 1000.0, 4).as("rev_k"),
+          round(sum(round($"o_totalprice" * 100).cast("long")).cast("double")
+            / 100000.0, 4).as("rev_k"),
           count(lit(1)).as("n"))
         .select(
           coalesce($"o_orderpriority", lit("ALL")).as("priority"),
@@ -59,7 +64,9 @@ object Analytics extends QModule {
     },
     Some("""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
       coalesce(o_orderstatus, 'ALL') AS status,
-      round(sum(o_totalprice) / 1000.0, 4) AS rev_k, count(*) AS n
+      round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100000.0, 4) AS rev_k,
+      count(*) AS n
     FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     ORDER BY priority, status"""))
 
@@ -73,7 +80,13 @@ object Analytics extends QModule {
       Tables(s, d, "events")
         .withColumn("hod", hour($"ts"))
         .cube($"event_type", $"hod")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total_value"))
+        // value is 4-decimal by construction (verified ×10^4 within 5e-10
+        // of integers), so summing EXACT 10^-4 units is value-identical
+        // today and immune to summation-order drift at any future scale
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(round($"value" * 10000).cast("long")).cast("double")
+            / 10000.0, 4).as("total_value"))
         .select(
           coalesce($"event_type", lit("ALL")).as("event_type"),
           coalesce($"hod", lit(-1)).cast("long").as("hod"),
@@ -82,7 +95,9 @@ object Analytics extends QModule {
     },
     Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
       CAST(coalesce(hour(ts), -1) AS BIGINT) AS hod,
-      count(*) AS n, round(sum(value), 4) AS total_value
+      count(*) AS n,
+      round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+            / 10000.0, 4) AS total_value
     FROM events GROUP BY CUBE (event_type, hour(ts))
     ORDER BY event_type, hod"""))
 
@@ -101,21 +116,23 @@ object Analytics extends QModule {
         key = $"o_orderpriority",
         saltSource = $"o_orderkey",
         salts = 16,
-        valueCol = $"o_totalprice")
+        // EXACT CENTS through the two-phase sum: integer partials
+        // commute, so salted ≡ direct ≡ oracle EXACTLY — not merely "up
+        // to double reordering error" as the float form was
+        valueCol = round($"o_totalprice" * 100).cast("long"))
         .select(
           $"k".as("priority"),
-          // round(2): the salted two-phase sum adds in a different order
-          // than the oracle's single-phase sum, so agreement is only up
-          // to double reordering error (~1e-7 relative)
-          round($"total" / 1000.0, 2).as("rev_k"),
+          round($"total".cast("double") / 100000.0, 2).as("rev_k"),
           $"cnt",
-          round($"mean", 2).as("avg_price"))
+          round($"total".cast("double") / $"cnt" / 100.0, 2).as("avg_price"))
         .orderBy($"priority")
     },
     Some("""SELECT o_orderpriority AS priority,
-      round(sum(o_totalprice) / 1000.0, 2) AS rev_k,
+      round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100000.0, 2) AS rev_k,
       count(*) AS cnt,
-      round(avg(o_totalprice), 2) AS avg_price
+      round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / count(*) / 100.0, 2) AS avg_price
     FROM orders GROUP BY 1 ORDER BY priority"""))
 
   // ---------------------------------------------------------------- q41

@@ -32,25 +32,37 @@ object Relational extends QModule {
     "q01_pricing_summary",
     (s, d) => {
       import s.implicits._
+      // money sums ride EXACT INTEGER units (cents; 10^-4 dollars for the
+      // discounted price, a 2-dec × 2-dec product): float sums commute
+      // only approximately, and the measured sf0.1 margin between the
+      // true sum and its nearest round(,4) boundary was as low as 5.7e-6
+      // — one summation-order difference away from an oracle mismatch.
+      // Integer sums are order-free; quantity is integer-VALUED double,
+      // so its sums/avgs are exact in any order already.
+      val centsBase = round($"l_extendedprice" * 100).cast("long")
+      val units4Disc = round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000).cast("long")
+      val centsDisc = round($"l_discount" * 100).cast("long")
       t(s, d, "lineitem")
         .filter($"l_shipdate" <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           round(sum($"l_quantity"), 4).as("sum_qty"),
-          round(sum($"l_extendedprice") / 1000000.0, 4).as("sum_base_price_m"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) / 1000000.0, 4)
-            .as("sum_disc_price_m"),
+          round(sum(centsBase).cast("double") / 100000000.0, 4).as("sum_base_price_m"),
+          round(sum(units4Disc).cast("double") / 10000000000.0, 4).as("sum_disc_price_m"),
           round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          round(sum(centsDisc).cast("double") / 100.0 / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
       round(sum(l_quantity), 4) AS sum_qty,
-      round(sum(l_extendedprice) / 1000000.0, 4) AS sum_base_price_m,
-      round(sum(l_extendedprice * (1.0 - l_discount)) / 1000000.0, 4) AS sum_disc_price_m,
+      round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100000000.0, 4) AS sum_base_price_m,
+      round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+            / 10000000000.0, 4) AS sum_disc_price_m,
       round(avg(l_quantity), 4) AS avg_qty,
-      round(avg(l_discount), 4) AS avg_disc,
+      round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 / count(*), 4) AS avg_disc,
       count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -340,15 +352,19 @@ object Relational extends QModule {
     "q15_events_hourly",
     (s, d) => {
       import s.implicits._
+      // exact 10^-4 units, not float sums — see q36's rationale
       t(s, d, "events")
         .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
         .agg(
           count(lit(1)).as("cnt"),
-          round(sum($"value"), 4).as("total_value"))
+          round(sum(round($"value" * 10000).cast("long")).cast("double")
+            / 10000.0, 4).as("total_value"))
         .orderBy($"hour", $"event_type")
     },
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-      count(*) AS cnt, round(sum(value), 4) AS total_value
+      count(*) AS cnt,
+      round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+            / 10000.0, 4) AS total_value
     FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
   // ---------------------------------------------------------------- q16

@@ -42,9 +42,13 @@ object Streams extends QModule {
   def hourlyAgg(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val e = watermark.fold(events)(w => events.withWatermark("ts", w))
     e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      // exact 10^-4 units (value is 4-decimal by construction): integer
+      // partials make the windowed sum order-free, so batch ≡ stream ≡
+      // oracle exactly — and incremental state updates can't drift
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("value")), 4).as("total_value"))
+        round(sum(round(col("value") * 10000).cast("long")).cast("double")
+          / 10000.0, 4).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("total_value"))
   }
 
@@ -181,7 +185,9 @@ object Streams extends QModule {
     "q32_stream_hourly_batch",
     (s, d) => hourlyAgg(Tables(s, d, "events")).orderBy(col("hour"), col("event_type")),
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-      count(*) AS cnt, round(sum(value), 4) AS total_value
+      count(*) AS cnt,
+      round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+            / 10000.0, 4) AS total_value
     FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
   // ---------------------------------------------------------------- q33
