@@ -261,5 +261,48 @@ object Sampling extends QModule {
       CAST(floor($MixBudget * sqrt(CAST(n_docs AS DOUBLE) / max_docs)) AS BIGINT) AS target_docs
     FROM counts, mx ORDER BY source"""))
 
-  override def all: Seq[Q] = Seq(q27, q28, q50, q53, q54)
+  // ---------------------------------------------------------------- q59
+  /** Deterministic train/val/test split — the assignment every training
+    * pipeline makes before anything touches the data. The split is a
+    * pure function of doc_id (the engine-wide key-LCG variate, same as
+    * q27/q28/v07): identical under any partitioning, any engine, any
+    * cluster size, and STABLE across reruns — a document can never
+    * migrate between train and eval when the job is re-executed, which
+    * is the property that prevents silent eval contamination. Output is
+    * the per-(source, split) census with within-source fractions; the
+    * fraction is an exact-integer ratio, so it is bit-deterministic. */
+  val TrainFrac = 0.9
+  val ValFrac = 0.95 // cumulative: [0.9, 0.95) = val, [0.95, 1] = test
+
+  private val q59 = Q(
+    "q59_train_split",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val u = lcgU($"doc_id")
+      val split = when(u < TrainFrac, "train")
+        .when(u < ValFrac, "val")
+        .otherwise("test")
+      Tables(s, d, "documents")
+        .select($"source", split.as("split"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n"))
+        .withColumn(
+          "frac",
+          round($"n".cast("double")
+            / sum($"n").over(Window.partitionBy($"source")).cast("double"), 4))
+        .orderBy($"source", $"split")
+    },
+    Some(s"""WITH assigned AS (
+        SELECT source,
+               CASE WHEN u < $TrainFrac THEN 'train'
+                    WHEN u < $ValFrac THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT source, ${duckLcgU("doc_id")} AS u FROM documents))
+    SELECT source, split, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER (PARTITION BY source) AS DOUBLE), 4) AS frac
+    FROM assigned GROUP BY source, split ORDER BY source, split"""))
+
+  override def all: Seq[Q] = Seq(q27, q28, q50, q53, q54, q59)
 }

@@ -43,4 +43,18 @@ class SamplingSpec extends SparkSpec {
     for ((n, want) <- Seq((157L, 3L), (16L, 1L), (17L, 1L), (256L, 4L), (1L, 1L)))
       assert(graft.operators.Multimodal.sampledFrames(n, 4) == want, s"n=$n")
   }
+
+  test("train/val/test split partitions every doc and lands near 90/5/5 overall") {
+    val rows = SparkEntry.queries("q59_train_split")(spark, sf001).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables(spark, sf001, "documents").count(),
+      "split must assign every document exactly once")
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n")).sum.toDouble / total }
+    assert(bySplit.keySet == Set("train", "val", "test"), s"splits: ${bySplit.keySet}")
+    // LCG is uniform; at n=500 the binomial 3σ band around 0.9 is ~±0.04
+    assert(math.abs(bySplit("train") - 0.9) < 0.05, s"train frac ${bySplit("train")}")
+    assert(math.abs(bySplit("val") - 0.05) < 0.03, s"val frac ${bySplit("val")}")
+    assert(math.abs(bySplit("test") - 0.05) < 0.03, s"test frac ${bySplit("test")}")
+  }
 }
