@@ -158,6 +158,22 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("fixture guard: key columns stay below the key-LCG overflow bound at every SF") {
+    // keyLcgU computes key·1103515245 in BIGINT on both engines; ids
+    // above ~8.36e9 would overflow (wrap in Spark, error in DuckDB) and
+    // break every LCG consumer (q27/q28/q59/v07/Ann centroids). Current
+    // ids are small sequential — fail loudly if a regenerated fixture
+    // changes that.
+    import org.apache.spark.sql.functions.{col, max}
+    val bound = Long.MaxValue / 1103515245L
+    for ((table, key) <- Seq(("documents", "doc_id"), ("embeddings", "vec_id"), ("events", "event_id"))) {
+      for (d <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+        val mx = Tables(spark, d, table).agg(max(col(key))).head.getLong(0)
+        assert(mx < bound, s"$d/$table.$key max $mx exceeds LCG overflow bound $bound")
+      }
+    }
+  }
+
   test("q56 is non-degenerate on the fixtures: hot grams exist, no doc lost") {
     for (d <- Seq(sf0001, sf001)) {
       val out = byName("q56_boilerplate", d)
