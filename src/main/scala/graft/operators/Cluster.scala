@@ -55,14 +55,17 @@ object Cluster extends QModule {
   /** Nearest-centroid assignment of every embedding to the seeded
     * centroids: (id, centroid_id, score, vec), score = dot product
     * (embeddings are pre-normalized, so dot ≡ cosine), ties to the
-    * smallest centroid id. Narrow map over the corpus. */
-  def assignments(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val corpus = emb(s, d)
-      .select($"vec_id".as("id"), $"embedding".as("vec"))
-      .as[(Long, Array[Float])]
-    BruteForce.assign(corpus, seeds(s, d))
-  }
+    * smallest centroid id. Narrow map over the corpus, memoized per
+    * (session, dir) — q57 and q58 both consume it, and a Verify/Bench
+    * session must not pay the corpus pass twice. */
+  def assignments(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, s"cluster-assign:$d") {
+      import s.implicits._
+      val corpus = emb(s, d)
+        .select($"vec_id".as("id"), $"embedding".as("vec"))
+        .as[(Long, Array[Float])]
+      BruteForce.assign(corpus, seeds(s, d))
+    }
 
   /** Shared oracle CTE chain: the seeded nearest-centroid assignment
     * recomputed the way the kernel deliberately does NOT — crossJoin +
