@@ -58,6 +58,19 @@ class KernelBenchSpec extends SparkSpec {
     assert(result.bfMsPerQuery > 0 && result.annBuildSec > 0 && result.pqBuildSec > 0)
   }
 
+  test("trained coarse quantizer: centroids are pairwise distinct (seed-collapse regression)") {
+    // stepping the seed index by sample/centroids once aligned every
+    // seed's corpus id to one generator mode (all 64 seeds in ONE
+    // cluster; recall@8 collapsed 0.9995 → 0.60). Distinct trained
+    // centroids are the cheap invariant that catches that class.
+    val cents = KernelBench.trainCoarse(cfg)
+    assert(cents.length == cfg.centroids)
+    for (i <- cents.indices; j <- (i + 1) until cents.length) {
+      val maxDiff = cents(i).zip(cents(j)).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxDiff > 1e-4, s"centroids $i and $j coincide (max coord diff $maxDiff)")
+    }
+  }
+
   test("report loop closes at bench scale: write reports, 005-compare reads them back") {
     val dir = Files.createTempDirectory("graft_kernel_reports").toString
     KernelBench.writeReports(spark, cfg, result, dir, "19700101000000")
