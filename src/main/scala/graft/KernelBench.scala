@@ -51,7 +51,15 @@ object KernelBench {
     * PQ: 384 dims = 96 subspaces × 4 dims, 256 k-means-TRAINED codewords
     * per subspace ([[operators.PqTrain]]) → 96 B/doc (16× compression;
     * subDim 4 buys ~4 quantization levels per dim, which this
-    * noise-ranked synthetic corpus needs for recall). */
+    * noise-ranked synthetic corpus needs for recall).
+    *
+    * `pqRescore` is PER-PARTITION: 64 × 32 partitions ≈ 2k exact-dot
+    * rescores per query — 20× k. r7's 500 made the rescore touch most of
+    * each partition's float rows in RANDOM order (~2.4 GB/pass, more
+    * traffic than the exact scan it is meant to beat); the measured
+    * rCand grid at bench scale (tools/PqProbe): 16→0.9894 recall,
+    * 32→0.9993, 64→0.9995 (= nProbe-8 IVF's own ceiling) with ms/query
+    * 2.5/2.1/2.2 — 64 keeps full recall at ~9× brute-force speed. */
   val Default: Cfg = Cfg(
     n = 1000000,
     dim = 384,
@@ -62,7 +70,7 @@ object KernelBench {
     sweepProbes = Seq(1, 2, 4, 8, 16, 32),
     pqSubDim = 4,
     pqCodebook = 256,
-    pqRescore = 500,
+    pqRescore = 64,
     pqTrainSample = 16384,
     pqTrainIters = 10)
 
@@ -190,6 +198,7 @@ object KernelBench {
       pqMsPerQuery: Double,
       pqQps: Double,
       pqRecallVsExact: Double,
+      pqSweep: Seq[Report.SweepLevel],
       pqRecallAtK: Seq[(Int, Double)],
       pqPrecisionAtK: Seq[(Int, Double)],
       pqMrr: Double)
@@ -396,6 +405,20 @@ object KernelBench {
         pqIndex, cents, codebook, cfg.pqSubDim, queries, probes, cfg.pqRescore, cfg.k)
       (System.nanoTime() - t0) / 1e9
     }.min
+    // IVFPQ nProbe sweep — one timed fresh search per level, the same
+    // speed/recall dial the IVF leg publishes (the reference emits
+    // `ef_sensitivity` for BOTH ANN methods, `reports/faiss/…json:40-77`)
+    val pqSweep = cfg.sweepProbes.map { np =>
+      val t0 = System.nanoTime()
+      val lvlIds = VectorBlocks.ivfpqSearch(
+        pqIndex, cents, codebook, cfg.pqSubDim, queries, masks(np), cfg.pqRescore, cfg.k)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall10 = lvlIds.iterator.zipWithIndex.map { case (ids, qi) =>
+        val e = exactRanked(queries(qi)._1).take(r10).toSet
+        ids.take(r10).count(e.contains).toDouble / r10
+      }.sum / cfg.nQueries
+      Report.SweepLevel(np, recall10, sec, cfg.nQueries / sec)
+    }
     pqIndex.unpersist()
     indexed.unpersist()
     // ivfpqSearch returns ids sorted by exact score desc — position is rank
@@ -422,6 +445,7 @@ object KernelBench {
       pqMsPerQuery = pqSec * 1000.0 / cfg.nQueries,
       pqQps = cfg.nQueries / pqSec,
       pqRecallVsExact = pqRecall,
+      pqSweep = pqSweep,
       pqRecallAtK = pqRec,
       pqPrecisionAtK = pqPrec,
       pqMrr = pqMrr)
@@ -433,9 +457,10 @@ object KernelBench {
     * reference's `005-compare_benchmarks.py` — consumes. Ground truth for
     * recall / precision / MRR is the exact search itself, so the
     * brute_force row scores 1.0 by definition (stated, not measured);
-    * the IVF report carries `build_latency` and the timed nProbe sweep as
-    * `ef_sensitivity`, the IVFPQ report carries its own `build_latency`
-    * (reference `reports/hnswlib/…json:7-10,40-77`). */
+    * the IVF and IVFPQ reports each carry `build_latency` and their own
+    * timed nProbe sweep as `ef_sensitivity` — the reference publishes the
+    * sweep for BOTH ANN methods (`reports/hnswlib/…json:7-10,40-77`,
+    * `reports/faiss/…json:40-77`; VERDICT r7 next #7). */
   def writeReports(
       spark: SparkSession,
       cfg: Cfg,
@@ -468,7 +493,8 @@ object KernelBench {
         spark, "ivfpq",
         r.pqRecallAtK, r.pqPrecisionAtK, r.pqMrr, cfg.nQueries.toLong,
         avgLatencyMs = r.pqMsPerQuery, qps = r.pqQps, timestamp = timestamp,
-        buildLatency = Some((r.pqBuildSec, cfg.n / r.pqBuildSec))),
+        buildLatency = Some((r.pqBuildSec, cfg.n / r.pqBuildSec)),
+        efSensitivity = r.pqSweep),
       s"$dir/ivfpq")
     dir
   }

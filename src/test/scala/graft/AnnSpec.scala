@@ -90,6 +90,32 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("index root is a session conf knob resolved via the Hadoop FS API") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    Functions.register(s2)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_root").toString
+    s2.conf.set(Ann.IndexRootConf, root)
+    try {
+      val path = Ann.buildIndex(s2, sf0001)
+      assert(path.startsWith(root), path)
+      // artifact + build-meta sidecar land under the configured root
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s2.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
+      assert(Ann.buildMeta(s2, sf0001).exists { case (sec, vps) => sec > 0 && vps > 0 })
+      // search against the relocated index still reproduces the exact top-10
+      val exact = VectorSearch.searchFrame(spark, sf0001)
+        .filter($"rnk" <= 10).select($"query_id", $"doc_id")
+      val ann = Ann.search(s2, sf0001, maxQueryId = 100, k = 10, nProbe = Ann.Centroids)
+        .select($"query_id", $"doc_id")
+      assert(ann.join(exact, Seq("query_id", "doc_id")).count() == exact.count())
+    } finally {
+      s2.conf.unset(Ann.IndexRootConf)
+      Memo.drop(s2)
+    }
+  }
+
   test("every centroid assignment is the argmax-dot centroid (spot check)") {
     import spark.implicits._
     val cents = Ann.centroids(spark, sf0001)

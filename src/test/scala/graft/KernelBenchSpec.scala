@@ -106,5 +106,22 @@ class KernelBenchSpec extends SparkSpec {
       .collect().head
     assert(bl.getDouble(0) === result.annBuildSec)
     assert(bl.getDouble(1) === cfg.n / result.annBuildSec)
+
+    // the IVFPQ report carries ITS OWN timed sweep + build_latency — the
+    // reference publishes ef_sensitivity for both ANN methods
+    // (`reports/faiss/…json:40-77`; VERDICT r7 next #7)
+    val pqReport = spark.read.option("multiLine", "true").json(s"$dir/ivfpq")
+    val pqLvls = pqReport.select(explode(pqReport("ef_sensitivity")).as("l"))
+      .select("l.ef", "l.`recall@10`").collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toSeq
+    assert(pqLvls == result.pqSweep.map(l => l.ef -> l.recall10))
+    // widening the probe set can only widen each per-partition candidate
+    // pool, but the ADC trim is not nested — assert the dial's endpoints
+    // rather than strict monotonicity
+    assert(result.pqSweep.last.recall10 >= result.pqSweep.head.recall10)
+    assert(result.pqSweep.forall(l => l.recall10 >= 0 && l.recall10 <= 1 &&
+      l.searchTimeSec > 0 && l.qps > 0))
+    val pqBl = pqReport.select("build_latency.total_seconds").collect().head
+    assert(pqBl.getDouble(0) === result.pqBuildSec)
   }
 }
