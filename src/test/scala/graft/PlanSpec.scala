@@ -92,6 +92,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"), "corpus-side shuffle crept into the semi-join")
     assert(!plan.contains("CartesianProduct"))
+    // the broadcast carries 31-bit gram HASHES, never the gram string:
+    // no gram/text column may ride any Exchange (broadcast included)
+    val formattedPlan = formatted(q("q51_decontaminate"))
+    val lines = formattedPlan.linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) (Broadcast)?Exchange.*""") => lines(i + 1)
+    }
+    assert(exchangeInputs.nonEmpty, "no Exchange details found in formatted q51 plan")
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("gram#") && !in.contains("text#"),
+        s"gram/text string rides an exchange: $in")
+    }
   }
 
   test("sequence packing (q53): window partitions by (source, shard), text not in any shuffle") {
