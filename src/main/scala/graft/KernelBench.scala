@@ -122,6 +122,12 @@ object KernelBench {
     * work is O(coarseTrainSample · centroids · dim · iters) regardless
     * of corpus size. */
   private[graft] def trainCoarse(cfg: Cfg): Array[Array[Float]] = {
+    // with n < centroids the clamp below would make m > n and the sample
+    // stride n/m integer-divide to 0 — every sample (and every seed)
+    // would be vec(cfg, 0), a silently degenerate quantizer. Fail loudly
+    // with the contract named instead (ADVICE r7).
+    require(cfg.n >= cfg.centroids,
+      s"kernel bench requires n >= centroids (got n=${cfg.n}, centroids=${cfg.centroids})")
     val m = math.max(cfg.centroids, math.min(cfg.coarseTrainSample, cfg.n))
     val sample = Array.tabulate(m)(j => vec(cfg, j.toLong * (cfg.n / m)))
     // seed from CONSECUTIVE sample entries: their corpus ids step by the

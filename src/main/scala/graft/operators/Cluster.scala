@@ -85,7 +85,22 @@ object Cluster extends QModule {
 
   // ---------------------------------------------------------------- q57
   /** Per-cluster census over the seeded assignment: size and mean
-    * similarity-to-centroid. */
+    * similarity-to-centroid.
+    *
+    * avg_sim is stated as an ORDER-FREE integer sum divided once, not
+    * `avg(score)` (ADVICE r7 / the q39 divergence class): `avg` over
+    * doubles sums in partition/scan order, which differs between Spark
+    * and DuckDB, and a near-tie mean at a larger SF could round to
+    * different sides of the 1e-4 tick. Each score (bit-identical on both
+    * engines: sequential array-order dot both sides) is first quantized
+    * to the dyadic 2⁻²⁰ grid — `floor(score·2²⁰ + 0.5)` is the same
+    * double op on both engines — and the resulting integers sum EXACTLY
+    * in any order (magnitudes ≪ 2⁵³). One divide by 2²⁰ (exact, power of
+    * two) and one divide by n later, the pre-round double is
+    * bit-deterministic. Quantization bias is ≤ 2⁻²¹ ≈ 4.8e-7 per score —
+    * two orders below the round(,4) tick. */
+  private val SimScale = 1048576.0 // 2^20 — dyadic, so the later divide is exact
+
   private val q57 = Q(
     "q57_domain_cluster",
     (s, d) => {
@@ -94,11 +109,16 @@ object Cluster extends QModule {
         .groupBy($"centroid_id".as("cluster_id"))
         .agg(
           count(lit(1)).as("n"),
-          round(avg($"score"), 4).as("avg_sim"))
+          round(
+            (sum(floor($"score" * SimScale + 0.5d).cast("long")).cast("double") / SimScale) /
+              count(lit(1)).cast("double"),
+            4).as("avg_sim"))
         .orderBy($"cluster_id")
     },
     Some(s"""WITH $duckAssign
-    SELECT centroid_id AS cluster_id, count(*) AS n, round(avg(score), 4) AS avg_sim
+    SELECT centroid_id AS cluster_id, count(*) AS n,
+           round((CAST(sum(CAST(floor(score * $SimScale + 0.5) AS BIGINT)) AS DOUBLE) / $SimScale)
+                 / count(*), 4) AS avg_sim
     FROM best WHERE rn = 1 GROUP BY centroid_id ORDER BY cluster_id"""))
 
   // ---------------------------------------------------------------- q58
@@ -109,7 +129,11 @@ object Cluster extends QModule {
     * n^0.5 weighting (see q54's doc for why max-relative, not
     * sum-normalized). Cost beyond the assignment pass: two K-row
     * aggregates. */
-  val MixBudget = 10000.0
+  /** One shared budget with q54 ([[Sampling.MixBudget]]): q54 and q58
+    * are the SAME mixing primitive over different groupings (source
+    * label vs discovered cluster), and their "same budget" contract must
+    * not drift if the constant is retuned (ADVICE r7). */
+  val MixBudget: Double = Sampling.MixBudget
 
   private val q58 = Q(
     "q58_cluster_mixture",

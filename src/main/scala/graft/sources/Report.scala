@@ -115,21 +115,39 @@ object Report {
       .json(glob)
       .withColumn("method_dir", regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1))
     val w = Window.partitionBy($"method_dir").orderBy($"metadata.timestamp".desc)
-    // the alternate latency layout exists only in some report generations
-    // (`005:106-117`); coalesce against it only when the scanned tree's
-    // inferred schema actually has it, so engine-written trees (pure
-    // `performance`) resolve too
-    val hasAlt = raw.schema.fieldNames.contains("search_latency_cpu")
-    def norm(field: String) =
-      if (hasAlt) coalesce(col(s"performance.$field"), col(s"search_latency_cpu.$field"))
-      else col(s"performance.$field")
+    // the reference's 005:106-117 resolves THREE latency layouts —
+    // `performance` (brute-force format), `search_latency` (the real
+    // hnswlib/faiss reports under /root/reference/reports), and
+    // `search_latency_cpu` (FAISS CPU/GPU format) — and two field
+    // spellings (engine reports say avg_latency_ms/qps; the reference's
+    // brute-force row says avg_query_time_ms/queries_per_second). Each
+    // candidate is guarded by presence in the scanned tree's inferred
+    // schema, so any mix of generations resolves without nulling out
+    // (ADVICE r7: a pure `search_latency` tree previously resolved to
+    // null latency and silently emitted null speedups).
+    val sections = Seq("performance", "search_latency", "search_latency_cpu")
+      .filter(raw.schema.fieldNames.contains)
+    val sectionFields: Map[String, Set[String]] = sections.map { sec =>
+      sec -> (raw.schema(sec).dataType match {
+        case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSet
+        case _ => Set.empty[String]
+      })
+    }.toMap
+    def norm(spellings: Seq[String]) = {
+      val cands = for {
+        sec <- sections; f <- spellings; if sectionFields(sec).contains(f)
+      } yield col(s"$sec.$f")
+      require(cands.nonEmpty,
+        s"no latency section in report tree $glob (looked for $sections × $spellings)")
+      coalesce(cands: _*)
+    }
     val latest = raw
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select(
         $"method",
-        norm("avg_latency_ms").as("avg_latency_ms"),
-        norm("qps").as("qps"),
+        norm(Seq("avg_latency_ms", "avg_query_time_ms")).as("avg_latency_ms"),
+        norm(Seq("qps", "queries_per_second")).as("qps"),
         $"recall.10".as("recall_10"),
         $"mrr")
     val bf = latest.filter($"method" === "brute_force")

@@ -51,4 +51,35 @@ class ReportSpec extends SparkSpec {
     assert(ef.map(_.getAs[Double]("recall@10")) == Seq(0.5, 0.75))
     assert(ef.map(_.getAs[Double]("qps")) == Seq(200.0, 80.0))
   }
+
+  test("compare resolves the reference's search_latency report layout (005:106-117)") {
+    // a tree mixing the brute-force `performance` layout (with the
+    // reference's avg_query_time_ms/queries_per_second spellings) and
+    // the hnswlib/faiss `search_latency` layout — the generation
+    // ADVICE r7 flagged as silently resolving to null speedups
+    val dir = Files.createTempDirectory("graft_ref_reports")
+    def put(method: String, body: String): Unit = {
+      val d = dir.resolve(method)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(s"${method}_20251002.json"), body)
+    }
+    put("brute_force",
+      """{"method":"brute_force",
+          "performance":{"avg_query_time_ms":700.0,"queries_per_second":1.43},
+          "recall":{"10":1.0},"mrr":1.0,
+          "metadata":{"timestamp":"2025-10-02T13:27:38"}}""")
+    put("hnswlib",
+      """{"method":"hnswlib",
+          "search_latency":{"total_seconds":0.046,"queries_per_second":2165.7,"avg_latency_ms":0.46},
+          "build_latency":{"total_seconds":512.8},
+          "recall":{"10":0.918},"mrr":0.93,
+          "metadata":{"timestamp":"2025-10-02T18:44:17"}}""")
+    val rows = Report.compare(spark, s"$dir/*/*.json").collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Double]("avg_latency_ms"), r.getAs[Double]("qps"), r.getAs[Double]("speedup_vs_bf")))
+      .toMap
+    assert(rows("brute_force") == ((700.0, 1.43, 1.0)))
+    assert(rows("hnswlib")._1 == 0.46 && rows("hnswlib")._2 == 2165.7)
+    assert(rows("hnswlib")._3 == 1521.7391) // round(700 / 0.46, 4)
+  }
 }
