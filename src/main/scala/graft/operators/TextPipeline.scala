@@ -993,6 +993,73 @@ object TextPipeline extends QModule {
       round(avg(top2_frac), 4) AS avg_top2_frac
     FROM m GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------- q60
+  /** Upstream length-chunking — the operator q55's scale note PRESUMES
+    * (VERDICT r7 next #5): `top2_frac` is O(L²) in a doc's word count,
+    * so unbounded crawl documents must be split into ≤[[ChunkWords]]-word
+    * chunks before the repetition filter (and before sequence packing,
+    * whose window also benefits from bounded rows). Entirely map-side:
+    * split → slice into word windows → posexplode; no shuffle, and every
+    * metadata column rides along with (chunk_id, chunk_text). Word
+    * preservation is structural — the chunk slices partition the word
+    * array — and asserted in the planted long-doc spec. */
+  val ChunkWords = 64
+
+  /** Chunk `df` on `text` into ≤`l`-word pieces. Output = every input
+    * column plus `chunk_id` (0-based within doc) and `chunk_words`
+    * (the chunk's word array; `array_join(_, " ")` is the chunk text).
+    * A blank text yields its single `[""]` token chunk — never zero
+    * rows — so downstream per-doc accounting keeps seeing the doc. */
+  def chunkByWords(df: DataFrame, text: Column, l: Int): DataFrame = {
+    val ws = split(trim(text), "\\s+")
+    // ceil(n/l) chunk starts; the guarded sequence never descends
+    // (q55's lesson: sequence(0, -1) DESCENDS rather than yielding [])
+    val chunks = transform(
+      sequence(lit(0), (ceil(size(ws).cast("double") / l) - 1).cast("int")),
+      i => slice(ws, i * l + 1, lit(l)))
+    df
+      .withColumn("__chunks", chunks)
+      .select(
+        df.columns.map(col) :+
+          posexplode(col("__chunks")).as(Seq("chunk_id", "chunk_words")): _*)
+  }
+
+  private val q60 = Q(
+    "q60_length_chunk",
+    (s, d) => {
+      import s.implicits._
+      chunkByWords(docs(s, d).select($"source", $"doc_id", $"text"), $"text", ChunkWords)
+        .groupBy($"source")
+        .agg(
+          countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          max(size($"chunk_words")).as("max_chunk_words"),
+          sum(size($"chunk_words")).cast("long").as("total_words"),
+          // q55's dup metric restated over chunks as an ORDER-FREE
+          // integer ratio (dup words / total words) — exact-sum, then
+          // one divide: bit-deterministic across engines
+          round(
+            sum((size($"chunk_words") - size(array_distinct($"chunk_words"))).cast("long"))
+              .cast("double") / sum(size($"chunk_words")).cast("double"),
+            4).as("dup_word_ratio"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH toks AS (
+        SELECT source, doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+      ch AS (
+        SELECT source, doc_id,
+               unnest([ws[i*$ChunkWords+1 : i*$ChunkWords+$ChunkWords]
+                       for i in range(0, CAST(ceil(len(ws) / $ChunkWords.0) AS INT))]) AS cw
+        FROM toks)
+    SELECT source,
+      count(DISTINCT doc_id) AS n_docs,
+      count(*) AS n_chunks,
+      max(len(cw)) AS max_chunk_words,
+      CAST(sum(len(cw)) AS BIGINT) AS total_words,
+      round(CAST(sum(len(cw) - len(list_distinct(cw))) AS DOUBLE) / CAST(sum(len(cw)) AS DOUBLE), 4)
+        AS dup_word_ratio
+    FROM ch GROUP BY source ORDER BY source"""))
+
   // ---------------------------------------------------------------- q56
   /** Cross-document boilerplate detection — the corpus-level complement
     * of q55's within-doc repetition (RefinedWeb/CCNet-style: crawls are
@@ -1075,5 +1142,5 @@ object TextPipeline extends QModule {
     FROM per ORDER BY doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60)
 }

@@ -117,6 +117,47 @@ class TextPipelineSpec extends SparkSpec {
     assert(m(4L)._2 == Some(6.0 / 6.0)) // "a b" occurs 3x: 6 tokens covered of 6
   }
 
+  test("chunkByWords bounds chunks at L words, preserves every word, and q55 metrics stay green over chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val L = TextPipeline.ChunkWords
+    // a long planted doc (10_000 words — far beyond any bound q55's
+    // O(L²) top2_frac could tolerate unchunked at crawl scale), one
+    // exactly-L doc, one 1-word doc, one L+1 doc (forces a 1-word tail)
+    val long = (0 until 10000).map(i => s"w${i % 97}").mkString(" ")
+    val df = Seq(
+      (1L, long),
+      (2L, (0 until L).map(i => s"a$i").mkString(" ")),
+      (3L, "solo"),
+      (4L, (0 to L).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val ch = TextPipeline.chunkByWords(df, $"text", L)
+      .select($"doc_id", $"chunk_id", size($"chunk_words").as("nw"), $"chunk_words")
+      .cache()
+    // bound: no chunk exceeds L words
+    assert(ch.agg(max($"nw")).head.getInt(0) <= L)
+    // preservation: per-doc word totals survive chunking exactly
+    val totals = ch.groupBy($"doc_id").agg(sum($"nw").as("t"), count(lit(1)).as("nc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(totals(1L) == ((10000L, math.ceil(10000.0 / L).toLong)))
+    assert(totals(2L) == ((L.toLong, 1L)))
+    assert(totals(3L) == ((1L, 1L)))
+    assert(totals(4L) == ((L + 1L, 2L))) // the 1-word tail is its own chunk
+    // chunk_ids are dense 0..nc-1 per doc
+    val ids = ch.filter($"doc_id" === 1L).select($"chunk_id").as[Int].collect().sorted
+    assert(ids.sameElements(Array.range(0, totals(1L)._2.toInt)))
+    // q55 over chunked input: the metric expressions stay green (no
+    // descending-sequence throw on the 1-word tail chunk) and bounded
+    val m = TextPipeline.withRepetitionMetrics(
+      ch.select($"doc_id", array_join($"chunk_words", " ").as("text")), $"text")
+    val rows = m.select($"dup_ratio", $"top2_frac").collect()
+    assert(rows.length == totals.values.map(_._2).sum)
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      if (!r.isNullAt(1)) assert(r.getDouble(1) >= 0.0)
+    }
+    ch.unpersist()
+  }
+
   test("q56 flags docs dominated by a cross-document boilerplate block, not unique docs") {
     import spark.implicits._
     // 6 docs share a 10-word boilerplate block (its 8 grams hit df=6 ≥
