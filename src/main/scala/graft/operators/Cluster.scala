@@ -179,12 +179,12 @@ object Cluster extends QModule {
     * norm after the first update, and dot-argmax would break the
     * monotone-inertia guarantee there. On the unit-norm SEEDS the two
     * rules agree, which is what lets q57 gate the shared arithmetic. */
-  private def argminL2(vec: Array[Float], cents: Array[(Long, Array[Float])], cNorm2: Array[Double]): Int = {
+  private[graft] def argminL2(vec: Array[Float], cents: Array[Array[Float]], cNorm2: Array[Double]): Int = {
     var bestCi = 0
     var bestScore = Double.NegativeInfinity
     var ci = 0
     while (ci < cents.length) {
-      val cv = cents(ci)._2
+      val cv = cents(ci)
       var dotAcc = 0.0
       var i = 0
       val n = math.min(cv.length, vec.length)
@@ -196,8 +196,55 @@ object Cluster extends QModule {
     bestCi
   }
 
-  private def norms2(cs: Array[(Long, Array[Float])]): Array[Double] =
-    cs.map(_._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+  private[graft] def norms2v(cs: Array[Array[Float]]): Array[Double] =
+    cs.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+
+  private def norms2(cs: Array[(Long, Array[Float])]): Array[Double] = norms2v(cs.map(_._2))
+
+  /** One DRIVER-MODE Lloyd step over an in-memory sample — the same
+    * [[argminL2]] assignment rule and mean update as the distributed
+    * [[lloydStep]], shared so the two cannot drift (VERDICT r7 wrong #5:
+    * [[graft.KernelBench.trainCoarse]] used to carry its own copy of
+    * this loop). Sample-order summation, empty cluster keeps its
+    * previous centroid — semantics identical to the distributed step on
+    * a single partition. */
+  def lloydStepLocal(
+      sample: Array[Array[Float]],
+      cents: Array[Array[Float]]): Array[Array[Float]] = {
+    val k = cents.length
+    val cn2 = norms2v(cents)
+    val dim = if (sample.isEmpty) 0 else sample(0).length
+    val sums = Array.ofDim[Double](k, dim)
+    val counts = new Array[Int](k)
+    var si = 0
+    while (si < sample.length) {
+      val v = sample(si)
+      val best = argminL2(v, cents, cn2)
+      val sa = sums(best)
+      var i = 0
+      while (i < dim) { sa(i) += v(i).toDouble; i += 1 }
+      counts(best) += 1
+      si += 1
+    }
+    Array.tabulate(k) { c =>
+      if (counts(c) > 0) {
+        val a = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { a(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        a
+      } else cents(c)
+    }
+  }
+
+  /** `iters` driver-mode Lloyd steps from the given seeds — the
+    * sample-training entry point the kernel bench's coarse quantizer
+    * uses (FAISS practice: train the IVF quantizer on a bounded sample,
+    * not the corpus). */
+  def lloydLocal(
+      sample: Array[Array[Float]],
+      seeds: Array[Array[Float]],
+      iters: Int): Array[Array[Float]] =
+    (1 to iters).foldLeft(seeds)((cs, _) => lloydStepLocal(sample, cs))
 
   def lloydStep(
       corpus: Dataset[(Long, Array[Float])],
@@ -208,6 +255,7 @@ object Cluster extends QModule {
     val partials: Array[(Long, Array[Double], Long)] = corpus
       .mapPartitions { it =>
         val (cents, cn2) = bc.value
+        val cvecs = cents.map(_._2)
         val kk = cents.length
         var dim = 0
         val sums = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
@@ -218,7 +266,7 @@ object Cluster extends QModule {
             var i = 0
             while (i < kk) { sums += new Array[Double](dim); i += 1 }
           }
-          val bestCi = argminL2(vec, cents, cn2)
+          val bestCi = argminL2(vec, cvecs, cn2)
           val sArr = sums(bestCi)
           var i = 0
           while (i < dim) { sArr(i) += vec(i).toDouble; i += 1 }
@@ -268,12 +316,12 @@ object Cluster extends QModule {
     val corpus = emb(s, d)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
       .as[(Long, Array[Float])]
-    val bc = s.sparkContext.broadcast((cs, norms2(cs)))
+    val bc = s.sparkContext.broadcast((cs.map(_._2), norms2(cs)))
     corpus
       .map { case (_, vec) =>
         val (cents, cn2) = bc.value
         val ci = argminL2(vec, cents, cn2)
-        val cv = cents(ci)._2
+        val cv = cents(ci)
         var acc = 0.0
         var i = 0
         val n = math.min(cv.length, vec.length)

