@@ -21,6 +21,43 @@ object Functions {
     // kmv_distinct(hash, k) — K-Minimum-Values distinct sketch.
     reg.createOrReplaceTempFunction(
       "kmv_distinct", graft.functions.KmvAgg.fromExprs, "built-in")
+    // ann_search(dir, max_query_id, k, n_probe) — the TABLE-VALUED entry
+    // point: `SELECT * FROM ann_search(...)` expands to the engine's
+    // partition-pruned IVF search plan at analysis time.
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "ann_search", annSearchPlan, "built-in")
+  }
+
+  /** Table-function builder for `ann_search(dir, max_query_id, k,
+    * n_probe)`: evaluates the four foldable arguments and expands to the
+    * ANALYZED logical plan of [[operators.Ann.search]] — the same
+    * partition-pruned, broadcast-probed plan the Column API produces, so
+    * the SQL surface inherits every pushdown and the bounded-heap
+    * re-rank rather than re-deriving search semantics in the parser.
+    * (The closest public analog is Spark's own range(...) TVF expanding
+    * to a logical Range node.) Index build-if-absent runs at expansion,
+    * like any view materialization side effect. */
+  private[graft] def annSearchPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 4,
+      s"ann_search(dir, max_query_id, k, n_probe) takes 4 arguments, got ${exprs.length}")
+    def arg(i: Int, what: String): Any = {
+      require(exprs(i).foldable, s"ann_search $what must be a literal, got ${exprs(i)}")
+      val v = exprs(i).eval()
+      require(v != null, s"ann_search $what must not be null")
+      v
+    }
+    val dir = arg(0, "dir").toString
+    def intArg(i: Int, what: String): Int = arg(i, what) match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"ann_search $what must be an integer literal, got $other")
+    }
+    val spark = SparkSession.active
+    operators.Ann
+      .search(spark, dir, intArg(1, "max_query_id"), intArg(2, "k"), intArg(3, "n_probe"))
+      .queryExecution.analyzed
   }
 
   /** Codegen'd dot product (register first — [[GraftSession.build]] does). */

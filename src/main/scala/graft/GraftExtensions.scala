@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvAgg].getName, "kmv_distinct"),
       (exprs: Seq[Expression]) => KmvAgg.fromExprs(exprs)))
+    // table-valued ANN search: SELECT * FROM ann_search(dir, maxQ, k, nProbe)
+    ext.injectTableFunction((
+      FunctionIdentifier("ann_search"),
+      new ExpressionInfo(Functions.getClass.getName, "ann_search"),
+      (exprs: Seq[Expression]) => Functions.annSearchPlan(exprs)))
   }
 }

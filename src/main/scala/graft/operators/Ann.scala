@@ -391,5 +391,21 @@ object Ann extends QModule {
       FROM per_q GROUP BY n_probe ORDER BY n_probe"""
     })
 
-  override def all: Seq[Q] = Seq(v08, v09, v10)
+  // ---------------------------------------------------------------- v15
+  /** The ANN search through the SQL PARSER end to end (VERDICT r7 next
+    * #8): `SELECT … FROM ann_search(dir, maxQ, k, nProbe)` — a
+    * registered table-valued function that expands at analysis time to
+    * the SAME partition-pruned search plan as [[search]] (see
+    * [[graft.Functions.annSearchPlan]]), so SQL users get the engine's
+    * plan, not a parser-side reimplementation. Same parameters and
+    * oracle as v09: identical results through both surfaces IS the
+    * contract under gate. */
+  private val v15 = Q(
+    "v15_sql_ann_search",
+    (s, d) => s.sql(
+      s"SELECT query_id, rnk, doc_id FROM ann_search('$d', 20, 10, 4) ORDER BY query_id, rnk"),
+    Some(s"""WITH $duckCentAssign
+      SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15)
 }

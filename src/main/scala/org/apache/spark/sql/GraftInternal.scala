@@ -26,4 +26,12 @@ object GraftInternal {
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
     : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(registry)
+
+  /** Same bridge for injected TABLE functions (`registerTableFunctions`
+    * is `private[sql]` too) — observes ann_search's injection. */
+  def registerTableFunctions(
+      ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry)
+    : org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    ext.registerTableFunctions(registry)
 }

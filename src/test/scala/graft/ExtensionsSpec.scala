@@ -35,4 +35,33 @@ class ExtensionsSpec extends SparkSpec {
     val norm = reg.lookupFunction(FunctionIdentifier("vec_norm"), Seq(arr(Seq(3.0f, 4.0f))))
     assert(norm.eval(InternalRow.empty) == 5.0)
   }
+
+  test("GraftExtensions injects the ann_search table function; it expands to the engine's search plan") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val treg = new org.apache.spark.sql.catalyst.analysis.SimpleTableFunctionRegistry
+    GraftInternal.registerTableFunctions(ext, treg)
+    assert(treg.functionExists(FunctionIdentifier("ann_search")), "ann_search not injected")
+    // the builder resolves SparkSession.active — set for this thread as
+    // any real SQL analysis thread would have it
+    org.apache.spark.sql.SparkSession.setActiveSession(
+      spark.asInstanceOf[org.apache.spark.sql.SparkSession])
+    // expand with literal args against the fixture and run the produced
+    // plan end to end
+    val plan = treg.lookupFunction(
+      FunctionIdentifier("ann_search"),
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(sf0001)),
+        Literal(20), Literal(10), Literal(4)))
+    val rows = GraftInternal.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.SparkSession], plan).count()
+    assert(rows == 200L, s"ann_search TVF plan returned $rows rows, expected 20 queries x 10")
+    // non-literal args must be rejected loudly
+    intercept[IllegalArgumentException] {
+      treg.lookupFunction(
+        FunctionIdentifier("ann_search"),
+        Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "dir", org.apache.spark.sql.types.StringType)(),
+          Literal(20), Literal(10), Literal(4)))
+    }
+  }
 }
