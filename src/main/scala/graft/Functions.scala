@@ -21,11 +21,34 @@ object Functions {
     // kmv_distinct(hash, k) — K-Minimum-Values distinct sketch.
     reg.createOrReplaceTempFunction(
       "kmv_distinct", graft.functions.KmvAgg.fromExprs, "built-in")
-    // ann_search(dir, max_query_id, k, n_probe) — the TABLE-VALUED entry
-    // point: `SELECT * FROM ann_search(...)` expands to the engine's
-    // partition-pruned IVF search plan at analysis time.
-    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-      "ann_search", annSearchPlan, "built-in")
+    // table-valued entry points: `SELECT * FROM ann_search(...)` /
+    // `FROM cosine_topk(...)` expand to the engine's search plans at
+    // analysis time.
+    val treg = spark.sessionState.tableFunctionRegistry
+    treg.createOrReplaceTempFunction("ann_search", annSearchPlan, "built-in")
+    treg.createOrReplaceTempFunction("cosine_topk", cosineTopKPlan, "built-in")
+  }
+
+  /** Evaluate a TVF's foldable scalar arguments: `name(argNames…)`,
+    * arity-checked, null-rejected. Returns the evaluated values. */
+  private def tvfArgs(
+      name: String,
+      argNames: Seq[String],
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[Any] = {
+    require(exprs.length == argNames.length,
+      s"$name(${argNames.mkString(", ")}) takes ${argNames.length} arguments, got ${exprs.length}")
+    argNames.zip(exprs).map { case (what, e) =>
+      require(e.foldable, s"$name $what must be a literal, got $e")
+      val v = e.eval()
+      require(v != null, s"$name $what must not be null")
+      v
+    }
+  }
+
+  private def asInt(name: String, what: String, v: Any): Int = v match {
+    case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$name $what must be an integer literal, got $other")
   }
 
   /** Table-function builder for `ann_search(dir, max_query_id, k,
@@ -40,23 +63,29 @@ object Functions {
   private[graft] def annSearchPlan(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(exprs.length == 4,
-      s"ann_search(dir, max_query_id, k, n_probe) takes 4 arguments, got ${exprs.length}")
-    def arg(i: Int, what: String): Any = {
-      require(exprs(i).foldable, s"ann_search $what must be a literal, got ${exprs(i)}")
-      val v = exprs(i).eval()
-      require(v != null, s"ann_search $what must not be null")
-      v
-    }
-    val dir = arg(0, "dir").toString
-    def intArg(i: Int, what: String): Int = arg(i, what) match {
-      case n: java.lang.Number => n.intValue()
-      case other => throw new IllegalArgumentException(
-        s"ann_search $what must be an integer literal, got $other")
-    }
-    val spark = SparkSession.active
+    val Seq(dir, maxQ, k, nProbe) =
+      tvfArgs("ann_search", Seq("dir", "max_query_id", "k", "n_probe"), exprs)
     operators.Ann
-      .search(spark, dir, intArg(1, "max_query_id"), intArg(2, "k"), intArg(3, "n_probe"))
+      .search(SparkSession.active, dir.toString,
+        asInt("ann_search", "max_query_id", maxQ),
+        asInt("ann_search", "k", k),
+        asInt("ann_search", "n_probe", nProbe))
+      .queryExecution.analyzed
+  }
+
+  /** Table-function builder for `cosine_topk(dir, max_query_id, k)` —
+    * the EXACT search through the parser: expands to the planned
+    * [[graft.plans.CosineTopK]] operator (custom LogicalPlan + Strategy
+    * + fused-kernel Exec), so a SQL user gets the engine's whole-operator
+    * plan node, optimizer pruning rule included. */
+  private[graft] def cosineTopKPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val Seq(dir, maxQ, k) = tvfArgs("cosine_topk", Seq("dir", "max_query_id", "k"), exprs)
+    operators.VectorSearch
+      .topK(SparkSession.active, dir.toString,
+        asInt("cosine_topk", "max_query_id", maxQ),
+        asInt("cosine_topk", "k", k))
       .queryExecution.analyzed
   }
 

@@ -34,10 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvAgg].getName, "kmv_distinct"),
       (exprs: Seq[Expression]) => KmvAgg.fromExprs(exprs)))
-    // table-valued ANN search: SELECT * FROM ann_search(dir, maxQ, k, nProbe)
+    // table-valued search surfaces: SELECT * FROM ann_search(dir, maxQ,
+    // k, nProbe) / cosine_topk(dir, maxQ, k)
     ext.injectTableFunction((
       FunctionIdentifier("ann_search"),
       new ExpressionInfo(Functions.getClass.getName, "ann_search"),
       (exprs: Seq[Expression]) => Functions.annSearchPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("cosine_topk"),
+      new ExpressionInfo(Functions.getClass.getName, "cosine_topk"),
+      (exprs: Seq[Expression]) => Functions.cosineTopKPlan(exprs)))
   }
 }

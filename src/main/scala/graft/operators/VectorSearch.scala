@@ -374,5 +374,27 @@ object VectorSearch extends QModule {
         FROM scored)
     SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14)
+  // ---------------------------------------------------------------- v16
+  /** The EXACT search through the SQL parser end to end: `SELECT … FROM
+    * cosine_topk(dir, maxQ, k)` — a table-valued function expanding at
+    * analysis time to the planned [[graft.plans.CosineTopK]] operator
+    * (custom LogicalPlan + Strategy + fused-kernel Exec), the companion
+    * of v15's ann_search TVF. Same parameters and oracle as v03:
+    * identical results through both surfaces is the contract. */
+  private val v16 = Q(
+    "v16_sql_cosine_topk",
+    (s, d) => s.sql(
+      s"SELECT query_id, rnk, doc_id FROM cosine_topk('$d', 20, 10) ORDER BY query_id, rnk"),
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+    SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16)
 }

@@ -42,6 +42,7 @@ class ExtensionsSpec extends SparkSpec {
     val treg = new org.apache.spark.sql.catalyst.analysis.SimpleTableFunctionRegistry
     GraftInternal.registerTableFunctions(ext, treg)
     assert(treg.functionExists(FunctionIdentifier("ann_search")), "ann_search not injected")
+    assert(treg.functionExists(FunctionIdentifier("cosine_topk")), "cosine_topk not injected")
     // the builder resolves SparkSession.active — set for this thread as
     // any real SQL analysis thread would have it
     org.apache.spark.sql.SparkSession.setActiveSession(
@@ -55,6 +56,17 @@ class ExtensionsSpec extends SparkSpec {
     val rows = GraftInternal.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.SparkSession], plan).count()
     assert(rows == 200L, s"ann_search TVF plan returned $rows rows, expected 20 queries x 10")
+    // the exact-search companion expands to the planned CosineTopK
+    // operator — its candidate node must appear in the expanded plan
+    val ctPlan = treg.lookupFunction(
+      FunctionIdentifier("cosine_topk"),
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(sf0001)),
+        Literal(20), Literal(10)))
+    assert(ctPlan.collectFirst { case c: graft.plans.CosineCandidates => c }.isDefined,
+      "cosine_topk TVF did not expand to the CosineCandidates plan node")
+    val ctRows = GraftInternal.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.SparkSession], ctPlan).count()
+    assert(ctRows == 200L, s"cosine_topk TVF plan returned $ctRows rows")
     // non-literal args must be rejected loudly
     intercept[IllegalArgumentException] {
       treg.lookupFunction(
