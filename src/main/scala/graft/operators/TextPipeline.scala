@@ -1031,7 +1031,10 @@ object TextPipeline extends QModule {
       chunkByWords(docs(s, d).select($"source", $"doc_id", $"text"), $"text", ChunkWords)
         .groupBy($"source")
         .agg(
-          countDistinct($"doc_id").as("n_docs"),
+          // every doc emits exactly one chunk 0, so counting them is a
+          // MAP-SIDE doc count — no countDistinct two-phase shuffle of
+          // (source, doc_id) pairs (PlanSpec pins the single-agg shape)
+          sum(when($"chunk_id" === 0, 1L).otherwise(0L)).cast("long").as("n_docs"),
           count(lit(1)).as("n_chunks"),
           max(size($"chunk_words")).as("max_chunk_words"),
           sum(size($"chunk_words")).cast("long").as("total_words"),
@@ -1047,12 +1050,13 @@ object TextPipeline extends QModule {
     Some(s"""WITH toks AS (
         SELECT source, doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
       ch AS (
-        SELECT source, doc_id,
-               unnest([ws[i*$ChunkWords+1 : i*$ChunkWords+$ChunkWords]
-                       for i in range(0, CAST(ceil(len(ws) / $ChunkWords.0) AS INT))]) AS cw
-        FROM toks)
+        SELECT source, doc_id, u['cid'] AS cid, u['cw'] AS cw FROM (
+          SELECT source, doc_id,
+                 unnest([{'cid': i, 'cw': ws[i*$ChunkWords+1 : i*$ChunkWords+$ChunkWords]}
+                         for i in range(0, CAST(ceil(len(ws) / $ChunkWords.0) AS INT))]) AS u
+          FROM toks))
     SELECT source,
-      count(DISTINCT doc_id) AS n_docs,
+      CAST(sum(CASE WHEN cid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
       count(*) AS n_chunks,
       max(len(cw)) AS max_chunk_words,
       CAST(sum(len(cw)) AS BIGINT) AS total_words,

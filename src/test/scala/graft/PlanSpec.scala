@@ -106,6 +106,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("length chunking (q60): map-side explode, single aggregate shuffle, no text in any exchange") {
+    val formattedPlan = formatted(q("q60_length_chunk"))
+    val lines = formattedPlan.linesIterator.toSeq
+    // chunking itself is narrow (split -> slice -> posexplode): the only
+    // exchanges are the per-source aggregate's hash shuffle and the final
+    // orderBy's range exchange — a countDistinct-style two-phase doc
+    // dedup shuffle must NOT reappear
+    val exchanges = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => lines(i + 1)
+    }
+    assert(exchanges.length <= 2, s"chunking shuffled more than agg+sort: $exchanges")
+    assert(!exchanges.exists(_.contains("doc_id#")),
+      s"per-doc dedup shuffle crept into q60: $exchanges")
+    // and that shuffle carries partial-agg rows, never the text or the
+    // chunk word arrays
+    val payload = """(\[|, )(text|chunk_words)#""".r
+    exchanges.foreach { in =>
+      assert(payload.findFirstIn(in).isEmpty,
+        s"text/chunk payload rides the aggregate exchange: $in")
+    }
+    assert(formattedPlan.contains("Generate"), "posexplode missing — chunking not map-side")
+  }
+
   test("sequence packing (q53): window partitions by (source, shard), text not in any shuffle") {
     val plan = formatted(q("q53_sequence_pack"))
     assert(plan.contains("Window"), "running-sum window missing")
