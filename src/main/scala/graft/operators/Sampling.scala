@@ -304,5 +304,61 @@ object Sampling extends QModule {
                  / CAST(sum(count(*)) OVER (PARTITION BY source) AS DOUBLE), 4) AS frac
     FROM assigned GROUP BY source, split ORDER BY source, split"""))
 
-  override def all: Seq[Q] = Seq(q27, q28, q50, q53, q54, q59)
+  // ---------------------------------------------------------------- q61
+  /** Deterministic corpus shuffle + shard assignment — the WRITE-side
+    * step between q59's split and q53's packing: training shards must
+    * each be an unbiased corpus sample and the within-shard order must
+    * be pseudo-random (training-order shuffle), yet bit-reproducible
+    * across reruns and engines. Two independent key-LCG variates do
+    * both: `shard_id = floor(u(doc_id) · S)` buckets docs, and a second
+    * variate `u2` (decorrelated by an affine key remap) orders docs
+    * within each shard. Pure functions of doc_id — rerun-stable,
+    * partition-invariant, no RNG state.
+    *
+    * Scale shape: assignment is MAP-SIDE; the census + per-shard head
+    * runs on the bounded-heap `collect_top_k` aggregate (map-side
+    * partial heaps, shuffle carries ≤ tasks × S × head rows — never the
+    * corpus; no per-shard window sort). The actual shard WRITE at scale
+    * is `repartition(S, shard_id).sortWithinPartitions(u2)` — one
+    * intrinsic shuffle, the same order this query's head rows pin. */
+  val ShuffleShards = 16
+  val ShuffleHead = 3
+
+  /** (doc_id → shard_id, order variate) — [[q61]]'s assignment columns,
+    * exposed for the write path. */
+  def shuffleShard(docId: Column): (Column, Column) = (
+    floor(lcgU(docId) * ShuffleShards).cast("long"),
+    lcgU(docId * 31 + 7))
+
+  private val q61 = Q(
+    "q61_corpus_shuffle",
+    (s, d) => {
+      import s.implicits._
+      val (shard, u2) = shuffleShard($"doc_id")
+      Tables(s, d, "documents")
+        .select($"doc_id", shard.as("shard_id"), (-u2).as("negu"))
+        .groupBy($"shard_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          graft.functions.TopKAgg.collectTopK($"negu", $"doc_id", ShuffleHead).as("topk"))
+        .select($"shard_id", $"n_docs", posexplode($"topk").as(Seq("pos", "hit")))
+        .select(
+          $"shard_id", $"n_docs",
+          ($"pos" + 1).cast("long").as("rnk"), $"hit.id".as("doc_id"))
+        .orderBy($"shard_id", $"rnk")
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id,
+               CAST(floor(${duckLcgU("doc_id")} * $ShuffleShards) AS BIGINT) AS shard_id,
+               ${duckLcgU("(doc_id * 31 + 7)")} AS u2
+        FROM documents),
+      c AS (SELECT shard_id, count(*) AS n_docs FROM t GROUP BY shard_id),
+      r AS (SELECT shard_id, doc_id,
+                   row_number() OVER (PARTITION BY shard_id ORDER BY u2, doc_id) AS rn
+            FROM t)
+    SELECT r.shard_id, c.n_docs, CAST(r.rn AS BIGINT) AS rnk, r.doc_id
+    FROM r JOIN c USING (shard_id) WHERE r.rn <= $ShuffleHead
+    ORDER BY shard_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(q27, q28, q50, q53, q54, q59, q61)
 }

@@ -57,4 +57,40 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(bySplit("val") - 0.05) < 0.03, s"val frac ${bySplit("val")}")
     assert(math.abs(bySplit("test") - 0.05) < 0.03, s"test frac ${bySplit("test")}")
   }
+
+  test("corpus shuffle (q61): every doc sharded once, shards balanced, heads are true per-shard minima") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+    val rows = SparkEntry.queries("q61_corpus_shuffle")(spark, sf001).collect()
+    val S = Sampling.ShuffleShards
+    val shards = rows.map(_.getAs[Long]("shard_id")).distinct.sorted
+    assert(shards.forall(s => s >= 0 && s < S), s"shard out of range: ${shards.toSeq}")
+    // census covers the corpus exactly once (n_docs is repeated per head
+    // row — take one per shard)
+    val census = rows.groupBy(_.getAs[Long]("shard_id"))
+      .map { case (k, rs) => k -> rs.head.getAs[Long]("n_docs") }
+    val total = Tables(spark, sf001, "documents").count()
+    assert(census.values.sum == total, "sharding dropped or duplicated docs")
+    // LCG-uniform sharding: no shard dominates (expected n/S = ~31 at
+    // sf0.01's 500 docs; allow a generous 3x band)
+    assert(census.values.max < 3L * total / S, s"skewed shards: $census")
+    // the head rows really are the shard's u2-minima, in oracle order —
+    // recompute driver-side from the raw assignment columns
+    val (shardCol, u2Col) = Sampling.shuffleShard(col("doc_id"))
+    val raw = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), shardCol.as("shard_id"), u2Col.as("u2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val wantHeads = raw.groupBy(_._2).map { case (sh, rs) =>
+      sh -> rs.sortBy(r => (r._3, r._1)).take(Sampling.ShuffleHead).map(_._1).toSeq
+    }
+    val gotHeads = rows.groupBy(_.getAs[Long]("shard_id")).map { case (sh, rs) =>
+      sh -> rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("doc_id")).toSeq
+    }
+    assert(gotHeads == wantHeads, "per-shard heads diverge from the brute-force order")
+    // determinism: pure functions of doc_id — identical under repartition
+    val re = Tables(spark, sf001, "documents").repartition(13)
+      .select(col("doc_id"), shardCol.as("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(raw.forall { case (id, sh, _) => re(id) == sh }, "shard assignment moved under repartition")
+  }
 }
