@@ -1064,6 +1064,124 @@ object TextPipeline extends QModule {
         AS dup_word_ratio
     FROM ch GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- q62
+  /** Character-n-gram language identification — the Cavnar–Trenkle
+    * rank-profile classifier (the "n-gram heuristic" language-ID the
+    * stopword-ratio screen of q25 approximates at word level): each
+    * LANGUAGE gets a profile of its top-[[LangIdK]] char trigrams by
+    * frequency; each DOC gets the same profile of its own text; the doc
+    * is assigned the language minimizing the out-of-place distance
+    * Σ |rank_doc − rank_lang| (absent trigram → [[LangIdK]] penalty).
+    * Ranks, distances and penalties are ALL INTEGERS, so the whole
+    * classifier is bit-deterministic across engines — no float anywhere.
+    *
+    * Scale shape (the q56 discipline): trigrams are hashed through the
+    * 31-bit portable hash MAP-SIDE — gram strings never shuffle. Two
+    * hash-aggregates build the profiles (per-(doc,h) counts, then
+    * bounded-heap top-K per doc — no per-doc window sort); the language
+    * profiles are L×K rows, broadcast; scoring is docs×K×L narrow rows
+    * joined map-side against the broadcast. Training uses the corpus's
+    * own labels (the qrels analog of self-supervision); classifying a
+    * new crawl reuses the broadcast profiles unchanged. */
+  val LangIdK = 40
+
+  /** (doc_id, h, cnt) char-trigram hash counts — the shared build step
+    * for doc and language profiles. Lowercased, whitespace included
+    * (word-boundary trigrams carry signal in Cavnar–Trenkle). */
+  private def triCounts(docsDf: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    // guarded: sequence(1, len-2) would DESCEND at len < 3 (q55's lesson)
+    val grams = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    docsDf
+      .select(col("doc_id"), col("lang"), explode(grams).as("g"))
+      .select(col("doc_id"), col("lang"), shingleHash(col("g")).as("h"))
+      .groupBy(col("doc_id"), col("lang"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Ranked top-[[LangIdK]] profile rows (…, h, rnk) from (…, h, cnt)
+    * via the bounded-heap aggregate; ties (equal count) break h-asc —
+    * the heap's (score desc, id asc) order, mirrored by the oracle's
+    * ROW_NUMBER. */
+  private def profile(counts: DataFrame, keys: Seq[String]): DataFrame =
+    counts
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKAgg.collectTopK(
+        col("cnt").cast("double"), col("h"), LangIdK).as("topk"))
+      .select(keys.map(col) :+ posexplode(col("topk")).as(Seq("pos", "hit")): _*)
+      .select(keys.map(col) :+ (col("pos") + 1).cast("long").as("rnk")
+        :+ col("hit.id").as("h"): _*)
+
+  /** Per-doc predicted language: (doc_id, lang, pred_lang). Profiles are
+    * trained from `docsDf`'s own labels; package-visible for the planted
+    * distinct-alphabet spec. */
+  private[graft] def langIdPredictions(docsDf: DataFrame): DataFrame = {
+    val counts = triCounts(docsDf)
+    val langProf = profile(
+      counts.groupBy(col("lang"), col("h")).agg(sum(col("cnt")).as("cnt")), Seq("lang"))
+      .withColumnRenamed("rnk", "lang_rnk")
+      .withColumnRenamed("lang", "cand_lang")
+    val docProf = profile(counts, Seq("doc_id", "lang"))
+    val langs = langProf.select(col("cand_lang")).distinct()
+    // docs×K×L scoring rows; the candidate side is L×K → broadcast
+    val scored = docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("cand_lang", "h"), "left_outer")
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+      .agg(sum(
+        when(col("lang_rnk").isNull, lit(LangIdK.toLong))
+          .otherwise(abs(col("rnk") - col("lang_rnk")))).as("dist"))
+    // argmin over candidates (ties → lang asc): the window sees L rows
+    // per doc (L = languages, a constant) — bounded per key at any scale
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dist").asc, col("cand_lang").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"))
+  }
+
+  private val q62 = Q(
+    "q62_langid_ngram",
+    (s, d) => {
+      import s.implicits._
+      langIdPredictions(docs(s, d).select($"doc_id", $"lang", $"text"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"pred_lang")
+    },
+    Some(s"""WITH tri AS (
+        SELECT doc_id, lang, ${duckHash("g")} AS h, count(*) AS cnt FROM (
+          SELECT doc_id, lang,
+                 unnest([substr(lower(text), i, 3) for i in range(1, length(text) - 1)]) AS g
+          FROM documents)
+        GROUP BY doc_id, lang, 3),
+      lang_prof AS (
+        SELECT lang AS cand_lang, h, row_number() OVER (
+                 PARTITION BY lang ORDER BY cnt DESC, h) AS lang_rnk
+        FROM (SELECT lang, h, sum(cnt) AS cnt FROM tri GROUP BY lang, h)
+        QUALIFY lang_rnk <= $LangIdK),
+      doc_prof AS (
+        SELECT doc_id, lang, h, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY cnt DESC, h) AS rnk
+        FROM tri QUALIFY rnk <= $LangIdK),
+      scored AS (
+        SELECT p.doc_id, p.lang, c.cand_lang,
+               sum(CASE WHEN l.lang_rnk IS NULL THEN $LangIdK
+                        ELSE abs(p.rnk - l.lang_rnk) END) AS dist
+        FROM doc_prof p
+        CROSS JOIN (SELECT DISTINCT cand_lang FROM lang_prof) c
+        LEFT JOIN lang_prof l ON l.cand_lang = c.cand_lang AND l.h = p.h
+        GROUP BY p.doc_id, p.lang, c.cand_lang),
+      best AS (
+        SELECT doc_id, lang, cand_lang, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY dist, cand_lang) AS rn
+        FROM scored)
+    SELECT lang, cand_lang AS pred_lang, count(*) AS n_docs
+    FROM best WHERE rn = 1 GROUP BY lang, cand_lang ORDER BY lang, pred_lang"""))
+
   // ---------------------------------------------------------------- q56
   /** Cross-document boilerplate detection — the corpus-level complement
     * of q55's within-doc repetition (RefinedWeb/CCNet-style: crawls are
@@ -1146,5 +1264,5 @@ object TextPipeline extends QModule {
     FROM per ORDER BY doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62)
 }

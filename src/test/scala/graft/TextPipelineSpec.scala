@@ -158,6 +158,30 @@ class TextPipelineSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("char-trigram language ID recovers planted distinct-alphabet languages exactly") {
+    import spark.implicits._
+    // three synthetic "languages" with disjoint character inventories;
+    // 4 docs each, word mixes vary per doc — profiles trained on the
+    // labels must classify every doc back to its own language
+    val vocab = Map(
+      "aa" -> Seq("alpha", "apple", "arena", "attar"),
+      "bb" -> Seq("bobble", "bubble", "booboo", "bombom"),
+      "cc" -> Seq("cocci", "circa", "cecum", "cacao"))
+    val docsDf = (for {
+      (lang, words) <- vocab.toSeq
+      i <- 0 until 4
+    } yield {
+      val text = (0 until 30).map(j => words((i + j) % words.length)).mkString(" ")
+      (lang.hashCode.toLong * 10 + i, lang, text)
+    }).toDF("doc_id", "lang", "text")
+    val pred = TextPipeline.langIdPredictions(docsDf).collect()
+    assert(pred.length == 12, "every doc must be classified exactly once")
+    pred.foreach { r =>
+      assert(r.getAs[String]("pred_lang") == r.getAs[String]("lang"),
+        s"doc ${r.getAs[Long]("doc_id")} misclassified: $r")
+    }
+  }
+
   test("q56 flags docs dominated by a cross-document boilerplate block, not unique docs") {
     import spark.implicits._
     // 6 docs share a 10-word boilerplate block (its 8 grams hit df=6 ≥
