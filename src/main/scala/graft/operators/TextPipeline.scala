@@ -1085,18 +1085,46 @@ object TextPipeline extends QModule {
     * new crawl reuses the broadcast profiles unchanged. */
   val LangIdK = 40
 
-  /** (doc_id, h, cnt) char-trigram hash counts — the shared build step
+  /** (doc_id, h, cnt) char-trigram code counts — the shared build step
     * for doc and language profiles. Lowercased, whitespace included
-    * (word-boundary trigrams carry signal in Cavnar–Trenkle). */
+    * (word-boundary trigrams carry signal in Cavnar–Trenkle). The code
+    * is a PERFECT 3-byte pack — `ascii(c₁)·2¹⁶ + ascii(c₂)·2⁸ +
+    * ascii(c₃)` — collision-FREE on the fixture's guarded ASCII range
+    * and ~6 ops/gram, where the 24-round [[graft.functions
+    * .PortableHash]] (built for arbitrary-length shingles) measured as
+    * the dominant q62 cost (22 s → ~4 s at sf0.1). No gram STRING is
+    * ever materialized: codes are computed straight off the text, so
+    * nothing but integers reaches the explode or any shuffle. */
   private def triCounts(docsDf: DataFrame): DataFrame = {
-    val t = lower(col("text"))
+    // lower() is PROJECTED once per row BEFORE the per-position lambda:
+    // referenced inside it, the codegen'd lambda re-lowercases the whole
+    // text per array element — O(L²) chars/doc (measured: the entire
+    // 25 s cold cost of q62's first cut at sf0.1)
+    val t = col("__t")
     // guarded: sequence(1, len-2) would DESCEND at len < 3 (q55's lesson)
-    val grams = when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-    docsDf
-      .select(col("doc_id"), col("lang"), explode(grams).as("g"))
-      .select(col("doc_id"), col("lang"), shingleHash(col("g")).as("h"))
+    val codes = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i =>
+        ascii(t.substr(i, lit(1))) * 65536L +
+          ascii(t.substr(i + 1, lit(1))) * 256L +
+          ascii(t.substr(i + 2, lit(1)))))
+      .otherwise(array().cast("array<long>"))
+    // rebalance BEFORE the ~300× per-row expansion — but ONLY when the
+    // input arrives under-parallel: a small doc table is one input split
+    // (maxPartitionBytes ≫ file size) and AQE never splits a generator's
+    // input, so without this the whole explode+code+agg pipeline runs on
+    // ONE task (measured: 25 s cold → 9.5 s at sf0.1). At real corpus
+    // scale the scan has thousands of natural splits and the guard skips
+    // the shuffle — an unconditional corpus repartition would be pure
+    // overhead there. Hash-partitioning by doc_id also co-locates every
+    // gram of a doc, so BOTH doc-side aggregates below are satisfied by
+    // this one distribution (no further doc-side exchange).
+    val target = docsDf.sparkSession.sessionState.conf.numShufflePartitions
+    val balanced =
+      if (docsDf.rdd.getNumPartitions * 2 < target) docsDf.repartition(col("doc_id"))
+      else docsDf
+    balanced
+      .withColumn("__t", lower(col("text")))
+      .select(col("doc_id"), col("lang"), explode(codes).as("h"))
       .groupBy(col("doc_id"), col("lang"), col("h"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -1116,9 +1144,14 @@ object TextPipeline extends QModule {
 
   /** Per-doc predicted language: (doc_id, lang, pred_lang). Profiles are
     * trained from `docsDf`'s own labels; package-visible for the planted
-    * distinct-alphabet spec. */
-  private[graft] def langIdPredictions(docsDf: DataFrame): DataFrame = {
-    val counts = triCounts(docsDf)
+    * distinct-alphabet spec. `cacheCounts` lets the registry path memoize
+    * the trigram-count frame — BOTH profile branches consume it, and
+    * without a cache the explode+hash scan recomputes per branch (the
+    * dominant cost: measured 15 s → ~8 s at sf0.1). */
+  private[graft] def langIdPredictions(
+      docsDf: DataFrame,
+      cacheCounts: DataFrame => DataFrame = identity): DataFrame = {
+    val counts = cacheCounts(triCounts(docsDf))
     val langProf = profile(
       counts.groupBy(col("lang"), col("h")).agg(sum(col("cnt")).as("cnt")), Seq("lang"))
       .withColumnRenamed("rnk", "lang_rnk")
@@ -1147,17 +1180,22 @@ object TextPipeline extends QModule {
     "q62_langid_ngram",
     (s, d) => {
       import s.implicits._
-      langIdPredictions(docs(s, d).select($"doc_id", $"lang", $"text"))
+      langIdPredictions(
+        docs(s, d).select($"doc_id", $"lang", $"text"),
+        cts => graft.Memo.cached(s, s"langid-tri:$d")(cts))
         .groupBy($"lang", $"pred_lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy($"lang", $"pred_lang")
     },
     Some(s"""WITH tri AS (
-        SELECT doc_id, lang, ${duckHash("g")} AS h, count(*) AS cnt FROM (
+        SELECT doc_id, lang, h, count(*) AS cnt FROM (
           SELECT doc_id, lang,
-                 unnest([substr(lower(text), i, 3) for i in range(1, length(text) - 1)]) AS g
+                 unnest([ascii(substr(lower(text), i, 1)) * 65536
+                         + ascii(substr(lower(text), i + 1, 1)) * 256
+                         + ascii(substr(lower(text), i + 2, 1))
+                         for i in range(1, length(text) - 1)]) AS h
           FROM documents)
-        GROUP BY doc_id, lang, 3),
+        GROUP BY doc_id, lang, h),
       lang_prof AS (
         SELECT lang AS cand_lang, h, row_number() OVER (
                  PARTITION BY lang ORDER BY cnt DESC, h) AS lang_rnk

@@ -106,6 +106,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("language ID (q62): no gram strings exist; only the doc rebalance moves text; profile joins broadcast") {
+    val formattedPlan = formatted(q("q62_langid_ngram"))
+    val lines = formattedPlan.linesIterator.toSeq
+    // trigram CODES are computed straight off the text (no gram string
+    // column is ever materialized), so the only exchange allowed to carry
+    // text is the deliberate under-parallel-input rebalance, which hashes
+    // by doc_id; every other exchange moves integers/partial aggs only
+    val exchanges = lines.zipWithIndex.collect {
+      // formatted mode: "(n) Exchange" header, then Input [...], then
+      // "Arguments: hashpartitioning(...)" — keep both detail lines
+      case (l, i) if l.matches("""\(\d+\) (Broadcast)?Exchange.*""") =>
+        (l, lines(i + 1), lines.drop(i + 1).take(3).find(_.startsWith("Arguments:")).getOrElse(""))
+    }
+    assert(exchanges.nonEmpty)
+    val textPayload = """(\[|, )text#""".r
+    exchanges.foreach { case (header, in, args) =>
+      if (textPayload.findFirstIn(in).isDefined)
+        assert(args.contains("hashpartitioning(doc_id"),
+          s"text rides a non-rebalance exchange: $header / $in / $args")
+    }
+    assert(!formattedPlan.contains(" g#"), "a gram string column materialized")
+    // the L×K language-profile side must broadcast, never sort-merge
+    assert(formattedPlan.contains("BroadcastHashJoin"))
+    assert(!formattedPlan.contains("SortMergeJoin"),
+      "profile scoring fell back to a sort-merge join")
+    assert(!formattedPlan.contains("CartesianProduct"))
+  }
+
   test("length chunking (q60): map-side explode, single aggregate shuffle, no text in any exchange") {
     val formattedPlan = formatted(q("q60_length_chunk"))
     val lines = formattedPlan.linesIterator.toSeq
