@@ -57,6 +57,20 @@ object TextPipeline extends QModule {
   private def shingleFrame(s: SparkSession, d: String): DataFrame =
     shingleFrameOf(s, docs(s, d))
 
+  /** Rebalance a documents-shaped frame BEFORE a heavy per-row
+    * expansion, but ONLY when the input arrives under-parallel: a small
+    * doc table is one input split (maxPartitionBytes ≫ file size) and
+    * AQE never splits a generator's input, so without this every
+    * shingle/gram expansion runs on ONE task (measured on q62: 25 s →
+    * 9.5 s cold at sf0.1). At real corpus scale the scan has thousands
+    * of natural splits and the guard skips the shuffle — an
+    * unconditional corpus repartition would be pure overhead there. */
+  private[graft] def rebalanced(docsDf: DataFrame): DataFrame = {
+    val target = docsDf.sparkSession.sessionState.conf.numShufflePartitions
+    if (docsDf.rdd.getNumPartitions * 2 < target) docsDf.repartition(col("doc_id"))
+    else docsDf
+  }
+
   /** (doc_id, s) shingle frame over an arbitrary documents-shaped frame
     * (doc_id, text) — the seam q56 and the specs share with the
     * dir-loading path above. */
@@ -64,7 +78,7 @@ object TextPipeline extends QModule {
     import s.implicits._
     val ws = $"ws"
     val n = size(ws)
-    docsDf
+    rebalanced(docsDf)
       .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
       .select(
         $"doc_id",
@@ -1108,21 +1122,11 @@ object TextPipeline extends QModule {
           ascii(t.substr(i + 1, lit(1))) * 256L +
           ascii(t.substr(i + 2, lit(1)))))
       .otherwise(array().cast("array<long>"))
-    // rebalance BEFORE the ~300× per-row expansion — but ONLY when the
-    // input arrives under-parallel: a small doc table is one input split
-    // (maxPartitionBytes ≫ file size) and AQE never splits a generator's
-    // input, so without this the whole explode+code+agg pipeline runs on
-    // ONE task (measured: 25 s cold → 9.5 s at sf0.1). At real corpus
-    // scale the scan has thousands of natural splits and the guard skips
-    // the shuffle — an unconditional corpus repartition would be pure
-    // overhead there. Hash-partitioning by doc_id also co-locates every
-    // gram of a doc, so BOTH doc-side aggregates below are satisfied by
-    // this one distribution (no further doc-side exchange).
-    val target = docsDf.sparkSession.sessionState.conf.numShufflePartitions
-    val balanced =
-      if (docsDf.rdd.getNumPartitions * 2 < target) docsDf.repartition(col("doc_id"))
-      else docsDf
-    balanced
+    // see [[rebalanced]] — hash-partitioning by doc_id additionally
+    // co-locates every gram of a doc, so BOTH doc-side aggregates below
+    // are satisfied by this one distribution (no further doc-side
+    // exchange)
+    rebalanced(docsDf)
       .withColumn("__t", lower(col("text")))
       .select(col("doc_id"), col("lang"), explode(codes).as("h"))
       .groupBy(col("doc_id"), col("lang"), col("h"))

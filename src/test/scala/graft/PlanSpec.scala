@@ -178,14 +178,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in q56:\n${plan.take(2000)}")
     // the df/hot-set joins key on the 31-bit hash; the shuffled row must
-    // be (doc_id, h) — the gram string stays in the map-side projection
+    // be (doc_id, h) — the gram string stays in the map-side projection.
+    // The ONE exchange allowed to carry text is the deliberate
+    // under-parallel-input rebalance (hashpartitioning by doc_id) the
+    // shared shingle frame runs before its expansion.
     val formattedPlan = formatted(q("q56_boilerplate"))
     val lines = formattedPlan.linesIterator.toSeq
     lines.zipWithIndex.collect {
-      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => lines(i + 1)
-    }.foreach { in =>
-      assert(!in.contains("text#") && !in.contains(" g#") && !in.contains(" s#"),
-        s"gram/text column rides a shuffle: $in")
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        (lines(i + 1),
+          lines.drop(i + 1).take(3).find(_.startsWith("Arguments:")).getOrElse(""))
+    }.foreach { case (in, args) =>
+      if (in.contains("text#"))
+        assert(args.contains("hashpartitioning(doc_id"),
+          s"text rides a non-rebalance exchange: $in / $args")
+      assert(!in.contains(" g#") && !in.contains(" s#"),
+        s"gram column rides a shuffle: $in")
     }
   }
 
