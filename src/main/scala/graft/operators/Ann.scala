@@ -92,7 +92,7 @@ object Ann extends QModule {
 
   /** The (fs, path) pair for a location string, resolved against the
     * session's Hadoop conf — works for file:/, hdfs://, s3a://, … */
-  private def hfs(s: SparkSession, p: String) = {
+  private[operators] def hfs(s: SparkSession, p: String) = {
     val path = new org.apache.hadoop.fs.Path(p)
     (path.getFileSystem(s.sparkContext.hadoopConfiguration), path)
   }

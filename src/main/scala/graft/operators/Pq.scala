@@ -255,12 +255,25 @@ object Pq extends QModule {
     * top-k.
     * @return (query_id, doc_id, score, rnk) */
   def search(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
-    import s.implicits._
     val cb = codebook(s, d)
+    val encoded = graft.Memo.cached(s, s"pq-encoded:$d")(encode(corpusDs(s, d), cb))
+    searchFrom(s, d, encoded, cb, maxQueryId, k)
+  }
+
+  /** The search pipeline over an arbitrary (doc_id, codes) frame and
+    * codebook — shared by the memoized in-session path ([[search]]) and
+    * the persisted-index serving path ([[searchPersisted]]). */
+  private def searchFrom(
+      s: SparkSession,
+      d: String,
+      encoded: DataFrame,
+      cb: Array[(Long, Array[Double])],
+      maxQueryId: Int,
+      k: Int): DataFrame = {
+    import s.implicits._
     val emb = Tables(s, d, "embeddings")
     val corpus = corpusDs(s, d)
     val queries = corpus.filter($"id" < maxQueryId).collect().sortBy(_._1)
-    val encoded = graft.Memo.cached(s, s"pq-encoded:$d")(encode(corpus, cb))
     val cands = BruteForce
       .rerank(
         adcCandidates(encoded, cb, queries).withColumnRenamed("approx", "score"),
@@ -276,6 +289,47 @@ object Pq extends QModule {
         Seq("query_id"))
       .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"embedding").as("score"))
     BruteForce.rerank(rescored, k)
+  }
+
+  // ----------------------------------------------------- K4: persistence
+  /** K4 for the COMPRESSED tier (the IVF index has [[Ann.buildIndex]];
+    * FAISS persists its PQ index the same way): the trained codebook and
+    * the encoded corpus are written once as parquet under the same
+    * configurable Hadoop-FS root the ANN index uses
+    * ([[Ann.IndexRootConf]]), build-if-absent, and [[searchPersisted]]
+    * serves entirely from the artifacts — a restarted session (or
+    * another cluster) searches without re-training or re-encoding.
+    * Parquet round-trips the double codebook and long codes exactly, so
+    * persisted-serving parity with the in-session path is bit-exact
+    * (v17 shares v13's oracle; PqSpec pins frame equality). */
+  private def pqIndexPath(s: SparkSession, d: String): String = {
+    val root = s.conf.get(Ann.IndexRootConf, "/tmp/graft_index")
+    s"$root/${d.replaceAll("[^A-Za-z0-9.]", "_")}_pq_c${Codes}_s$SubDim"
+  }
+
+  /** Build-if-absent persisted PQ index; returns its location. */
+  def buildPersistedIndex(s: SparkSession, d: String): String = {
+    val path = pqIndexPath(s, d)
+    val (fs, success) = Ann.hfs(s, s"$path/codes/_SUCCESS")
+    if (!fs.exists(success)) {
+      val cb = codebook(s, d)
+      val spark = s
+      import spark.implicits._
+      cb.toSeq.toDF("code_id", "ce")
+        .write.mode("overwrite").parquet(s"$path/codebook")
+      encode(corpusDs(s, d), cb)
+        .write.mode("overwrite").parquet(s"$path/codes")
+    }
+    path
+  }
+
+  /** PQ search served from the PERSISTED index artifacts only. */
+  def searchPersisted(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val path = buildPersistedIndex(s, d)
+    val cb = s.read.parquet(s"$path/codebook")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    searchFrom(s, d, s.read.parquet(s"$path/codes"), cb, maxQueryId, k)
   }
 
   // ------------------------------------------------------------ oracle SQL
@@ -380,7 +434,12 @@ object Pq extends QModule {
         .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
         .orderBy($"query_id", $"rnk")
     },
-    Some(s"""WITH $duckEncode,
+    Some(duckPqSearch))
+
+  /** v13's oracle, shared with v17: the persisted path must produce the
+    * EXACT same answer as the in-session pipeline — parquet round-trips
+    * the double codebook and long codes exactly. */
+  private lazy val duckPqSearch: String = (s"""WITH $duckEncode,
       q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
       -- ADC score == dot(query, PQ reconstruction): per (query, doc),
       -- sum over subspaces of dot(q_sub, codeword_sub)
@@ -410,7 +469,23 @@ object Pq extends QModule {
       SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
       FROM rescored)
-    WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+    WHERE rnk <= 10 ORDER BY query_id, rnk""")
 
-  override def all: Seq[Q] = Seq(v12, v13)
+  // ---------------------------------------------------------------- v17
+  /** K4 persistence for the compressed tier under the oracle gate:
+    * search served entirely from the persisted codebook + codes parquet
+    * (build-if-absent, Hadoop-FS root) — same parameters and oracle as
+    * v13, because persisted serving must be bit-identical to the
+    * in-session pipeline. */
+  private val v17 = Q(
+    "v17_pq_persisted",
+    (s, d) => {
+      import s.implicits._
+      searchPersisted(s, d, maxQueryId = 20, k = 10)
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckPqSearch))
+
+  override def all: Seq[Q] = Seq(v12, v13, v17)
 }

@@ -80,4 +80,29 @@ class PqSpec extends SparkSpec {
       .select(($"score" - Functions.vecDot($"qe", $"embedding")).as("diff"))
     assert(withExact.filter(abs($"diff") > 1e-12).count() == 0)
   }
+
+  test("persisted PQ index: build-if-absent under a custom root, bit-exact serving parity") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    spark.conf.set(graft.operators.Ann.IndexRootConf, root)
+    try {
+      val fromDisk = Pq.searchPersisted(spark, sf0001, maxQueryId = 10, k = 5)
+        .select("query_id", "rnk", "doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+      // artifacts landed under the configured root, not the default
+      val path = new java.io.File(root).listFiles.map(_.getName)
+        .find(_.contains("_pq_")).getOrElse(fail(s"no pq index under $root"))
+      val codes = new java.io.File(s"$root/$path/codes")
+      assert(codes.isDirectory && codes.listFiles.exists(_.getName == "_SUCCESS"))
+      // build-if-absent: a second serve does not rewrite the artifacts
+      val mtime = codes.lastModified
+      Pq.searchPersisted(spark, sf0001, maxQueryId = 10, k = 5).collect()
+      assert(codes.lastModified == mtime, "second serve rebuilt the persisted index")
+      // bit-exact parity with the in-session pipeline
+      val inMem = Pq.search(spark, sf0001, maxQueryId = 10, k = 5)
+        .select("query_id", "rnk", "doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+      assert(fromDisk.sameElements(inMem), "persisted serving diverged from in-session search")
+    } finally spark.conf.unset(graft.operators.Ann.IndexRootConf)
+  }
 }
