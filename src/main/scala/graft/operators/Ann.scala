@@ -87,7 +87,10 @@ object Ann extends QModule {
 
   private def indexPath(s: SparkSession, d: String): String = {
     val root = s.conf.get(IndexRootConf, "/tmp/graft_index")
-    s"$root/${d.replaceAll("[^A-Za-z0-9.]", "_")}_c${centroidCount(s)}"
+    // v2: the artifact schema carries the corpus `label` metadata column
+    // (filtered search pushes predicates into the pruned scan); the
+    // version suffix keeps label-less v1 artifacts from being served.
+    s"$root/${d.replaceAll("[^A-Za-z0-9.]", "_")}_c${centroidCount(s)}v2"
   }
 
   /** The (fs, path) pair for a location string, resolved against the
@@ -110,10 +113,16 @@ object Ann extends QModule {
       val t0 = System.nanoTime()
       val cs = centroids(s, d)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val corpus = emb(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-        .as[(Long, Array[Float])]
-      BruteForce.assign(corpus, cs)
-        .select($"id".as("doc_id"), $"centroid_id", $"vec".as("embedding"))
+      // label rides into the artifact (still one narrow pass — it's a
+      // column of the same scan) so metadata predicates prune at the
+      // index scan itself: partition pruning on centroid_id AND parquet
+      // row-group pushdown on label compose in filtered search.
+      val corpus = emb(s, d)
+        .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+        .as[(Long, Array[Float], Int)]
+      BruteForce.assignTagged(corpus, cs)
+        .select($"id".as("doc_id"), $"tag".as("label"), $"vec".as("embedding"),
+          $"centroid_id")
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
       val sec = (System.nanoTime() - t0) / 1e9
       val n = s.read.parquet(path).count()
@@ -152,8 +161,19 @@ object Ann extends QModule {
     * the nProbe=j candidate set is exactly `prn <= j` — which lets the
     * sensitivity sweep score ONE candidate frame at the widest probe and
     * derive every narrower probe level by filter instead of re-reading
-    * the index per level. */
-  def scoredCandidates(s: SparkSession, d: String, maxQueryId: Int, maxProbe: Int): DataFrame = {
+    * the index per level.
+    *
+    * `pred` (filtered search — the tenant/label predicate every vector
+    * database composes with top-k) applies to the INDEX rows before any
+    * scoring: a declarative filter on the pruned scan, so Catalyst pushes
+    * it into the parquet read (row-group pushdown inside the probed
+    * partitions) and the kernel never scores an excluded row. Pre-filter,
+    * not post-filter — k stays guaranteed over the filtered universe
+    * (post-filtering an unfiltered top-k can return < k, the standard
+    * filtered-ANN pitfall). */
+  def scoredCandidates(
+      s: SparkSession, d: String, maxQueryId: Int, maxProbe: Int,
+      pred: Option[Column] = None): DataFrame = {
     import s.implicits._
     val q = emb(s, d)
       .filter($"vec_id" < maxQueryId)
@@ -172,7 +192,7 @@ object Ann extends QModule {
     // Candidate generation: partition-pruned join against the index; the
     // probed side is tiny → broadcast; only probed centroid partitions of
     // the index are read.
-    loadIndex(s, d)
+    pred.foldLeft(loadIndex(s, d))(_ filter _)
       .join(broadcast(probed), Seq("centroid_id"))
       .filter($"query_id" =!= $"doc_id")
       .select($"query_id", $"doc_id",
@@ -182,9 +202,10 @@ object Ann extends QModule {
   /** V3/V5 search: top-k per query with nProbe probed partitions. Final
     * rank via the bounded-heap aggregate — no per-query window sort.
     * @return (query_id, doc_id, score, rnk) */
-  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame =
+  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int,
+      pred: Option[Column] = None): DataFrame =
     BruteForce.rerank(
-      scoredCandidates(s, d, maxQueryId, nProbe).drop("prn"), k)
+      scoredCandidates(s, d, maxQueryId, nProbe, pred).drop("prn"), k)
 
   /** V7 with the TIMING dimension (VERDICT r3 missing #1): per nProbe
     * level, run a FRESH partition-pruned search (each level really reads
@@ -259,8 +280,11 @@ object Ann extends QModule {
           FROM embeddings e, cent c)
         WHERE rn = 1)"""
 
-  /** Per-query ANN top-k as SQL, parameterized by query bound / k / nProbe. */
-  private[graft] def duckSearch(maxQ: Int, k: Int, nProbe: Int): String =
+  /** Per-query ANN top-k as SQL, parameterized by query bound / k /
+    * nProbe / corpus predicate (`predSql` over alias `e`, the candidate's
+    * embeddings row — mirrors the engine's pre-filter on index rows). */
+  private[graft] def duckSearch(maxQ: Int, k: Int, nProbe: Int,
+      predSql: String = "TRUE"): String =
     s"""SELECT query_id, doc_id, rnk FROM (
         SELECT s.query_id, s.doc_id,
                row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rnk
@@ -275,7 +299,7 @@ object Ann extends QModule {
             WHERE prn <= $nProbe) p
           JOIN assign a USING (centroid_id)
           JOIN embeddings e ON e.vec_id = a.doc_id
-          WHERE a.doc_id <> p.query_id) s)
+          WHERE a.doc_id <> p.query_id AND ($predSql)) s)
       WHERE rnk <= $k"""
 
   // ---------------------------------------------------------------- v08
@@ -407,5 +431,25 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15)
+  // ---------------------------------------------------------------- v19
+  /** FILTERED ANN search — metadata predicate composed with approximate
+    * top-k THROUGH the index (v18 is the exact-scan variant). The label
+    * column was carried into the index artifact at build time
+    * ([[buildIndex]]), so the predicate is a declarative filter on the
+    * pruned index scan: parquet row-group pushdown INSIDE the probed
+    * partitions, no corpus join, no post-filtering. nProbe is widened to
+    * 8 (vs v09's 4) because a selective predicate thins each probed
+    * partition — the standard filtered-ANN dial. k stays guaranteed over
+    * the filtered universe within the probe set. */
+  private val v19 = Q(
+    "v19_filtered_ann",
+    (s, d) => search(s, d, maxQueryId = 20, k = 10, nProbe = 8,
+        pred = Some(col("label") % 3 === 0))
+      .select(col("query_id"), col("rnk"), col("doc_id")),
+    Some(s"""WITH $duckCentAssign
+      SELECT query_id, rnk, doc_id
+      FROM (${duckSearch(20, 10, 8, "e.label % 3 = 0")})
+      ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19)
 }

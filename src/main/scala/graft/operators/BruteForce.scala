@@ -168,21 +168,49 @@ object BruteForce {
     // the vector rides along in the output so an index build is ONE
     // narrow pass — no rejoin against the corpus to recover it
     corpus.map { case (id, vec) =>
-      val cs = bc.value
-      var bestId = -1L
-      var bestScore = Double.NegativeInfinity
-      var ci = 0
-      while (ci < cs.length) {
-        val (cid, cv) = cs(ci)
-        val n = math.min(cv.length, vec.length)
-        var s = 0.0
-        var i = 0
-        while (i < n) { s += cv(i).toDouble * vec(i).toDouble; i += 1 }
-        if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
-        ci += 1
-      }
+      val (bestId, bestScore) = nearestCentroid(vec, bc.value)
       (id, bestId, bestScore, vec)
     }.toDF("id", "centroid_id", "score", "vec")
+  }
+
+  /** The argmax-dot kernel shared by [[assign]] and the metadata-carrying
+    * index build ([[assignTagged]]): (centroid id, score) of the
+    * best-dot centroid, ties to the smallest id. */
+  private[operators] def nearestCentroid(
+      vec: Array[Float],
+      cs: Array[(Long, Array[Float])]): (Long, Double) = {
+    var bestId = -1L
+    var bestScore = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cs.length) {
+      val (cid, cv) = cs(ci)
+      val n = math.min(cv.length, vec.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += cv(i).toDouble * vec(i).toDouble; i += 1 }
+      if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
+      ci += 1
+    }
+    (bestId, bestScore)
+  }
+
+  /** [[assign]] with a metadata column riding along — the build path for
+    * a FILTERED index ([[Ann.buildIndex]] carries the corpus `label` into
+    * the persisted artifact so search-time predicates push down into the
+    * pruned index scan instead of joining the corpus back). Same
+    * shuffle-free narrow-map shape.
+    *
+    * @return (id, centroid_id, tag, vec)
+    */
+  def assignTagged(
+      corpus: Dataset[(Long, Array[Float], Int)],
+      centroids: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    corpus.map { case (id, vec, tag) =>
+      (id, nearestCentroid(vec, bc.value)._1, tag, vec)
+    }.toDF("id", "centroid_id", "tag", "vec")
   }
 
   /** Convenience wrapper over DataFrames with (idCol, vecCol) layout; the

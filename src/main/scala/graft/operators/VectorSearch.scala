@@ -396,5 +396,44 @@ object VectorSearch extends QModule {
         FROM scored)
     SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16)
+  // ---------------------------------------------------------------- v18
+  /** FILTERED vector search — the classic vector-database feature every
+    * production deployment needs (tenant / language / label predicates
+    * composed with top-k): exact cosine top-10 over the subset of the
+    * corpus with `label % 3 = 0`, queries unrestricted (vec_id < 20).
+    * Spark-first composition: the predicate is an ordinary `filter` on
+    * the corpus frame BEFORE the planned [[graft.plans.CosineTopK]]
+    * operator, so Catalyst pushes it into the parquet scan
+    * (`PushedFilters` — pinned in FilteredSearchSpec) and the kernel
+    * never scores a filtered-out row: a pre-filter, not the lossy
+    * post-filter (searching top-k first and filtering after can return
+    * < k rows — the standard filtered-ANN pitfall). k is guaranteed over
+    * the filtered universe. At 100 TB the same shape rides partition
+    * pruning / zone maps for free because the filter is declarative. */
+  private val v18 = Q(
+    "v18_filtered_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val corpus = e.filter($"label" % 3 === 0)
+        .select($"vec_id".as("id"), $"embedding".as("vec"))
+      val qs = e.filter($"vec_id" < 20)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+      graft.plans.CosineTopK.topK(corpus, qs, k = 10, excludeSelf = true)
+        .select($"query_id", $"rnk", $"doc_id")
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.label % 3 = 0 AND c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+    SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18)
 }

@@ -72,7 +72,7 @@ class AnnSpec extends SparkSpec {
       assert(Ann.centroids(s2, sf0001).count() == 8)
       // the index artifact is C-specific, so sizes coexist on disk
       val path = Ann.buildIndex(s2, sf0001)
-      assert(path.endsWith("_c8"), path)
+      assert(path.endsWith("_c8v2"), path)
       val dirs = new java.io.File(path).listFiles()
         .filter(_.isDirectory).map(_.getName).filter(_.startsWith("centroid_id="))
       assert(dirs.length == 8, dirs.mkString(","))
