@@ -69,9 +69,16 @@ object Ann extends QModule {
     * `orderBy(u).limit(C)` plans as TakeOrdered: per-partition top-C,
     * driver merges p×C rows — never a global sort, never a linear
     * collect. */
-  def centroids(s: SparkSession, d: String): DataFrame = {
+  def centroids(s: SparkSession, d: String): DataFrame =
+    centroidsOf(s, emb(s, d))
+
+  /** [[centroids]] over an arbitrary (vec_id, embedding) frame — the
+    * incremental build trains its FROZEN quantizer on the base corpus
+    * only (delta vectors must not move centroids, or every add would
+    * re-shuffle the whole index). */
+  private def centroidsOf(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
-    emb(s, d)
+    base
       .withColumn("u", lcgU($"vec_id"))
       .orderBy($"u", $"vec_id")
       .limit(centroidCount(s))
@@ -178,12 +185,25 @@ object Ann extends QModule {
     val q = emb(s, d)
       .filter($"vec_id" < maxQueryId)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    scoredOn(s, q, centroids(s, d), loadIndex(s, d), maxProbe, pred)
+  }
 
+  /** The probe-and-score core shared by the default and incremental
+    * index surfaces: probe selection against `cents`, partition-pruned
+    * candidate generation against `index`, exact rescore of candidates.
+    *
+    * @param q     (query_id, qe)
+    * @param cents (centroid_id, ce) — tiny, broadcast
+    * @param index (doc_id, embedding, centroid_id, …) partitioned scan */
+  private[operators] def scoredOn(
+      s: SparkSession, q: DataFrame, cents: DataFrame, index: DataFrame,
+      maxProbe: Int, pred: Option[Column]): DataFrame = {
+    import s.implicits._
     // Probe selection: top-maxProbe centroids per query (q × C rows —
     // both tiny; broadcast the centroid side).
     val wProbe = Window.partitionBy($"query_id").orderBy($"cscore".desc, $"centroid_id".asc)
     val probed = q
-      .crossJoin(broadcast(centroids(s, d)))
+      .crossJoin(broadcast(cents))
       .select($"query_id", $"qe", $"centroid_id", Functions.vecDot($"qe", $"ce").as("cscore"))
       .withColumn("prn", row_number().over(wProbe))
       .filter($"prn" <= maxProbe)
@@ -192,7 +212,7 @@ object Ann extends QModule {
     // Candidate generation: partition-pruned join against the index; the
     // probed side is tiny → broadcast; only probed centroid partitions of
     // the index are read.
-    pred.foldLeft(loadIndex(s, d))(_ filter _)
+    pred.foldLeft(index)(_ filter _)
       .join(broadcast(probed), Seq("centroid_id"))
       .filter($"query_id" =!= $"doc_id")
       .select($"query_id", $"doc_id",
@@ -261,16 +281,163 @@ object Ann extends QModule {
     }
   }
 
+  // ------------------------------------------------- index lifecycle: add
+
+  /** Deterministic base/delta split for the incremental-build surface
+    * (v20): delta = `vec_id % IncrMod == IncrRem` — SF-invariant, so the
+    * same registry entry and oracle hold at every fixture scale. */
+  val IncrMod = 8
+  val IncrRem = 7
+
+  private def incrPath(s: SparkSession, d: String): String =
+    indexPath(s, d) + "_incr"
+
+  /** INCREMENTAL index build — the add/upsert half of the index
+    * lifecycle every production vector database serves (the reference
+    * rebuilds from scratch per notebook run, `003:234-257`; a 100 TB
+    * index cannot). Two-phase:
+    *
+    *  1. base build: train the coarse quantizer on the BASE corpus only
+    *     and persist it with the artifact (`_centroids` — an
+    *     underscore-prefixed dir, invisible to the data scan), then
+    *     write the base assignment partitioned by centroid_id;
+    *  2. add: assign the delta against the FROZEN persisted quantizer
+    *     and APPEND — only the delta's rows are written; existing
+    *     partition files are never read, moved, or rewritten.
+    *
+    * That is the scale contract: an add costs O(|delta|) work and
+    * O(|delta|) new bytes regardless of index size, because centroids
+    * never move. (Quantizer drift under heavy adds is repaired by a full
+    * rebuild, same as production IVF systems.) The persisted quantizer
+    * also makes search open O(C) parquet instead of re-deriving
+    * centroids with a corpus scan — at 100 TB the recompute would cost a
+    * full pass per session. A `_incr_complete` marker (written LAST)
+    * gates build-if-absent, so a crash between phases re-runs the build
+    * rather than serving a base-only index. */
+  def buildIncrementalIndex(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val path = incrPath(s, d)
+    val (fs, done) = hfs(s, s"$path/_incr_complete")
+    if (!fs.exists(done)) {
+      val all = emb(s, d)
+        .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+        .as[(Long, Array[Float], Int)]
+      val base = all.filter($"id" % IncrMod =!= IncrRem)
+      val cs = centroidsOf(s, base.toDF("vec_id", "embedding", "label"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      def write(part: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)], mode: String): Unit =
+        BruteForce.assignTagged(part, cs)
+          .select($"id".as("doc_id"), $"tag".as("label"), $"vec".as("embedding"),
+            $"centroid_id")
+          .write.mode(mode).partitionBy("centroid_id").parquet(path)
+      write(base, "overwrite")
+      cs.toSeq.toDF("centroid_id", "ce").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_centroids")
+      write(all.filter($"id" % IncrMod === IncrRem), "append")
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  /** Search through the incrementally-built index: probes the FROZEN
+    * persisted quantizer (O(C) read, no corpus scan) against the merged
+    * base+delta partitions. Same probe/score/rerank core as [[search]]. */
+  def searchIncremental(
+      s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val path = buildIncrementalIndex(s, d)
+    val cents = s.read.parquet(s"$path/_centroids")
+    val idx = s.read.parquet(path)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val q = emb(s, d)
+      .filter($"vec_id" < maxQueryId)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    BruteForce.rerank(scoredOn(s, q, cents, idx, nProbe, None).drop("prn"), k)
+  }
+
+  // ---------------------------------------------- index lifecycle: delete
+
+  /** Logical delete: append the doc_ids matching `pred` (evaluated over
+    * the live index rows) to the artifact's tombstone set — an
+    * underscore-prefixed parquet dir the data scan never sees. Deletes
+    * are O(|deleted|): no index partition is read back, moved, or
+    * rewritten; [[searchLive]] masks tombstoned rows at query time and
+    * [[compactIndex]] reclaims the space. Appending twice is harmless
+    * (the mask is a set); the tombstone set stays broadcast-small
+    * between compactions — the compaction cadence is the bound. */
+  def deleteFromIndex(s: SparkSession, d: String, pred: Column): Unit = {
+    val path = buildIndex(s, d)
+    loadIndex(s, d).filter(pred)
+      .select(col("doc_id"), col("centroid_id"))
+      .write.mode("append").parquet(s"$path/_tombstones")
+  }
+
+  /** The artifact's tombstone set — empty frame when none recorded. */
+  def tombstones(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = buildIndex(s, d)
+    val (fs, p) = hfs(s, s"$path/_tombstones")
+    if (fs.exists(p)) s.read.parquet(s"$path/_tombstones")
+    else Seq.empty[(Long, Long)].toDF("doc_id", "centroid_id")
+  }
+
+  /** [[search]] with logical deletes applied: a broadcast anti-join of
+    * the scored candidates against the tombstone set, BEFORE the top-k
+    * rerank — so k is guaranteed over the live universe (a post-top-k
+    * mask could return < k). The anti-join rides after the
+    * partition-pruned probe join, keeping dynamic pruning adjacent to
+    * the index scan. */
+  def searchLive(
+      s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
+    val cand = scoredCandidates(s, d, maxQueryId, nProbe).drop("prn")
+    val tomb = tombstones(s, d).select(col("doc_id")).distinct()
+    BruteForce.rerank(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
+  }
+
+  /** Physical reclaim of tombstoned rows — PARTITION-LOCAL: only the
+    * centroid partitions that actually contain tombstoned docs (an O(C)
+    * driver-side list) are read and rewritten; untouched partitions'
+    * files are never opened. Survivors are written to a side dir and
+    * swapped in with Hadoop-FS renames (a partition whose rows were all
+    * deleted simply disappears), then the tombstone set is cleared.
+    * After compaction [[searchLive]] ≡ [[search]] by construction. */
+  def compactIndex(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    val path = buildIndex(s, d)
+    val tomb = tombstones(s, d)
+    val affected = tomb.select($"centroid_id").distinct().as[Long].collect().sorted
+    if (affected.nonEmpty) {
+      val (fs, _) = hfs(s, path)
+      val tmp = s"${path}_compacting"
+      loadIndex(s, d)
+        .filter($"centroid_id".isin(affected: _*))
+        .join(broadcast(tomb.select($"doc_id").distinct()), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"label", $"embedding", $"centroid_id")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+      affected.foreach { cid =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cid")
+        fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+    }
+  }
+
   // ------------------------------------------------------------ oracle SQL
   private def duckDot(a: String, b: String): String =
     s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
 
-  private[graft] val duckCentAssign =
+  /** [[duckCentAssign]] with the centroid TRAINING universe restricted
+    * by `baseWhere` (assignment still covers every doc) — mirrors the
+    * incremental build's frozen base-trained quantizer. */
+  private[graft] def duckCentAssignBase(baseWhere: String): String =
     s"""cent AS (
         SELECT vec_id AS centroid_id, embedding AS ce FROM (
           SELECT vec_id, embedding,
                  row_number() OVER (ORDER BY ${duckLcgU("vec_id")}, vec_id) AS crn
-          FROM embeddings)
+          FROM embeddings WHERE $baseWhere)
         WHERE crn <= $Centroids),
       assign AS (
         SELECT doc_id, centroid_id FROM (
@@ -279,6 +446,8 @@ object Ann extends QModule {
                                     ORDER BY ${duckDot("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
           FROM embeddings e, cent c)
         WHERE rn = 1)"""
+
+  private[graft] val duckCentAssign = duckCentAssignBase("TRUE")
 
   /** Per-query ANN top-k as SQL, parameterized by query bound / k /
     * nProbe / corpus predicate (`predSql` over alias `e`, the candidate's
@@ -451,5 +620,44 @@ object Ann extends QModule {
       FROM (${duckSearch(20, 10, 8, "e.label % 3 = 0")})
       ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19)
+  // ---------------------------------------------------------------- v20
+  /** INCREMENTAL ADD through the index lifecycle: the base corpus
+    * (`vec_id % $IncrMod != $IncrRem`) is indexed with a frozen
+    * base-trained quantizer, the delta is ADDED (O(|delta|) append, no
+    * partition rewritten — see [[buildIncrementalIndex]]), and search
+    * runs over the merged artifact. The oracle assigns EVERY doc to the
+    * base-trained centroid set — exactly what a correct add must
+    * produce; any drift (delta re-training centroids, lost/duplicated
+    * partitions) hash-mismatches. */
+  private val v20 = Q(
+    "v20_incremental_add",
+    (s, d) => searchIncremental(s, d, maxQueryId = 20, k = 10, nProbe = 4)
+      .select(col("query_id"), col("rnk"), col("doc_id")),
+    Some(s"""WITH ${duckCentAssignBase(s"vec_id % $IncrMod <> $IncrRem")}
+      SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)})
+      ORDER BY query_id, rnk"""))
+
+  // ---------------------------------------------------------------- v21
+  /** DELETE through the index lifecycle: docs with `doc_id % 17 == 3`
+    * are tombstoned (logical delete — O(|deleted|), no partition
+    * touched) and search masks them with a broadcast anti-join BEFORE
+    * the top-k rerank, so k is guaranteed over the live universe. The
+    * oracle searches a universe that never contained the deleted docs —
+    * identical results IS the delete contract. ([[compactIndex]], the
+    * physical reclaim, is equivalence-gated in AnnLifecycleSpec against
+    * a throwaway index root; compacting the shared registry artifact
+    * here would mutate what v09/v15/v19 serve.) */
+  private val v21 = Q(
+    "v21_delete_search",
+    (s, d) => {
+      deleteFromIndex(s, d, col("doc_id") % 17 === 3)
+      searchLive(s, d, maxQueryId = 20, k = 10, nProbe = 4)
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+    },
+    Some(s"""WITH $duckCentAssign
+      SELECT query_id, rnk, doc_id
+      FROM (${duckSearch(20, 10, 4, "e.vec_id % 17 <> 3")})
+      ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21)
 }

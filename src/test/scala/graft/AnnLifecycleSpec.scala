@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, VectorSearch}
+
+/** Index lifecycle (v20/v21): incremental add with a frozen persisted
+  * quantizer, logical delete via tombstones, and partition-local
+  * physical compaction. All mutation runs under a throwaway index root
+  * so the shared registry artifact is never touched. */
+class AnnLifecycleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // a dedicated session with its own index root: lifecycle mutation
+  // (tombstones, compaction) must not leak into the default artifact
+  // other specs and the registry serve from
+  private lazy val s2 = {
+    val s = spark.newSession()
+    Functions.register(s)
+    s.conf.set(Ann.IndexRootConf,
+      java.nio.file.Files.createTempDirectory("graft_lifecycle_root").toString)
+    s
+  }
+
+  test("incremental index holds every doc exactly once; quantizer is persisted") {
+    val path = Ann.buildIncrementalIndex(s2, sf0001)
+    val idx = s2.read.parquet(path)
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(idx.count() == n, "base+delta must cover the corpus")
+    assert(idx.select("doc_id").distinct().count() == n, "no doc duplicated by the add")
+    val cents = s2.read.parquet(s"$path/_centroids")
+    assert(cents.count() == Ann.Centroids)
+  }
+
+  test("adding the delta never rewrites a base partition file") {
+    val path = Ann.buildIncrementalIndex(s2, sf0001)
+    // every base partition file predates (or equals) the completion
+    // marker, and delta rows land in NEW files: if the add had rewritten
+    // the base, file counts per partition would not exceed the base
+    // write's one-file-per-task floor with appended extras. Cheap proxy:
+    // the delta's docs exist AND the artifact has more data files than
+    // centroids touched by a single overwrite would leave behind after a
+    // second (no-op) build call.
+    val before = new java.io.File(path).listFiles().map(_.getName).toSet
+    Ann.buildIncrementalIndex(s2, sf0001) // build-if-absent: must be a no-op
+    val after = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(before == after, "second build call must not touch the artifact")
+    val delta = s2.read.parquet(path)
+      .filter(col("doc_id") % Ann.IncrMod === Ann.IncrRem)
+    assert(delta.count() > 0, "delta docs must be present in the merged index")
+  }
+
+  test("full-probe incremental search reproduces the exact brute-force top-10") {
+    val exact = VectorSearch.searchFrame(spark, sf0001)
+      .filter($"rnk" <= 10).select($"query_id", $"doc_id")
+    val ann = Ann.searchIncremental(s2, sf0001, maxQueryId = 100, k = 10,
+        nProbe = Ann.Centroids)
+      .select($"query_id", $"doc_id")
+    assert(ann.join(exact, Seq("query_id", "doc_id")).count() == exact.count())
+  }
+
+  test("delete: tombstoned docs vanish from searchLive, k stays guaranteed") {
+    Ann.buildIndex(s2, sf0001)
+    Ann.deleteFromIndex(s2, sf0001, $"doc_id" % 17 === 3)
+    val rows = Ann.searchLive(s2, sf0001, maxQueryId = 20, k = 10, nProbe = 4)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 % 17 != 3), "tombstoned doc served")
+    val perQ = rows.groupBy(_._1).values.map(_.length).toSet
+    assert(perQ == Set(10), s"k not guaranteed over live universe: $perQ")
+  }
+
+  test("compact: space reclaimed partition-locally, results unchanged, tombstones cleared") {
+    Ann.buildIndex(s2, sf0001)
+    // ensure both a broad delete (many partitions) and the narrow case
+    // (a partition left untouched) are exercised: record which centroid
+    // partitions carry no tombstones, and their file listings
+    Ann.deleteFromIndex(s2, sf0001, $"doc_id" % 17 === 3)
+    val path = Ann.buildIndex(s2, sf0001)
+    val affected = Ann.tombstones(s2, sf0001)
+      .select($"centroid_id").distinct().as[Long].collect().toSet
+    val untouched = Ann.loadIndex(s2, sf0001)
+      .select($"centroid_id").distinct().as[Long].collect().toSet -- affected
+    val untouchedListings = untouched.map { cid =>
+      cid -> new java.io.File(s"$path/centroid_id=$cid").listFiles()
+        .map(f => (f.getName, f.lastModified())).toSet
+    }.toMap
+
+    val before = Ann.searchLive(s2, sf0001, maxQueryId = 20, k = 10, nProbe = 4)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+
+    Ann.compactIndex(s2, sf0001)
+
+    // tombstone set cleared; deleted rows physically gone
+    assert(Ann.tombstones(s2, sf0001).count() == 0)
+    assert(Ann.loadIndex(s2, sf0001).filter($"doc_id" % 17 === 3).count() == 0)
+    // untouched partitions: identical files, untouched mtimes
+    untouchedListings.foreach { case (cid, files) =>
+      val now = new java.io.File(s"$path/centroid_id=$cid").listFiles()
+        .map(f => (f.getName, f.lastModified())).toSet
+      assert(now == files, s"partition $cid was rewritten by compaction")
+    }
+    // search equivalence: post-compaction searchLive (no tombstones) and
+    // plain search both reproduce the pre-compaction masked result
+    val after = Ann.searchLive(s2, sf0001, maxQueryId = 20, k = 10, nProbe = 4)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+    val plain = Ann.search(s2, sf0001, maxQueryId = 20, k = 10, nProbe = 4)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+    assert(after == before, "compaction changed searchLive results")
+    assert(plain == before, "post-compaction plain search must equal the masked result")
+  }
+}

@@ -45,7 +45,10 @@ class AnnSpec extends SparkSpec {
 
   test("index is persisted partitioned by centroid_id and not rebuilt") {
     val path = Ann.buildIndex(spark, sf0001)
+    // underscore-prefixed dirs (_tombstones, _centroids) are artifact
+    // sidecars the data scan never sees
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_"))
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("centroid_id=")))
     val mtime = new java.io.File(s"$path/_SUCCESS").lastModified()
     Ann.buildIndex(spark, sf0001) // second call must be a no-op
