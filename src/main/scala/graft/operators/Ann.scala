@@ -319,25 +319,77 @@ object Ann extends QModule {
     val path = incrPath(s, d)
     val (fs, done) = hfs(s, s"$path/_incr_complete")
     if (!fs.exists(done)) {
-      val all = emb(s, d)
-        .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
-        .as[(Long, Array[Float], Int)]
-      val base = all.filter($"id" % IncrMod =!= IncrRem)
-      val cs = centroidsOf(s, base.toDF("vec_id", "embedding", "label"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      def write(part: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)], mode: String): Unit =
-        BruteForce.assignTagged(part, cs)
-          .select($"id".as("doc_id"), $"tag".as("label"), $"vec".as("embedding"),
-            $"centroid_id")
-          .write.mode(mode).partitionBy("centroid_id").parquet(path)
-      write(base, "overwrite")
-      cs.toSeq.toDF("centroid_id", "ce").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/_centroids")
-      write(all.filter($"id" % IncrMod === IncrRem), "append")
+      seedBaseIndex(s, d, path)
+      addVectors(s, path, corpusTyped(s, d).filter($"id" % IncrMod === IncrRem))
       fs.create(done, true).close()
     }
     path
   }
+
+  private def corpusTyped(s: SparkSession, d: String) = {
+    import s.implicits._
+    emb(s, d)
+      .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+      .as[(Long, Array[Float], Int)]
+  }
+
+  /** Phase 1 of the incremental build, callable on its own (the
+    * streaming-ingest parity test seeds a base artifact and streams the
+    * delta in): train the frozen quantizer on the BASE corpus, write the
+    * base assignment, persist the quantizer sidecar. */
+  private[graft] def seedBaseIndex(s: SparkSession, d: String, path: String): Unit = {
+    import s.implicits._
+    val base = corpusTyped(s, d).filter($"id" % IncrMod =!= IncrRem)
+    val cs = centroidsOf(s, base.toDF("vec_id", "embedding", "label"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assignWrite(s, path, base, cs, "overwrite")
+    cs.toSeq.toDF("centroid_id", "ce").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  private def assignWrite(
+      s: SparkSession, path: String,
+      part: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)],
+      cs: Array[(Long, Array[Float])], mode: String): Unit = {
+    import s.implicits._
+    BruteForce.assignTagged(part, cs)
+      .select($"id".as("doc_id"), $"tag".as("label"), $"vec".as("embedding"),
+        $"centroid_id")
+      .write.mode(mode).partitionBy("centroid_id").parquet(path)
+  }
+
+  /** ADD a (id, vec, label) delta against an artifact's FROZEN persisted
+    * quantizer: assign with the shared argmax-dot kernel and append —
+    * O(|delta|) work and bytes, no existing partition file read or
+    * rewritten. The building block behind [[buildIncrementalIndex]]'s
+    * phase 2 and the streaming [[ingestStream]] sink. */
+  def addVectors(
+      s: SparkSession, path: String,
+      delta: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = {
+    import s.implicits._
+    val cs = s.read.parquet(s"$path/_centroids")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assignWrite(s, path, delta, cs, "append")
+  }
+
+  /** STREAMING ingest into the index: each micro-batch of (id, vec,
+    * label) rows is assigned against the frozen quantizer and appended
+    * via [[addVectors]] — the index artifact is the stream's sink, and
+    * search over it serves fresh vectors as soon as their batch commits.
+    * Batch ≡ stream by construction (same kernel, same append), pinned
+    * in AnnLifecycleSpec: a MemoryStream-fed ingest produces an artifact
+    * identical to [[buildIncrementalIndex]]'s. At scale the micro-batch
+    * cadence bounds file counts; compaction coalesces small files the
+    * same way it reclaims deletes. */
+  def ingestStream(
+      s: SparkSession, path: String,
+      stream: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)], _: Long) =>
+        addVectors(s, path, batch)
+      }
+      .start()
 
   /** Search through the incrementally-built index: probes the FROZEN
     * persisted quantizer (O(C) read, no corpus scan) against the merged

@@ -60,6 +60,40 @@ class AnnLifecycleSpec extends SparkSpec {
     assert(ann.join(exact, Seq("query_id", "doc_id")).count() == exact.count())
   }
 
+  test("streaming ingest produces an artifact identical to the batch incremental build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // seed a base-only artifact in its own root, then stream the SAME
+    // delta the batch build appends, split across two micro-batches
+    val s3 = spark.newSession()
+    Functions.register(s3)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_root").toString
+    s3.conf.set(Ann.IndexRootConf, root)
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s3.sqlContext
+      import s3.implicits._
+      val path = s3.conf.get(Ann.IndexRootConf) +
+        "/_root_testdata_sf0.001_c32v2_incr"
+      Ann.seedBaseIndex(s3, sf0001, path)
+      val delta = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter(col("vec_id") % Ann.IncrMod === Ann.IncrRem)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      val stream = MemoryStream[(Long, Array[Float], Int)]
+      val q = Ann.ingestStream(s3, path, stream.toDS())
+      try {
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // the streamed artifact's assignment is row-for-row the batch one's
+      val streamed = s3.read.parquet(path)
+        .select($"doc_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      val batch = s2.read.parquet(Ann.buildIncrementalIndex(s2, sf0001))
+        .select($"doc_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toSet
+      assert(streamed == batch, "stream-built index diverges from batch build")
+    } finally Memo.drop(s3)
+  }
+
   test("delete: tombstoned docs vanish from searchLive, k stays guaranteed") {
     Ann.buildIndex(s2, sf0001)
     Ann.deleteFromIndex(s2, sf0001, $"doc_id" % 17 === 3)
