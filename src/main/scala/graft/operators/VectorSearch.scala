@@ -435,5 +435,59 @@ object VectorSearch extends QModule {
         FROM scored)
     SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18)
+  // ---------------------------------------------------------------- v22
+  /** DIVERSIFIED top-k — result diversification by source metadata (at
+    * most `cap` hits per (query, label)), the search-quality feature
+    * that stops one dominant cluster/domain from filling the page.
+    * Spark-first shape: TWO bounded-heap aggregations, zero window
+    * sorts —
+    *  1. per (query_id, label): keep the `cap` best candidates; the
+    *     declarative `collect_top_k` aggregate does map-side partial
+    *     heaps, so the q×n scored cross product NEVER shuffles — each
+    *     partition emits at most q × L × cap candidate rows;
+    *  2. per query: keep the k best survivors (same aggregate).
+    * Both heaps share the (score desc, doc_id asc) eviction contract,
+    * so the result is deterministic and exactly mirrors the oracle's
+    * two-window SQL. At 100 TB the shuffle is bounded by
+    * partitions × q × L × cap — independent of corpus size. */
+  private val v22 = Q(
+    "v22_diverse_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val scored = e
+        .select($"vec_id".as("doc_id"), $"label", $"embedding")
+        .crossJoin(broadcast(q))
+        .filter($"doc_id" =!= $"query_id")
+        .select($"query_id", $"doc_id", $"label",
+          graft.Functions.vecDot($"qe", $"embedding").as("score"))
+      val capped = scored
+        .groupBy($"query_id", $"label")
+        .agg(graft.functions.TopKAgg.collectTopK($"score", $"doc_id", 2).as("topk"))
+        .select($"query_id", posexplode($"topk").as(Seq("pos", "hit")))
+        .select($"query_id", $"hit.id".as("doc_id"), $"hit.score".as("score"))
+      BruteForce.rerank(capped, 10)
+        .select($"query_id", $"rnk", $"doc_id")
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id, c.label,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+      capped AS (
+        SELECT query_id, doc_id, score FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id, label ORDER BY score DESC, doc_id) AS lrnk
+          FROM scored)
+        WHERE lrnk <= 2),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM capped)
+    SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22)
 }
