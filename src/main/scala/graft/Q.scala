@@ -21,18 +21,36 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default; read nanos as long, expose both an exact `ts_ns`
-    * (for total ordering) and a micros `ts` TimestampType (for date math).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session build ([[GraftSession.build]]) — not here as a read side
-    * effect (VERDICT r1, wrong #5).
+  /** The events table exposes both an exact `ts_ns` epoch-nanos long (for
+    * total ordering and µs-precision comparisons) and a micros `ts`
+    * TimestampType (for date math), whichever physical type the parquet
+    * carries:
+    *
+    *   - TIMESTAMP(NANOS) (earlier fixture generations): Spark's reader
+    *     rejects nanos by default; `spark.sql.legacy.parquet.nanosAsLong
+    *     =true` (set once at session build, [[GraftSession.build]] — not
+    *     here as a read side effect, VERDICT r1 wrong #5) reads the raw
+    *     nanos as long and `ts` is re-derived at micros.
+    *   - TIMESTAMP(MICROS) (current fixtures; arrives as TIMESTAMP or
+    *     TIMESTAMP_NTZ): `ts` is the column itself (NTZ cast to
+    *     TimestampType — identity on the instant under the session's
+    *     pinned UTC zone) and `ts_ns` is its epoch micros ×1000. Sub-µs
+    *     is zero on BOTH engines, so every `ts_ns div 1000` comparison
+    *     downstream is unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    import org.apache.spark.sql.types.LongType
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      case _ =>
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
 }
