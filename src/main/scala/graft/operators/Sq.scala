@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QModule, Tables}
+
+/** SQ8 scalar quantization — the third rung of the engine's index
+  * compression ladder (raw float32 → SQ8 → PQ), mirroring FAISS's
+  * `IndexScalarQuantizer(QT_8bit)`: each dimension is quantized
+  * independently to one byte against per-dimension corpus [min, max]
+  * bounds, 4× smaller than raw with far smaller quantization error than
+  * PQ's 32× (the standard accuracy/size midpoint; reference-capability
+  * anchor: the hnswlib/faiss report trees the reference compares against,
+  * `notebooks/005-compare_benchmarks.py:32-50`, are exactly this index-
+  * family tradeoff study).
+  *
+  * Spark-first shape (same contracts as [[Pq]]):
+  *   - TRAIN is one narrow corpus pass: per-partition [lo, hi] partial
+  *     arrays, driver-combined — O(P × dim) at the driver, vectors never
+  *     shuffle. min/max are order-free and EXACT on floats, so the
+  *     trained bounds are bit-identical on any partitioning and engine
+  *     (no Lloyd, no float-mean divergence class at all).
+  *   - ENCODE is a narrow map producing one `Array[Byte]` per doc
+  *     (dim bytes — 4× compression, no shuffle).
+  *   - SEARCH is the [[Pq.adcCandidates]] pipeline shape: asymmetric
+  *     distance over the compressed codes (query stays float), global
+  *     top-[[RCand]] trim via the bounded-heap rerank (partitioning-
+  *     independent candidate boundary), exact rescore of the candidate
+  *     set only, final top-k.
+  *
+  * Cross-engine determinism: the oracle replays the IDENTICAL pipeline in
+  * SQL — same bounds (exact min/max), same encode expression
+  * `floor((x-lo)/step + 0.5)` with `step = (hi-lo)/255`, same ADC score
+  * `Σ qᵢ·(loᵢ + codeᵢ·stepᵢ)` accumulated in array order on both engines
+  * (the [[BruteForce]] kernel contract), same global RCand boundary with
+  * doc_id ties, same exact rescore.
+  */
+object Sq extends QModule {
+
+  /** Quantization levels per dimension (one byte). */
+  val Levels = 255
+
+  /** ADC candidates per query fed to the exact rescore (v13's bound). */
+  val RCand = 50
+
+  private def corpusDs(s: SparkSession, d: String): Dataset[(Long, Array[Float])] = {
+    import s.implicits._
+    Tables(s, d, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .as[(Long, Array[Float])]
+  }
+
+  /** Per-dimension [lo, hi] corpus bounds: per-partition partial min/max
+    * arrays, combined at the driver — one narrow pass, O(P × dim) driver
+    * traffic. Exact (min/max of the same float set) on any partitioning. */
+  def trainBounds(corpus: Dataset[(Long, Array[Float])]): (Array[Double], Array[Double]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val partials: Array[(Array[Double], Array[Double])] = corpus
+      .mapPartitions { rows =>
+        var lo: Array[Double] = null
+        var hi: Array[Double] = null
+        rows.foreach { case (_, vec) =>
+          if (lo == null) {
+            lo = Array.fill(vec.length)(Double.PositiveInfinity)
+            hi = Array.fill(vec.length)(Double.NegativeInfinity)
+          }
+          var i = 0
+          while (i < vec.length) {
+            val x = vec(i).toDouble
+            if (x < lo(i)) lo(i) = x
+            if (x > hi(i)) hi(i) = x
+            i += 1
+          }
+        }
+        if (lo == null) Iterator.empty else Iterator.single((lo, hi))
+      }
+      .collect()
+    require(partials.nonEmpty, "SQ8 training requires a non-empty corpus")
+    val dim = partials(0)._1.length
+    val lo = Array.fill(dim)(Double.PositiveInfinity)
+    val hi = Array.fill(dim)(Double.NegativeInfinity)
+    partials.foreach { case (plo, phi) =>
+      var i = 0
+      while (i < dim) {
+        if (plo(i) < lo(i)) lo(i) = plo(i)
+        if (phi(i) > hi(i)) hi(i) = phi(i)
+        i += 1
+      }
+    }
+    (lo, hi)
+  }
+
+  /** Per-dimension quantization step, the SAME double expression the
+    * oracle uses: (hi-lo)/255, 0 for constant dimensions. */
+  def steps(lo: Array[Double], hi: Array[Double]): Array[Double] = {
+    val st = new Array[Double](lo.length)
+    var i = 0
+    while (i < lo.length) {
+      st(i) = if (hi(i) == lo(i)) 0.0 else (hi(i) - lo(i)) / Levels.toDouble
+      i += 1
+    }
+    st
+  }
+
+  /** Encode one vector component — shared by [[encode]] and the spec.
+    * Bounds-trained inputs always land in [0, 255]; the `min` guards the
+    * float-roundoff edge at hi exactly like the oracle's `least`. */
+  def encodeComponent(x: Double, lo: Double, step: Double): Int =
+    if (step == 0.0) 0 else math.min(math.floor((x - lo) / step + 0.5), Levels.toDouble).toInt
+
+  /** Narrow-map SQ8 encode: (doc_id, codes byte[dim]) — 4× compression,
+    * no shuffle. */
+  def encode(
+      corpus: Dataset[(Long, Array[Float])],
+      lo: Array[Double],
+      hi: Array[Double]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcLo = spark.sparkContext.broadcast(lo)
+    val bcStep = spark.sparkContext.broadcast(steps(lo, hi))
+    corpus
+      .map { case (id, vec) =>
+        val l = bcLo.value
+        val st = bcStep.value
+        val codes = new Array[Byte](vec.length)
+        var i = 0
+        while (i < vec.length) {
+          codes(i) = encodeComponent(vec(i).toDouble, l(i), st(i)).toByte
+          i += 1
+        }
+        (id, codes)
+      }
+      .toDF("doc_id", "codes")
+  }
+
+  /** Asymmetric-distance candidates over the compressed codes: per task,
+    * decode-and-dot each doc against every broadcast query with a bounded
+    * [[graft.functions.TopKAgg.Heap]] — the [[Pq.adcCandidates]] shape at
+    * 1 byte/dim. Accumulation is `Σ qᵢ·(loᵢ + codeᵢ·stepᵢ)` in array
+    * order — the identical float-op sequence the oracle's unnest dot
+    * runs. */
+  def adcCandidates(
+      encoded: DataFrame,
+      lo: Array[Double],
+      hi: Array[Double],
+      queries: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bcLo = spark.sparkContext.broadcast(lo)
+    val bcStep = spark.sparkContext.broadcast(steps(lo, hi))
+    val bcQ = spark.sparkContext.broadcast(queries)
+    encoded
+      .select(col("doc_id").cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val l = bcLo.value
+        val st = bcStep.value
+        val qs = bcQ.value
+        val nq = qs.length
+        val qids = new Array[Long](nq)
+        val qvecs = new Array[Array[Float]](nq)
+        var t = 0
+        while (t < nq) { qids(t) = qs(t)._1; qvecs(t) = qs(t)._2; t += 1 }
+        val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(RCand))
+        rows.foreach { case (docId, codes) =>
+          var qi = 0
+          while (qi < nq) {
+            if (qids(qi) != docId) {
+              val qv = qvecs(qi)
+              val n = math.min(qv.length, codes.length)
+              var s = 0.0
+              var i = 0
+              while (i < n) {
+                s += qv(i).toDouble * (l(i) + (codes(i) & 0xFF).toDouble * st(i))
+                i += 1
+              }
+              heaps(qi).offer(s, docId)
+            }
+            qi += 1
+          }
+        }
+        Iterator.range(0, nq).flatMap { qi =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          heaps(qi).foreach((s, id) => out += ((qids(qi), id, s)))
+          out.iterator
+        }
+      }
+      .toDF("query_id", "doc_id", "approx")
+  }
+
+  /** Full SQ8 search: train-if-needed bounds → encode (memoized) → ADC
+    * candidates → global top-[[RCand]] trim → exact rescore of that set
+    * only → top-k. Same pipeline contract as [[Pq.search]].
+    * @return (query_id, doc_id, score, rnk) */
+  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val (lo, hi) = graft.Memo.cachedValue(s, s"sq-bounds:$d")(trainBounds(corpusDs(s, d)))
+    val encoded = graft.Memo.cached(s, s"sq-encoded:$d")(encode(corpusDs(s, d), lo, hi))
+    val emb = Tables(s, d, "embeddings")
+    val queries = corpusDs(s, d).filter($"id" < maxQueryId).collect().sortBy(_._1)
+    val cands = BruteForce
+      .rerank(
+        adcCandidates(encoded, lo, hi, queries).withColumnRenamed("approx", "score"),
+        RCand)
+      .select($"query_id", $"doc_id")
+    val rescored = emb
+      .select($"vec_id".as("doc_id"), $"embedding")
+      .join(broadcast(cands), Seq("doc_id"))
+      .join(
+        broadcast(
+          emb.filter($"vec_id" < maxQueryId).select($"vec_id".as("query_id"), $"embedding".as("qe"))),
+        Seq("query_id"))
+      .select($"query_id", $"doc_id", graft.Functions.vecDot($"qe", $"embedding").as("score"))
+    BruteForce.rerank(rescored, k)
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+  /** The identical pipeline in DuckDB: exact per-dim bounds, same encode
+    * expression, decoded vectors rebuilt in dimension order so the ADC
+    * dot unnests in the same array order the kernel accumulates in, same
+    * global RCand boundary, same exact rescore. Dim is 64 on the
+    * fixtures (like v13's oracle). */
+  private def duckSqSearch(maxQueryId: Int, k: Int): String =
+    s"""WITH st AS (
+      SELECT u.i AS i, min(CAST(u.x AS DOUBLE)) AS lo, max(CAST(u.x AS DOUBLE)) AS hi
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS x, unnest(generate_series(1, 64)) AS i) u
+      GROUP BY u.i),
+    stp AS (
+      SELECT i, lo, hi,
+             CASE WHEN hi = lo THEN 0.0 ELSE (hi - lo) / ${Levels}.0 END AS step
+      FROM st),
+    en AS (
+      SELECT e.vec_id AS doc_id, u.i AS i, s.lo, s.step,
+             CASE WHEN s.step = 0.0 THEN 0
+                  ELSE CAST(least(floor((CAST(u.x AS DOUBLE) - s.lo) / s.step + 0.5),
+                                  ${Levels}.0) AS INT) END AS code
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS x, unnest(generate_series(1, 64)) AS i) u
+      JOIN stp s ON s.i = u.i),
+    decv AS (
+      SELECT doc_id, list(lo + code * step ORDER BY i) AS dv
+      FROM en GROUP BY doc_id),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQueryId),
+    approx AS (
+      SELECT q.query_id, d.doc_id,
+             (SELECT sum(CAST(x AS DOUBLE) * y)
+              FROM (SELECT unnest(q.qe) AS x, unnest(d.dv) AS y) zz) AS ascore
+      FROM q, decv d WHERE d.doc_id <> q.query_id),
+    cand AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, doc_id) AS arn
+        FROM approx)
+      WHERE arn <= $RCand),
+    rescored AS (
+      SELECT cand.query_id, cand.doc_id,
+             (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+              FROM (SELECT unnest(qq.qe) AS x, unnest(ee.embedding) AS y) zz) AS score
+      FROM cand
+      JOIN q qq ON qq.query_id = cand.query_id
+      JOIN embeddings ee ON ee.vec_id = cand.doc_id)
+    SELECT query_id, rnk, doc_id, round(score, 4) AS score FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM rescored)
+    WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  // ---------------------------------------------------------------- v23
+  /** SQ8 search end to end for queries vec_id < 10, top-10 — the
+    * compression-ladder midpoint under the same oracle discipline as
+    * v13/v17. */
+  private val v23 = Q(
+    "v23_sq8_topk",
+    (s, d) => {
+      import s.implicits._
+      search(s, d, maxQueryId = 10, k = 10)
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckSqSearch(maxQueryId = 10, k = 10)))
+
+  override def all: Seq[Q] = Seq(v23)
+}
