@@ -151,6 +151,49 @@ object BruteForce {
     rerank(candidates, k)
   }
 
+  /** Range search (faiss `range_search`): ALL corpus vectors with
+    * dot ≥ threshold per query — no k bound, so no heap: the corpus
+    * streams through one narrow map-side filter and only qualifying
+    * (query, doc, score) rows are ever emitted. At 100 TB this is the
+    * cheapest search shape in the engine — zero shuffle, output
+    * proportional to the true result set.
+    *
+    * @return (query_id, doc_id, score)
+    */
+  def rangeSearch(
+      corpus: Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      threshold: Double,
+      excludeSelf: Boolean): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    corpus.mapPartitions { rows =>
+      val qs = bc.value
+      val nq = qs.length
+      val qids = new Array[Long](nq)
+      val qvecs = new Array[Array[Float]](nq)
+      var t = 0
+      while (t < nq) { qids(t) = qs(t)._1; qvecs(t) = qs(t)._2; t += 1 }
+      rows.flatMap { case (docId, vec) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var qi = 0
+        while (qi < nq) {
+          if (!(excludeSelf && qids(qi) == docId)) {
+            val qv = qvecs(qi)
+            val n = math.min(qv.length, vec.length)
+            var s = 0.0
+            var i = 0
+            while (i < n) { s += qv(i).toDouble * vec(i).toDouble; i += 1 }
+            if (s >= threshold) out += ((qids(qi), docId, s))
+          }
+          qi += 1
+        }
+        out.iterator
+      }
+    }.toDF("query_id", "doc_id", "score")
+  }
+
   /** Nearest-centroid assignment (the IVF build step, [[Ann]]): for each
     * corpus vector, the argmax-dot centroid — ties to the smallest
     * centroid id. Same execution shape as [[topK]]: centroids broadcast,

@@ -489,5 +489,33 @@ object VectorSearch extends QModule {
         FROM capped)
     SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22)
+  // ---------------------------------------------------------------- v24
+  /** Range search (faiss `range_search`): every corpus vector with
+    * cosine ≥ 0.3 of each query (vec_id < 10) — the no-k-bound search
+    * shape. Executes on [[BruteForce.rangeSearch]]: one narrow map-side
+    * filter over the corpus, zero shuffle, output proportional to the
+    * true result set. Scores at full precision both sides; displayed at
+    * 4 dp. */
+  private val RangeTau = 0.3
+
+  private val v24 = Q(
+    "v24_range_search",
+    (s, d) => {
+      import s.implicits._
+      val corpus = emb(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+        .as[(Long, Array[Float])]
+      val qs = corpus.filter($"id" < 10).collect().sortBy(_._1)
+      BruteForce.rangeSearch(corpus, qs, RangeTau, excludeSelf = true)
+        .select($"query_id", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"doc_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+    SELECT query_id, doc_id, round(score, 4) AS score
+    FROM scored WHERE score >= $RangeTau ORDER BY query_id, doc_id"""))
+
+  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24)
 }

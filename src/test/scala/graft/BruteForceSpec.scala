@@ -65,4 +65,25 @@ class BruteForceSpec extends SparkSpec {
     val docs = res.collect().map(_.getAs[Long]("doc_id")).toSet
     assert(docs == Set(2L))
   }
+
+  test("rangeSearch returns exactly the above-threshold pairs, partitioning-invariant") {
+    import spark.implicits._
+    val corpus = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .as[(Long, Array[Float])]
+    val qs = corpus.filter($"id" < 5).collect().sortBy(_._1)
+    val tau = 0.3
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = BruteForce.rangeSearch(corpus, qs, tau, excludeSelf = true)
+    val got2 = BruteForce.rangeSearch(corpus.repartition(7), qs, tau, excludeSelf = true)
+    assert(key(got) == key(got2), "range result must not depend on partitioning")
+    // in-engine oracle: score everything with topK at k = corpus size,
+    // then threshold-filter
+    val n = corpus.count().toInt
+    val all = BruteForce.topK(corpus, qs, k = n, excludeSelf = true)
+      .filter($"score" >= tau)
+    assert(key(got) == key(all))
+    assert(got.count() > 0, "fixture must produce a non-empty range result")
+  }
 }
