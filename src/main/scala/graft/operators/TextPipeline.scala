@@ -1007,6 +1007,80 @@ object TextPipeline extends QModule {
       round(avg(top2_frac), 4) AS avg_top2_frac
     FROM m GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------- q65
+  /** Gopher/C4-style heuristic quality battery — the rule set a
+    * pretraining pipeline applies alongside the repetition filter (q55):
+    * word-count bounds, mean-word-length bounds, minimum stopword count,
+    * and minimum alphabetic-word fraction (Rae et al. 2021 §A1.1; the
+    * C4 rules that survive a single-line lowercase corpus). Entirely
+    * map-side per-doc HOF expressions + ONE lang groupBy; every output
+    * is an integer count — no float aggregation, so the query is
+    * bit-deterministic by construction (per-doc threshold comparisons
+    * are single-division doubles, identical on both engines). */
+  private val QMinWords = 50
+  private val QMaxWords = 100000
+  private val QMinMeanWl = 3.0
+  private val QMaxMeanWl = 10.0
+  private val QMinStop = 2
+  private val QMinAlphaFrac = 0.8
+
+  private val q65 = Q(
+    "q65_quality_filter",
+    (s, d) => {
+      import s.implicits._
+      val ws = split(trim($"text"), "\\s+")
+      val stopArr = array(Stopwords.map(lit): _*)
+      val m = docs(s, d).select(
+        $"lang",
+        size(ws).cast("long").as("n_words"),
+        (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          size(ws)).as("mean_wl"),
+        size(filter(ws, w => array_contains(stopArr, w))).cast("long").as("n_stop"),
+        (size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / size(ws))
+          .as("alpha_frac"))
+      m.select(
+          $"lang",
+          ($"n_words" < QMinWords || $"n_words" > QMaxWords).cast("long").as("f_words"),
+          ($"mean_wl" < QMinMeanWl || $"mean_wl" > QMaxMeanWl).cast("long").as("f_wl"),
+          ($"n_stop" < QMinStop).cast("long").as("f_stop"),
+          ($"alpha_frac" < QMinAlphaFrac).cast("long").as("f_alpha"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"f_words" + $"f_wl" + $"f_stop" + $"f_alpha" === 0, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum($"f_words").as("n_fail_words"),
+          sum($"f_wl").as("n_fail_word_len"),
+          sum($"f_stop").as("n_fail_stopwords"),
+          sum($"f_alpha").as("n_fail_alpha"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH toks AS (
+        SELECT lang, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+      m AS (
+        SELECT lang,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS mean_wl,
+          CAST(len(list_filter(ws, w -> w IN (${Stopwords.map(w => s"'$w'").mkString(", ")})))
+            AS BIGINT) AS n_stop,
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws)
+            AS alpha_frac
+        FROM toks),
+      f AS (
+        SELECT lang,
+          CAST(n_words < $QMinWords OR n_words > $QMaxWords AS BIGINT) AS f_words,
+          CAST(mean_wl < $QMinMeanWl OR mean_wl > $QMaxMeanWl AS BIGINT) AS f_wl,
+          CAST(n_stop < $QMinStop AS BIGINT) AS f_stop,
+          CAST(alpha_frac < $QMinAlphaFrac AS BIGINT) AS f_alpha
+        FROM m)
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(CASE WHEN f_words + f_wl + f_stop + f_alpha = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(f_words) AS BIGINT) AS n_fail_words,
+      CAST(sum(f_wl) AS BIGINT) AS n_fail_word_len,
+      CAST(sum(f_stop) AS BIGINT) AS n_fail_stopwords,
+      CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha
+    FROM f GROUP BY lang ORDER BY lang"""))
+
   // ---------------------------------------------------------------- q60
   /** Upstream length-chunking — the operator q55's scale note PRESUMES
     * (VERDICT r7 next #5): `top2_frac` is O(L²) in a doc's word count,
@@ -1306,5 +1380,5 @@ object TextPipeline extends QModule {
     FROM per ORDER BY doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65)
 }
