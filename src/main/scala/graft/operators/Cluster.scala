@@ -162,6 +162,70 @@ object Cluster extends QModule {
       CAST(floor($MixBudget * sqrt(CAST(n AS DOUBLE) / max_n)) AS BIGINT) AS target_docs
     FROM counts, mx ORDER BY cluster_id"""))
 
+  // ---------------------------------------------------------------- q66
+  /** SemDeDup (Abbas et al. 2023): semantic near-dup removal scoped to
+    * the discovered embedding clusters — pairwise cosine runs ONLY
+    * within a cluster, never across the corpus, which is the entire
+    * scale argument: cost is Σ_c n_c² against the n² of a global pair
+    * scan, and the cluster count is the config knob that bounds n_c.
+    * A doc is a semantic duplicate iff some SMALLER-id doc in its own
+    * cluster has cosine ≥ [[SemTau]] (greedy keep-lowest-id, the paper's
+    * keep-one policy made deterministic).
+    *
+    * Plan shape: the memoized assignment frame (one narrow corpus pass,
+    * shared with q57/q58) self-joins on an EQUI key (centroid_id) — a
+    * hash join, no cartesian, no broadcast of the corpus — then one
+    * integer census per cluster. Contrast q26 (global brute-force pairs
+    * via the top-k kernel): same capability family, opposite scaling
+    * regime. τ reuses q26's near-dup threshold.
+    *
+    * Recall is PARTIAL by design (the paper's trade): pairs straddling a
+    * cluster boundary are invisible (measured 7/14 global pairs caught
+    * at sf0.01, K=8). Precision is 1.0 — every flagged dup is a genuine
+    * global near-dup — and ClusterSpec pins both directions. */
+  val SemTau = 0.45
+
+  private val q66 = Q(
+    "q66_semantic_dedup",
+    (s, d) => {
+      import s.implicits._
+      val a = assignments(s, d).select($"id", $"centroid_id", $"vec")
+      val dupPairs = a.as("x")
+        .join(a.as("y"), col("x.centroid_id") === col("y.centroid_id") && col("x.id") < col("y.id"))
+        .filter(graft.Functions.vecDot(col("x.vec"), col("y.vec")) >= SemTau)
+        .select(col("x.centroid_id").as("cluster_id"), col("y.id").as("dup_id"))
+        .distinct()
+      val census = a.groupBy($"centroid_id".as("cluster_id")).agg(count(lit(1)).as("n"))
+      census
+        .join(
+          dupPairs.groupBy($"cluster_id").agg(count(lit(1)).as("n_dup")),
+          Seq("cluster_id"),
+          "left")
+        .select(
+          $"cluster_id",
+          $"n",
+          coalesce($"n_dup", lit(0L)).as("n_dup"),
+          ($"n" - coalesce($"n_dup", lit(0L))).as("n_kept"))
+        .orderBy($"cluster_id")
+    },
+    Some(s"""WITH $duckAssign,
+      asg AS (SELECT vec_id, centroid_id FROM best WHERE rn = 1),
+      dups AS (
+        SELECT DISTINCT x.centroid_id AS cluster_id, y.vec_id AS dup_id
+        FROM asg x
+        JOIN asg y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        JOIN embeddings ea ON ea.vec_id = x.vec_id
+        JOIN embeddings eb ON eb.vec_id = y.vec_id
+        WHERE ${VectorSearch.duckDot("ea.embedding", "eb.embedding")} >= $SemTau),
+      census AS (SELECT centroid_id AS cluster_id, count(*) AS n
+                 FROM asg GROUP BY centroid_id),
+      dupn AS (SELECT cluster_id, count(*) AS n_dup FROM dups GROUP BY cluster_id)
+    SELECT c.cluster_id, c.n,
+           coalesce(d.n_dup, 0) AS n_dup,
+           c.n - coalesce(d.n_dup, 0) AS n_kept
+    FROM census c LEFT JOIN dupn d ON d.cluster_id = c.cluster_id
+    ORDER BY c.cluster_id"""))
+
   // ------------------------------------------------------------- Lloyd
   /** One Lloyd step: assign every vector to its nearest centroid (dot
     * argmax — on normalized inputs this is the L2 argmin) and return the
@@ -335,5 +399,5 @@ object Cluster extends QModule {
       .reduce(_ + _)
   }
 
-  override def all: Seq[Q] = Seq(q57, q58)
+  override def all: Seq[Q] = Seq(q57, q58, q66)
 }

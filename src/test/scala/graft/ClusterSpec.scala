@@ -129,4 +129,24 @@ class ClusterSpec extends SparkSpec {
       assert(sim >= -1.0001 && sim <= 1.0001, s"avg_sim out of range: $r")
     }
   }
+
+  test("q66 dups are a non-empty subset of the global near-dup set (precision 1.0)") {
+    import spark.implicits._
+    // the scale contract trades recall for Σ n_c² cost: a pair is only
+    // visible when both ends co-cluster, so q66's dup set must be a
+    // subset of the global pair scan at the same τ (q26) — and on the
+    // fixture a non-empty one. (Recall < 1 is expected and by design:
+    // boundary pairs straddle clusters; measured 7/14 at sf0.01.)
+    val globalDups = SparkEntry.queries("q26_embedding_neardup")(spark, sf001)
+      .filter($"cosine" >= graft.operators.Cluster.SemTau)
+      .select($"vec_b").as[Long].collect().toSet
+    val q66 = SparkEntry.queries("q66_semantic_dedup")(spark, sf001).collect()
+    val semDup = q66.map(_.getAs[Long]("n_dup")).sum
+    assert(semDup > 0, "fixture must contain at least one co-clustered near-dup")
+    assert(semDup <= globalDups.size,
+      s"q66 found $semDup dups but only ${globalDups.size} exist globally — precision broken")
+    q66.foreach { r =>
+      assert(r.getAs[Long]("n") == r.getAs[Long]("n_dup") + r.getAs[Long]("n_kept"))
+    }
+  }
 }
