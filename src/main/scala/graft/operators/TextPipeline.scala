@@ -1081,6 +1081,56 @@ object TextPipeline extends QModule {
       CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha
     FROM f GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------- q67
+  /** Token counting under a BPE-style pretokenizer (the GPT-2 pretoken
+    * split re-expressed for a lowercase corpus): ` ?[a-z]+ | ?[0-9]+ |
+    * ?[^a-z0-9 ]+` — alpha runs, digit runs, and punctuation runs, each
+    * absorbing one leading space. Run against the events stream's
+    * semi-structured text (`event_type` + JSON `props`), where it
+    * genuinely diverges from whitespace tokenization (`{"k": 69}` is 2
+    * whitespace tokens but 4 pretokens) — the token-budget accounting an
+    * LLM ingest of log data runs. documents.text is pure `[a-z ]`, where
+    * the two tokenizers coincide by construction (q25 covers it).
+    *
+    * Map-side regex + one event_type groupBy; every output an integer
+    * sum — bit-deterministic. The alternation is first-char-disjoint
+    * after the optional space, so leftmost-first matching (Java regex
+    * AND RE2) picks the same token boundaries. */
+  private val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  private val q67 = Q(
+    "q67_token_bpe",
+    (s, d) => {
+      import s.implicits._
+      val text = concat($"event_type", lit(" "), $"props")
+      Tables(s, d, "events")
+        .select(
+          $"event_type",
+          size(split(trim(text), "\\s+")).cast("long").as("ws_toks"),
+          size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long").as("bpe_toks"),
+          length(text).cast("long").as("chars"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"ws_toks").as("ws_tokens"),
+          sum($"bpe_toks").as("bpe_tokens"),
+          sum($"chars").as("n_chars"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH t AS (
+        SELECT event_type, event_type || ' ' || props AS text FROM events),
+      m AS (
+        SELECT event_type,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_toks,
+          CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS bpe_toks,
+          CAST(length(text) AS BIGINT) AS chars
+        FROM t)
+    SELECT event_type, count(*) AS n_events,
+      CAST(sum(ws_toks) AS BIGINT) AS ws_tokens,
+      CAST(sum(bpe_toks) AS BIGINT) AS bpe_tokens,
+      CAST(sum(chars) AS BIGINT) AS n_chars
+    FROM m GROUP BY event_type ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- q60
   /** Upstream length-chunking — the operator q55's scale note PRESUMES
     * (VERDICT r7 next #5): `top2_frac` is O(L²) in a doc's word count,
@@ -1380,5 +1430,5 @@ object TextPipeline extends QModule {
     FROM per ORDER BY doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67)
 }
