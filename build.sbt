@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g: the kernel bench caches four structures at once (float blocks,
+  // indexed blocks, SQ8 + PQ partition indexes ≈ 4.1 GB) — at 8g the
+  // storage pool evicted the MEMORY_ONLY pq index and the timed passes
+  // silently re-encoded the corpus (measured: 3.3 → 71.6 ms/query)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -45,7 +45,8 @@ object KernelBench {
       pqTrainSample: Int,
       pqTrainIters: Int,
       coarseTrainSample: Int = 16384,
-      coarseTrainIters: Int = 5)
+      coarseTrainIters: Int = 5,
+      sqRescore: Int = 64)
 
   /** The reference's published scale: 1M × 384, 100 queries, top-100.
     * PQ: 384 dims = 96 subspaces × 4 dims, 256 k-means-TRAINED codewords
@@ -174,7 +175,15 @@ object KernelBench {
       pqSweep: Seq[Report.SweepLevel],
       pqRecallAtK: Seq[(Int, Double)],
       pqPrecisionAtK: Seq[(Int, Double)],
-      pqMrr: Double)
+      pqMrr: Double,
+      sqBuildSec: Double,
+      sqMsPerQuery: Double,
+      sqQps: Double,
+      sqRecallVsExact: Double,
+      sqSweep: Seq[Report.SweepLevel],
+      sqRecallAtK: Seq[(Int, Double)],
+      sqPrecisionAtK: Seq[(Int, Double)],
+      sqMrr: Double)
 
   /** Report K grids, trimmed to the run's k (the reference's
     * {1,5,10,20,50,100} / {1,5,10}, `utils.py:70-86`). */
@@ -306,15 +315,32 @@ object KernelBench {
     val codebook = operators.PqTrain.trainComposite(
       sample, cfg.dim, cfg.pqSubDim, cfg.pqCodebook, cfg.pqTrainIters)
     val encoded = VectorBlocks.encodePqResidual(indexed, cents, codebook, cfg.pqSubDim)
+    // MEMORY_AND_DISK, not MEMORY_ONLY: an evicted partition of this
+    // index would silently RE-ENCODE its corpus slice inside a timed
+    // pass (measured 22× on the pq leg when the SQ index joined the
+    // cache set) — spilling is bounded, recompute is not
     val pqIndex = VectorBlocks
       .buildPqIndex(indexed, encoded, cfg.centroids, cfg.pqCodebook, cfg.pqSubDim)
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pqIndex.count()
     val pqBuildSec = (System.nanoTime() - tp) / 1e9
 
-    // warm-ups for the probed and fused-IVFPQ kernels (2 queries each):
-    // JIT + broadcast setup, not billed
+    // SQ8 build (timed like the other index builds): exact per-dim
+    // bounds + byte encode + the same cid-bucketed partition index the
+    // PQ path uses (dim B/row — the 4× tier of the compression ladder)
+    val ts = System.nanoTime()
+    val (sqLo, sqHi) = VectorBlocks.trainSqBounds(indexed)
+    val sqIndex = VectorBlocks
+      .buildPqIndex(indexed, VectorBlocks.encodeSq(indexed, sqLo, sqHi), cfg.centroids, 0, 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sqIndex.count()
+    val sqBuildSec = (System.nanoTime() - ts) / 1e9
+
+    // warm-ups for the probed, fused-IVFSQ and fused-IVFPQ kernels
+    // (2 queries each): JIT + broadcast setup, not billed
     VectorBlocks.topKProbed(spark, indexed, queries.take(2), probes.take(2), k = 10).count()
+    VectorBlocks.ivfsqSearch(
+      sqIndex, sqLo, sqHi, queries.take(2), probes.take(2), rCand = 10, k = 10)
     VectorBlocks.ivfpqSearch(
       pqIndex, cents, codebook, cfg.pqSubDim,
       queries.take(2), probes.take(2), rCand = 10, k = 10)
@@ -329,9 +355,11 @@ object KernelBench {
     // contention shifts absolute numbers but preserves the ratios.
     var exactRanked: Map[Long, Array[Long]] = null
     var annRanked: Map[Long, Array[Long]] = null
+    var sqTopK: Array[Array[Long]] = null
     var pqTopK: Array[Array[Long]] = null
     val bfTimes = Array.ofDim[Double](3)
     val annTimes = Array.ofDim[Double](3)
+    val sqTimes = Array.ofDim[Double](3)
     val pqTimes = Array.ofDim[Double](3)
     (0 until 3).foreach { rep =>
       val t0 = System.nanoTime()
@@ -340,15 +368,20 @@ object KernelBench {
       val t1 = System.nanoTime()
       annRanked = ranked(VectorBlocks.topKProbed(spark, indexed, queries, probes, cfg.k))
       val t2 = System.nanoTime()
+      sqTopK = VectorBlocks.ivfsqSearch(
+        sqIndex, sqLo, sqHi, queries, probes, cfg.sqRescore, cfg.k)
+      val t3 = System.nanoTime()
       pqTopK = VectorBlocks.ivfpqSearch(
         pqIndex, cents, codebook, cfg.pqSubDim, queries, probes, cfg.pqRescore, cfg.k)
-      val t3 = System.nanoTime()
+      val t4 = System.nanoTime()
       bfTimes(rep) = (t1 - t0) / 1e9
       annTimes(rep) = (t2 - t1) / 1e9
-      pqTimes(rep) = (t3 - t2) / 1e9
+      sqTimes(rep) = (t3 - t2) / 1e9
+      pqTimes(rep) = (t4 - t3) / 1e9
     }
     val bfSec = bfTimes.min
     val annSec = annTimes.min
+    val sqSec = sqTimes.min
     val pqSec = pqTimes.min
     // the raw float cache is only the BF corpus: IVF reads `indexed`, the
     // PQ rescore reads the float refs inside the PQ index — drop the
@@ -370,11 +403,15 @@ object KernelBench {
     // the speed/recall dial at bench scale. Levels interleave ivf/ivfpq
     // for the same windowing reason as the headline passes.
     val r10 = math.min(10, cfg.k)
-    val sweepBoth = cfg.sweepProbes.map { np =>
+    val sweepAll = cfg.sweepProbes.map { np =>
       val m = masks(np)
       val t0 = System.nanoTime()
       val lvlRanked = ranked(VectorBlocks.topKProbed(spark, indexed, queries, m, cfg.k))
       val annLvlSec = (System.nanoTime() - t0) / 1e9
+      val ts0 = System.nanoTime()
+      val sqLvlIds = VectorBlocks.ivfsqSearch(
+        sqIndex, sqLo, sqHi, queries, m, cfg.sqRescore, cfg.k)
+      val sqLvlSec = (System.nanoTime() - ts0) / 1e9
       val t1 = System.nanoTime()
       val lvlIds = VectorBlocks.ivfpqSearch(
         pqIndex, cents, codebook, cfg.pqSubDim, queries, m, cfg.pqRescore, cfg.k)
@@ -387,26 +424,39 @@ object KernelBench {
         val e = exactRanked(q).take(r10).toSet
         lvlRanked.getOrElse(q, Array.emptyLongArray).take(r10).count(e.contains).toDouble / r10
       }.sum / cfg.nQueries
-      val pqRecall10 = lvlIds.iterator.zipWithIndex.map { case (ids, qi) =>
-        val e = exactRanked(queries(qi)._1).take(r10).toSet
-        ids.take(r10).count(e.contains).toDouble / r10
-      }.sum / cfg.nQueries
+      def ids10Recall(byQ: Array[Array[Long]]): Double =
+        byQ.iterator.zipWithIndex.map { case (ids, qi) =>
+          val e = exactRanked(queries(qi)._1).take(r10).toSet
+          ids.take(r10).count(e.contains).toDouble / r10
+        }.sum / cfg.nQueries
+      val sqRecall10 = ids10Recall(sqLvlIds)
+      val pqRecall10 = ids10Recall(lvlIds)
       (np, overlapK,
         Report.SweepLevel(np, recall10, annLvlSec, cfg.nQueries / annLvlSec),
+        Report.SweepLevel(np, sqRecall10, sqLvlSec, cfg.nQueries / sqLvlSec),
         Report.SweepLevel(np, pqRecall10, pqLvlSec, cfg.nQueries / pqLvlSec))
     }
-    val recallByProbe = sweepBoth.map { case (np, ov, _, _) => np -> ov }
-    val annSweep = sweepBoth.map(_._3)
-    val pqSweep = sweepBoth.map(_._4)
+    val recallByProbe = sweepAll.map { case (np, ov, _, _, _) => np -> ov }
+    val annSweep = sweepAll.map(_._3)
+    val sqSweep = sweepAll.map(_._4)
+    val pqSweep = sweepAll.map(_._5)
+    sqIndex.unpersist()
     pqIndex.unpersist()
     indexed.unpersist()
-    // ivfpqSearch returns ids sorted by exact score desc — position is rank
+    // the fused searches return ids sorted by exact score desc — position
+    // is rank
     val pqRanked: Map[Long, Array[Long]] =
       pqTopK.iterator.zipWithIndex.map { case (ids, qi) => queries(qi)._1 -> ids }.toMap
     val pqRows = flatHits(pqRanked)
     val pqRecall = pqRows.count(exact.contains).toDouble / exact.size
     val (pqRec, pqPrec, pqMrr) =
       rankedMetrics(exactRanked, pqRanked, recallKs(cfg), precisionKs(cfg))
+    val sqRanked: Map[Long, Array[Long]] =
+      sqTopK.iterator.zipWithIndex.map { case (ids, qi) => queries(qi)._1 -> ids }.toMap
+    val sqRows = flatHits(sqRanked)
+    val sqRecall = sqRows.count(exact.contains).toDouble / exact.size
+    val (sqRec, sqPrec, sqMrr) =
+      rankedMetrics(exactRanked, sqRanked, recallKs(cfg), precisionKs(cfg))
 
     Result(
       bfMsPerQuery = bfSec * 1000.0 / cfg.nQueries,
@@ -427,7 +477,15 @@ object KernelBench {
       pqSweep = pqSweep,
       pqRecallAtK = pqRec,
       pqPrecisionAtK = pqPrec,
-      pqMrr = pqMrr)
+      pqMrr = pqMrr,
+      sqBuildSec = sqBuildSec,
+      sqMsPerQuery = sqSec * 1000.0 / cfg.nQueries,
+      sqQps = cfg.nQueries / sqSec,
+      sqRecallVsExact = sqRecall,
+      sqSweep = sqSweep,
+      sqRecallAtK = sqRec,
+      sqPrecisionAtK = sqPrec,
+      sqMrr = sqMrr)
   }
 
   /** Close the report loop at bench scale: write one reference-shaped
@@ -467,6 +525,14 @@ object KernelBench {
         buildLatency = Some((r.annBuildSec, cfg.n / r.annBuildSec)),
         efSensitivity = r.annSweep),
       s"$dir/ivf")
+    Report.write(
+      Report.buildValues(
+        spark, "ivfsq",
+        r.sqRecallAtK, r.sqPrecisionAtK, r.sqMrr, cfg.nQueries.toLong,
+        avgLatencyMs = r.sqMsPerQuery, qps = r.sqQps, timestamp = timestamp,
+        buildLatency = Some((r.sqBuildSec, cfg.n / r.sqBuildSec)),
+        efSensitivity = r.sqSweep),
+      s"$dir/ivfsq")
     Report.write(
       Report.buildValues(
         spark, "ivfpq",

@@ -194,6 +194,73 @@ object BruteForce {
     }.toDF("query_id", "doc_id", "score")
   }
 
+  /** Late-interaction MaxSim top-k (the ColBERT scoring rule): both
+    * sides are MULTI-vector — `subDim`-dim sub-vectors packed
+    * back-to-back in one array — and the pair score is
+    * `Σ_qm max_dm dot(q[qm], d[dm])`: each query sub-vector keeps only
+    * its best-matching doc sub-vector. Same execution shape as [[topK]]
+    * (queries broadcast, corpus streams, bounded per-query heaps, ties
+    * id-asc); per-pair cost is (M_q × M_d) sub-dots instead of one.
+    * Sub-dots accumulate in array order (the HOF/DuckDB contract).
+    *
+    * @return (query_id, doc_id, score, rnk)
+    */
+  def maxSimTopK(
+      corpus: Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      subDim: Int,
+      k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    val candidates = corpus.mapPartitions { rows =>
+      val qs = bc.value
+      val nq = qs.length
+      val qids = new Array[Long](nq)
+      val qvecs = new Array[Array[Float]](nq)
+      var t = 0
+      while (t < nq) { qids(t) = qs(t)._1; qvecs(t) = qs(t)._2; t += 1 }
+      val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(k))
+      rows.foreach { case (docId, vec) =>
+        val md = vec.length / subDim
+        var qi = 0
+        while (qi < nq) {
+          if (!(excludeSelf && qids(qi) == docId)) {
+            val qv = qvecs(qi)
+            val mq = qv.length / subDim
+            var score = 0.0
+            var a = 0
+            while (a < mq) {
+              var best = Double.NegativeInfinity
+              var b = 0
+              while (b < md) {
+                var s = 0.0
+                var p = 0
+                while (p < subDim) {
+                  s += qv(a * subDim + p).toDouble * vec(b * subDim + p).toDouble
+                  p += 1
+                }
+                if (s > best) best = s
+                b += 1
+              }
+              score += best
+              a += 1
+            }
+            heaps(qi).offer(score, docId)
+          }
+          qi += 1
+        }
+      }
+      Iterator.range(0, nq).flatMap { qi =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        heaps(qi).foreach((s, id) => out += ((qids(qi), id, s)))
+        out.iterator
+      }
+    }.toDF("query_id", "doc_id", "score")
+    rerank(candidates, k)
+  }
+
   /** Nearest-centroid assignment (the IVF build step, [[Ann]]): for each
     * corpus vector, the argmax-dot centroid — ties to the smallest
     * centroid id. Same execution shape as [[topK]]: centroids broadcast,

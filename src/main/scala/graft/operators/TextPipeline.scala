@@ -865,6 +865,52 @@ object TextPipeline extends QModule {
     WHERE NOT (d.doc_id % 10 = 0 AND d.doc_id < $DecontamEvalCap)
     GROUP BY d.source ORDER BY d.source"""))
 
+  // ---------------------------------------------------------------- q68
+  /** Semantic decontamination — q51's hygiene step moved to embedding
+    * space (the modern complement: n-gram overlap misses paraphrased
+    * eval leakage; SemDeDup-style cosine similarity to the eval set
+    * catches it). Eval set = embeddings vec_id < 10; a train vector is
+    * contaminated when its cosine to ANY eval vector ≥ [[SemDecontamTau]].
+    * Composes the [[BruteForce.rangeSearch]] kernel (one narrow map-side
+    * filter over the corpus against the broadcast eval set — zero
+    * shuffle, the eval side is the small side by definition) with a
+    * label census. Integer outputs only. */
+  private val SemDecontamTau = 0.3
+
+  private val q68 = Q(
+    "q68_semantic_decontam",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables(s, d, "embeddings")
+      val corpus = e.filter($"vec_id" >= 10)
+        .select($"vec_id".as("id"), $"embedding".as("vec"))
+        .as[(Long, Array[Float])]
+      val evalQ = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("id"), $"embedding".as("vec"))
+        .as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      val hits = BruteForce
+        .rangeSearch(corpus, evalQ, SemDecontamTau, excludeSelf = false)
+        .select($"doc_id".as("vec_id")).distinct()
+      e.filter($"vec_id" >= 10)
+        .join(broadcast(hits.withColumn("hit", lit(1))), Seq("vec_id"), "left")
+        .groupBy($"label")
+        .agg(
+          count(lit(1)).as("n_train"),
+          sum(coalesce($"hit", lit(0))).cast("long").as("n_contaminated"))
+        .orderBy($"label")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      tr AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 10),
+      hits AS (
+        SELECT DISTINCT t.vec_id
+        FROM tr t, ev q
+        WHERE ${VectorSearch.duckDot("t.embedding", "q.embedding")} >= $SemDecontamTau)
+    SELECT t.label, count(*) AS n_train,
+           CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM tr t LEFT JOIN hits h ON h.vec_id = t.vec_id
+    GROUP BY t.label ORDER BY t.label"""))
+
   // ---------------------------------------------------------------- q52
   /** PII redaction — scrub emails and phone-shaped tokens from the corpus
     * and account for every removal (a training pipeline must prove WHAT
@@ -1430,5 +1476,5 @@ object TextPipeline extends QModule {
     FROM per ORDER BY doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68)
 }

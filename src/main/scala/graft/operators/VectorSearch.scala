@@ -517,5 +517,51 @@ object VectorSearch extends QModule {
     SELECT query_id, doc_id, round(score, 4) AS score
     FROM scored WHERE score >= $RangeTau ORDER BY query_id, doc_id"""))
 
-  override def all: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24)
+  // ---------------------------------------------------------------- v25
+  /** Late-interaction (ColBERT) MaxSim top-10: the multi-vector scoring
+    * rule `Σ_qm max_dm dot(q[qm], d[dm])` over [[MaxSimSubDim]]-dim
+    * sub-vectors — on the fixture, the 64-dim embedding read as 8 token
+    * sub-vectors (real per-token embeddings plug into the identical
+    * kernel shape). Executes on [[BruteForce.maxSimTopK]]; the oracle
+    * replays the same two-level max/sum in SQL. Queries vec_id < 10. */
+  private val MaxSimSubDim = 8
+
+  private val v25 = Q(
+    "v25_maxsim_topk",
+    (s, d) => {
+      import s.implicits._
+      val corpus = emb(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+        .as[(Long, Array[Float])]
+      val qs = corpus.filter($"id" < 10).collect().sortBy(_._1)
+      BruteForce.maxSimTopK(corpus, qs, MaxSimSubDim, k = 10, excludeSelf = true)
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      qc AS (
+        SELECT q.vec_id, (u.i - 1) // $MaxSimSubDim AS m, (u.i - 1) % $MaxSimSubDim AS p,
+               CAST(u.x AS DOUBLE) AS x
+        FROM q, LATERAL (SELECT unnest(q.embedding) AS x, unnest(generate_series(1, 64)) AS i) u),
+      dc AS (
+        SELECT e.vec_id, (u.i - 1) // $MaxSimSubDim AS m, (u.i - 1) % $MaxSimSubDim AS p,
+               CAST(u.x AS DOUBLE) AS x
+        FROM embeddings e, LATERAL (SELECT unnest(e.embedding) AS x, unnest(generate_series(1, 64)) AS i) u),
+      pair AS (
+        SELECT qc.vec_id AS query_id, dc.vec_id AS doc_id, qc.m AS qm, dc.m AS dm,
+               sum(qc.x * dc.x) AS pdot
+        FROM qc JOIN dc ON qc.p = dc.p
+        WHERE dc.vec_id <> qc.vec_id
+        GROUP BY 1, 2, 3, 4),
+      mx AS (SELECT query_id, doc_id, qm, max(pdot) AS best
+             FROM pair GROUP BY 1, 2, 3),
+      sc AS (SELECT query_id, doc_id, sum(best) AS score FROM mx GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM sc)
+    SELECT query_id, rnk, doc_id, round(score, 4) AS score
+    FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] =
+    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25)
 }

@@ -66,6 +66,39 @@ class BruteForceSpec extends SparkSpec {
     assert(docs == Set(2L))
   }
 
+  test("maxSim dominates plain dot and is invariant to doc sub-vector order") {
+    import spark.implicits._
+    val subDim = 2
+    // query = two orthogonal unit sub-vectors
+    val qv = Array(1f, 0f, 0f, 1f)
+    // docA = same sub-vectors, same order; docB = SWAPPED sub-vectors:
+    // plain dot scores 0, MaxSim recovers the full 2.0 (late interaction
+    // matches each query token to its best doc token wherever it sits)
+    val docA = Array(1f, 0f, 0f, 1f)
+    val docB = Array(0f, 1f, 1f, 0f)
+    val corpus = Seq((1L, docA), (2L, docB)).toDS()
+    val ms = BruteForce.maxSimTopK(corpus, Array((9L, qv)), subDim, k = 2, excludeSelf = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(math.abs(ms(1L) - 2.0) < 1e-12)
+    assert(math.abs(ms(2L) - 2.0) < 1e-12, s"swapped sub-vectors must still score 2.0: $ms")
+    // dominance: MaxSim >= plain dot for every pair (diagonal pairing is
+    // one candidate of the per-sub-vector max)
+    val fixture = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec")).as[(Long, Array[Float])]
+    val qs = fixture.filter($"id" < 3).collect().sortBy(_._1)
+    val n = fixture.count().toInt
+    val dots = BruteForce.topK(fixture, qs, k = n, excludeSelf = true)
+      .select($"query_id", $"doc_id", $"score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val msAll = BruteForce.maxSimTopK(fixture, qs, subDim = 8, k = n, excludeSelf = true)
+      .select($"query_id", $"doc_id", $"score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(dots.keySet == msAll.keySet)
+    dots.foreach { case (pair, dot) =>
+      assert(msAll(pair) >= dot - 1e-9, s"MaxSim < dot for $pair")
+    }
+  }
+
   test("rangeSearch returns exactly the above-threshold pairs, partitioning-invariant") {
     import spark.implicits._
     val corpus = Tables(spark, sf0001, "embeddings")

