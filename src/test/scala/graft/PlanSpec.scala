@@ -197,6 +197,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup (q66): equi hash join on the cluster key — no cartesian, no nested loop") {
+    val plan = q("q66_semantic_dedup").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q66 pair generation fell back to all-pairs:\n${plan.take(2000)}")
+    // the within-cluster self-join must key on centroid_id — an equi join
+    assert(plan.contains("Join"), "expected the cluster-scoped self-join in the plan")
+  }
+
+  test("range search (v24) and semantic decontam (q68): corpus-side scoring never shuffles") {
+    // the scoring pass is a narrow mapPartitions over the corpus: the only
+    // Exchanges allowed are AFTER the bounded hit set exists (distinct /
+    // census aggregations and the display sort)
+    Seq("v24_range_search", "q68_semantic_decontam").foreach { name =>
+      val df = q(name)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to all-pairs")
+      val formattedPlan = formatted(df)
+      val lines = formattedPlan.linesIterator.toSeq
+      lines.zipWithIndex.collect {
+        case (l, i) if l.matches("""\(\d+\) Exchange.*""") => lines(i + 1)
+      }.foreach { in =>
+        assert(!in.contains("vec#") && !in.contains("embedding#"),
+          s"$name: an embedding column rides a shuffle: $in")
+      }
+    }
+  }
+
   test("domain clustering (q57): join-free broadcast kernel — only the K-row census shuffles") {
     val df = q("q57_domain_cluster")
     val plan = df.queryExecution.executedPlan.toString
