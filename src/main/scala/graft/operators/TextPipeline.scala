@@ -911,6 +911,69 @@ object TextPipeline extends QModule {
     FROM tr t LEFT JOIN hits h ON h.vec_id = t.vec_id
     GROUP BY t.label ORDER BY t.label"""))
 
+  // ---------------------------------------------------------------- q69
+  /** Unigram-LM perplexity filter (the CCNet/KenLM quality gate, reduced
+    * to its unigram core): train a unigram model ON the corpus itself
+    * (one word groupBy — the LM-table build; output is vocab-sized),
+    * score each doc by average negative log-likelihood, flag docs above
+    * [[PplMax]] (rare-word tails ≈ noisy docs). The freq table
+    * BROADCASTS into the token stream — the corpus-side pass is
+    * map-side; the only corpus-keyed shuffle carries (doc_id, int)
+    * pairs.
+    *
+    * Determinism (the q57/q63 discipline): each token's nll is ONE
+    * expression (`-ln(c/N)`, identical IEEE ops both engines; Math.log
+    * vs libm last-ulp divergence is the q63-documented accepted risk),
+    * dyadically quantized to 2⁻²⁰ integers that sum order-free; the
+    * per-doc and per-lang averages divide once at the end. */
+  private val PplMax = 3.45
+  private val NllScale = 1048576.0 // 2^20
+
+  private val q69 = Q(
+    "q69_perplexity_filter",
+    (s, d) => {
+      import s.implicits._
+      val toks = docs(s, d)
+        .select($"doc_id", $"lang", explode(split(trim($"text"), "\\s+")).as("w"))
+      val freq = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+      val qnll = freq
+        .crossJoin(broadcast(freq.agg(sum($"c").cast("double").as("n"))))
+        .select(
+          $"w",
+          floor(-log($"c".cast("double") / $"n") * NllScale + 0.5).cast("long").as("qn"))
+      val perDoc = toks
+        .join(broadcast(qnll), Seq("w"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"qn").as("snll"), count(lit(1)).as("nw"))
+      perDoc
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((($"snll".cast("double") / NllScale / $"nw") > PplMax).cast("long"))
+            .as("n_flagged"),
+          round(
+            (sum($"snll").cast("double") / NllScale) / sum($"nw").cast("double"),
+            4).as("avg_nll"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents),
+      freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+      qnll AS (
+        SELECT w, CAST(floor(-ln(CAST(c AS DOUBLE) / n) * $NllScale + 0.5) AS BIGINT) AS qn
+        FROM freq, tot),
+      per_doc AS (
+        SELECT t.doc_id, t.lang, sum(q.qn) AS snll, count(*) AS nw
+        FROM toks t JOIN qnll q ON q.w = t.w
+        GROUP BY t.doc_id, t.lang)
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(CASE WHEN CAST(snll AS DOUBLE) / $NllScale / nw > $PplMax
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      round((CAST(sum(snll) AS DOUBLE) / $NllScale) / CAST(sum(nw) AS DOUBLE), 4) AS avg_nll
+    FROM per_doc GROUP BY lang ORDER BY lang"""))
+
   // ---------------------------------------------------------------- q52
   /** PII redaction — scrub emails and phone-shaped tokens from the corpus
     * and account for every removal (a training pipeline must prove WHAT
@@ -1476,5 +1539,5 @@ object TextPipeline extends QModule {
     FROM per ORDER BY doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69)
 }
