@@ -195,9 +195,23 @@ object Sq extends QModule {
     * only → top-k. Same pipeline contract as [[Pq.search]].
     * @return (query_id, doc_id, score, rnk) */
   def search(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
-    import s.implicits._
     val (lo, hi) = graft.Memo.cachedValue(s, s"sq-bounds:$d")(trainBounds(corpusDs(s, d)))
     val encoded = graft.Memo.cached(s, s"sq-encoded:$d")(encode(corpusDs(s, d), lo, hi))
+    searchFrom(s, d, encoded, lo, hi, maxQueryId, k)
+  }
+
+  /** The search pipeline over an arbitrary (doc_id, codes) frame and
+    * bounds — shared by the memoized in-session path ([[search]]) and
+    * the persisted-index serving path ([[searchPersisted]]). */
+  private def searchFrom(
+      s: SparkSession,
+      d: String,
+      encoded: DataFrame,
+      lo: Array[Double],
+      hi: Array[Double],
+      maxQueryId: Int,
+      k: Int): DataFrame = {
+    import s.implicits._
     val emb = Tables(s, d, "embeddings")
     val queries = corpusDs(s, d).filter($"id" < maxQueryId).collect().sortBy(_._1)
     val cands = BruteForce
@@ -214,6 +228,46 @@ object Sq extends QModule {
         Seq("query_id"))
       .select($"query_id", $"doc_id", graft.Functions.vecDot($"qe", $"embedding").as("score"))
     BruteForce.rerank(rescored, k)
+  }
+
+  // ----------------------------------------------------- K4: persistence
+  /** K4 for the SQ8 tier (mirrors [[Pq.buildPersistedIndex]]): trained
+    * bounds + encoded byte codes written once as parquet under the same
+    * configurable Hadoop-FS root ([[Ann.IndexRootConf]]), build-if-
+    * absent. Parquet round-trips the double bounds and binary codes
+    * exactly, so persisted serving is bit-identical to the in-session
+    * pipeline (v26 shares v23's oracle). */
+  private def sqIndexPath(s: SparkSession, d: String): String = {
+    val root = s.conf.get(Ann.IndexRootConf, "/tmp/graft_index")
+    s"$root/${d.replaceAll("[^A-Za-z0-9.]", "_")}_sq$Levels"
+  }
+
+  /** Build-if-absent persisted SQ8 index; returns its location. */
+  def buildPersistedIndex(s: SparkSession, d: String): String = {
+    val path = sqIndexPath(s, d)
+    val (fs, success) = Ann.hfs(s, s"$path/codes/_SUCCESS")
+    if (!fs.exists(success)) {
+      val spark = s
+      import spark.implicits._
+      val (lo, hi) = trainBounds(corpusDs(s, d))
+      lo.zip(hi).zipWithIndex.map { case ((l, h), i) => (i, l, h) }.toSeq
+        .toDF("dim", "lo", "hi")
+        .write.mode("overwrite").parquet(s"$path/bounds")
+      encode(corpusDs(s, d), lo, hi)
+        .write.mode("overwrite").parquet(s"$path/codes")
+    }
+    path
+  }
+
+  /** SQ8 search served from the PERSISTED index artifacts only. */
+  def searchPersisted(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val path = buildPersistedIndex(s, d)
+    val bounds = s.read.parquet(s"$path/bounds")
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    searchFrom(
+      s, d, s.read.parquet(s"$path/codes"),
+      bounds.map(_._2), bounds.map(_._3), maxQueryId, k)
   }
 
   // ------------------------------------------------------------ oracle SQL
@@ -282,5 +336,21 @@ object Sq extends QModule {
     },
     Some(duckSqSearch(maxQueryId = 10, k = 10)))
 
-  override def all: Seq[Q] = Seq(v23)
+  // ---------------------------------------------------------------- v26
+  /** K4 persistence for the SQ8 tier under the oracle gate: search served
+    * entirely from the persisted bounds + codes parquet (build-if-absent,
+    * Hadoop-FS root) — same parameters and oracle as v23, because
+    * persisted serving must be bit-identical to the in-session
+    * pipeline. */
+  private val v26 = Q(
+    "v26_sq_persisted",
+    (s, d) => {
+      import s.implicits._
+      searchPersisted(s, d, maxQueryId = 10, k = 10)
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckSqSearch(maxQueryId = 10, k = 10)))
+
+  override def all: Seq[Q] = Seq(v23, v26)
 }
