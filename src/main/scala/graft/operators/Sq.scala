@@ -212,13 +212,27 @@ object Sq extends QModule {
       maxQueryId: Int,
       k: Int): DataFrame = {
     import s.implicits._
-    val emb = Tables(s, d, "embeddings")
     val queries = corpusDs(s, d).filter($"id" < maxQueryId).collect().sortBy(_._1)
     val cands = BruteForce
       .rerank(
         adcCandidates(encoded, lo, hi, queries).withColumnRenamed("approx", "score"),
         RCand)
       .select($"query_id", $"doc_id")
+    rescoreTopK(s, d, cands, maxQueryId, k)
+  }
+
+  /** Exact rescore of a bounded (query_id, doc_id) candidate frame
+    * against the float corpus, then the final top-k — the tail every SQ
+    * search path shares. Candidates are q × RCand rows (tiny), so both
+    * joins broadcast them and only candidate vectors are re-read. */
+  private def rescoreTopK(
+      s: SparkSession,
+      d: String,
+      cands: DataFrame,
+      maxQueryId: Int,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
     val rescored = emb
       .select($"vec_id".as("doc_id"), $"embedding")
       .join(broadcast(cands), Seq("doc_id"))
@@ -228,6 +242,133 @@ object Sq extends QModule {
         Seq("query_id"))
       .select($"query_id", $"doc_id", graft.Functions.vecDot($"qe", $"embedding").as("score"))
     BruteForce.rerank(rescored, k)
+  }
+
+  // --------------------------------------------------- IVF composition
+  /** One-pass IVF-assign + SQ8-encode build: each corpus vector gets its
+    * argmax-dot centroid ([[BruteForce.nearestCentroid]] — the [[Ann]]
+    * assignment contract, ties to the smallest centroid id) AND its byte
+    * codes in the same narrow map — no join between the two build
+    * artifacts, no shuffle at all. */
+  def encodeAssigned(
+      corpus: Dataset[(Long, Array[Float])],
+      cents: Array[(Long, Array[Float])],
+      lo: Array[Double],
+      hi: Array[Double]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcLo = spark.sparkContext.broadcast(lo)
+    val bcStep = spark.sparkContext.broadcast(steps(lo, hi))
+    corpus
+      .map { case (id, vec) =>
+        val l = bcLo.value
+        val st = bcStep.value
+        val codes = new Array[Byte](vec.length)
+        var i = 0
+        while (i < vec.length) {
+          codes(i) = encodeComponent(vec(i).toDouble, l(i), st(i)).toByte
+          i += 1
+        }
+        (id, BruteForce.nearestCentroid(vec, bcC.value)._1, codes)
+      }
+      .toDF("doc_id", "centroid_id", "codes")
+  }
+
+  /** Probed ADC candidates: like [[adcCandidates]] but each doc is
+    * scored ONLY by the queries probing its centroid (per-centroid query
+    * lists, the [[BruteForce.topKProbed]] shape) — at nProbe of C
+    * centroids ~nProbe/C of the byte rows are touched per query. */
+  def adcProbed(
+      assigned: DataFrame,
+      lo: Array[Double],
+      hi: Array[Double],
+      queries: Array[(Long, Array[Float])],
+      probes: Map[Long, Array[Int]]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bcLo = spark.sparkContext.broadcast(lo)
+    val bcStep = spark.sparkContext.broadcast(steps(lo, hi))
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcP = spark.sparkContext.broadcast(probes)
+    assigned
+      .select(col("doc_id").cast("long"), col("centroid_id").cast("long"), col("codes"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val l = bcLo.value
+        val st = bcStep.value
+        val qs = bcQ.value
+        val byCid = bcP.value
+        val nq = qs.length
+        val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(RCand))
+        rows.foreach { case (docId, cid, codes) =>
+          val qlist = byCid.getOrElse(cid, Array.emptyIntArray)
+          var j = 0
+          while (j < qlist.length) {
+            val qi = qlist(j)
+            if (qs(qi)._1 != docId) {
+              val qv = qs(qi)._2
+              val n = math.min(qv.length, codes.length)
+              var s = 0.0
+              var i = 0
+              while (i < n) {
+                s += qv(i).toDouble * (l(i) + (codes(i) & 0xFF).toDouble * st(i))
+                i += 1
+              }
+              heaps(qi).offer(s, docId)
+            }
+            j += 1
+          }
+        }
+        Iterator.range(0, nq).flatMap { qi =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          heaps(qi).foreach((s, id) => out += ((qs(qi)._1, id, s)))
+          out.iterator
+        }
+      }
+      .toDF("query_id", "doc_id", "approx")
+  }
+
+  /** IVF + SQ8 search — the composition the kernel bench times
+    * ([[VectorBlocks.ivfsqSearch]]) at registry scale under the oracle
+    * gate: probe the top-nProbe [[Ann]] centroids per query (same probe
+    * arithmetic and ties as v09), ADC-scan ONLY the probed inverted
+    * lists' byte codes, global RCand trim, exact rescore, top-k. */
+  def searchIvf(s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val (lo, hi) = graft.Memo.cachedValue(s, s"sq-bounds:$d")(trainBounds(corpusDs(s, d)))
+    val cents = Ann.centroids(s, d)
+      .select($"centroid_id".cast("long"), $"ce")
+      .as[(Long, Array[Float])]
+      .collect()
+    val assigned = graft.Memo.cached(s, s"sq-assigned:$d")(
+      encodeAssigned(corpusDs(s, d), cents, lo, hi))
+    val queries = corpusDs(s, d).filter($"id" < maxQueryId).collect().sortBy(_._1)
+    // top-nProbe probe set per query: dot desc, centroid_id asc — the
+    // v09 probe contract, computed with the same array-order double dot
+    val byCid = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    queries.zipWithIndex.foreach { case ((_, qv), qi) =>
+      cents
+        .map { case (cid, cv) =>
+          val n = math.min(qv.length, cv.length)
+          var sc = 0.0
+          var i = 0
+          while (i < n) { sc += qv(i).toDouble * cv(i).toDouble; i += 1 }
+          (cid, sc)
+        }
+        .sortBy { case (cid, sc) => (-sc, cid) }
+        .take(nProbe)
+        .foreach { case (cid, _) =>
+          byCid.getOrElseUpdate(cid, scala.collection.mutable.ArrayBuffer.empty) += qi
+        }
+    }
+    val probes = byCid.iterator.map { case (cid, qis) => cid -> qis.toArray }.toMap
+    val cands = BruteForce
+      .rerank(
+        adcProbed(assigned, lo, hi, queries, probes).withColumnRenamed("approx", "score"),
+        RCand)
+      .select($"query_id", $"doc_id")
+    rescoreTopK(s, d, cands, maxQueryId, k)
   }
 
   // ----------------------------------------------------- K4: persistence
@@ -271,13 +412,12 @@ object Sq extends QModule {
   }
 
   // ------------------------------------------------------------ oracle SQL
-  /** The identical pipeline in DuckDB: exact per-dim bounds, same encode
-    * expression, decoded vectors rebuilt in dimension order so the ADC
-    * dot unnests in the same array order the kernel accumulates in, same
-    * global RCand boundary, same exact rescore. Dim is 64 on the
+  /** Shared CTE chain: exact per-dim bounds, the encode expression, and
+    * decoded vectors rebuilt in dimension order so the ADC dot unnests
+    * in the same array order the kernel accumulates in. Dim is 64 on the
     * fixtures (like v13's oracle). */
-  private def duckSqSearch(maxQueryId: Int, k: Int): String =
-    s"""WITH st AS (
+  private val duckEncodeCtes: String =
+    s"""st AS (
       SELECT u.i AS i, min(CAST(u.x AS DOUBLE)) AS lo, max(CAST(u.x AS DOUBLE)) AS hi
       FROM embeddings e,
            LATERAL (SELECT unnest(e.embedding) AS x, unnest(generate_series(1, 64)) AS i) u
@@ -296,14 +436,12 @@ object Sq extends QModule {
       JOIN stp s ON s.i = u.i),
     decv AS (
       SELECT doc_id, list(lo + code * step ORDER BY i) AS dv
-      FROM en GROUP BY doc_id),
-    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQueryId),
-    approx AS (
-      SELECT q.query_id, d.doc_id,
-             (SELECT sum(CAST(x AS DOUBLE) * y)
-              FROM (SELECT unnest(q.qe) AS x, unnest(d.dv) AS y) zz) AS ascore
-      FROM q, decv d WHERE d.doc_id <> q.query_id),
-    cand AS (
+      FROM en GROUP BY doc_id)"""
+
+  /** Shared tail: global RCand boundary over an `approx(query_id,
+    * doc_id, ascore)` CTE, exact rescore, top-k display. */
+  private def duckTail(k: Int): String =
+    s"""cand AS (
       SELECT query_id, doc_id FROM (
         SELECT query_id, doc_id,
                row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, doc_id) AS arn
@@ -321,6 +459,43 @@ object Sq extends QModule {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
       FROM rescored)
     WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  /** The full flat-SQ pipeline in DuckDB (v23/v26). */
+  private def duckSqSearch(maxQueryId: Int, k: Int): String =
+    s"""WITH $duckEncodeCtes,
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQueryId),
+    approx AS (
+      SELECT q.query_id, d.doc_id,
+             (SELECT sum(CAST(x AS DOUBLE) * y)
+              FROM (SELECT unnest(q.qe) AS x, unnest(d.dv) AS y) zz) AS ascore
+      FROM q, decv d WHERE d.doc_id <> q.query_id),
+    ${duckTail(k)}"""
+
+  /** The IVF+SQ composition in DuckDB (v27): [[Ann.duckCentAssign]]'s
+    * centroid set + assignment, the v09 probe contract (top-nProbe by
+    * dot desc, centroid_id ties), ADC restricted to probed inverted
+    * lists, then the shared trim/rescore tail. */
+  private def duckIvfSqSearch(maxQueryId: Int, k: Int, nProbe: Int): String =
+    s"""WITH ${Ann.duckCentAssign},
+    $duckEncodeCtes,
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQueryId),
+    probed AS (
+      SELECT query_id, qe, centroid_id FROM (
+        SELECT q.query_id, q.qe, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                                            FROM (SELECT unnest(q.qe) AS x, unnest(c.ce) AS y) zz) DESC,
+                                           c.centroid_id) AS prn
+        FROM q, cent c)
+      WHERE prn <= $nProbe),
+    approx AS (
+      SELECT p.query_id, a.doc_id,
+             (SELECT sum(CAST(x AS DOUBLE) * y)
+              FROM (SELECT unnest(p.qe) AS x, unnest(dv.dv) AS y) zz) AS ascore
+      FROM probed p JOIN assign a USING (centroid_id)
+      JOIN decv dv ON dv.doc_id = a.doc_id
+      WHERE a.doc_id <> p.query_id),
+    ${duckTail(k)}"""
 
   // ---------------------------------------------------------------- v23
   /** SQ8 search end to end for queries vec_id < 10, top-10 — the
@@ -352,5 +527,20 @@ object Sq extends QModule {
     },
     Some(duckSqSearch(maxQueryId = 10, k = 10)))
 
-  override def all: Seq[Q] = Seq(v23, v26)
+  // ---------------------------------------------------------------- v27
+  /** IVF + SQ8 end to end under the oracle gate: the composition the
+    * kernel bench times ([[VectorBlocks.ivfsqSearch]]) — probe, pruned
+    * byte-ADC, trim, exact rescore — with nProbe 4 of [[Ann.Centroids]]
+    * partitions. */
+  private val v27 = Q(
+    "v27_ivfsq_topk",
+    (s, d) => {
+      import s.implicits._
+      searchIvf(s, d, maxQueryId = 10, k = 10, nProbe = 4)
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckIvfSqSearch(maxQueryId = 10, k = 10, nProbe = 4)))
+
+  override def all: Seq[Q] = Seq(v23, v26, v27)
 }

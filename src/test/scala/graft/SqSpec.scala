@@ -46,6 +46,19 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("IVF+SQ at full probe equals the flat SQ search") {
+    // probing every centroid makes the candidate universe identical to
+    // the flat scan; trim/rescore are shared, so the results must match
+    val flat = Sq.search(spark, sf0001, maxQueryId = 5, k = 10)
+      .select($"query_id", $"rnk", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val probedAll = Sq.searchIvf(spark, sf0001, maxQueryId = 5, k = 10,
+        nProbe = graft.operators.Ann.Centroids)
+      .select($"query_id", $"rnk", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flat == probedAll)
+  }
+
   test("SQ8 search recovers the exact top-10 on the fixture (rescore closes the gap)") {
     val sq = Sq.search(spark, sf0001, maxQueryId = 10, k = 10)
       .select($"query_id", $"doc_id", $"rnk").collect()
