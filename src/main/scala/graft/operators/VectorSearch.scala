@@ -562,6 +562,166 @@ object VectorSearch extends QModule {
     SELECT query_id, rnk, doc_id, round(score, 4) AS score
     FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
+  // ---------------------------------------------------------------- v28
+  /** Cursor pagination (`search_after`): page 2 of each query's results,
+    * addressed by the page-1 boundary (score, doc_id) cursor rather than
+    * an offset — the stateless serving API every vector DB exposes
+    * (offset pagination re-ranks k+offset per page; a cursor filter
+    * keeps each page top-k). The cursor set is q bounded rows; hits
+    * after the cursor in the (score desc, doc_id asc) total order are
+    * re-ranked with the bounded heap. The oracle is the rank-window
+    * formulation (rows 11..20 re-ranked 1..10) — equal by the total
+    * order, which is the correctness claim. Filters the shared memoized
+    * search frame: no rescan. */
+  private val PageK = 10
+
+  private val v28 = Q(
+    "v28_search_after",
+    (s, d) => {
+      import s.implicits._
+      val frame = searchFrame(s, d).filter($"query_id" < 10)
+      // the cursor is CLIENT state in a real search_after call: collect
+      // the q bounded page-1 boundaries and re-enter them as literals
+      // (also sidesteps self-joining the custom plan node's output)
+      val cursors = frame.filter($"rnk" === PageK)
+        .select($"query_id", $"score", $"doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSeq.toDF("query_id", "cs", "cd")
+      val page2 = frame
+        .join(broadcast(cursors), Seq("query_id"))
+        .filter($"score" < $"cs" || ($"score" === $"cs" && $"doc_id" > $"cd"))
+        .select($"query_id", $"doc_id", $"score")
+      BruteForce.rerank(page2, PageK)
+        .select($"query_id", $"rnk", $"doc_id")
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+    SELECT query_id, rnk - $PageK AS rnk, doc_id
+    FROM ranked WHERE rnk > $PageK AND rnk <= ${2 * PageK}
+    ORDER BY query_id, rnk"""))
+
+  // ---------------------------------------------------------------- v29
+  /** Facet counts over search hits: per query, the label distribution of
+    * its top-10 — the filtered-aggregation feature of production vector
+    * DBs (and the instant view of result diversity v22 caps). Hit set is
+    * q×k bounded → broadcast into the corpus-side label join; one
+    * integer census. */
+  private val v29 = Q(
+    "v29_facet_counts",
+    (s, d) => {
+      import s.implicits._
+      val hits = searchFrame(s, d)
+        .filter($"query_id" < 20 && $"rnk" <= 10)
+        .select($"query_id", $"doc_id")
+      emb(s, d).select($"vec_id".as("doc_id"), $"label")
+        .join(broadcast(hits), Seq("doc_id"))
+        .groupBy($"query_id", $"label")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy($"query_id", $"label")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+    SELECT r.query_id, e.label, count(*) AS n_hits
+    FROM ranked r JOIN embeddings e ON e.vec_id = r.doc_id
+    WHERE r.rnk <= 10
+    GROUP BY r.query_id, e.label ORDER BY r.query_id, e.label"""))
+
+  // ---------------------------------------------------------------- v30
+  /** Distributed kNN-graph build (every vector's top-[[KnnK]] neighbors
+    * — the input of graph-ANN index builds and graph-based dedup): the
+    * ONLY registry search where the query side is the whole corpus, so
+    * the driver-broadcast query pattern is structurally unavailable at
+    * scale. Shape: each vector emits nProbe probe rows against its
+    * top-scoring [[Ann]] centroids (map-side vs the broadcast
+    * config-bounded centroid set), which EQUI-JOIN the centroid-keyed
+    * assignment — a shuffle join on centroid_id touching ~nProbe/C of
+    * all pairs — then one bounded-heap top-k per vector. No broadcast of
+    * either big side, no cartesian; cost scales with Σ probe-list sizes.
+    * Approximation contract: a neighbor outside the probed lists is
+    * invisible — IDENTICALLY in the oracle, which replays the same probe
+    * sets. */
+  private val KnnK = 3
+  private val KnnProbe = 2
+
+  private val v30 = Q(
+    "v30_knn_graph",
+    (s, d) => {
+      import s.implicits._
+      val cents = Ann.centroids(s, d)
+        .select($"centroid_id".cast("long"), $"ce")
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+      val corpus = emb(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+        .as[(Long, Array[Float])]
+      val bcC = s.sparkContext.broadcast(cents)
+      // probe rows: (id, vec, centroid_id) × KnnProbe — map-side, the
+      // same array-order dot + (score desc, cid asc) order as the oracle
+      val probes = corpus.flatMap { case (id, vec) =>
+        bcC.value.iterator.map { case (cid, cv) =>
+          val n = math.min(vec.length, cv.length)
+          var sc = 0.0
+          var i = 0
+          while (i < n) { sc += cv(i).toDouble * vec(i).toDouble; i += 1 }
+          (cid, sc)
+        }.toArray.sortBy { case (cid, sc) => (-sc, cid) }
+          .take(KnnProbe)
+          .map { case (cid, _) => (id, vec, cid) }
+      }.toDF("id", "vec", "centroid_id")
+      val assigned = corpus.map { case (id, vec) =>
+        (id, BruteForce.nearestCentroid(vec, bcC.value)._1, vec)
+      }.toDF("nbr_id", "centroid_id", "nvec")
+      val scored = probes
+        .join(assigned, Seq("centroid_id"))
+        .filter($"id" =!= $"nbr_id")
+        .select(
+          $"id".as("query_id"),
+          $"nbr_id".as("doc_id"),
+          graft.Functions.vecDot($"vec", $"nvec").as("score"))
+      BruteForce.rerank(scored, KnnK)
+        .filter($"query_id" < 50) // display slice; the graph is built corpus-wide
+        .select($"query_id", $"rnk", $"doc_id")
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""WITH ${Ann.duckCentAssign},
+      pr AS (
+        SELECT id, centroid_id FROM (
+          SELECT e.vec_id AS id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ${duckDot("e.embedding", "c.ce")} DESC,
+                                             c.centroid_id) AS prn
+          FROM embeddings e, cent c)
+        WHERE prn <= $KnnProbe),
+      scored AS (
+        SELECT pr.id AS query_id, a.doc_id,
+               ${duckDot("qe.embedding", "ne.embedding")} AS score
+        FROM pr JOIN assign a USING (centroid_id)
+        JOIN embeddings qe ON qe.vec_id = pr.id
+        JOIN embeddings ne ON ne.vec_id = a.doc_id
+        WHERE a.doc_id <> pr.id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+    SELECT query_id, rnk, doc_id FROM ranked
+    WHERE rnk <= $KnnK AND query_id < 50 ORDER BY query_id, rnk"""))
+
   override def all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30)
 }
