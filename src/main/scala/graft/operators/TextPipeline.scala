@@ -449,6 +449,18 @@ object TextPipeline extends QModule {
     * LLM-data pipeline runs before training. */
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
+  // Gopher/C4 quality-rule knobs (q65, q70). Declared BEFORE every Q val:
+  // oracle SQL strings interpolate them at object-init time, and a Q
+  // defined textually earlier would otherwise capture default-initialized
+  // zeros (q70 did — Spark reads them lazily inside fn, the SQL string
+  // eagerly, and the two silently diverged).
+  private val QMinWords = 50
+  private val QMaxWords = 100000
+  private val QMinMeanWl = 3.0
+  private val QMaxMeanWl = 10.0
+  private val QMinStop = 2
+  private val QMinAlphaFrac = 0.8
+
   private val q25 = Q(
     "q25_text_stats",
     (s, d) => {
@@ -974,6 +986,72 @@ object TextPipeline extends QModule {
       round((CAST(sum(snll) AS DOUBLE) / $NllScale) / CAST(sum(nw) AS DOUBLE), 4) AS avg_nll
     FROM per_doc GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------- q70
+  /** Corpus data card — the per-source summary table every training-data
+    * release publishes (doc/token/char counts, exact-dup rate, quality
+    * pass rate, final kept count), composing the engine's own stages:
+    * q21's md5 fingerprint dedup (keep-first over doc_id), q65's quality
+    * rules, q25/q67's token accounting. One text pass computes every
+    * per-doc metric map-side; the only shuffles are the fingerprint
+    * window (hash-partitioned by fp, q21's scale shape) and the final
+    * source census. Integer-only outputs — bit-deterministic. */
+  private val q70 = Q(
+    "q70_data_card",
+    (s, d) => {
+      import s.implicits._
+      val ws = split(trim($"text"), "\\s+")
+      val stopArr = array(Stopwords.map(lit): _*)
+      val perDoc = docs(s, d).select(
+        $"source",
+        $"doc_id",
+        md5(lower(trim($"text"))).as("fp"),
+        size(ws).cast("long").as("n_words"),
+        length($"text").cast("long").as("n_chars"),
+        ((size(ws) >= QMinWords && size(ws) <= QMaxWords) &&
+          ((aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+            .between(QMinMeanWl, QMaxMeanWl)) &&
+          (size(filter(ws, w => array_contains(stopArr, w))) >= QMinStop) &&
+          ((size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / size(ws))
+            >= QMinAlphaFrac)).cast("long").as("quality_ok"))
+      val wDup = org.apache.spark.sql.expressions.Window.partitionBy($"fp").orderBy($"doc_id")
+      perDoc
+        .withColumn("dup", (row_number().over(wDup) > 1).cast("long"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_words").as("n_tokens"),
+          sum($"n_chars").as("n_chars"),
+          sum($"dup").as("n_exact_dup"),
+          sum(lit(1L) - $"quality_ok").as("n_quality_fail"),
+          sum($"quality_ok" * (lit(1L) - $"dup")).as("n_kept"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH per_doc AS (
+        SELECT source, doc_id, md5(lower(trim(text))) AS fp,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split_regex(trim(text), '\\s+')) BETWEEN $QMinWords AND $QMaxWords
+            AND (CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> len(w))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+'))) BETWEEN $QMinMeanWl AND $QMaxMeanWl
+            AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                w -> w IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) >= $QMinStop
+            AND (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+'))) >= $QMinAlphaFrac
+            AS BIGINT) AS quality_ok
+        FROM documents),
+      flagged AS (
+        SELECT source, n_words, n_chars, quality_ok,
+               CAST(row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS BIGINT) AS dup
+        FROM per_doc)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(n_words) AS BIGINT) AS n_tokens,
+      CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      CAST(sum(dup) AS BIGINT) AS n_exact_dup,
+      CAST(sum(1 - quality_ok) AS BIGINT) AS n_quality_fail,
+      CAST(sum(quality_ok * (1 - dup)) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source ORDER BY source"""))
+
   // ---------------------------------------------------------------- q52
   /** PII redaction — scrub emails and phone-shaped tokens from the corpus
     * and account for every removal (a training pipeline must prove WHAT
@@ -1125,14 +1203,9 @@ object TextPipeline extends QModule {
     * map-side per-doc HOF expressions + ONE lang groupBy; every output
     * is an integer count — no float aggregation, so the query is
     * bit-deterministic by construction (per-doc threshold comparisons
-    * are single-division doubles, identical on both engines). */
-  private val QMinWords = 50
-  private val QMaxWords = 100000
-  private val QMinMeanWl = 3.0
-  private val QMaxMeanWl = 10.0
-  private val QMinStop = 2
-  private val QMinAlphaFrac = 0.8
-
+    * are single-division doubles, identical on both engines). Rule
+    * knobs are declared at the top of the object (init-order contract
+    * shared with q70). */
   private val q65 = Q(
     "q65_quality_filter",
     (s, d) => {
@@ -1539,5 +1612,5 @@ object TextPipeline extends QModule {
     FROM per ORDER BY doc_id"""))
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70)
 }
