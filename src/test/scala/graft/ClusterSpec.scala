@@ -130,23 +130,31 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
-  test("q66 dups are a non-empty subset of the global near-dup set (precision 1.0)") {
+  test("q66 multi-probe membership: precision 1.0 and strictly better recall than primary-only") {
     import spark.implicits._
-    // the scale contract trades recall for Σ n_c² cost: a pair is only
-    // visible when both ends co-cluster, so q66's dup set must be a
-    // subset of the global pair scan at the same τ (q26) — and on the
-    // fixture a non-empty one. (Recall < 1 is expected and by design:
-    // boundary pairs straddle clusters; measured 7/14 at sf0.01.)
+    import org.apache.spark.sql.functions.{col, count => fcount, lit}
     val globalDups = SparkEntry.queries("q26_embedding_neardup")(spark, sf001)
       .filter($"cosine" >= graft.operators.Cluster.SemTau)
       .select($"vec_b").as[Long].collect().toSet
     val q66 = SparkEntry.queries("q66_semantic_dedup")(spark, sf001).collect()
     val semDup = q66.map(_.getAs[Long]("n_dup")).sum
-    assert(semDup > 0, "fixture must contain at least one co-clustered near-dup")
-    assert(semDup <= globalDups.size,
-      s"q66 found $semDup dups but only ${globalDups.size} exist globally — precision broken")
+    // precision: every flagged dup is a genuine global near-dup
+    assert(semDup > 0 && semDup <= globalDups.size,
+      s"q66 found $semDup dups but only ${globalDups.size} exist globally")
     q66.foreach { r =>
       assert(r.getAs[Long]("n") == r.getAs[Long]("n_dup") + r.getAs[Long]("n_kept"))
     }
+    // monotone recall: the multi-probe dup set must strictly contain the
+    // primary-only one on this fixture (measured 7/14 → 12/14 at m = 2)
+    val mem = graft.operators.Cluster.membership(spark, sf001, graft.operators.Cluster.SemProbe)
+    val primary = mem.filter($"rn" === 1).select($"id", $"centroid_id", $"vec")
+    val primDup = primary.as("x")
+      .join(primary.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") && col("x.id") < col("y.id"))
+      .filter(graft.Functions.vecDot(col("x.vec"), col("y.vec")) >=
+        graft.operators.Cluster.SemTau)
+      .select(col("y.id")).distinct().count()
+    assert(semDup > primDup,
+      s"multi-probe ($semDup) must beat primary-only ($primDup) on the fixture")
   }
 }
