@@ -27,6 +27,7 @@ object Functions {
     val treg = spark.sessionState.tableFunctionRegistry
     treg.createOrReplaceTempFunction("ann_search", annSearchPlan, "built-in")
     treg.createOrReplaceTempFunction("cosine_topk", cosineTopKPlan, "built-in")
+    treg.createOrReplaceTempFunction("range_search", rangeSearchPlan, "built-in")
   }
 
   /** Evaluate a TVF's foldable scalar arguments: `name(argNames…)`,
@@ -86,6 +87,30 @@ object Functions {
       .topK(SparkSession.active, dir.toString,
         asInt("cosine_topk", "max_query_id", maxQ),
         asInt("cosine_topk", "k", k))
+      .queryExecution.analyzed
+  }
+
+  private def asDouble(name: String, what: String, v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    // SQL `0.3` parses as a DECIMAL literal → Spark's Decimal, not Number
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name $what must be a numeric literal, got $other")
+  }
+
+  /** Table-function builder for `range_search(dir, max_query_id, tau)` —
+    * the no-k-bound radius search through the parser: expands to
+    * [[operators.VectorSearch.rangeSearchFrame]]'s zero-shuffle
+    * map-side-filter plan. */
+  private[graft] def rangeSearchPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val Seq(dir, maxQ, tau) =
+      tvfArgs("range_search", Seq("dir", "max_query_id", "tau"), exprs)
+    operators.VectorSearch
+      .rangeSearchFrame(SparkSession.active, dir.toString,
+        asInt("range_search", "max_query_id", maxQ),
+        asDouble("range_search", "tau", tau))
       .queryExecution.analyzed
   }
 

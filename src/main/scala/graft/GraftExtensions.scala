@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_topk"),
       new ExpressionInfo(Functions.getClass.getName, "cosine_topk"),
       (exprs: Seq[Expression]) => Functions.cosineTopKPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("range_search"),
+      new ExpressionInfo(Functions.getClass.getName, "range_search"),
+      (exprs: Seq[Expression]) => Functions.rangeSearchPlan(exprs)))
   }
 }

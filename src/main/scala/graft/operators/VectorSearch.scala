@@ -498,17 +498,45 @@ object VectorSearch extends QModule {
     * 4 dp. */
   private val RangeTau = 0.3
 
+  /** Raw range-search frame (query_id, doc_id, score) for queries with
+    * vec_id < maxQueryId — the entry point shared by v24 and the
+    * `range_search(...)` table-valued function. */
+  def rangeSearchFrame(s: SparkSession, d: String, maxQueryId: Int, tau: Double): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      .as[(Long, Array[Float])]
+    val qs = corpus.filter($"id" < maxQueryId).collect().sortBy(_._1)
+    BruteForce.rangeSearch(corpus, qs, tau, excludeSelf = true)
+  }
+
   private val v24 = Q(
     "v24_range_search",
     (s, d) => {
       import s.implicits._
-      val corpus = emb(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-        .as[(Long, Array[Float])]
-      val qs = corpus.filter($"id" < 10).collect().sortBy(_._1)
-      BruteForce.rangeSearch(corpus, qs, RangeTau, excludeSelf = true)
+      rangeSearchFrame(s, d, maxQueryId = 10, tau = RangeTau)
         .select($"query_id", $"doc_id", round($"score", 4).as("score"))
         .orderBy($"query_id", $"doc_id")
     },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+    SELECT query_id, doc_id, round(score, 4) AS score
+    FROM scored WHERE score >= $RangeTau ORDER BY query_id, doc_id"""))
+
+  // ---------------------------------------------------------------- v31
+  /** Range search through the SQL parser: `SELECT … FROM
+    * range_search(dir, maxQ, tau)` — the TVF companion of v15/v16 for
+    * the no-k-bound shape, expanding at analysis time to
+    * [[rangeSearchFrame]]'s zero-shuffle plan. Same parameters and
+    * oracle as v24: identical results through both surfaces is the
+    * contract. */
+  private val v31 = Q(
+    "v31_sql_range_search",
+    (s, d) => s.sql(
+      s"""SELECT query_id, doc_id, round(score, 4) AS score
+          FROM range_search('$d', 10, $RangeTau) ORDER BY query_id, doc_id"""),
     Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
       scored AS (
         SELECT q.query_id, c.vec_id AS doc_id,
@@ -723,5 +751,5 @@ object VectorSearch extends QModule {
     WHERE rnk <= $KnnK AND query_id < 50 ORDER BY query_id, rnk"""))
 
   override def all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31)
 }

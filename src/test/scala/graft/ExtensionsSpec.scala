@@ -75,5 +75,16 @@ class ExtensionsSpec extends SparkSpec {
           "dir", org.apache.spark.sql.types.StringType)(),
           Literal(20), Literal(10), Literal(4)))
     }
+    // the radius companion: injected, expands, and accepts a DECIMAL tau
+    // (SQL `0.3` parses as Decimal, not Double — regression pin)
+    assert(treg.functionExists(FunctionIdentifier("range_search")), "range_search not injected")
+    val rsPlan = treg.lookupFunction(
+      FunctionIdentifier("range_search"),
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(sf0001)),
+        Literal(10), Literal(org.apache.spark.sql.types.Decimal(0.3),
+          org.apache.spark.sql.types.DecimalType(2, 1))))
+    val rsRows = GraftInternal.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.SparkSession], rsPlan).count()
+    assert(rsRows > 0L, "range_search TVF plan returned no rows on the fixture")
   }
 }
