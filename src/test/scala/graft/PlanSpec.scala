@@ -225,6 +225,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("serving surfaces (v28/v29/v30): no cartesian, bounded sides broadcast") {
+    Seq("v28_search_after", "v29_facet_counts", "v30_knn_graph").foreach { name =>
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to all-pairs:\n${plan.take(1500)}")
+    }
+    // v29's hit set (q×k rows) must be the broadcast side of its label join
+    val v29 = q("v29_facet_counts").queryExecution.executedPlan.toString
+    assert(v29.contains("BroadcastHashJoin"),
+      s"v29 hit join should broadcast the bounded hit set:\n${v29.take(1500)}")
+  }
+
   test("domain clustering (q57): join-free broadcast kernel — only the K-row census shuffles") {
     val df = q("q57_domain_cluster")
     val plan = df.queryExecution.executedPlan.toString
