@@ -538,6 +538,41 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT centroid_id, count(*) AS n_vecs FROM assign GROUP BY centroid_id ORDER BY centroid_id"""))
 
+  // ---------------------------------------------------------------- v32
+  /** Index health introspection (faiss `imbalance_factor`): one summary
+    * row over the persisted inverted lists — corpus size, list count,
+    * min/max/avg list length, and the imbalance factor
+    * `C · Σ n_c² / n²` (1.0 = perfectly balanced; the skew diagnostic
+    * that predicts probe-cost variance, which is what an operator of a
+    * partition-pruned index watches before retuning C). All-integer
+    * inputs, two exact divides at the end — bit-deterministic. */
+  private val v32 = Q(
+    "v32_index_stats",
+    (s, d) => {
+      import s.implicits._
+      loadIndex(s, d)
+        .groupBy($"centroid_id")
+        .agg(count(lit(1)).as("nc"))
+        .agg(
+          sum($"nc").as("n_vecs"),
+          count(lit(1)).as("n_lists"),
+          min($"nc").as("min_list"),
+          max($"nc").as("max_list"),
+          round(sum($"nc").cast("double") / count(lit(1)), 4).as("avg_list"),
+          round(
+            count(lit(1)).cast("double") * sum($"nc" * $"nc").cast("double") /
+              (sum($"nc").cast("double") * sum($"nc").cast("double")),
+            4).as("imbalance"))
+    },
+    Some(s"""WITH $duckCentAssign,
+      lists AS (SELECT centroid_id, count(*) AS nc FROM assign GROUP BY centroid_id)
+    SELECT CAST(sum(nc) AS BIGINT) AS n_vecs, count(*) AS n_lists,
+           CAST(min(nc) AS BIGINT) AS min_list, CAST(max(nc) AS BIGINT) AS max_list,
+           round(CAST(sum(nc) AS DOUBLE) / count(*), 4) AS avg_list,
+           round(CAST(count(*) AS DOUBLE) * CAST(sum(nc * nc) AS DOUBLE)
+                 / (CAST(sum(nc) AS DOUBLE) * CAST(sum(nc) AS DOUBLE)), 4) AS imbalance
+    FROM lists"""))
+
   // ---------------------------------------------------------------- v09
   /** V3/V5 search: top-10 for queries vec_id < 20 at nProbe = 4. */
   private val v09 = Q(
@@ -711,5 +746,5 @@ object Ann extends QModule {
       FROM (${duckSearch(20, 10, 4, "e.vec_id % 17 <> 3")})
       ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32)
 }
