@@ -29,9 +29,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 12g: the kernel bench caches four structures at once (float blocks,
-  // indexed blocks, SQ8 + PQ partition indexes ≈ 4.1 GB) — at 8g the
-  // storage pool evicted the MEMORY_ONLY pq index and the timed passes
-  // silently re-encoded the corpus (measured: 3.3 → 71.6 ms/query)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
+// Heap is scoped per task kind (ADVICE r8: a blanket 12g pushed small
+// machines toward swap for toy-scale test runs):
+//  - run/runMain (Bench, Verify, tools): 12g — the 1M-scale kernel bench
+//    caches four structures at once (float blocks, indexed blocks, SQ8 +
+//    PQ partition indexes ≈ 4.1 GB); at 8g the storage pool evicted the
+//    MEMORY_ONLY pq index and the timed passes silently re-encoded the
+//    corpus (measured: 3.3 → 71.6 ms/query).
+//  - tests: fixture-scale data, 8g is ample.
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}"
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

@@ -9,7 +9,7 @@ import graft.{Q, QModule, Tables}
   * the standard production companions of a vector index: every real
   * vector-database deployment pairs ANN search with keyword BM25 and
   * fuses the two rankings (the reference's corpus/queries/qrels retrieval
-  * shape, `notebooks/001-data_prep.py:64-141`, is exactly the BEIR
+  * shape, `notebooks/001-get_embeddings.py:54-137`, is exactly the BEIR
   * keyword-retrieval benchmark family). Spark-first design:
   *
   *   - The corpus tokenizes MAP-SIDE (`split`, one projection); per-doc

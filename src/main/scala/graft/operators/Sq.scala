@@ -106,9 +106,14 @@ object Sq extends QModule {
 
   /** Encode one vector component — shared by [[encode]] and the spec.
     * Bounds-trained inputs always land in [0, 255]; the `min` guards the
-    * float-roundoff edge at hi exactly like the oracle's `least`. */
+    * float-roundoff edge at hi exactly like the oracle's `least`. The
+    * `max` clamps components BELOW the trained lo to code 0 — unused on
+    * bounds-trained input, but this method is public and the persisted
+    * index invites encoding NEW vectors against stale bounds, where an
+    * unclamped negative would wrap when narrowed to Byte (ADVICE r8). */
   def encodeComponent(x: Double, lo: Double, step: Double): Int =
-    if (step == 0.0) 0 else math.min(math.floor((x - lo) / step + 0.5), Levels.toDouble).toInt
+    if (step == 0.0) 0
+    else math.max(0.0, math.min(math.floor((x - lo) / step + 0.5), Levels.toDouble)).toInt
 
   /** Narrow-map SQ8 encode: (doc_id, codes byte[dim]) — 4× compression,
     * no shuffle. */

@@ -554,6 +554,24 @@ object VectorSearch extends QModule {
     * replays the same two-level max/sum in SQL. Queries vec_id < 10. */
   private val MaxSimSubDim = 8
 
+  /** v25 oracle score: `Σ_qm greatest_dm subdot(qm, dm)` where every
+    * sub-dot is the same ORDERED correlated unnest subquery as
+    * [[duckDot]], over 1-based-inclusive list slices — a hash-aggregate
+    * sub-dot (GROUP BY pair sum) would leave DuckDB's summation order
+    * unpinned, breaking the array-order accumulation contract the kernel
+    * documents (ADVICE r8). 8×8 generated subqueries; `def` so the
+    * interpolation never captures init-order zeros. */
+  private def maxSimScoreSql: String = {
+    val nSub = 64 / MaxSimSubDim
+    (0 until nSub).map { qm =>
+      val qs = s"q.embedding[${qm * MaxSimSubDim + 1}:${(qm + 1) * MaxSimSubDim}]"
+      (0 until nSub).map { dm =>
+        val ds = s"e.embedding[${dm * MaxSimSubDim + 1}:${(dm + 1) * MaxSimSubDim}]"
+        duckDot(qs, ds)
+      }.mkString("greatest(", ", ", ")")
+    }.mkString(" + ")
+  }
+
   private val v25 = Q(
     "v25_maxsim_topk",
     (s, d) => {
@@ -566,23 +584,9 @@ object VectorSearch extends QModule {
         .orderBy($"query_id", $"rnk")
     },
     Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-      qc AS (
-        SELECT q.vec_id, (u.i - 1) // $MaxSimSubDim AS m, (u.i - 1) % $MaxSimSubDim AS p,
-               CAST(u.x AS DOUBLE) AS x
-        FROM q, LATERAL (SELECT unnest(q.embedding) AS x, unnest(generate_series(1, 64)) AS i) u),
-      dc AS (
-        SELECT e.vec_id, (u.i - 1) // $MaxSimSubDim AS m, (u.i - 1) % $MaxSimSubDim AS p,
-               CAST(u.x AS DOUBLE) AS x
-        FROM embeddings e, LATERAL (SELECT unnest(e.embedding) AS x, unnest(generate_series(1, 64)) AS i) u),
-      pair AS (
-        SELECT qc.vec_id AS query_id, dc.vec_id AS doc_id, qc.m AS qm, dc.m AS dm,
-               sum(qc.x * dc.x) AS pdot
-        FROM qc JOIN dc ON qc.p = dc.p
-        WHERE dc.vec_id <> qc.vec_id
-        GROUP BY 1, 2, 3, 4),
-      mx AS (SELECT query_id, doc_id, qm, max(pdot) AS best
-             FROM pair GROUP BY 1, 2, 3),
-      sc AS (SELECT query_id, doc_id, sum(best) AS score FROM mx GROUP BY 1, 2),
+      sc AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id, $maxSimScoreSql AS score
+        FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
       ranked AS (
         SELECT query_id, doc_id, score,
                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk

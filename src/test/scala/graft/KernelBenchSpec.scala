@@ -132,7 +132,15 @@ class KernelBenchSpec extends SparkSpec {
   test("SQ8 tier: full-probe search is exact; recall between IVF and the ADC floor") {
     // at full probe every doc is a candidate and the exact rescore ranks
     // the final k — with sqRescore ≥ k and 8-bit fidelity the top-k must
-    // match exact search on this small config
+    // match exact search on this small config. The sweep's last level
+    // probes ALL centroids (sweepProbes.last == cfg.centroids) and its
+    // recall@10 is measured against the exact ground-truth ids, so 1.0
+    // here IS the full-probe ivfsqSearch-vs-exact equality (ADVICE r8:
+    // previously only the registry path in SqSpec pinned this, not the
+    // fused bench kernel).
+    assert(cfg.sweepProbes.last == cfg.centroids)
+    assert(result.sqSweep.last.recall10 === 1.0,
+      s"full-probe ivfsqSearch diverged from exact top-10: ${result.sqSweep.last}")
     (result.sqRecallAtK ++ result.sqPrecisionAtK).foreach { case (k, v) =>
       assert(v >= 0.0 && v <= 1.0, s"sq metric@$k out of range: $v")
     }
