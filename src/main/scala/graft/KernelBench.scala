@@ -46,7 +46,8 @@ object KernelBench {
       pqTrainIters: Int,
       coarseTrainSample: Int = 16384,
       coarseTrainIters: Int = 5,
-      sqRescore: Int = 64)
+      sqRescore: Int = 64,
+      graphK: Int = 8)
 
   /** The reference's published scale: 1M × 384, 100 queries, top-100.
     * PQ: 384 dims = 96 subspaces × 4 dims, 256 k-means-TRAINED codewords
@@ -183,7 +184,14 @@ object KernelBench {
       sqSweep: Seq[Report.SweepLevel],
       sqRecallAtK: Seq[(Int, Double)],
       sqPrecisionAtK: Seq[(Int, Double)],
-      sqMrr: Double)
+      sqMrr: Double,
+      graphBuildSec: Double,
+      graphMsPerQuery: Double,
+      graphQps: Double,
+      graphSweep: Seq[Report.SweepLevel],
+      graphRecallAtK: Seq[(Int, Double)],
+      graphPrecisionAtK: Seq[(Int, Double)],
+      graphMrr: Double)
 
   /** Report K grids, trimmed to the run's k (the reference's
     * {1,5,10,20,50,100} / {1,5,10}, `utils.py:70-86`). */
@@ -231,6 +239,46 @@ object KernelBench {
       if (idx < 0) 0.0 else 1.0 / (idx + 1)
     }.sum / nQ
     (rec, prec, mrr)
+  }
+
+  /** One-hop graph refinement of an IVF result: per query, rescore
+    * (seed ids ∪ their graph neighbors) with exact double dots and
+    * re-rank top-k. The candidate pool is O(k·(1+graphK)) ids per query
+    * — the same bounded magnitude as the search output itself — so the
+    * rescore runs driver-side over a caller-supplied vector lookup (the
+    * bench passes the deterministic corpus generator; a cluster
+    * deployment would gather the ≤ k·(1+g) vectors instead); queries
+    * fan out over a parallel IntStream. The bounded-heap
+    * (score desc, id asc) contract makes the result independent of
+    * candidate iteration order. */
+  private[graft] def refine(
+      queries: Array[(Long, Array[Float])],
+      seedIds: Map[Long, Array[Long]],
+      graph: Array[Array[Long]],
+      k: Int)(lookup: Long => Array[Float]): Array[Array[Long]] = {
+    val out = new Array[Array[Long]](queries.length)
+    java.util.stream.IntStream.range(0, queries.length).parallel().forEach { qi =>
+      val qv = queries(qi)._2
+      val seeds = seedIds.getOrElse(queries(qi)._1, Array.emptyLongArray)
+      val cand = new java.util.HashSet[java.lang.Long]()
+      seeds.foreach { id =>
+        cand.add(id)
+        val nb = graph(id.toInt)
+        if (nb != null) nb.foreach(n => cand.add(n))
+      }
+      val heap = new graft.functions.TopKAgg.Heap(k)
+      val it = cand.iterator()
+      while (it.hasNext) {
+        val id = it.next().longValue()
+        val dv = lookup(id)
+        var s = 0.0
+        var i = 0
+        while (i < qv.length) { s += qv(i).toDouble * dv(i).toDouble; i += 1 }
+        heap.offer(s, id)
+      }
+      out(qi) = heap.sortedDesc().map(_._2)
+    }
+    out
   }
 
   def run(spark: SparkSession): Result = run(spark, Default)
@@ -336,6 +384,20 @@ object KernelBench {
     sqIndex.count()
     val sqBuildSec = (System.nanoTime() - ts) / 1e9
 
+    // kNN-graph build (timed like the index builds — the HNSW-graph
+    // analog, VERDICT r8 next #3): cross-list ADC top-graphK over the
+    // cached float blocks + PQ index, collected to a driver adjacency
+    // array (n × graphK longs — 64 MB at 1M×8, the same O(n) scale as
+    // the id space). The graph refines each sweep level's IVF candidates
+    // by one-hop expansion + exact rescore ([[refine]]).
+    val tgb = System.nanoTime()
+    val graph = new Array[Array[Long]](cfg.n)
+    VectorBlocks
+      .pqKnnGraph(indexed, pqIndex, cents, codebook, cfg.pqSubDim, cfg.graphK, gp = 2)
+      .collect()
+      .foreach { case (id, nb) => graph(id.toInt) = nb }
+    val graphBuildSec = (System.nanoTime() - tgb) / 1e9
+
     // warm-ups for the probed, fused-IVFSQ and fused-IVFPQ kernels
     // (2 queries each): JIT + broadcast setup, not billed
     VectorBlocks.topKProbed(spark, indexed, queries.take(2), probes.take(2), k = 10).count()
@@ -408,6 +470,13 @@ object KernelBench {
       val t0 = System.nanoTime()
       val lvlRanked = ranked(VectorBlocks.topKProbed(spark, indexed, queries, m, cfg.k))
       val annLvlSec = (System.nanoTime() - t0) / 1e9
+      // graph-refined leg: one-hop expansion + exact rescore ON TOP of
+      // this level's IVF result — its level time bills the IVF search it
+      // consumes plus its own refinement
+      val tr0 = System.nanoTime()
+      val refIds = refine(queries, lvlRanked, graph, cfg.k)(id => vec(cfg, id))
+      val refineSec = (System.nanoTime() - tr0) / 1e9
+      val graphLvlSec = annLvlSec + refineSec
       val ts0 = System.nanoTime()
       val sqLvlIds = VectorBlocks.ivfsqSearch(
         sqIndex, sqLo, sqHi, queries, m, cfg.sqRescore, cfg.k)
@@ -431,15 +500,31 @@ object KernelBench {
         }.sum / cfg.nQueries
       val sqRecall10 = ids10Recall(sqLvlIds)
       val pqRecall10 = ids10Recall(lvlIds)
+      val graphRecall10 = ids10Recall(refIds)
       (np, overlapK,
         Report.SweepLevel(np, recall10, annLvlSec, cfg.nQueries / annLvlSec),
         Report.SweepLevel(np, sqRecall10, sqLvlSec, cfg.nQueries / sqLvlSec),
-        Report.SweepLevel(np, pqRecall10, pqLvlSec, cfg.nQueries / pqLvlSec))
+        Report.SweepLevel(np, pqRecall10, pqLvlSec, cfg.nQueries / pqLvlSec),
+        Report.SweepLevel(np, graphRecall10, graphLvlSec, cfg.nQueries / graphLvlSec),
+        refIds)
     }
-    val recallByProbe = sweepAll.map { case (np, ov, _, _, _) => np -> ov }
+    val recallByProbe = sweepAll.map { case t => t._1 -> t._2 }
     val annSweep = sweepAll.map(_._3)
     val sqSweep = sweepAll.map(_._4)
     val pqSweep = sweepAll.map(_._5)
+    val graphSweep = sweepAll.map(_._6)
+    // the graph method's headline row reads its nProbe == cfg.nProbe
+    // sweep level (every sweep level is a fresh timed pass)
+    val headIdx = {
+      val i = cfg.sweepProbes.indexOf(cfg.nProbe)
+      if (i >= 0) i else cfg.sweepProbes.length - 1
+    }
+    val graphHeadline = graphSweep(headIdx)
+    val graphRanked: Map[Long, Array[Long]] =
+      sweepAll(headIdx)._7.iterator.zipWithIndex
+        .map { case (ids, qi) => queries(qi)._1 -> ids }.toMap
+    val (graphRec, graphPrec, graphMrr) =
+      rankedMetrics(exactRanked, graphRanked, recallKs(cfg), precisionKs(cfg))
     sqIndex.unpersist()
     pqIndex.unpersist()
     indexed.unpersist()
@@ -485,7 +570,14 @@ object KernelBench {
       sqSweep = sqSweep,
       sqRecallAtK = sqRec,
       sqPrecisionAtK = sqPrec,
-      sqMrr = sqMrr)
+      sqMrr = sqMrr,
+      graphBuildSec = graphBuildSec,
+      graphMsPerQuery = graphHeadline.searchTimeSec * 1000.0 / cfg.nQueries,
+      graphQps = graphHeadline.qps,
+      graphSweep = graphSweep,
+      graphRecallAtK = graphRec,
+      graphPrecisionAtK = graphPrec,
+      graphMrr = graphMrr)
   }
 
   /** Close the report loop at bench scale: write one reference-shaped
@@ -541,6 +633,17 @@ object KernelBench {
         buildLatency = Some((r.pqBuildSec, cfg.n / r.pqBuildSec)),
         efSensitivity = r.pqSweep),
       s"$dir/ivfpq")
+    // graph-refined method: its build window is the graph construction
+    // alone (the PQ index it reads is billed to ivfpq, exactly as the
+    // reference bills hnswlib's graph on top of the stored vectors)
+    Report.write(
+      Report.buildValues(
+        spark, "ivf_graph",
+        r.graphRecallAtK, r.graphPrecisionAtK, r.graphMrr, cfg.nQueries.toLong,
+        avgLatencyMs = r.graphMsPerQuery, qps = r.graphQps, timestamp = timestamp,
+        buildLatency = Some((r.graphBuildSec, cfg.n / r.graphBuildSec)),
+        efSensitivity = r.graphSweep),
+      s"$dir/ivf_graph")
     dir
   }
 }

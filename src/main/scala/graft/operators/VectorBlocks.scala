@@ -926,4 +926,131 @@ object VectorBlocks {
     import spark.implicits._
     BruteForce.rerank(cands.toDF("query_id", "doc_id", "score"), k)
   }
+
+  /** Distributed kNN-graph build at block scale — the bulk-corpus analog
+    * of [[graft.operators.VectorSearch]]'s registry-scale graph (v30),
+    * feeding one-hop graph-refined search (VERDICT r8 next #3). v30's
+    * architecture, re-expressed over the packed block kernels: each doc
+    * emits `gp` PROBE rows to its best-scoring centroids (so edges CROSS
+    * inverted lists — a within-list graph could never rescue a neighbor
+    * from an unprobed list, which is the entire point of refinement);
+    * probe rows cogroup with each list's raw residual code rows; per
+    * prober the reducer builds one m × nCb float LUT (the codebook is
+    * global, so one LUT serves all the prober's lists) and streams the
+    * list's codes once, ranking by `dot(v, cent_c) + Σ LUT[code]` — the
+    * cross-list-comparable ADC estimate of the true dot; a final
+    * per-doc top-`g` merge joins the prober's `gp` partial heaps.
+    *
+    * Edges are ADC-RANKED deliberately: they only nominate refinement
+    * candidates, every nominated candidate is exact-rescored at query
+    * time, and a float rescore per edge here would re-read the float
+    * corpus `gp` times for selection-only precision. Cost is
+    * Σ_c probers_c · n_c · m byte-ops = (gp/C) · n² · m — the same
+    * cluster-scoped bound as the probed search itself, never a global
+    * n²·dim; the only corpus-sized shuffle carries the probe rows
+    * (gp float vectors per doc) and the m-byte code rows.
+    */
+  def pqKnnGraph(
+      indexed: RDD[Block],
+      index: RDD[PqPartIndex],
+      centroids: Array[Array[Float]],
+      codebook: Array[Array[Float]],
+      subDim: Int,
+      g: Int,
+      gp: Int): RDD[(Long, Array[Long])] = {
+    require(g > 0 && gp > 0, s"graph degree/probe must be positive, got g=$g gp=$gp")
+    require(codebook.nonEmpty, "pqKnnGraph needs a PQ codebook (nCb > 0)")
+    val sc = indexed.sparkContext
+    val bcC = sc.broadcast(centroids)
+    val bcCb = sc.broadcast(codebook)
+    val nCid = centroids.length
+    val probes: RDD[(Int, (Long, Array[Float]))] = indexed.flatMap { b =>
+      val cents = bcC.value
+      val n = b.ids.length
+      val dim = b.dim
+      Iterator.range(0, n).flatMap { r =>
+        val off = r * dim
+        val scores = Array.tabulate(cents.length)(c => dotRow(cents(c), b.data, off, dim))
+        val top = Array.range(0, cents.length)
+          .sortBy(c => (-scores(c), c))
+          .take(gp)
+        val v = java.util.Arrays.copyOfRange(b.data, off, off + dim)
+        top.iterator.map(c => (c, (b.ids(r), v)))
+      }
+    }
+    val members: RDD[(Int, (Long, Array[Byte]))] = index.flatMap { px =>
+      val m = px.m
+      Iterator.range(0, px.cidLoc.length).flatMap { cid =>
+        val locs = px.cidLoc(cid)
+        val codes = px.cidCodes(cid)
+        Iterator.range(0, locs.length).map { i =>
+          val li = locs(i)
+          val id = px.fblocks((li >>> 32).toInt).ids(li.toInt)
+          (cid, (id, java.util.Arrays.copyOfRange(codes, i * m, i * m + m)))
+        }
+      }
+    }
+    val part = new org.apache.spark.HashPartitioner(nCid)
+    probes.cogroup(members, part)
+      .flatMap { case (cid, (ps, ms)) =>
+        val mArr = ms.toArray
+        if (mArr.isEmpty) Iterator.empty
+        else {
+          val cb = bcCb.value
+          val nCb = cb.length
+          val cent = bcC.value(cid)
+          val m = mArr(0)._2.length
+          ps.iterator.map { case (pid, pv) =>
+            val lut = new Array[Float](m * nCb)
+            var t = 0
+            while (t < m) {
+              var j = 0
+              while (j < nCb) {
+                val cw = cb(j)
+                var s = 0.0
+                var x = 0
+                while (x < subDim) {
+                  s += pv(t * subDim + x).toDouble * cw(t * subDim + x).toDouble
+                  x += 1
+                }
+                lut(t * nCb + j) = s.toFloat
+                j += 1
+              }
+              t += 1
+            }
+            var bias = 0.0
+            var bi = 0
+            while (bi < pv.length) { bias += pv(bi).toDouble * cent(bi).toDouble; bi += 1 }
+            val heap = new graft.functions.TopKAgg.Heap(math.max(1, g / gp))
+            var mi = 0
+            while (mi < mArr.length) {
+              val (mid, codes) = mArr(mi)
+              if (mid != pid) {
+                var acc = 0f
+                var tt = 0
+                while (tt < m) {
+                  acc += lut(tt * nCb + (codes(tt) & 0xFF))
+                  tt += 1
+                }
+                heap.offer(bias + acc, mid)
+              }
+              mi += 1
+            }
+            (pid, heap.sortedDesc())
+          }
+        }
+      }
+      // DIVERSIFIED merge (the HNSW select-neighbors heuristic, Malkov &
+      // Yashunin 2018 §4 Alg. 4, re-expressed as a per-list quota): keep
+      // the top g/gp FROM EACH probed list rather than the global top-g.
+      // On a clustered corpus the global top-g is entirely intra-cluster
+      // — a graph whose edges never leave a list can never rescue a
+      // neighbor from an unprobed list, making refinement a no-op. The
+      // quota guarantees every doc keeps edges INTO its second-choice
+      // list, which is exactly the bridge a narrow-probe query needs.
+      .reduceByKey { (a, b) =>
+        (a ++ b).sortBy { case (s, i) => (-s, i) }
+      }
+      .mapValues(_.map(_._2))
+  }
 }

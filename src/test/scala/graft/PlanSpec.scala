@@ -237,6 +237,27 @@ class PlanSpec extends SparkSpec {
       s"v29 hit join should broadcast the bounded hit set:\n${v29.take(1500)}")
   }
 
+  test("graph-refined search (v33): no cartesian; bounded candidates broadcast, corpus never does") {
+    val df = q("v33_graph_refined")
+    val plan = df.queryExecution.executedPlan.toString
+    // the only nested-loop allowed is the q×C probe selection inside the
+    // seed search (both sides tiny, deliberate — same shape as v09); a
+    // CartesianProduct anywhere means a corpus-sized all-pairs fallback
+    assert(!plan.contains("CartesianProduct"),
+      s"v33 fell back to all-pairs:\n${plan.take(2000)}")
+    // the q·k·(1+g)-bounded candidate frame is the broadcast side of the
+    // corpus vector fetch; the graph build underneath stays a shuffle
+    // equi-join (neither side broadcast — both are corpus-sized)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"v33 candidate fetch should broadcast the bounded candidate set:\n${plan.take(2000)}")
+    // NOTE deliberately NOT asserted: whether the graph build's
+    // probe×assignment join broadcasts. That choice is size-based —
+    // Catalyst broadcasts the 500-row fixture corpus (correct here) and
+    // shuffle-joins a real corpus (correct there); pinning either side
+    // would freeze a scale-variant decision. The scale-invariant
+    // property is the equi-join itself: no cartesian, asserted above.
+  }
+
   test("domain clustering (q57): join-free broadcast kernel — only the K-row census shuffles") {
     val df = q("q57_domain_cluster")
     val plan = df.queryExecution.executedPlan.toString
