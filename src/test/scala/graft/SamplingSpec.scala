@@ -31,12 +31,20 @@ class SamplingSpec extends SparkSpec {
     assert(a.size == 100)
   }
 
-  test("multimodal decode stub: known bytes → known features") {
-    val f = graft.operators.Multimodal.decodeStub("abc".getBytes("UTF-8"))
-    // bytes 97,98,99: mean 98/255, range 2/255, size 3/1000
-    assert(math.abs(f(0) - 98.0f / 255.0f) < 1e-7)
-    assert(math.abs(f(1) - 2.0f / 255.0f) < 1e-7)
-    assert(math.abs(f(2) - 0.003f) < 1e-7)
+  test("multimodal decode: real PNG round trip → known pooled statistics") {
+    import graft.operators.Multimodal.{decodeImage, renderPng}
+    // 16×16 PNG whose raster is bytes 97,98,99 + 253 zero-padding pixels
+    val png = renderPng(16, 16, "abc".getBytes("UTF-8"))
+    assert(png.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "renderPng must emit a real PNG signature")
+    val f = decodeImage(png)
+    assert(math.abs(f(0) - ((97 + 98 + 99).toDouble / 256 / 255.0).toFloat) < 1e-7)
+    assert(math.abs(f(1) - 99.0f / 255.0f) < 1e-7) // min is a padding 0
+    assert(math.abs(f(2) - 0.256f) < 1e-7)
+    // no-padding case: source longer than the raster — prefix only
+    val full = decodeImage(renderPng(4, 4, Array.fill[Byte](20)(97)))
+    assert(math.abs(full(0) - 97.0f / 255.0f) < 1e-7)
+    assert(full(1) == 0.0f)
   }
 
   test("frame sampling arithmetic matches ceil(ceil(n/16)/stride)") {
