@@ -342,7 +342,21 @@ object Ann extends QModule {
     val base = corpusTyped(s, d).filter($"id" % IncrMod =!= IncrRem)
     val cs = centroidsOf(s, base.toDF("vec_id", "embedding", "label"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    assignWrite(s, path, base, cs, "overwrite")
+    writeIndexArtifact(s, path, base, cs)
+  }
+
+  /** Create a standalone index artifact from an arbitrary corpus:
+    * assign against `cs`, write partitioned by centroid_id, persist the
+    * frozen quantizer sidecar — the building block behind
+    * [[seedBaseIndex]], and the public surface for building artifacts
+    * over external vector sets (the planted-skew rebalance spec uses
+    * it). */
+  def writeIndexArtifact(
+      s: SparkSession, path: String,
+      corpus: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)],
+      cs: Array[(Long, Array[Float])]): Unit = {
+    import s.implicits._
+    assignWrite(s, path, corpus, cs, "overwrite")
     cs.toSeq.toDF("centroid_id", "ce").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
   }
@@ -477,6 +491,91 @@ object Ann extends QModule {
     }
   }
 
+  // -------------------------------------------- index lifecycle: rebalance
+
+  final case class RebalanceReport(
+      imbalanceBefore: Double,
+      imbalanceAfter: Double,
+      listSizesBefore: Map[Long, Long],
+      listSizesAfter: Map[Long, Long],
+      splitLists: Seq[Long])
+
+  /** Bounded, deterministic per-list training sample for [[rebalanceIndex]]
+    * (smallest doc_ids) — sub-quantizer training stays O(sample · k ·
+    * dim · iters) on the driver no matter how oversized the list is. */
+  val RebalanceTrainSample = 4096
+
+  /** REBALANCE the inverted lists that v32's imbalance diagnostic flags
+    * (VERDICT r8 next #5): every list whose size exceeds `tau` × the
+    * mean is SPLIT into ⌈size/mean⌉ sub-lists — a local spherical
+    * k-means trained on a bounded sample of the list's own members,
+    * unit-normalized means so the engine's dot-argmax assignment and
+    * probe ranking stay consistent — while every other list stays
+    * FROZEN (their files are never opened). The skewed-list scan is the
+    * 100 TB risk: one hot list serves a disproportionate share of
+    * probes, so probe cost is the max list, not the mean. Mechanics
+    * match [[compactIndex]]: sub-partitions are written to a side dir,
+    * swapped in with Hadoop-FS renames, the oversized partition dir is
+    * dropped, and the `_centroids` sidecar is rewritten — so
+    * [[addVectors]] / [[ingestStream]] / search immediately follow the
+    * post-split quantizer. Cost: O(Σ oversized-list sizes) read+write +
+    * O(C) driver rows; untouched partitions cost nothing. */
+  def rebalanceIndex(
+      s: SparkSession, path: String,
+      tau: Double = 2.0, iters: Int = 5): RebalanceReport = {
+    import s.implicits._
+    def sizes(): Map[Long, Long] = s.read.parquet(path)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .groupBy($"centroid_id").count()
+      .as[(Long, Long)].collect().toMap
+    val before = sizes()
+    val n = before.values.sum
+    def imb(m: Map[Long, Long]): Double =
+      m.size.toDouble * m.values.map(v => v.toDouble * v).sum / (n.toDouble * n)
+    val mean = n.toDouble / before.size
+    val over = before.collect { case (cid, nc) if nc > tau * mean => cid }.toSeq.sorted
+    if (over.isEmpty)
+      return RebalanceReport(imb(before), imb(before), before, before, Nil)
+
+    val centsAll = s.read.parquet(s"$path/_centroids")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val centsMap = scala.collection.mutable.LinkedHashMap(centsAll: _*)
+    var nextCid = centsAll.map(_._1).max + 1
+    val (fs, _) = hfs(s, path)
+    over.foreach { cid =>
+      val k = math.max(2, math.ceil(before(cid) / mean).toInt)
+      val rows = s.read.parquet(path)
+        .withColumn("centroid_id", col("centroid_id").cast("long"))
+        .filter($"centroid_id" === cid)
+        .select($"doc_id".as("id"), $"embedding".as("vec"), $"label".as("tag"))
+        .as[(Long, Array[Float], Int)]
+      val sample = rows.orderBy($"id").limit(RebalanceTrainSample).collect().map(_._2)
+      val stride = math.max(1, sample.length / k)
+      var means = Array.tabulate(k)(i => sample(math.min(i * stride, sample.length - 1)).clone())
+      (0 until iters).foreach(_ => means = Cluster.lloydStepLocal(sample, means))
+      val sub = means.zipWithIndex.map { case (v, i) =>
+        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+        ((nextCid + i): Long, if (nrm > 0f) v.map(x => x / nrm) else v)
+      }
+      nextCid += k
+      val tmp = s"${path}_rebalancing"
+      assignWrite(s, tmp, rows, sub, "overwrite")
+      sub.foreach { case (scid, _) =>
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$scid")
+        val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$scid")
+        if (fs.exists(src)) { fs.delete(dst, true); fs.rename(src, dst) }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid"), true)
+      centsMap.remove(cid)
+      sub.foreach { case (scid, v) => centsMap += scid -> v }
+    }
+    centsMap.toSeq.toDF("centroid_id", "ce").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    val after = sizes()
+    RebalanceReport(imb(before), imb(after), before, after, over)
+  }
+
   // ------------------------------------------------------------ oracle SQL
   private def duckDot(a: String, b: String): String =
     s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
@@ -545,7 +644,10 @@ object Ann extends QModule {
     * `C · Σ n_c² / n²` (1.0 = perfectly balanced; the skew diagnostic
     * that predicts probe-cost variance, which is what an operator of a
     * partition-pruned index watches before retuning C). All-integer
-    * inputs, two exact divides at the end — bit-deterministic. */
+    * inputs, two exact divides at the end — bit-deterministic.
+    * [[rebalanceIndex]] is the lifecycle pass that ACTS on this
+    * diagnostic: lists above τ × mean are split in place (VERDICT r8
+    * next #5), driving the factor back toward 1. */
   private val v32 = Q(
     "v32_index_stats",
     (s, d) => {
