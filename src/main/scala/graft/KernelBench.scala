@@ -644,6 +644,14 @@ object KernelBench {
         buildLatency = Some((r.graphBuildSec, cfg.n / r.graphBuildSec)),
         efSensitivity = r.graphSweep),
       s"$dir/ivf_graph")
+    // the reference's text-summary sink closes the report loop
+    // (`005:430-520` → BENCHMARK_SUMMARY.txt)
+    Report.writeSummary(
+      spark, s"$dir/*/", dir,
+      meta = Seq(
+        "Corpus size" -> s"${cfg.n} documents",
+        "Queries" -> s"${cfg.nQueries} test queries",
+        "Embedding dimension" -> cfg.dim.toString))
     dir
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** K3: the nested metrics-report sink/scan pair (reference
@@ -112,6 +112,9 @@ object Report {
     import org.apache.spark.sql.expressions.Window
     val raw = spark.read
       .option("multiLine", "true")
+      // the report tree may carry the BENCHMARK_SUMMARY.txt sibling the
+      // reference writes next to its method dirs — scan reports only
+      .option("pathGlobFilter", "*.json")
       .json(glob)
       .withColumn("method_dir", regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1))
     val w = Window.partitionBy($"method_dir").orderBy($"metadata.timestamp".desc)
@@ -173,6 +176,95 @@ object Report {
     val path = java.nio.file.Paths.get(dir, s"${method}_$ts.json")
     java.nio.file.Files.createDirectories(path.getParent)
     java.nio.file.Files.writeString(path, row + "\n")
+    path.toString
+  }
+
+  /** The reference's BENCHMARK_SUMMARY.txt sink (`005-compare_benchmarks
+    * .py:430-520`, section headings per `utils.py:138-190`): the text
+    * rendering of the [[compare]] frame plus each report's
+    * `build_latency`, with the reference's speedup analysis and key
+    * findings. A driver-side string template over O(methods) rows —
+    * deterministic for fixed inputs, pinned by the golden spec. `meta`
+    * fills the DATASET block (corpus size / queries / dim). */
+  def summaryText(
+      spark: SparkSession, glob: String,
+      meta: Seq[(String, String)] = Nil): String = {
+    import spark.implicits._
+    def f(pat: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(v))
+    val rows = compare(spark, glob).collect()
+    // build seconds per method, latest report per method (schema-guarded:
+    // a tree where no report carries build_latency still summarizes)
+    val raw = spark.read.option("multiLine", "true")
+      .option("pathGlobFilter", "*.json").json(glob)
+    val buildSec: Map[String, Double] =
+      if (!raw.schema.fieldNames.contains("build_latency")) Map.empty
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"method").orderBy($"metadata.timestamp".desc)
+        raw.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"method", $"build_latency.total_seconds")
+          .collect()
+          .flatMap(r => Option(r.get(1)).map(v => r.getString(0) -> r.getDouble(1)))
+          .toMap
+      }
+    val bar = "=" * 80
+    val sb = new StringBuilder
+    sb.append(bar).append('\n')
+    sb.append("VECTOR SEARCH BENCHMARK COMPARISON").append('\n')
+    sb.append(bar).append("\n\n")
+    if (meta.nonEmpty) {
+      sb.append("DATASET:\n")
+      meta.foreach { case (k, v) => sb.append(s"  $k: $v\n") }
+      sb.append('\n')
+    }
+    sb.append("METHODS COMPARED:\n\n")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val m = r.getAs[String]("method")
+      sb.append(s"${i + 1}. ${m.toUpperCase(java.util.Locale.ROOT)}\n")
+      sb.append(s"   Search latency: ${f("%.2f", r.getAs[Double]("avg_latency_ms"))} ms/query\n")
+      sb.append(s"   Throughput: ${f("%.1f", r.getAs[Double]("qps"))} QPS\n")
+      sb.append(s"   Recall@10: ${f("%.4f", r.getAs[Double]("recall_10"))}\n")
+      sb.append(s"   MRR: ${f("%.4f", r.getAs[Double]("mrr"))}\n")
+      buildSec.get(m).filter(_ > 0).foreach { sec =>
+        sb.append(s"   Build time: ${f("%.1f", sec / 60)} minutes\n")
+      }
+      sb.append('\n')
+    }
+    sb.append("SPEEDUP ANALYSIS:\n\n")
+    val bfRecall = rows.find(_.getAs[String]("method") == "brute_force")
+      .map(_.getAs[Double]("recall_10"))
+    rows.filter(_.getAs[String]("method") != "brute_force").foreach { r =>
+      sb.append(s"${r.getAs[String]("method")}:\n")
+      sb.append(s"  ${f("%.1f", r.getAs[Double]("speedup_vs_bf"))}x faster than brute force\n")
+      bfRecall.filter(_ > 0).foreach { bf =>
+        sb.append(s"  Recall: ${f("%.1f", r.getAs[Double]("recall_10") / bf * 100)}% of brute force quality\n")
+      }
+      sb.append('\n')
+    }
+    sb.append("KEY FINDINGS:\n\n")
+    def best(col2: String, by: Row => Double, max: Boolean, render: Row => String): Unit = {
+      val r = if (max) rows.maxBy(by) else rows.minBy(by)
+      sb.append(s" $col2: ${r.getAs[String]("method")} (${render(r)})\n")
+    }
+    best("Fastest search", _.getAs[Double]("avg_latency_ms"), max = false,
+      r => s"${f("%.2f", r.getAs[Double]("avg_latency_ms"))} ms/query")
+    best("Best recall", _.getAs[Double]("recall_10"), max = true,
+      r => f("%.4f", r.getAs[Double]("recall_10")))
+    best("Highest throughput", _.getAs[Double]("qps"), max = true,
+      r => s"${f("%.0f", r.getAs[Double]("qps"))} QPS")
+    sb.append('\n').append(bar).append('\n')
+    sb.toString
+  }
+
+  /** Render [[summaryText]] and place it at `dir/BENCHMARK_SUMMARY.txt`
+    * — the reference's output location relative to its report tree. */
+  def writeSummary(
+      spark: SparkSession, glob: String, dir: String,
+      meta: Seq[(String, String)] = Nil): String = {
+    val path = java.nio.file.Paths.get(dir, "BENCHMARK_SUMMARY.txt")
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path, summaryText(spark, glob, meta))
     path.toString
   }
 }

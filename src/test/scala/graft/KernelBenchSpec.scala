@@ -78,6 +78,11 @@ class KernelBenchSpec extends SparkSpec {
     val rows = Report.compare(spark, s"$dir/*/").collect()
     assert(rows.map(_.getAs[String]("method")).toSeq ==
       Seq("brute_force", "ivf", "ivf_graph", "ivfpq", "ivfsq"))
+    // the text-summary sink (005:430-520) rides the same report loop
+    val summary = Files.readString(java.nio.file.Paths.get(dir, "BENCHMARK_SUMMARY.txt"))
+    assert(summary.contains("VECTOR SEARCH BENCHMARK COMPARISON"))
+    Seq("BRUTE_FORCE", "IVF", "IVFPQ", "IVFSQ", "IVF_GRAPH", "KEY FINDINGS:")
+      .foreach(tok => assert(summary.contains(tok), s"summary missing $tok"))
 
     val byMethod = rows.map(r => r.getAs[String]("method") -> r).toMap
     // brute force vs itself: speedup exactly 1, recall/mrr 1 by definition
