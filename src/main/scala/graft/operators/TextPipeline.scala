@@ -1611,6 +1611,66 @@ object TextPipeline extends QModule {
            (CAST(n_hot AS DOUBLE) / n_grams >= $BoilerFlagTau) AS flagged
     FROM per ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q71
+  /** Per-source percentile quality gate — "dynamic thresholding": instead
+    * of one global cutoff, each source drops its own bottom
+    * [[GateFrac]]-quantile of a per-doc integer quality score (FineWeb /
+    * CCNet practice: per-domain score distributions differ too much for a
+    * global knob). The score here is the fixture's `n_chars` column; any
+    * integer doc score (q65's rule count, q69's nll bucket) plugs into
+    * the same shape.
+    *
+    * Scale shape: the threshold comes from a per-source HISTOGRAM of the
+    * integer score (groupBy, then a cumulative window over |sources| ×
+    * |distinct scores| rows — the corpus itself is never sorted or
+    * windowed), thresholds broadcast back (|sources| rows), and the gate
+    * is a map-side filter feeding one final aggregate. The exact
+    * k-th-smallest contract (k = ceil(GateFrac·n), duplicates counted)
+    * stays integer end to end — no float-quantile divergence class. */
+  private val GateFrac = 0.25
+
+  private val q71 = Q(
+    "q71_quality_gate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val dd = docs(s, d).select($"source", $"doc_id", $"n_chars")
+      val hist = dd.groupBy($"source", $"n_chars").agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum($"cnt").over(
+          Window.partitionBy($"source").orderBy($"n_chars")))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy($"source")))
+      val thr = cum
+        .filter($"cum" >= ceil(lit(GateFrac) * $"n"))
+        .groupBy($"source")
+        .agg(min($"n_chars").as("threshold"))
+      dd.join(broadcast(thr), Seq("source"))
+        .groupBy($"source")
+        .agg(
+          max($"threshold").as("threshold"),
+          count(when($"n_chars" >= $"threshold", 1)).as("n_kept"),
+          count(when($"n_chars" < $"threshold", 1)).as("n_dropped"),
+          sum(when($"n_chars" >= $"threshold", $"n_chars").otherwise(0L)).as("chars_kept"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH hist AS (
+        SELECT source, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2),
+      cum AS (
+        SELECT source, n_chars,
+               sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS n
+        FROM hist),
+      thr AS (
+        SELECT source, min(n_chars) AS threshold
+        FROM cum WHERE cum >= ceil($GateFrac * n) GROUP BY source)
+    SELECT d.source,
+           CAST(max(t.threshold) AS BIGINT) AS threshold,
+           count(*) FILTER (WHERE d.n_chars >= t.threshold) AS n_kept,
+           count(*) FILTER (WHERE d.n_chars < t.threshold) AS n_dropped,
+           CAST(sum(CASE WHEN d.n_chars >= t.threshold THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM documents d JOIN thr t USING (source)
+    GROUP BY d.source ORDER BY d.source"""))
+
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71)
 }

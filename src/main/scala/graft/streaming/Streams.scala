@@ -168,6 +168,43 @@ object Streams extends QModule {
       .toDF("doc_id", "owner")
   }
 
+  /** Stream-stream interval join: each left event pairs with the right
+    * events of the SAME user whose event time falls in
+    * `[l.ts, l.ts + maxDelay]` — the attribution join (click →
+    * conversion). ONE definition serves both modes:
+    *
+    *   - batch: plans as an equi-join on `user_id` with the range
+    *     residual (shuffle by user, no cartesian);
+    *   - streaming: with watermarks on BOTH inputs Spark derives the
+    *     state bound from this exact predicate — left rows age out
+    *     `maxDelay` past the watermark, right rows at it. The interval
+    *     condition is what makes stream-stream state FINITE; an
+    *     unconstrained stream join would buffer both feeds forever.
+    *
+    * Inputs must expose (user_id, event_id, event_type, ts); `ts` must
+    * carry the watermark in streaming mode. Delay is computed in whole
+    * seconds from micros — integer both engines. */
+  def intervalJoin(left: DataFrame, right: DataFrame, maxDelay: String): DataFrame = {
+    // explicit aliases: in batch mode both inputs often derive from the
+    // SAME scan (a self-join), where `l("user_id") === r("user_id")`
+    // resolves both sides to one attribute — a trivially-true predicate
+    val l = left.select(
+      col("user_id").as("l_user"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.select(
+      col("user_id").as("r_user"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    l.join(
+        r,
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(
+        col("l_user").as("user_id"),
+        col("l_id"),
+        col("r_id"),
+        ((unix_micros(col("r_ts")) - unix_micros(col("l_ts"))) / 1000000L)
+          .cast("long").as("delay_sec"))
+  }
+
   /** Typed view of the events table for the stateful operators. */
   def typedEvents(s: SparkSession, d: String): Dataset[Event] = {
     import s.implicits._
@@ -230,5 +267,28 @@ object Streams extends QModule {
         FROM events)
       WHERE rn = 1 ORDER BY user_id, event_type"""))
 
-  override def all: Seq[Q] = Seq(q32, q33, q42)
+  // ---------------------------------------------------------------- q72
+  /** The stream-stream interval join in batch mode: click → purchase
+    * attribution within 6 hours per user. The oracle is the equivalent
+    * declarative range join; the STREAMING execution of the identical
+    * [[intervalJoin]] (MemoryStream feeds, watermarks on both sides) is
+    * asserted row-identical in StreamingSpec. */
+  private val q72 = Q(
+    "q72_stream_join_batch",
+    (s, d) => {
+      val e = Tables(s, d, "events")
+      intervalJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        "6 HOURS")
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    },
+    Some("""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+      CAST(floor(date_sub('microseconds', l.ts, r.ts) / 1000000) AS BIGINT) AS delay_sec
+    FROM events l JOIN events r ON l.user_id = r.user_id
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOURS
+    ORDER BY l.user_id, l_id, r_id"""))
+
+  override def all: Seq[Q] = Seq(q32, q33, q42, q72)
 }

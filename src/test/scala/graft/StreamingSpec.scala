@@ -116,4 +116,30 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("stream-stream interval join across micro-batches == batch q72") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ts-ordered feed: nothing ever arrives late, so watermark eviction
+    // (which only drops rows that could no longer match a NON-late row)
+    // cannot cost a match — streamed must equal batch exactly
+    val events = fixtureEvents.sortBy(e => (e.ts_ns, e.event_id))
+    val stream = MemoryStream[Event]
+    val df = stream.toDF().withWatermark("ts", "1 hour")
+    val joined = Streams.intervalJoin(
+      df.filter($"event_type" === "click"),
+      df.filter($"event_type" === "purchase"),
+      "6 HOURS")
+    val q = joined.writeStream
+      .format("memory").queryName("sjoin_out").outputMode("append").start()
+    try {
+      val chunks = events.grouped(math.max(1, events.size / 4 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("sjoin_out").collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("q72_stream_join_batch")(spark, sf0001)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
