@@ -76,10 +76,28 @@ object Bench {
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           "null"
       }
+    // Scale-slope section (VERDICT r8 next #8): the same four scan
+    // ladders at 2× the reference scale, trimmed to one sweep level and
+    // no kNN graph (its cluster-scoped cost is n²-scaled). A 2M failure
+    // (e.g. memory on a smaller host) reports inline WITHOUT flipping
+    // the exit code — the slope probe is diagnostic, not a gate.
+    val kernel2m =
+      try {
+        spark.catalog.clearCache()
+        val cfg2 = KernelBench.Default.copy(
+          n = 2000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
+        val r2 = KernelBench.run(spark, cfg2)
+        val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+        s"""{"n":${cfg2.n},"dim":${cfg2.dim},"ms_per_query":${f3(r2.bfMsPerQuery)},"ann_build_sec":${f3(r2.annBuildSec)},"ann_ms_per_query":${f3(r2.annMsPerQuery)},"ann_recall_vs_exact":${f4(r2.annRecallVsExact)},"sq_build_sec":${f3(r2.sqBuildSec)},"sq_ms_per_query":${f3(r2.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r2.sqRecallVsExact)},"pq_build_sec":${f3(r2.pqBuildSec)},"pq_ms_per_query":${f3(r2.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r2.pqRecallVsExact)}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] kernel_2m_384 failed (non-fatal): ${e.getMessage}")
+          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+      }
     // serialize errors only now — the kernel benchmark above may add one
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"kernel_2m_384":$kernel2m,"errors":$errJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop() // stop BEFORE printing so no further logging can push the
     println(line) // JSON line out of the driver's bounded stdout tail

@@ -209,6 +209,13 @@ object KernelBench {
   private def flatHits(r: Map[Long, Array[Long]]): Set[(Long, Long)] =
     r.iterator.flatMap { case (q, ds) => ds.iterator.map(q -> _) }.toSet
 
+  /** Per-query rank-ordered ids from a fused-search result (per-query
+    * arrays in query input order) keyed by query id. */
+  private def rankedOf(
+      queries: Array[(Long, Array[Float])],
+      byQ: Array[Array[Long]]): Map[Long, Array[Long]] =
+    byQ.iterator.zipWithIndex.map { case (ids, qi) => queries(qi)._1 -> ids }.toMap
+
   /** Recall@j / precision@j / MRR of `got` against the exact ranking as
     * ground truth: recall@j intersects the two top-j prefixes (the
     * standard ANN recall curve); precision@j and MRR treat the exact
@@ -301,7 +308,7 @@ object KernelBench {
     val queries = Array.tabulate(cfg.nQueries)(i => (i.toLong, queryVec(cfg, i)))
 
     // warm-up: one small search so codegen/broadcast setup is not billed
-    VectorBlocks.topK(spark, blocks, queries.take(2), k = 10, excludeSelf = false).count()
+    VectorBlocks.bfSearch(blocks, queries.take(2), k = 10, excludeSelf = false)
 
     // IVF build (timed separately, like the reference's index build):
     // the coarse quantizer is TRAINED from a corpus sample (earlier
@@ -389,18 +396,23 @@ object KernelBench {
     // cached float blocks + PQ index, collected to a driver adjacency
     // array (n × graphK longs — 64 MB at 1M×8, the same O(n) scale as
     // the id space). The graph refines each sweep level's IVF candidates
-    // by one-hop expansion + exact rescore ([[refine]]).
+    // by one-hop expansion + exact rescore ([[refine]]). graphK <= 0
+    // skips the build (the scale-slope config: the graph's cluster-
+    // scoped n²·gp/C cost quadruples at 2× n — out of budget for a
+    // slope probe that only compares the four scan ladders); refine
+    // over the all-null adjacency degenerates to plain IVF.
     val tgb = System.nanoTime()
     val graph = new Array[Array[Long]](cfg.n)
-    VectorBlocks
-      .pqKnnGraph(indexed, pqIndex, cents, codebook, cfg.pqSubDim, cfg.graphK, gp = 2)
-      .collect()
-      .foreach { case (id, nb) => graph(id.toInt) = nb }
+    if (cfg.graphK > 0)
+      VectorBlocks
+        .pqKnnGraph(indexed, pqIndex, cents, codebook, cfg.pqSubDim, cfg.graphK, gp = 2)
+        .collect()
+        .foreach { case (id, nb) => graph(id.toInt) = nb }
     val graphBuildSec = (System.nanoTime() - tgb) / 1e9
 
     // warm-ups for the probed, fused-IVFSQ and fused-IVFPQ kernels
     // (2 queries each): JIT + broadcast setup, not billed
-    VectorBlocks.topKProbed(spark, indexed, queries.take(2), probes.take(2), k = 10).count()
+    VectorBlocks.ivfFlatSearch(indexed, queries.take(2), probes.take(2), k = 10)
     VectorBlocks.ivfsqSearch(
       sqIndex, sqLo, sqHi, queries.take(2), probes.take(2), rCand = 10, k = 10)
     VectorBlocks.ivfpqSearch(
@@ -425,10 +437,11 @@ object KernelBench {
     val pqTimes = Array.ofDim[Double](3)
     (0 until 3).foreach { rep =>
       val t0 = System.nanoTime()
-      exactRanked = ranked(
-        VectorBlocks.topK(spark, blocks, queries, cfg.k, excludeSelf = false))
+      exactRanked = rankedOf(
+        queries, VectorBlocks.bfSearch(blocks, queries, cfg.k, excludeSelf = false))
       val t1 = System.nanoTime()
-      annRanked = ranked(VectorBlocks.topKProbed(spark, indexed, queries, probes, cfg.k))
+      annRanked = rankedOf(
+        queries, VectorBlocks.ivfFlatSearch(indexed, queries, probes, cfg.k))
       val t2 = System.nanoTime()
       sqTopK = VectorBlocks.ivfsqSearch(
         sqIndex, sqLo, sqHi, queries, probes, cfg.sqRescore, cfg.k)
@@ -468,7 +481,8 @@ object KernelBench {
     val sweepAll = cfg.sweepProbes.map { np =>
       val m = masks(np)
       val t0 = System.nanoTime()
-      val lvlRanked = ranked(VectorBlocks.topKProbed(spark, indexed, queries, m, cfg.k))
+      val lvlRanked = rankedOf(
+        queries, VectorBlocks.ivfFlatSearch(indexed, queries, m, cfg.k))
       val annLvlSec = (System.nanoTime() - t0) / 1e9
       // graph-refined leg: one-hop expansion + exact rescore ON TOP of
       // this level's IVF result — its level time bills the IVF search it

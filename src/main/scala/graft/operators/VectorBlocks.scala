@@ -208,6 +208,98 @@ object VectorBlocks {
     rerank(spark, candidates, k)
   }
 
+  /** FUSED single-job exact search over the float blocks: the same
+    * per-partition bounded heaps as [[topK]] but finished with a
+    * [[QRun]] treeAggregate merge instead of the DataFrame rerank — one
+    * job, zero shuffle, the driver receives q × k rows.
+    *
+    * Why it exists: the timed bench passes measured that at q = 100 the
+    * DataFrame tail (candidate RDD → groupBy TopKAgg → posexplode →
+    * collect, a second job with a q·k·P-row shuffle) costs a FIXED
+    * ~0.5 s/pass regardless of scan cost — it dominated the IVF leg
+    * (whose probed scan is ~8× cheaper than brute force but whose
+    * published speedup sat at 1.6–2.9×) and inflated brute force
+    * itself. The compressed kernels ([[ivfpqSearch]]/[[ivfsqSearch]])
+    * never had this tail; this gives the two float legs the same
+    * single-job contract so the published ladder compares scans, not
+    * harness overhead. Row-for-row equal to [[topK]] (same dots, same
+    * (score desc, id asc) order) — pinned in VectorBlocksSpec.
+    *
+    * @return per query (input order): exact top-k doc ids, rank order
+    */
+  def bfSearch(
+      blocks: RDD[Block],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      excludeSelf: Boolean): Array[Array[Long]] =
+    fusedFloatSearch(blocks, queries, None, k, excludeSelf)
+
+  /** FUSED single-job IVF-probed exact search (IVFFlat): [[topKProbed]]'s
+    * per-centroid query lists over the assigned float blocks, finished
+    * with the [[QRun]] merge — see [[bfSearch]] for why the DataFrame
+    * tail is bypassed. Row-for-row equal to [[topKProbed]]. */
+  def ivfFlatSearch(
+      indexed: RDD[Block],
+      queries: Array[(Long, Array[Float])],
+      probes: Array[Array[Boolean]],
+      k: Int): Array[Array[Long]] =
+    fusedFloatSearch(indexed, queries, Some(probes), k, excludeSelf = false)
+
+  private def fusedFloatSearch(
+      blocks: RDD[Block],
+      queries: Array[(Long, Array[Float])],
+      probes: Option[Array[Array[Boolean]]],
+      k: Int,
+      excludeSelf: Boolean): Array[Array[Long]] = {
+    val byCid: Array[Array[Int]] = probes match {
+      case Some(p) =>
+        val nCentroids = if (p.isEmpty) 0 else p(0).length
+        Array.tabulate(nCentroids)(c => (0 until p.length).filter(qi => p(qi)(c)).toArray)
+      case None => null
+    }
+    val sc = blocks.sparkContext
+    val bcQ = sc.broadcast(queries)
+    val bcByCid = sc.broadcast(byCid)
+    val perPartition: RDD[Array[QRun]] = blocks.mapPartitions { bs =>
+      val qs = bcQ.value
+      val cidQ = bcByCid.value
+      val nq = qs.length
+      val qids = new Array[Long](nq)
+      val qvecs = new Array[Array[Float]](nq)
+      var t = 0
+      while (t < nq) { qids(t) = qs(t)._1; qvecs(t) = qs(t)._2; t += 1 }
+      val all = Array.range(0, nq)
+      val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(k))
+      bs.foreach { b =>
+        val n = b.ids.length
+        val dim = b.dim
+        var r = 0
+        while (r < n) {
+          val off = r * dim
+          val docId = b.ids(r)
+          val qlist = if (cidQ == null) all else cidQ(b.cids(r))
+          var j = 0
+          while (j < qlist.length) {
+            val qi = qlist(j)
+            if (!(excludeSelf && qids(qi) == docId)) {
+              heaps(qi).offer(dotRow(qvecs(qi), b.data, off, dim), docId)
+            }
+            j += 1
+          }
+          r += 1
+        }
+      }
+      Iterator.single(Array.tabulate(nq) { qi =>
+        val sorted = heaps(qi).sortedDesc()
+        QRun(sorted.map(_._1), sorted.map(_._2))
+      })
+    }
+    val zero = Array.fill(queries.length)(QRun(Array.emptyDoubleArray, Array.emptyLongArray))
+    val mergeRuns = (a: Array[QRun], b: Array[QRun]) =>
+      Array.tabulate(a.length)(qi => QRun.merge(a(qi), b(qi), k))
+    perPartition.treeAggregate(zero)(mergeRuns, mergeRuns).map(_.ids)
+  }
+
   /** PQ code block: row i's M subspace code indices occupy
     * `codes[i*m, (i+1)*m)` (unsigned bytes — codebooks cap at 256). At
     * 384 dims this is 48 B/row vs 1536 B raw: the ADC scan reads a corpus

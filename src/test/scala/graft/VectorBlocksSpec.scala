@@ -75,6 +75,42 @@ class VectorBlocksSpec extends SparkSpec {
     assert(rankSet(probed) == rankSet(full))
   }
 
+  test("fused bfSearch == DataFrame topK (ids in rank order, incl. self-exclusion off)") {
+    val (corpus, qs) = emb(12)
+    val dim = qs.head._2.length
+    val blocks = VectorBlocks.pack(corpus, dim)
+    val viaDf = KernelBench.ranked(
+      VectorBlocks.topK(spark, blocks, qs, k = 10, excludeSelf = false))
+    val fused = VectorBlocks.bfSearch(blocks, qs, k = 10, excludeSelf = false)
+    qs.iterator.zipWithIndex.foreach { case ((qid, _), qi) =>
+      assert(fused(qi).toSeq == viaDf(qid).toSeq, s"query $qid")
+    }
+    // excludeSelf variant drops exactly the self hit
+    val fusedEx = VectorBlocks.bfSearch(blocks, qs, k = 10, excludeSelf = true)
+    qs.iterator.zipWithIndex.foreach { case ((qid, _), qi) =>
+      assert(!fusedEx(qi).contains(qid))
+    }
+  }
+
+  test("fused ivfFlatSearch == DataFrame topKProbed under the same probe masks") {
+    import spark.implicits._
+    val (corpus, qs) = emb(10)
+    val dim = qs.head._2.length
+    val cents = Tables(spark, sf0001, "embeddings")
+      .filter($"vec_id" % 25 === 0)
+      .select($"embedding").as[Array[Float]].collect()
+    val indexed = VectorBlocks.assign(VectorBlocks.pack(corpus, dim), cents)
+    // a nontrivial mask: query qi probes centroids (qi + c) % C < C/2
+    val masks = Array.tabulate(qs.length)(qi =>
+      Array.tabulate(cents.length)(c => (qi + c) % cents.length < cents.length / 2))
+    val viaDf = KernelBench.ranked(
+      VectorBlocks.topKProbed(spark, indexed, qs, masks, k = 10))
+    val fused = VectorBlocks.ivfFlatSearch(indexed, qs, masks, k = 10)
+    qs.iterator.zipWithIndex.foreach { case ((qid, _), qi) =>
+      assert(fused(qi).toSeq == viaDf.getOrElse(qid, Array.emptyLongArray).toSeq, s"query $qid")
+    }
+  }
+
   test("block PQ encode matches the row-level Pq.encode on the fixture") {
     import spark.implicits._
     val (corpus, _) = emb(1)
