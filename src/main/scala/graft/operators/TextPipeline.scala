@@ -1671,6 +1671,84 @@ object TextPipeline extends QModule {
     FROM documents d JOIN thr t USING (source)
     GROUP BY d.source ORDER BY d.source"""))
 
+  // ---------------------------------------------------------------- q73
+  /** Count-min-sketch heavy hitters: the D×W counter-matrix sketch
+    * (Cormode–Muthukrishnan) over the corpus token stream, reported for
+    * the exact top-[[CmsTopK]] tokens next to their true counts — the
+    * one-sided `est ≥ exact` accuracy contract made visible (and pinned
+    * in TextPipelineSpec).
+    *
+    * Scale shape: ONE corpus scan feeds the exact vocabulary aggregate;
+    * the three bucket-sum frames then derive from the VOCAB frame (≤ W
+    * rows each after their map-side partial agg — summing `cnt` per
+    * bucket over the vocab is identical to counting raw occurrences per
+    * bucket), and estimates attach to the top-k report rows by three
+    * broadcast joins on bucket id. On an unbounded stream the same
+    * bucket frames are the sketch state: W·D longs, no vocabulary kept.
+    *
+    * Row hashes are pairwise-independent-style LCG mixes of the
+    * [[graft.functions.PortableHash]] value — plain 64-bit-safe integer
+    * arithmetic both engines evaluate identically (a_j·h < 1.2e9 · 2^31
+    * < 2^62), so the oracle replays the SKETCH itself, not just the
+    * report. */
+  private val CmsW = 512
+  private val CmsTopK = 10
+  private val CmsA = Seq(1103515245L, 1140671485L, 214013L)
+  private val CmsB = Seq(12345L, 12820163L, 2531011L)
+
+  private val q73 = Q(
+    "q73_cms_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val P = graft.functions.PortableHash.P
+      val tok = docs(s, d)
+        .select(explode(split(trim($"text"), "\\s+")).as("token"))
+        .filter(length($"token") > 0)
+      val cnt = tok
+        .groupBy($"token")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("h", graft.functions.PortableHash.hash($"token"))
+      def bucket(j: Int): Column =
+        ((lit(CmsA(j)) * col("h") + lit(CmsB(j))) % lit(P)) % lit(CmsW.toLong)
+      val sums = (0 until 3).map { j =>
+        cnt.groupBy(bucket(j).as(s"b$j")).agg(sum($"cnt").as(s"s$j"))
+      }
+      val top = cnt
+        .orderBy($"cnt".desc, $"token")
+        .limit(CmsTopK)
+        .withColumn("b0", bucket(0))
+        .withColumn("b1", bucket(1))
+        .withColumn("b2", bucket(2))
+      top
+        .join(broadcast(sums(0)), Seq("b0"))
+        .join(broadcast(sums(1)), Seq("b1"))
+        .join(broadcast(sums(2)), Seq("b2"))
+        .select(
+          $"token",
+          $"cnt".as("exact_cnt"),
+          least($"s0", $"s1", $"s2").as("cms_est"))
+        .orderBy($"exact_cnt".desc, $"token")
+    },
+    Some {
+      val P = graft.functions.PortableHash.P
+      def bucket(j: Int) = s"(((${CmsA(j)} * h + ${CmsB(j)}) % $P) % $CmsW)"
+      s"""WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+      cnt0 AS (
+        SELECT token, count(*) AS cnt
+        FROM tok WHERE length(token) > 0 GROUP BY token),
+      cnt AS (SELECT token, cnt, ${duckHash("token")} AS h FROM cnt0),
+      s0 AS (SELECT ${bucket(0)} AS b0, CAST(sum(cnt) AS BIGINT) AS s0 FROM cnt GROUP BY 1),
+      s1 AS (SELECT ${bucket(1)} AS b1, CAST(sum(cnt) AS BIGINT) AS s1 FROM cnt GROUP BY 1),
+      s2 AS (SELECT ${bucket(2)} AS b2, CAST(sum(cnt) AS BIGINT) AS s2 FROM cnt GROUP BY 1),
+      top AS (
+        SELECT token, cnt, ${bucket(0)} AS b0, ${bucket(1)} AS b1, ${bucket(2)} AS b2
+        FROM cnt ORDER BY cnt DESC, token LIMIT $CmsTopK)
+    SELECT t.token, t.cnt AS exact_cnt, least(s0.s0, s1.s1, s2.s2) AS cms_est
+    FROM top t JOIN s0 USING (b0) JOIN s1 USING (b1) JOIN s2 USING (b2)
+    ORDER BY exact_cnt DESC, token"""
+    })
+
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73)
 }

@@ -168,6 +168,31 @@ object Streams extends QModule {
       .toDF("doc_id", "owner")
   }
 
+  /** Session-window aggregation: per user, events whose windows
+    * `[ts, ts + gap)` overlap merge into one session (Spark's
+    * `session_window` — merge iff the next event arrives STRICTLY less
+    * than `gap` after the previous; an exactly-`gap` pause starts a new
+    * session, and the session end is last event + gap). The
+    * streaming-native face of sessionization: state per OPEN session
+    * only, closed sessions emit and evict once the watermark passes
+    * their end — unlike the batch window/lag form (q39), which needs
+    * the whole history sorted. Batch and stream run this same function;
+    * the dyadic integer value sum keeps the merge order-free. */
+  def sessionAgg(events: DataFrame, gap: String, watermark: Option[String] = None): DataFrame = {
+    val e = watermark.fold(events)(w => events.withWatermark("ts", w))
+    e.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 10000).cast("long")).cast("double")
+          / 10000.0, 4).as("total_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"),
+        col("total_value"))
+  }
+
   /** Stream-stream interval join: each left event pairs with the right
     * events of the SAME user whose event time falls in
     * `[l.ts, l.ts + maxDelay]` — the attribution join (click →
@@ -290,5 +315,36 @@ object Streams extends QModule {
       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOURS
     ORDER BY l.user_id, l_id, r_id"""))
 
-  override def all: Seq[Q] = Seq(q32, q33, q42, q72)
+  // ---------------------------------------------------------------- q74
+  /** Session-window aggregation in batch mode (12-hour inactivity gap).
+    * The oracle rebuilds sessions declaratively: a per-user lag/cumsum
+    * island computation with the SAME strict boundary (a gap of exactly
+    * 12 h breaks the session) and end = last event + gap. The streaming
+    * execution of the identical [[sessionAgg]] is pinned batch==stream
+    * in StreamingSpec. */
+  private val q74 = Q(
+    "q74_stream_sessions_batch",
+    (s, d) => sessionAgg(Tables(s, d, "events"), "12 hours")
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH o AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 12 HOURS
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o)
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 12 HOURS AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS total_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
+  override def all: Seq[Q] = Seq(q32, q33, q42, q72, q74)
 }

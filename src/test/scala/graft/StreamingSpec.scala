@@ -117,6 +117,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session-window agg: streamed micro-batches == batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val stream = MemoryStream[Event]
+    val q = Streams
+      .sessionAgg(stream.toDF(), gap = "12 hours", watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("sessions_out").outputMode("complete").start()
+    try {
+      // three micro-batches: open sessions must merge state across them
+      val chunks = events.sortBy(_.ts_ns).grouped(math.max(1, events.size / 3 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("sessions_out").collect().map(_.toSeq).toSet
+      val batch = Streams.sessionAgg(Tables(spark, sf0001, "events"), "12 hours")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.size > events.map(_.user_id).distinct.size, "degenerate: one session per user")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join across micro-batches == batch q72") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

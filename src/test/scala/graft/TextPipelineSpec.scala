@@ -239,6 +239,21 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q73 CMS one-sided contract: est >= exact for every reported heavy hitter") {
+    for (d <- Seq(sf0001, sf001)) {
+      val rows = byName("q73_cms_heavy_hitters", d).collect()
+      assert(rows.length == 10, s"expected 10 heavy hitters at $d")
+      rows.foreach { r =>
+        val exact = r.getAs[Long]("exact_cnt")
+        val est = r.getAs[Long]("cms_est")
+        assert(est >= exact, s"CMS under-estimated ${r.getAs[String]("token")}: $est < $exact")
+      }
+      // rank order is (exact desc, token asc) — deterministic report
+      val cnts = rows.map(_.getAs[Long]("exact_cnt"))
+      assert(cnts.sameElements(cnts.sortBy(-_)))
+    }
+  }
+
   test("q56 is non-degenerate on the fixtures: hot grams exist, no doc lost") {
     for (d <- Seq(sf0001, sf001)) {
       val out = byName("q56_boilerplate", d)
