@@ -32,11 +32,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // Heap is scoped per task kind (ADVICE r8: a blanket 12g pushed small
 // machines toward swap for toy-scale test runs):
-//  - run/runMain (Bench, Verify, tools): 12g — the 1M-scale kernel bench
+//  - run/runMain (Bench, Verify, tools): 24g — the 1M-scale kernel bench
 //    caches four structures at once (float blocks, indexed blocks, SQ8 +
-//    PQ partition indexes ≈ 4.1 GB); at 8g the storage pool evicted the
+//    PQ partition indexes ≈ 4.1 GB; at 8g the storage pool evicted the
 //    MEMORY_ONLY pq index and the timed passes silently re-encoded the
-//    corpus (measured: 3.3 → 71.6 ms/query).
+//    corpus — measured: 3.3 → 71.6 ms/query). The 2M scale-slope section
+//    doubles the float structures (~7.8 GB cached): at 12g an executor
+//    task OOMed the whole JVM (which no try/catch survives), and at 16g
+//    the working set out-sized the storage pool — the disk tier turned
+//    every probed-method slope superlinear (sq build 0.5 → 18.6 s).
+//    24g keeps the 2M set resident, which is the configuration the
+//    published slopes were measured under; Bench skips the 2M section
+//    with an inline note when the heap is smaller (SPARK_DRIVER_MEM=8g
+//    keeps small machines usable).
 //  - tests: fixture-scale data, 8g is ample.
-run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}"
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
 Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

@@ -82,7 +82,11 @@ object Bench {
     // (e.g. memory on a smaller host) reports inline WITHOUT flipping
     // the exit code — the slope probe is diagnostic, not a gate.
     val kernel2m =
-      try {
+      if (Runtime.getRuntime.maxMemory < 14L * 1024 * 1024 * 1024 * 96 / 100)
+        // an executor-task OOM at this scale kills the JVM past any
+        // catch (measured at 12g) — skip rather than risk the whole run
+        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 14g"}"""
+      else try {
         spark.catalog.clearCache()
         val cfg2 = KernelBench.Default.copy(
           n = 2000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)

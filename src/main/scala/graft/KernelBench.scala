@@ -131,7 +131,16 @@ object KernelBench {
     require(cfg.n >= cfg.centroids,
       s"kernel bench requires n >= centroids (got n=${cfg.n}, centroids=${cfg.centroids})")
     val m = math.max(cfg.centroids, math.min(cfg.coarseTrainSample, cfg.n))
-    val sample = Array.tabulate(m)(j => vec(cfg, j.toLong * (cfg.n / m)))
+    // ODD stride, wrapped mod n: the corpus generator's cluster id is
+    // id % centroids (a power of two), so an even stride samples only
+    // gcd(stride, C)-th clusters — at n = 2M the natural stride n/m =
+    // 122 saw 32 of 64 modes and recall collapsed to 0.59 (the same
+    // degenerate-quantizer class as the seed-pick note below). An odd
+    // stride is coprime with any power-of-two cluster count; at the
+    // 1M default n/m = 61 is already odd, so this is bit-identical
+    // there (no bench churn).
+    val stride = math.max(1L, cfg.n.toLong / m) | 1L
+    val sample = Array.tabulate(m)(j => vec(cfg, (j.toLong * stride) % cfg.n))
     // seed from CONSECUTIVE sample entries: their corpus ids step by the
     // sample stride, which walks the id space densely — seeding at
     // c·(m/C) instead stepped the corpus id by stride·m/C, and at the
@@ -302,7 +311,12 @@ object KernelBench {
       .map(id => (id, vec(bcCfg, id)))
       .toDF("id", "vec")
       .as[(Long, Array[Float])]
-    val blocks = VectorBlocks.pack(corpus, cfg.dim).cache()
+    // MEMORY_AND_DISK like the partition indexes: at the 2M slope scale
+    // the two float structures alone are ~6 GB — an evicted MEMORY_ONLY
+    // partition would silently re-GENERATE its corpus slice inside a
+    // timed pass, and memory pressure inside a task OOMs the whole JVM
+    val blocks = VectorBlocks.pack(corpus, cfg.dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.count() // materialize — the "load embeddings" stage, untimed
 
     val queries = Array.tabulate(cfg.nQueries)(i => (i.toLong, queryVec(cfg, i)))
@@ -319,7 +333,8 @@ object KernelBench {
     // (IVFPQ), and the PQ residuals are taken against THESE centroids.
     val tb = System.nanoTime()
     val cents = trainCoarse(cfg)
-    val indexed = VectorBlocks.assign(blocks, cents).cache()
+    val indexed = VectorBlocks.assign(blocks, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     indexed.count()
     val annBuildSec = (System.nanoTime() - tb) / 1e9
 
@@ -351,8 +366,12 @@ object KernelBench {
     // encode of the INDEXED corpus (cids ride along for probe pruning);
     // Dim/PqSubDim one-byte codes per doc (96 B at 384-dim, PqSubDim 4).
     val tp = System.nanoTime()
+    // odd stride mod n, like trainCoarse: an even stride would sample
+    // residuals from only gcd(stride, C) of the cluster modes (61 at
+    // the 1M default is already odd — bit-identical there)
+    val pqStride = math.max(1L, cfg.n.toLong / cfg.pqTrainSample) | 1L
     val sample = Array.tabulate(cfg.pqTrainSample) { j =>
-      val v = vec(cfg, j.toLong * (cfg.n / cfg.pqTrainSample))
+      val v = vec(cfg, (j.toLong * pqStride) % cfg.n)
       var bestC = 0
       var bestS = Double.NegativeInfinity
       var c = 0
