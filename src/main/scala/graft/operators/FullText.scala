@@ -237,5 +237,60 @@ object FullText extends QModule {
       SELECT query_id, rnk, doc_id, round(score, 6) AS rrf
       FROM rrf_ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(q63, q64)
+  // ---------------------------------------------------------------- q76
+  /** Positional phrase search: find every document containing an exact
+    * consecutive-token phrase — the full-text operator BM25's bag-of-
+    * words scoring cannot express, served in production from POSITIONAL
+    * postings. The phrase is the first [[PhraseLen]] tokens of doc 0
+    * (fixed per dataset, guaranteed non-empty, regenerated-fixture
+    * safe).
+    *
+    * Engine shape: tokenize map-side with positions (`posexplode`),
+    * broadcast-filter to the phrase's terms (only those terms' postings
+    * survive — Σ df rows, never the corpus), then the phrase is an
+    * equi-join of the term postings on (doc_id, aligned position):
+    * token i of the phrase must sit at `pos − i`. At 100 TB this is the
+    * positional-intersection plan an inverted index runs, with postings
+    * co-partitioned by doc.
+    *
+    * The oracle matches the SAME tokenization semantics with a word-
+    * boundary regex (`(^|\s)w1\s+w2\s+w3(\s|$)`): a `LIKE '%…%'` form
+    * would also match mid-word (`"xa b c"` ~ `'%a b c%'`), which
+    * positional postings rightly do not. Output is the matching doc set
+    * (not counts: non-overlapping regex extraction and positional
+    * counting disagree on adjacent occurrences — set semantics are the
+    * phrase-FILTER contract). */
+  private val PhraseLen = 3
+
+  private val q76 = Q(
+    "q76_phrase_search",
+    (s, d) => {
+      import s.implicits._
+      val docsDf = Tables(s, d, "documents")
+      val phrase = docsDf.filter($"doc_id" === 0)
+        .select(slice(split(trim($"text"), "\\s+"), 1, PhraseLen))
+        .as[Seq[String]].head()
+      require(phrase.length == PhraseLen, s"doc 0 has fewer than $PhraseLen tokens")
+      val toks = docsDf.select(
+        $"doc_id",
+        posexplode(split(trim($"text"), "\\s+")).as(Seq("pos", "w")))
+      val aligned = phrase.zipWithIndex.map { case (w, i) =>
+        toks.filter($"w" === w).select($"doc_id", ($"pos" - i).as("start"))
+      }
+      aligned
+        .reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+        .select($"doc_id").distinct()
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ph AS (
+        SELECT string_split_regex(trim(text), '\\s+')[1:$PhraseLen] AS ws
+        FROM documents WHERE doc_id = 0),
+      rx AS (
+        SELECT '(^|\\s)' || list_aggregate(ws, 'string_agg', '\\s+') || '(\\s|$$)' AS pat
+        FROM ph)
+    SELECT d.doc_id FROM documents d, rx
+    WHERE regexp_matches(d.text, rx.pat)
+    ORDER BY d.doc_id"""))
+
+  override def all: Seq[Q] = Seq(q63, q64, q76)
 }

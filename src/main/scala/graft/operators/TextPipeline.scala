@@ -686,29 +686,35 @@ object TextPipeline extends QModule {
         .agg(min($"owner").as("dup_of"))
         .orderBy($"doc_id")
     },
-    Some {
-      val perms = permConsts
-      val mhCols = perms.zipWithIndex.map { case ((a, b), j) =>
-        s"list_min([($a * h + $b) % $MinHashPrime for h in hs]) AS mh$j"
-      }.mkString(",\n               ")
-      val nBands = MinHashPerms / BandRows
-      val bandSelects = (0 until nBands).map { bIdx =>
-        val sig = (0 until BandRows)
-          .map(r => s"CAST(mh${bIdx * BandRows + r} AS VARCHAR)")
-          .mkString(" || '_' || ")
-        s"SELECT doc_id, $bIdx AS band, $sig AS sig FROM mh"
-      }.mkString("(", ") UNION ALL (", ")")
-      s"""WITH $duckShingles,
-        nonempty AS (SELECT doc_id, s FROM sh WHERE len(s) >= 1),
+    Some(s"""WITH $duckShingles,
+        $duckBandCtes
+      SELECT a.doc_id, min(b.doc_id) AS dup_of
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND b.doc_id < a.doc_id
+      GROUP BY a.doc_id ORDER BY a.doc_id"""))
+
+  /** The MinHash-banding CTE chain (append after [[duckShingles]]):
+    * `nonempty` → `hashed` → `mh` (32 permutation minima) → `bands`
+    * (16 (doc_id, band, sig) rows per doc) — the SQL replay of
+    * [[bandArray]], shared by the q47 and q75 oracles. A `def`: the
+    * interpolated constants must never capture init-order zeros. */
+  private def duckBandCtes: String = {
+    val mhCols = permConsts.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min([($a * h + $b) % $MinHashPrime for h in hs]) AS mh$j"
+    }.mkString(",\n               ")
+    val nBands = MinHashPerms / BandRows
+    val bandSelects = (0 until nBands).map { bIdx =>
+      val sig = (0 until BandRows)
+        .map(r => s"CAST(mh${bIdx * BandRows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bIdx AS band, $sig AS sig FROM mh"
+    }.mkString("(", ") UNION ALL (", ")")
+    s"""nonempty AS (SELECT doc_id, s FROM sh WHERE len(s) >= 1),
         hashed AS (SELECT doc_id, [${duckHash("w")} for w in s] AS hs FROM nonempty),
         mh AS (SELECT doc_id,
                $mhCols
                FROM hashed),
-        bands AS ($bandSelects)
-      SELECT a.doc_id, min(b.doc_id) AS dup_of
-      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND b.doc_id < a.doc_id
-      GROUP BY a.doc_id ORDER BY a.doc_id"""
-    })
+        bands AS ($bandSelects)"""
+  }
 
   // ---------------------------------------------------------------- q48
   /** The END-TO-END cleaning funnel every LLM-data pipeline runs before
@@ -1671,6 +1677,72 @@ object TextPipeline extends QModule {
     FROM documents d JOIN thr t USING (source)
     GROUP BY d.source ORDER BY d.source"""))
 
+  // ---------------------------------------------------------------- q75
+  /** Incremental dedup — the INGESTION-time shape: an arriving batch is
+    * deduplicated AGAINST the already-ingested corpus (q46–q48 dedup
+    * within one corpus; a production pipeline runs this form on every
+    * delivery). Batch = odd doc_ids, corpus = even (the deterministic
+    * fixture split standing in for arrival time). Verdict per batch doc:
+    * `exact` (its `md5(trim(text))` fingerprint exists in the corpus),
+    * else `near` (shares ≥1 MinHash band signature with a corpus doc —
+    * q47's collision primitive, restricted across the boundary), else
+    * `new`; `match_id` is the smallest matching corpus doc (−1 for new).
+    *
+    * Scale shape: two hash equi-joins — fingerprints and band
+    * signatures — in which ONLY the batch side is new work; the corpus
+    * side is the persisted fingerprint/band index an ingestion pipeline
+    * maintains incrementally. Nothing corpus-sized is ever compared
+    * pairwise. */
+  private val q75 = Q(
+    "q75_incremental_dedup",
+    (s, d) => {
+      import s.implicits._
+      val fp = docs(s, d).select($"doc_id", md5(trim($"text")).as("fp"))
+      val exact = fp.filter($"doc_id" % 2 === 1)
+        .join(fp.filter($"doc_id" % 2 === 0).select($"fp", $"doc_id".as("cid")), Seq("fp"))
+        .groupBy($"doc_id")
+        .agg(min($"cid").as("exact_of"))
+      val bands = bandFrameCached(s, d)
+      val near = bands.filter($"doc_id" % 2 === 1)
+        .join(
+          bands.filter($"doc_id" % 2 === 0).select($"doc_id".as("ncid"), $"bv"),
+          Seq("bv"))
+        .groupBy($"doc_id")
+        .agg(min($"ncid").as("near_of"))
+      docs(s, d).filter($"doc_id" % 2 === 1).select($"doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(
+          $"doc_id",
+          when($"exact_of".isNotNull, "exact")
+            .when($"near_of".isNotNull, "near")
+            .otherwise("new").as("verdict"),
+          coalesce($"exact_of", $"near_of", lit(-1L)).as("match_id"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $duckShingles,
+        $duckBandCtes,
+      fp AS (SELECT doc_id, md5(trim(text)) AS fp FROM documents),
+      ex AS (
+        SELECT b.doc_id, min(c.doc_id) AS exact_of
+        FROM fp b JOIN fp c ON b.fp = c.fp
+        WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        GROUP BY b.doc_id),
+      nr AS (
+        SELECT a.doc_id, min(b.doc_id) AS near_of
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        GROUP BY a.doc_id)
+    SELECT d.doc_id,
+           CASE WHEN ex.exact_of IS NOT NULL THEN 'exact'
+                WHEN nr.near_of IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict,
+           coalesce(ex.exact_of, nr.near_of, -1) AS match_id
+    FROM documents d
+    LEFT JOIN ex ON ex.doc_id = d.doc_id
+    LEFT JOIN nr ON nr.doc_id = d.doc_id
+    WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""))
+
   // ---------------------------------------------------------------- q73
   /** Count-min-sketch heavy hitters: the D×W counter-matrix sketch
     * (Cormode–Muthukrishnan) over the corpus token stream, reported for
@@ -1750,5 +1822,5 @@ object TextPipeline extends QModule {
     })
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75)
 }

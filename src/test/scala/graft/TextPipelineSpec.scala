@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.operators.TextPipeline
 
@@ -251,6 +252,20 @@ class TextPipelineSpec extends SparkSpec {
       // rank order is (exact desc, token asc) — deterministic report
       val cnts = rows.map(_.getAs[Long]("exact_cnt"))
       assert(cnts.sameElements(cnts.sortBy(-_)))
+    }
+  }
+
+  test("q75 incremental dedup: every odd doc verdicted once, match ids are corpus-side") {
+    for (d <- Seq(sf0001, sf001)) {
+      val rows = byName("q75_incremental_dedup", d).collect()
+      val nOdd = Tables(spark, d, "documents").filter(col("doc_id") % 2 === 1).count()
+      assert(rows.length == nOdd, s"one verdict per batch doc at $d")
+      rows.foreach { r =>
+        val (v, m) = (r.getAs[String]("verdict"), r.getAs[Long]("match_id"))
+        if (v == "new") assert(m == -1L)
+        else assert(m >= 0 && m % 2 == 0, s"matched doc $m must be corpus-side (even)")
+      }
+      assert(rows.exists(_.getAs[String]("verdict") != "new"), s"degenerate at $d: no dups found")
     }
   }
 
