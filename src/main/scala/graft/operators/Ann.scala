@@ -848,5 +848,180 @@ object Ann extends QModule {
       FROM (${duckSearch(20, 10, 4, "e.vec_id % 17 <> 3")})
       ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32)
+  // ---------------------------------------------------------------- v36
+  /** Recall-targeted AUTO-TUNE — the faiss `OperatingPoints`/autotune
+    * surface (`004:300-334` explores the dial by hand; production faiss
+    * picks the cheapest parameter meeting a recall target): for each
+    * target overlap@10 (per-mille), the smallest nProbe whose held-out
+    * overlap-vs-exact meets it, falling back to the widest probe when no
+    * level does. This is the operator that turns v10's sweep CURVE into a
+    * serving DECISION — "give me ≥95% of exact at minimum cost".
+    *
+    * All-integer selection contract: per-probe overlap is kept as the
+    * raw hit-count sum `osum` (Σ over queries of |ann∩exact| ≤ 10·nq),
+    * and the target test is `100·osum ≥ target_pm·nq` — exactly
+    * `osum/(10·nq) ≥ target_pm/1000` with no float division in either
+    * engine, so the chosen operating point is bit-deterministic. Cost:
+    * reuses v10's memoized widest-probe candidate frame (probe sets are
+    * nested) — the tune is a re-rank + two tiny aggregates, not new
+    * index reads. */
+  val TuneTargets = Seq(800, 900, 950, 990)
+
+  private val v36 = Q(
+    "v36_autotune",
+    (s, d) => {
+      import s.implicits._
+      val exact = VectorSearch.searchFrame(s, d)
+        .filter($"rnk" <= 10)
+        .select($"query_id", $"doc_id", lit(1).as("in_exact"))
+      val cand = graft.Memo.cached(s, s"ann-cand:$d")(
+        scoredCandidates(s, d, maxQueryId = 100, maxProbe = SweepProbes.max))
+      val frames = SweepProbes.map { np =>
+        BruteForce.rerank(cand.filter($"prn" <= np).drop("prn"), k = 10)
+          .withColumn("n_probe", lit(np))
+      }
+      val po = frames.reduce(_ unionByName _)
+        .join(exact, Seq("query_id", "doc_id"), "left_outer")
+        .na.fill(0, Seq("in_exact"))
+        .groupBy($"n_probe", $"query_id")
+        .agg(sum(when($"in_exact" === 1 && $"rnk" <= 10, 1L).otherwise(0L)).as("o10"))
+        .groupBy($"n_probe")
+        .agg(sum($"o10").as("osum"), count(lit(1)).as("nq"))
+      val targets = TuneTargets.toDF("target_pm")
+      val scored = targets.crossJoin(po)
+        .withColumn("ok",
+          when(lit(100L) * $"osum" >= $"target_pm".cast("long") * $"nq", 1).otherwise(0))
+      val wSel = Window.partitionBy($"target_pm")
+        .orderBy($"ok".desc, when($"ok" === 1, $"n_probe").otherwise(-$"n_probe").asc)
+      scored
+        .withColumn("rn", row_number().over(wSel))
+        .filter($"rn" === 1)
+        .select($"target_pm", $"n_probe", $"osum", $"nq")
+        .orderBy($"target_pm")
+    },
+    Some {
+      val perProbe = SweepProbes.map { np =>
+        s"""SELECT $np AS n_probe, query_id, doc_id, rnk FROM (${duckSearch(100, 10, np)})"""
+      }.mkString("(", ") UNION ALL (", ")")
+      s"""WITH $duckCentAssign,
+        exactq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+        exact_scored AS (
+          SELECT q.query_id, c.vec_id AS doc_id, ${duckDot("q.qe", "c.embedding")} AS score
+          FROM exactq q, embeddings c WHERE c.vec_id <> q.query_id),
+        exact10 AS (
+          SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM exact_scored)
+          WHERE rnk <= 10),
+        ann AS ($perProbe),
+        per_q AS (
+          SELECT a.n_probe, a.query_id,
+                 sum(CASE WHEN x.doc_id IS NOT NULL AND a.rnk <= 10 THEN 1 ELSE 0 END) AS o10
+          FROM ann a
+          LEFT JOIN exact10 x ON a.query_id = x.query_id AND a.doc_id = x.doc_id
+          GROUP BY a.n_probe, a.query_id),
+        po AS (
+          SELECT n_probe, CAST(sum(o10) AS BIGINT) AS osum, count(*) AS nq
+          FROM per_q GROUP BY n_probe),
+        t AS (SELECT unnest([${TuneTargets.mkString(", ")}]) AS target_pm),
+        sc AS (
+          SELECT t.target_pm, po.n_probe, po.osum, po.nq,
+                 CASE WHEN 100 * osum >= target_pm * nq THEN 1 ELSE 0 END AS ok
+          FROM t, po),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY target_pm
+            ORDER BY ok DESC, CASE WHEN ok = 1 THEN n_probe ELSE -n_probe END) AS rn
+          FROM sc)
+      SELECT target_pm, n_probe, osum, nq FROM r WHERE rn = 1 ORDER BY target_pm"""
+    })
+
+  // --------------------------------------------- sharded build + merge
+
+  private def shardRoot(s: SparkSession, d: String): String =
+    indexPath(s, d) + "_sharded"
+
+  /** File-level merge of index shards built against the SAME frozen
+    * quantizer — the faiss `merge_into` analog, and the distributed-build
+    * pattern at 100 TB: each ingest site (or each historical backfill
+    * slice) builds its own artifact against the shared quantizer, and the
+    * merge is pure FileSystem metadata — every shard part-file is RENAMED
+    * into the destination's matching `centroid_id=` partition dir
+    * (shard-prefixed to dodge name collisions). Zero bytes of vector data
+    * are read or rewritten; cost is O(files), not O(rows). Valid
+    * precisely BECAUSE the quantizer is frozen: identical centroids ⇒
+    * a vector's list assignment is independent of which shard indexed it,
+    * so the union of shard lists IS the monolithic index (the v37 gate:
+    * search over the merge hash-matches the monolith oracle). The
+    * quantizer sidecar moves from the first shard; shards are drained
+    * (faiss `merge_into` semantics). */
+  def mergeIndexArtifacts(s: SparkSession, dest: String, shards: Seq[String]): Unit = {
+    val (fs, destPath) = hfs(s, dest)
+    fs.mkdirs(destPath)
+    shards.zipWithIndex.foreach { case (sh, i) =>
+      val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$sh/centroid_id=*/part-*"))
+      parts.foreach { st =>
+        val destDir = new org.apache.hadoop.fs.Path(destPath, st.getPath.getParent.getName)
+        fs.mkdirs(destDir)
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(destDir, s"s${i}_${st.getPath.getName}"))
+      }
+    }
+    fs.rename(
+      new org.apache.hadoop.fs.Path(s"${shards.head}/_centroids"),
+      new org.apache.hadoop.fs.Path(destPath, "_centroids"))
+    fs.create(new org.apache.hadoop.fs.Path(destPath, "_SUCCESS"), true).close()
+  }
+
+  /** Two-shard build-if-absent for the v37 gate: the corpus splits by
+    * `vec_id % 2`, each half becomes its own artifact against the
+    * full-corpus frozen quantizer ([[centroids]] — the same set the
+    * monolithic [[buildIndex]] trains), then [[mergeIndexArtifacts]]
+    * unifies them without touching data. */
+  def buildShardedIndex(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val merged = s"${shardRoot(s, d)}/merged"
+    val (fs, done) = hfs(s, s"$merged/_SUCCESS")
+    if (!fs.exists(done)) {
+      val cs = centroids(s, d).as[(Long, Array[Float])].collect().sortBy(_._1)
+      val shardPaths = (0 until 2).map { r =>
+        val sp = s"${shardRoot(s, d)}/shard$r"
+        writeIndexArtifact(s, sp, corpusTyped(s, d).filter($"id" % 2 === r), cs)
+        sp
+      }
+      mergeIndexArtifacts(s, merged, shardPaths)
+    }
+    merged
+  }
+
+  /** Search over the merged sharded artifact: probes the persisted
+    * frozen quantizer against the merged partitions — the same
+    * probe/score/rerank core as every other index surface. */
+  def searchSharded(
+      s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val path = buildShardedIndex(s, d)
+    val cents = s.read.parquet(s"$path/_centroids")
+    val idx = s.read.parquet(path)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val q = emb(s, d)
+      .filter($"vec_id" < maxQueryId)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    BruteForce.rerank(scoredOn(s, q, cents, idx, nProbe, None).drop("prn"), k)
+  }
+
+  // ---------------------------------------------------------------- v37
+  /** Sharded-build/merge gate: the merged two-shard index must serve
+    * results identical to the monolithic build — the oracle is v09's
+    * monolith search verbatim, so any drift (shard-local quantizers,
+    * lost/duplicated part files, collision-clobbered renames) is a hash
+    * mismatch, not a silent recall dip. */
+  private val v37 = Q(
+    "v37_shard_merge",
+    (s, d) => searchSharded(s, d, maxQueryId = 20, k = 10, nProbe = 4)
+      .select(col("query_id"), col("rnk"), col("doc_id")),
+    Some(s"""WITH $duckCentAssign
+      SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37)
 }

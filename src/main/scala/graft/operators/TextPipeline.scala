@@ -1821,6 +1821,165 @@ object TextPipeline extends QModule {
     ORDER BY exact_cnt DESC, token"""
     })
 
+  // ---------------------------------------------------------------- q77
+  /** HyperLogLog distinct-cardinality sketch (Flajolet et al. 2007) over
+    * the corpus vocabulary — the fixed-memory companion to q41's KMV and
+    * q73's CMS, completing the classic sketch trio. At 100 TB this is how
+    * vocabulary size (BPE budget sizing) or per-shard distinct-doc counts
+    * are estimated in ONE pass with [[HllM]] longs of state per
+    * aggregation key: the register frame is a map-side partial `max` —
+    * no distinct shuffle, no vocabulary kept — and registers MERGE by
+    * max, so shard sketches combine losslessly (unlike exact distinct).
+    *
+    * Portable-arithmetic contract (the sketch itself is what the oracle
+    * replays, as with q73): h = [[graft.functions.PortableHash]] in
+    * [0, 2³¹−1); register = h mod m; w = h div m < 2^[[HllWBits]]; rank
+    * ρ(w) = leading-zero count within [[HllWBits]] bits + 1, computed by
+    * an integer comparison chain (no float log in either engine). The
+    * harmonic indicator Σ 2^−M_j is published scaled by 2^(WBits+1) —
+    * an exact integer since M_j ≤ WBits+1 — and the raw estimate
+    * α_m·m²/Z with α_64 = 0.709 is the all-integer floor division
+    * `(709·m²·2^(WBits+1)) div (1000·S)`. `v_zero` (empty-register
+    * count) is published so a consumer can apply the standard
+    * linear-counting small-range correction; the error contract
+    * (|est−exact|/exact within ~3σ = 39% for m = 64) is pinned in
+    * TextPipelineSpec next to the exact count. */
+  private val HllM = 64
+  private val HllWBits = 25 // h div 64 < 2^25 since h < P < 2^31
+
+  private val q77 = Q(
+    "q77_hll_distinct",
+    (s, d) => {
+      import s.implicits._
+      val tok = rebalanced(docs(s, d))
+        .select(explode(split(trim($"text"), "\\s+")).as("token"))
+        .filter(length($"token") > 0)
+        .select(graft.functions.PortableHash.hash($"token").as("h"))
+      val w = expr(s"h div $HllM")
+      val rhoFirst: Column = when(w >= (1L << (HllWBits - 1)), 1)
+      val rho = (2 to HllWBits)
+        .foldLeft(rhoFirst)((c, j) => c.when(w >= (1L << (HllWBits - j)), j))
+        .otherwise(HllWBits + 1)
+      val regs = tok
+        .select(($"h" % HllM).as("reg"), rho.as("rho"))
+        .groupBy($"reg").agg(max($"rho").as("mrho"))
+      val full = s.range(HllM).select($"id".as("reg"))
+        .join(regs, Seq("reg"), "left").na.fill(0, Seq("mrho"))
+      val exact = rebalanced(docs(s, d))
+        .select(explode(split(trim($"text"), "\\s+")).as("token"))
+        .filter(length($"token") > 0)
+        .agg(countDistinct($"token").as("exact_distinct"))
+      val num = 709L * HllM * HllM * (1L << (HllWBits + 1))
+      full
+        .agg(
+          count(lit(1)).as("m"),
+          sum(when($"mrho" === 0, 1L).otherwise(0L)).as("v_zero"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllWBits + 1} - mrho)"))
+            .as("s_scaled"))
+        .crossJoin(exact)
+        .select($"m", $"v_zero", $"s_scaled",
+          expr(s"${num}L div (1000 * s_scaled)").as("hll_est"),
+          $"exact_distinct")
+    },
+    Some {
+      val num = 709L * HllM * HllM * (1L << (HllWBits + 1))
+      val rhoCase = (1 to HllWBits)
+        .map(j => s"WHEN w >= ${1L << (HllWBits - j)} THEN $j")
+        .mkString("CASE ", " ", s" ELSE ${HllWBits + 1} END")
+      s"""WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+      tk AS (SELECT token, ${duckHash("token")} AS h FROM tok WHERE length(token) > 0),
+      tr AS (SELECT h % $HllM AS reg, h // $HllM AS w FROM tk),
+      rr AS (SELECT reg, $rhoCase AS rho FROM tr),
+      mx AS (SELECT reg, max(rho) AS mrho FROM rr GROUP BY reg),
+      allreg AS (
+        SELECT r.reg, coalesce(mx.mrho, 0) AS mrho
+        FROM range(0, $HllM) AS r(reg) LEFT JOIN mx ON mx.reg = r.reg),
+      summ AS (
+        SELECT count(*) AS m,
+               CAST(sum(CASE WHEN mrho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+               CAST(sum(CAST(1 AS BIGINT) << (${HllWBits + 1} - mrho)) AS BIGINT) AS s_scaled
+        FROM allreg),
+      ex AS (SELECT count(DISTINCT token) AS exact_distinct FROM tk)
+    SELECT m, v_zero, s_scaled, $num // (1000 * s_scaled) AS hll_est, exact_distinct
+    FROM summ, ex"""
+    })
+
+  // ---------------------------------------------------------------- q78
+  /** Duplicate-SPAN fraction — substring-level dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * unit of duplication is a [[SpanW]]-token window, not the document,
+    * so boilerplate shared across otherwise-distinct pages (headers,
+    * license blocks, templated intros) is measurable even when no
+    * doc-level fingerprint fires. Per doc: total windows, windows whose
+    * hash occurs ≥ 2 times CORPUS-WIDE (within-doc repeats count — a
+    * span "appearing more than once" anywhere is the Lee et al.
+    * criterion), and the duplicated-window per-mille as an exact integer
+    * division — the filter column an exact-substring dedup pass gates on.
+    *
+    * Scale shape: windows explode map-side from one corpus scan (the
+    * tokenization is a separate projection, same HOF-re-evaluation trap
+    * as [[shingleFrameOf]]); the global window-hash count is ONE hash
+    * aggregate; flags attach by an equi-join of the (doc, hash)
+    * aggregate against the hash-count frame — shuffle-on-key both
+    * sides, no broadcast of a corpus-sized set, no window function over
+    * the corpus. Everything after tokenization is 24-char [[PortableHash
+    * hashes]] — no window STRING ever shuffles (the q62 discipline). */
+  private val SpanW = 5
+
+  private val q78 = Q(
+    "q78_dup_span_fraction",
+    (s, d) => {
+      import s.implicits._
+      val ws = $"ws"
+      val wins = rebalanced(docs(s, d))
+        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+        .select($"doc_id",
+          when(size(ws) >= SpanW,
+            transform(
+              sequence(lit(1), size(ws) - (SpanW - 1)),
+              i => concat_ws(" ", (0 until SpanW).map(o => element_at(ws, i + o)): _*)))
+            .otherwise(array().cast("array<string>")).as("wins"))
+        .select($"doc_id", explode($"wins").as("win"))
+        .select($"doc_id", graft.functions.PortableHash.hash($"win").as("wh"))
+      val cnts = wins.groupBy($"wh").agg(count(lit(1)).as("cnt"))
+      val byDoc = wins.groupBy($"doc_id", $"wh").agg(count(lit(1)).as("k"))
+      val agg = byDoc.join(cnts, Seq("wh"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"k").as("n_win"),
+          sum(when($"cnt" >= 2, $"k").otherwise(0L)).as("n_dup"))
+      docs(s, d).select($"doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_win", "n_dup"))
+        .select($"doc_id", $"n_win", $"n_dup",
+          expr("CASE WHEN n_win = 0 THEN CAST(0 AS BIGINT) ELSE (1000 * n_dup) div n_win END")
+            .as("dup_pm"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val hi = SpanW - 1
+      s"""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+      wins AS (
+        SELECT doc_id, ${duckHash("w")} AS wh FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+$hi], ' ')
+                         for i in range(1, len(ws) - ${SpanW - 2})]) AS w
+          FROM toks WHERE len(ws) >= $SpanW)),
+      cnts AS (SELECT wh, count(*) AS cnt FROM wins GROUP BY wh),
+      bd AS (SELECT doc_id, wh, count(*) AS k FROM wins GROUP BY doc_id, wh),
+      agg AS (
+        SELECT b.doc_id,
+               CAST(sum(k) AS BIGINT) AS n_win,
+               CAST(sum(CASE WHEN c.cnt >= 2 THEN k ELSE 0 END) AS BIGINT) AS n_dup
+        FROM bd b JOIN cnts c USING (wh) GROUP BY b.doc_id)
+    SELECT d.doc_id, coalesce(a.n_win, 0) AS n_win, coalesce(a.n_dup, 0) AS n_dup,
+           CASE WHEN coalesce(a.n_win, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (1000 * a.n_dup) // a.n_win END AS dup_pm
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+    })
+
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75, q77, q78)
 }

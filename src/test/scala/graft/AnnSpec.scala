@@ -135,4 +135,41 @@ class AnnSpec extends SparkSpec {
       assert(assigned == best, s"doc $docId assigned $assigned, argmax is $best")
     }
   }
+
+  test("autotune: chosen nProbe is monotone in the recall target and meets it") {
+    import spark.implicits._
+    for (d <- Seq(sf0001, sf001)) {
+      val rows = SparkEntry.queries("v36_autotune")(spark, d)
+        .collect().sortBy(_.getAs[Int]("target_pm"))
+      assert(rows.map(_.getAs[Int]("target_pm")).toSeq == Ann.TuneTargets)
+      // tighter target ⇒ same or wider probe (candidate sets are nested)
+      val probes = rows.map(_.getAs[Int]("n_probe")).toSeq
+      assert(probes == probes.sorted, s"at $d: probes not monotone: $probes")
+      rows.foreach { r =>
+        val (t, np, osum, nq) =
+          (r.getAs[Int]("target_pm"), r.getAs[Int]("n_probe"),
+           r.getAs[Long]("osum"), r.getAs[Long]("nq"))
+        // unless the widest probe was the fallback, the target must be met
+        if (np != Ann.SweepProbes.max)
+          assert(100L * osum >= t.toLong * nq, s"at $d: target $t unmet at probe $np")
+      }
+    }
+  }
+
+  test("sharded build + file-level merge serves results identical to the monolith") {
+    import spark.implicits._
+    for (d <- Seq(sf0001, sf001)) {
+      val mono = Ann.search(spark, d, maxQueryId = 20, k = 10, nProbe = 4)
+        .select($"query_id", $"rnk", $"doc_id").collect().toSet
+      val merged = Ann.searchSharded(spark, d, maxQueryId = 20, k = 10, nProbe = 4)
+        .select($"query_id", $"rnk", $"doc_id").collect().toSet
+      assert(merged == mono, s"at $d: shard-merge drifted from monolith")
+      // the merge lost/duplicated no rows and persisted the frozen quantizer
+      val path = Ann.buildShardedIndex(spark, d)
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      assert(spark.read.parquet(path).count() == n, s"at $d: merged row count != corpus")
+      assert(spark.read.parquet(s"$path/_centroids").count() ==
+        Ann.centroidCount(spark).toLong)
+    }
+  }
 }

@@ -277,4 +277,43 @@ class TextPipelineSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("n_hot")).sum > 0, s"no hot grams at $d")
     }
   }
+
+  test("HLL sketch: estimate within the m=64 error envelope of exact distinct") {
+    for (d <- Seq(sf0001, sf001)) {
+      val r = byName("q77_hll_distinct", d).collect().head
+      assert(r.getAs[Long]("m") == 64L)
+      val exact = r.getAs[Long]("exact_distinct")
+      val vZero = r.getAs[Long]("v_zero")
+      assert(exact > 0)
+      // raw regime when all registers are hit; linear counting otherwise —
+      // the standard HLL small-range correction, applied spec-side (the
+      // registry row publishes only integers).
+      val est =
+        if (vZero == 0) r.getAs[Long]("hll_est").toDouble
+        else 64.0 * math.log(64.0 / vZero)
+      val rel = math.abs(est - exact) / exact
+      // 1.04/sqrt(64) = 13% σ; 3σ envelope
+      assert(rel < 0.40, s"at $d: est=$est exact=$exact rel=$rel vZero=$vZero")
+    }
+  }
+
+  test("duplicate-span fraction: bounds hold and near-dup docs score above corpus mean") {
+    for (d <- Seq(sf0001, sf001)) {
+      val rows = byName("q78_dup_span_fraction", d).collect()
+      assert(rows.length == Tables(spark, d, "documents").count())
+      rows.foreach { r =>
+        val (w, dup, pm) = (r.getAs[Long]("n_win"), r.getAs[Long]("n_dup"), r.getAs[Long]("dup_pm"))
+        assert(dup >= 0 && dup <= w, s"n_dup out of range: $r")
+        assert(pm >= 0 && pm <= 1000, s"dup_pm out of range: $r")
+      }
+      val near = pairs(byName("q22_jaccard_neardup", d)).flatMap(p => Seq(p._1, p._2))
+      assert(near.nonEmpty, s"degenerate fixture at $d")
+      val pm = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_pm")).toMap
+      near.foreach(id => assert(pm(id) > 0, s"at $d: near-dup doc $id has zero dup spans"))
+      val nearAvg = near.toSeq.map(pm).sum.toDouble / near.size
+      val allAvg = rows.map(_.getAs[Long]("dup_pm")).sum.toDouble / rows.length
+      assert(nearAvg > allAvg,
+        s"at $d: near-dup avg dup_pm $nearAvg not above corpus avg $allAvg")
+    }
+  }
 }
