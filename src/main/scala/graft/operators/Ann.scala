@@ -1010,6 +1010,109 @@ object Ann extends QModule {
     BruteForce.rerank(scoredOn(s, q, cents, idx, nProbe, None).drop("prn"), k)
   }
 
+  // ------------------------------------------------ snapshots / time travel
+
+  /** SNAPSHOT the index artifact: record the current set of data files
+    * as an immutable manifest (`_snapshots/v<N>.txt`, one path per
+    * line) — Iceberg/Delta-style time travel reduced to its essence,
+    * valid because the artifact is APPEND-ONLY between compactions
+    * ([[addVectors]] only ever adds part files; existing files are never
+    * rewritten). A snapshot costs O(files) metadata, zero data bytes;
+    * readers at version N see exactly the files that existed then, so
+    * ingest can keep appending while a reproducible evaluation pins the
+    * corpus it ran against. (Compaction invalidates older manifests the
+    * same way it rewrites files — production systems expire snapshots at
+    * compaction; here the v38 gate never compacts its artifact.) */
+  def snapshotIndex(s: SparkSession, path: String): Int = {
+    val (fs, _) = hfs(s, path)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/centroid_id=*/part-*"))
+      .map(_.getPath.toString).sorted
+    val snapDir = new org.apache.hadoop.fs.Path(s"$path/_snapshots")
+    fs.mkdirs(snapDir)
+    val n = Option(fs.globStatus(new org.apache.hadoop.fs.Path(snapDir, "v*.txt")))
+      .map(_.length).getOrElse(0) + 1
+    val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$n.txt"), true)
+    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    n
+  }
+
+  /** The index AS OF snapshot `version`: reads exactly the manifest's
+    * files; `basePath` keeps the `centroid_id=` partition column (and
+    * with it partition pruning) intact. */
+  def loadIndexAt(s: SparkSession, path: String, version: Int): DataFrame = {
+    val (fs, _) = hfs(s, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$version.txt"))
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSeq
+      finally in.close()
+    s.read.option("basePath", path).parquet(files: _*)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+  }
+
+  private def snapPath(s: SparkSession, d: String): String =
+    indexPath(s, d) + "_snap"
+
+  /** Build the v38 gate's artifact: seed the base corpus (frozen
+    * base-trained quantizer), snapshot (v1), append the delta, snapshot
+    * (v2). Marker written LAST, same crash discipline as the
+    * incremental build. */
+  def buildSnapshottedIndex(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val path = snapPath(s, d)
+    val (fs, done) = hfs(s, s"$path/_snap_complete")
+    if (!fs.exists(done)) {
+      // a crashed half-build may have left manifests; the rebuild must
+      // restart version numbering or v1/v2 would drift upward
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_snapshots"), true)
+      seedBaseIndex(s, d, path)
+      snapshotIndex(s, path)
+      addVectors(s, path, corpusTyped(s, d).filter($"id" % IncrMod === IncrRem))
+      snapshotIndex(s, path)
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  /** Search the snapshotted artifact AS OF `version` — same
+    * probe/score/rerank core, over exactly the manifest's files. */
+  def searchAt(
+      s: SparkSession, d: String, version: Int,
+      maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val path = buildSnapshottedIndex(s, d)
+    val cents = s.read.parquet(s"$path/_centroids")
+    val q = emb(s, d)
+      .filter($"vec_id" < maxQueryId)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    BruteForce.rerank(
+      scoredOn(s, q, cents, loadIndexAt(s, path, version), nProbe, None).drop("prn"), k)
+  }
+
+  // ---------------------------------------------------------------- v38
+  /** Time-travel gate: search AS OF v1 must see ONLY the base corpus
+    * (the delta is invisible even though its files sit in the same
+    * partition dirs), and AS OF v2 must equal the full incremental
+    * search. The oracle searches the base-trained quantizer against the
+    * base universe (v1) and the full universe (v2) — any manifest leak
+    * (v1 reading appended files, v2 missing them) is a hash mismatch. */
+  private val v38 = Q(
+    "v38_time_travel",
+    (s, d) => {
+      import s.implicits._
+      val v1 = searchAt(s, d, 1, maxQueryId = 20, k = 10, nProbe = 4)
+        .select(lit(1).as("snap"), $"query_id", $"rnk", $"doc_id")
+      val v2 = searchAt(s, d, 2, maxQueryId = 20, k = 10, nProbe = 4)
+        .select(lit(2).as("snap"), $"query_id", $"rnk", $"doc_id")
+      v1.unionByName(v2).orderBy($"snap", $"query_id", $"rnk")
+    },
+    Some(s"""WITH ${duckCentAssignBase(s"vec_id % $IncrMod <> $IncrRem")}
+      SELECT 1 AS snap, query_id, rnk, doc_id
+      FROM (${duckSearch(20, 10, 4, s"e.vec_id % $IncrMod <> $IncrRem")})
+      UNION ALL
+      SELECT 2 AS snap, query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)})
+      ORDER BY snap, query_id, rnk"""))
+
   // ---------------------------------------------------------------- v37
   /** Sharded-build/merge gate: the merged two-shard index must serve
     * results identical to the monolithic build — the oracle is v09's
@@ -1023,5 +1126,5 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38)
 }

@@ -1980,6 +1980,65 @@ object TextPipeline extends QModule {
     FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
     })
 
+  // ---------------------------------------------------------------- q79
+  /** PPJoin-style prefix-filtered set-similarity self-join (Xiao et al.
+    * 2008, "Efficient Similarity Joins for Near Duplicate Detection") —
+    * the THIRD independent algorithm for the q22 near-dup contract
+    * (exact inverted-index q22, MinHash-LSH q23, now prefix filter), and
+    * the one with the tightest candidate bound when τ is known up front:
+    * each doc exposes only its |s| − ⌈τ·|s|⌉ + 1 RAREST shingles under a
+    * global (df, shingle) total order, and two docs become a candidate
+    * pair only if their prefixes share a shingle — the prefix-filter
+    * theorem guarantees every pair with J ≥ τ does. Candidates
+    * exact-verify against the full sets, so the output is identical to
+    * q22's (equality asserted in TextPipelineSpec; the oracle is q22's
+    * SQL verbatim — three implementations, one contract).
+    *
+    * Scale shape: prefix posting lists are the rarest shingles BY
+    * CONSTRUCTION — the hot-boilerplate quadratic blowup the df-cap
+    * guards against elsewhere cannot arise, because df-ranking pushes
+    * common shingles out of every prefix. The rank window sees |s| rows
+    * per doc (bounded by q60's chunking upstream at ingest), the df
+    * aggregate is one narrow hash agg, and verification touches only
+    * candidate pairs. */
+  private val q79 = Q(
+    "q79_ppjoin_neardup",
+    (s, d) => ppjoinPairs(s, d, 0.5),
+    Some(s"""WITH $duckShingles,
+      ${duckCappedPairCtes(JaccardDfCap)}
+    SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+    FROM cpairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    ORDER BY doc_a, doc_b"""))
+
+  def ppjoinPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"tok")
+    val sh = shingleFrameCached(s, d)
+    val tok = sh.select($"doc_id", explode($"s").as("tok"))
+    val dfFrame = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val pref = tok
+      .join(dfFrame, Seq("tok"))
+      .withColumn("pos", row_number().over(w))
+      .join(broadcast(sh.select($"doc_id", size($"s").as("n"))), Seq("doc_id"))
+      .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
+      .select($"doc_id", $"tok")
+    val cand = pref.select($"doc_id".as("doc_a"), $"tok")
+      .join(pref.select($"doc_id".as("doc_b"), $"tok"), Seq("tok"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect($"sa", $"sb")))
+      .withColumn("jaccard_raw",
+        $"inter".cast("double") / (size($"sa") + size($"sb") - $"inter"))
+      .filter($"jaccard_raw" >= tau)
+      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75, q77, q78)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75, q77, q78, q79)
 }

@@ -156,6 +156,32 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("time travel: v1 predates the delta, v2 equals the incremental search, manifests nest") {
+    import spark.implicits._
+    val d = sf0001
+    val v1 = Ann.searchAt(spark, d, 1, maxQueryId = 20, k = 10, nProbe = 4)
+      .select($"query_id", $"rnk", $"doc_id").collect()
+    // the delta universe must be invisible at snapshot 1
+    v1.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % Ann.IncrMod != Ann.IncrRem,
+        s"snapshot v1 leaked a delta doc: $r")
+    }
+    val v2 = Ann.searchAt(spark, d, 2, maxQueryId = 20, k = 10, nProbe = 4)
+      .select($"query_id", $"rnk", $"doc_id").collect().toSet
+    val incr = Ann.searchIncremental(spark, d, maxQueryId = 20, k = 10, nProbe = 4)
+      .select($"query_id", $"rnk", $"doc_id").collect().toSet
+    assert(v2 == incr, "snapshot v2 drifted from the incremental search")
+    // append-only contract: v1's file set is a strict subset of v2's
+    val path = Ann.buildSnapshottedIndex(spark, d)
+    def manifest(v: Int): Set[String] =
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"${path.stripPrefix("file:")}/_snapshots/v$v.txt"))
+        .toArray(Array.empty[String]).filter(_.nonEmpty).toSet
+    val (m1, m2) = (manifest(1), manifest(2))
+    assert(m1.subsetOf(m2) && m2.size > m1.size,
+      s"manifests not nested/growing: |v1|=${m1.size} |v2|=${m2.size}")
+  }
+
   test("sharded build + file-level merge serves results identical to the monolith") {
     import spark.implicits._
     for (d <- Seq(sf0001, sf001)) {

@@ -278,6 +278,15 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("PPJoin prefix filter recovers exactly the exact-Jaccard pair set") {
+    for (d <- Seq(sf0001, sf001)) {
+      val exact = pairs(byName("q22_jaccard_neardup", d))
+      val pp = pairs(byName("q79_ppjoin_neardup", d))
+      assert(pp == exact, s"at $d: missed=${exact -- pp} extra=${pp -- exact}")
+      assert(exact.nonEmpty, s"degenerate fixture at $d — no near-dup pairs")
+    }
+  }
+
   test("HLL sketch: estimate within the m=64 error envelope of exact distinct") {
     for (d <- Seq(sf0001, sf001)) {
       val r = byName("q77_hll_distinct", d).collect().head
