@@ -1844,64 +1844,52 @@ object TextPipeline extends QModule {
     * linear-counting small-range correction; the error contract
     * (|est−exact|/exact within ~3σ = 39% for m = 64) is pinned in
     * TextPipelineSpec next to the exact count. */
-  private val HllM = 64
-  private val HllWBits = 25 // h div 64 < 2^25 since h < P < 2^31
-
   private val q77 = Q(
     "q77_hll_distinct",
     (s, d) => {
       import s.implicits._
+      val H = graft.functions.Hll
       val tok = rebalanced(docs(s, d))
         .select(explode(split(trim($"text"), "\\s+")).as("token"))
         .filter(length($"token") > 0)
         .select(graft.functions.PortableHash.hash($"token").as("h"))
-      val w = expr(s"h div $HllM")
-      val rhoFirst: Column = when(w >= (1L << (HllWBits - 1)), 1)
-      val rho = (2 to HllWBits)
-        .foldLeft(rhoFirst)((c, j) => c.when(w >= (1L << (HllWBits - j)), j))
-        .otherwise(HllWBits + 1)
       val regs = tok
-        .select(($"h" % HllM).as("reg"), rho.as("rho"))
+        .select(H.reg($"h").as("reg"), H.rhoOf(H.w("h")).as("rho"))
         .groupBy($"reg").agg(max($"rho").as("mrho"))
-      val full = s.range(HllM).select($"id".as("reg"))
+      val full = s.range(H.M).select($"id".as("reg"))
         .join(regs, Seq("reg"), "left").na.fill(0, Seq("mrho"))
       val exact = rebalanced(docs(s, d))
         .select(explode(split(trim($"text"), "\\s+")).as("token"))
         .filter(length($"token") > 0)
         .agg(countDistinct($"token").as("exact_distinct"))
-      val num = 709L * HllM * HllM * (1L << (HllWBits + 1))
       full
         .agg(
           count(lit(1)).as("m"),
           sum(when($"mrho" === 0, 1L).otherwise(0L)).as("v_zero"),
-          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllWBits + 1} - mrho)"))
-            .as("s_scaled"))
+          sum(H.indicator("mrho")).as("s_scaled"))
         .crossJoin(exact)
         .select($"m", $"v_zero", $"s_scaled",
-          expr(s"${num}L div (1000 * s_scaled)").as("hll_est"),
+          H.estimate("s_scaled").as("hll_est"),
           $"exact_distinct")
     },
     Some {
-      val num = 709L * HllM * HllM * (1L << (HllWBits + 1))
-      val rhoCase = (1 to HllWBits)
-        .map(j => s"WHEN w >= ${1L << (HllWBits - j)} THEN $j")
-        .mkString("CASE ", " ", s" ELSE ${HllWBits + 1} END")
+      val H = graft.functions.Hll
       s"""WITH tok AS (
         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
       tk AS (SELECT token, ${duckHash("token")} AS h FROM tok WHERE length(token) > 0),
-      tr AS (SELECT h % $HllM AS reg, h // $HllM AS w FROM tk),
-      rr AS (SELECT reg, $rhoCase AS rho FROM tr),
+      tr AS (SELECT ${H.duckReg("h")} AS reg, ${H.duckW("h")} AS w FROM tk),
+      rr AS (SELECT reg, ${H.duckRhoCase("w")} AS rho FROM tr),
       mx AS (SELECT reg, max(rho) AS mrho FROM rr GROUP BY reg),
       allreg AS (
         SELECT r.reg, coalesce(mx.mrho, 0) AS mrho
-        FROM range(0, $HllM) AS r(reg) LEFT JOIN mx ON mx.reg = r.reg),
+        FROM range(0, ${H.M}) AS r(reg) LEFT JOIN mx ON mx.reg = r.reg),
       summ AS (
         SELECT count(*) AS m,
                CAST(sum(CASE WHEN mrho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-               CAST(sum(CAST(1 AS BIGINT) << (${HllWBits + 1} - mrho)) AS BIGINT) AS s_scaled
+               CAST(sum(${H.duckIndicator("mrho")}) AS BIGINT) AS s_scaled
         FROM allreg),
       ex AS (SELECT count(DISTINCT token) AS exact_distinct FROM tk)
-    SELECT m, v_zero, s_scaled, $num // (1000 * s_scaled) AS hll_est, exact_distinct
+    SELECT m, v_zero, s_scaled, ${H.duckEstimate("s_scaled")} AS hll_est, exact_distinct
     FROM summ, ex"""
     })
 

@@ -845,6 +845,60 @@ object VectorSearch extends QModule {
     SELECT query_id, rnk, doc_id FROM rr
     WHERE rnk <= $GraphSeedK ORDER BY query_id, rnk"""))
 
+  // ---------------------------------------------------------------- v39
+  /** PARENT-document retrieval (grouped top-k): chunks are what gets
+    * embedded and searched, documents are what gets returned — the
+    * parent-aggregation serving pattern of every chunked-RAG stack
+    * (LangChain "parent document retriever"; also how a passage-level
+    * index serves doc-level results). Chunk → parent is the fixed
+    * `doc_id div [[ParentMod]]` mapping on the fixture (at scale: a
+    * metadata column carried like `label`); a parent's score is its BEST
+    * chunk, and parents rank by that chunk's GLOBAL rank — rank-order
+    * comparison, not float comparison, so selection is deterministic in
+    * both engines. Dedup-then-rank is two bounded windows over the
+    * memoized top-[[FrameK]] frame: ≤ FrameK rows per query ever enter a
+    * window, nothing rescans the corpus. */
+  private val ParentMod = 8
+  private val ParentK = 5
+
+  private val v39 = Q(
+    "v39_parent_topk",
+    (s, d) => {
+      import s.implicits._
+      val wBest = Window.partitionBy($"query_id", $"parent_id").orderBy($"rnk")
+      val wParent = Window.partitionBy($"query_id").orderBy($"rnk")
+      searchFrame(s, d)
+        .filter($"query_id" < 20)
+        .withColumn("parent_id", expr(s"doc_id div $ParentMod"))
+        .withColumn("crn", row_number().over(wBest))
+        .filter($"crn" === 1)
+        .withColumn("prnk", row_number().over(wParent))
+        .filter($"prnk" <= ParentK)
+        .select($"query_id", $"prnk", $"parent_id", $"doc_id".as("best_doc"))
+        .orderBy($"query_id", $"prnk")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot("q.qe", "c.embedding")} AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored),
+      top AS (SELECT * FROM ranked WHERE rnk <= $FrameK),
+      best AS (
+        SELECT query_id, doc_id // $ParentMod AS parent_id, doc_id, rnk,
+               row_number() OVER (PARTITION BY query_id, doc_id // $ParentMod
+                                  ORDER BY rnk) AS crn
+        FROM top),
+      parents AS (
+        SELECT query_id, parent_id, doc_id AS best_doc,
+               row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS prnk
+        FROM best WHERE crn = 1)
+    SELECT query_id, prnk, parent_id, best_doc FROM parents
+    WHERE prnk <= $ParentK ORDER BY query_id, prnk"""))
+
   override def all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33, v39)
 }

@@ -346,5 +346,81 @@ object Streams extends QModule {
                  / 10000.0, 4) AS total_value
     FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
 
-  override def all: Seq[Q] = Seq(q32, q33, q42, q72, q74)
+  // ------------------------------------------------------- streaming HLL
+
+  /** HLL register frame over an events-shaped frame: per (event_type,
+    * register), the max rank. THIS IS THE WHOLE STREAMING STORY: `max`
+    * is monotone, so the identical declarative aggregation that the
+    * batch query plans is valid incremental state under `readStream` in
+    * update mode — per key the state is [[graft.functions.Hll.M]] longs,
+    * bounded forever, and shard/micro-batch sketches merge losslessly by
+    * register max (what exact distinct can never do). Batch ≡ stream is
+    * pinned in StreamingSpec over MemoryStream micro-batches. */
+  def hllRegisters(events: DataFrame): DataFrame = {
+    val H = graft.functions.Hll
+    events
+      .select(col("event_type"),
+        graft.functions.PortableHash.hash(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), H.reg(col("h")).as("reg"), H.rhoOf(H.w("h")).as("rho"))
+      .groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rho")).as("mrho"))
+  }
+
+  // ---------------------------------------------------------------- q80
+  /** Streaming distinct-user cardinality per event type, in batch mode:
+    * the [[hllRegisters]] state folded to (exact, estimate) per type —
+    * q77's portable-integer HLL arithmetic keyed by event_type, with
+    * every register materialized per key (empty ⇒ rank 0) so the
+    * harmonic sum is exact. The oracle replays hash → register → rank →
+    * register-max → scaled harmonic sum in SQL; the STREAMING execution
+    * of the identical [[hllRegisters]] is asserted state-identical in
+    * StreamingSpec. */
+  private val q80 = Q(
+    "q80_stream_hll_users",
+    (s, d) => {
+      import s.implicits._
+      val H = graft.functions.Hll
+      val e = Tables(s, d, "events")
+      val types = e.select($"event_type").distinct()
+      val full = types
+        .crossJoin(s.range(H.M).select($"id".as("reg")))
+        .join(hllRegisters(e), Seq("event_type", "reg"), "left")
+        .na.fill(0, Seq("mrho"))
+      val exact = e.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      full
+        .groupBy($"event_type")
+        .agg(
+          sum(when($"mrho" === 0, 1L).otherwise(0L)).as("v_zero"),
+          sum(H.indicator("mrho")).as("s_scaled"))
+        .join(exact, Seq("event_type"))
+        .select($"event_type", $"v_zero", $"s_scaled",
+          H.estimate("s_scaled").as("hll_users"), $"exact_users")
+        .orderBy($"event_type")
+    },
+    Some {
+      val H = graft.functions.Hll
+      val hash = graft.functions.PortableHash.duckHash("CAST(user_id AS VARCHAR)")
+      s"""WITH tk AS (SELECT event_type, $hash AS h FROM events),
+      rr AS (SELECT event_type, ${H.duckReg("h")} AS reg,
+                    ${H.duckRhoCase(H.duckW("h"))} AS rho FROM tk),
+      mx AS (SELECT event_type, reg, max(rho) AS mrho FROM rr GROUP BY event_type, reg),
+      types AS (SELECT DISTINCT event_type FROM events),
+      allreg AS (
+        SELECT t.event_type, r.reg, coalesce(mx.mrho, 0) AS mrho
+        FROM types t CROSS JOIN range(0, ${H.M}) AS r(reg)
+        LEFT JOIN mx ON mx.event_type = t.event_type AND mx.reg = r.reg),
+      summ AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN mrho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+               CAST(sum(${H.duckIndicator("mrho")}) AS BIGINT) AS s_scaled
+        FROM allreg GROUP BY event_type),
+      ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+             FROM events GROUP BY event_type)
+    SELECT s.event_type, v_zero, s_scaled, ${H.duckEstimate("s_scaled")} AS hll_users,
+           exact_users
+    FROM summ s JOIN ex USING (event_type) ORDER BY event_type"""
+    })
+
+  override def all: Seq[Q] = Seq(q32, q33, q42, q72, q74, q80)
 }

@@ -162,4 +162,24 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming HLL registers: state after all micro-batches == batch registers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val stream = MemoryStream[Event]
+    val q = Streams.hllRegisters(stream.toDF())
+      .writeStream.format("memory").queryName("hll_out").outputMode("complete").start()
+    try {
+      val chunks = events.grouped(math.max(1, events.size / 4 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("hll_out").collect().map(_.toSeq).toSet
+      val batch = Streams.hllRegisters(Tables(spark, sf0001, "events"))
+        .collect().map(_.toSeq).toSet
+      // register-max state is monotone: incremental micro-batch folding
+      // must land on exactly the batch register values
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
