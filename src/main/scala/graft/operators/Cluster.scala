@@ -478,5 +478,51 @@ object Cluster extends QModule {
       .reduce(_ + _)
   }
 
-  override def all: Seq[Q] = Seq(q57, q58, q66)
+  // ---------------------------------------------------------------- q81
+  /** Embedding-distribution DRIFT monitor: the per-cluster share shift
+    * between a reference slice (even vec_ids — the population the index/
+    * clustering was built on) and a current slice (odd vec_ids — the
+    * serving/arriving traffic). This is the retrain trigger every
+    * embedding-backed system watches: when the current traffic's cluster
+    * shares drift from the training distribution, frozen quantizers and
+    * mixing weights are stale (the operational companion to v32's
+    * imbalance factor — v32 watches list SIZE skew, q81 watches WHO is
+    * arriving). On the synthetic fixture the halves are exchangeable, so
+    * expected drift is small — the spec pins the bound; a planted-shift
+    * frame exercises the signal direction.
+    *
+    * Portable arithmetic: per-cluster share drift is the cross-multiplied
+    * integer per-mille `(1000·|n_cur·t_ref − n_ref·t_cur|) div
+    * (t_ref·t_cur)` — |share_cur − share_ref| with zero float division;
+    * magnitudes ≤ 1000·n·t < 2⁶³ at any fixture SF. Cost: the memoized
+    * assignment pass + one K-row aggregate. */
+  private val q81 = Q(
+    "q81_cluster_drift",
+    (s, d) => {
+      import s.implicits._
+      val counts = assignments(s, d)
+        .groupBy($"centroid_id".as("cluster_id"))
+        .agg(
+          sum(when($"id" % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when($"id" % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
+      val tot = counts.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("drift_pm",
+          expr("(1000 * abs(n_cur * t_ref - n_ref * t_cur)) div (t_ref * t_cur)"))
+        .select($"cluster_id", $"n_ref", $"n_cur", $"drift_pm")
+        .orderBy($"cluster_id")
+    },
+    Some(s"""WITH $duckAssign,
+      cc AS (
+        SELECT centroid_id AS cluster_id,
+               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM best WHERE rn = 1 GROUP BY centroid_id),
+      tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                    CAST(sum(n_cur) AS BIGINT) AS t_cur FROM cc)
+    SELECT cluster_id, n_ref, n_cur,
+           (1000 * abs(n_cur * t_ref - n_ref * t_cur)) // (t_ref * t_cur) AS drift_pm
+    FROM cc, tt ORDER BY cluster_id"""))
+
+  override def all: Seq[Q] = Seq(q57, q58, q66, q81)
 }

@@ -2027,6 +2027,73 @@ object TextPipeline extends QModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ---------------------------------------------------------------- q82
+  /** Per-source token-distribution DIVERGENCE vs the corpus — the
+    * domain-shift diagnostic behind data-mixing decisions (which sources
+    * are stylistic outliers; what a new crawl slice does to the mix).
+    * The statistic is the total-variation distance between the source's
+    * unigram distribution and the corpus's, computed EXACTLY in
+    * cross-multiplied integers: for source s with Ns tokens in an
+    * N-token corpus, L1_scaled = Σ_t |cnt_{s,t}·N − cnt_t·Ns| — tokens
+    * absent from s contribute cnt_t·Ns, folded in closed form as
+    * Ns·(N − Σ_{t∈s} cnt_t), so the join only ever touches tokens the
+    * source actually has. TV per-mille = (1000·L1) div (2·N·Ns); all
+    * magnitudes ≤ 2·N·Ns·1000 < 2⁶³ at every fixture SF (and the bound
+    * is checkable: it's quadratic in corpus tokens, so at true 100 TB
+    * scale the same statistic runs per-shard or over HLL/CMS-profiled
+    * top-K vocabularies).
+    *
+    * Scale shape: one corpus scan tokenizes map-side to 24-char hashes
+    * (no token strings shuffle); one vocab-sized hash agg for corpus
+    * counts, one (source × vocab) agg for source counts, and the
+    * divergence is a shuffle-on-key equi-join of the two count frames —
+    * no per-source corpus rescan, no grid materialization over absent
+    * tokens. */
+  private val q82 = Q(
+    "q82_source_divergence",
+    (s, d) => {
+      import s.implicits._
+      val tok = rebalanced(docs(s, d))
+        .select($"source", explode(split(trim($"text"), "\\s+")).as("token"))
+        .filter(length($"token") > 0)
+        .select($"source", graft.functions.PortableHash.hash($"token").as("h"))
+      val corpusCnt = tok.groupBy($"h").agg(count(lit(1)).as("c"))
+      val srcCnt = tok.groupBy($"source", $"h").agg(count(lit(1)).as("cs"))
+      val nS = srcCnt.groupBy($"source").agg(sum($"cs").as("ns"))
+      val nT = corpusCnt.agg(sum($"c").as("n"))
+      srcCnt.join(corpusCnt, Seq("h"))
+        .join(nS, Seq("source"))
+        .crossJoin(broadcast(nT))
+        .groupBy($"source", $"ns", $"n")
+        .agg(
+          sum(abs($"cs" * $"n" - $"c" * $"ns")).as("dpresent"),
+          sum($"c").as("csum"))
+        .withColumn("l1_scaled", $"dpresent" + $"ns" * ($"n" - $"csum"))
+        .withColumn("div_pm", expr("(1000 * l1_scaled) div (2 * n * ns)"))
+        .select($"source", $"ns".as("n_tokens"), $"l1_scaled", $"div_pm")
+        .orderBy($"source")
+    },
+    Some(s"""WITH tok AS (
+        SELECT source, ${duckHash("token")} AS h FROM (
+          SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents)
+        WHERE length(token) > 0),
+      cc AS (SELECT h, count(*) AS c FROM tok GROUP BY h),
+      sc AS (SELECT source, h, count(*) AS cs FROM tok GROUP BY source, h),
+      nsrc AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM sc GROUP BY source),
+      nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cc),
+      agg AS (
+        SELECT j.source, nsrc.ns, nt.n,
+               CAST(sum(abs(j.cs * nt.n - j.c * nsrc.ns)) AS BIGINT) AS dpresent,
+               CAST(sum(j.c) AS BIGINT) AS csum
+        FROM (SELECT s2.source, s2.cs, c2.c FROM sc s2 JOIN cc c2 USING (h)) j
+        JOIN nsrc ON nsrc.source = j.source CROSS JOIN nt
+        GROUP BY j.source, nsrc.ns, nt.n)
+    SELECT source, ns AS n_tokens,
+           (dpresent + ns * (n - csum)) AS l1_scaled,
+           (1000 * (dpresent + ns * (n - csum))) // (2 * n * ns) AS div_pm
+    FROM agg ORDER BY source"""))
+
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75, q77, q78, q79)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75, q77, q78, q79, q82)
 }

@@ -161,4 +161,24 @@ class ClusterSpec extends SparkSpec {
     assert(semDup > primDup,
       s"multi-probe ($semDup) must beat primary-only ($primDup) on the fixture")
   }
+
+  test("q81 drift monitor: halves conserve cluster sizes; exchangeable halves drift little") {
+    for (d <- Seq(sf0001, sf001)) {
+      val drift = SparkEntry.queries("q81_cluster_drift")(spark, d).collect()
+      val census = SparkEntry.queries("q57_domain_cluster")(spark, d)
+        .collect().map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n")).toMap
+      drift.foreach { r =>
+        val (cid, nr, nc, pm) =
+          (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_ref"),
+           r.getAs[Long]("n_cur"), r.getAs[Long]("drift_pm"))
+        assert(nr + nc == census(cid), s"at $d: halves lose rows for cluster $cid")
+        assert(pm >= 0 && pm <= 1000, s"at $d: drift_pm out of range: $r")
+        // even/odd vec_ids are exchangeable on the synthetic fixture: the
+        // observed share shift must stay far from a real drift signal
+        assert(pm < 400, s"at $d: implausible drift on exchangeable halves: $r")
+      }
+      assert(drift.map(_.getAs[Long]("n_ref")).sum > 0)
+      assert(drift.map(_.getAs[Long]("n_cur")).sum > 0)
+    }
+  }
 }

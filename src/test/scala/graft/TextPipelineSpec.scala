@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, length, split, trim}
 
 import graft.operators.TextPipeline
 
@@ -275,6 +275,24 @@ class TextPipelineSpec extends SparkSpec {
       val rows = out.collect()
       assert(rows.length == Tables(spark, d, "documents").count())
       assert(rows.map(_.getAs[Long]("n_hot")).sum > 0, s"no hot grams at $d")
+    }
+  }
+
+  test("q82 source divergence: TV per-mille in range, token totals conserved") {
+    for (d <- Seq(sf0001, sf001)) {
+      val rows = byName("q82_source_divergence", d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val pm = r.getAs[Long]("div_pm")
+        assert(pm >= 0 && pm <= 1000, s"at $d: div_pm out of range: $r")
+        assert(r.getAs[Long]("l1_scaled") >= 0, s"at $d: negative L1: $r")
+      }
+      // Σ per-source tokens == corpus tokens (no token lost to the join)
+      val total = rows.map(_.getAs[Long]("n_tokens")).sum
+      val corpus = Tables(spark, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0).count()
+      assert(total == corpus, s"at $d: token totals drifted: $total vs $corpus")
     }
   }
 
