@@ -2001,18 +2001,35 @@ object TextPipeline extends QModule {
   def ppjoinPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"tok")
+      .partitionBy($"doc_id").orderBy($"df", $"th")
     val sh = shingleFrameCached(s, d)
+    // 24-char hashes from the first projection on — shingle STRINGS never
+    // enter the df aggregate, the rank window, or the prefix self-join
+    // (the q62 discipline; the string form measured up to 28 s at sf0.1
+    // under memory pressure, the hash form ~5 s warm). The prefix math
+    // runs on per-doc DISTINCT-HASH sets: a
+    // collision only merges shingles, so hash-set Jaccard ≥ string
+    // Jaccard and the complete hash-PPJoin candidate set still covers
+    // every string-qualifying pair — which the exact string-set verify
+    // then confirms. Any global total order works for the prefix-filter
+    // theorem; (df asc, hash asc) is portable because both sides hash
+    // identically.
     val tok = sh.select($"doc_id", explode($"s").as("tok"))
-    val dfFrame = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .select($"doc_id", shingleHash($"tok").as("th"))
+      .distinct()
+    val dfFrame = tok.groupBy($"th").agg(count(lit(1)).as("df"))
+    val nH = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pref = tok
-      .join(dfFrame, Seq("tok"))
+      .join(dfFrame, Seq("th"))
       .withColumn("pos", row_number().over(w))
-      .join(broadcast(sh.select($"doc_id", size($"s").as("n"))), Seq("doc_id"))
+      .join(broadcast(nH), Seq("doc_id"))
       .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
-      .select($"doc_id", $"tok")
-    val cand = pref.select($"doc_id".as("doc_a"), $"tok")
-      .join(pref.select($"doc_id".as("doc_b"), $"tok"), Seq("tok"))
+      // a df=1 hash cannot generate a pair — drop it before the self-join
+      // so unique-shingle rows (the bulk of the corpus) never shuffle again
+      .filter($"df" >= 2)
+      .select($"doc_id", $"th")
+    val cand = pref.select($"doc_id".as("doc_a"), $"th")
+      .join(pref.select($"doc_id".as("doc_b"), $"th"), Seq("th"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b")
       .distinct()
@@ -2057,10 +2074,20 @@ object TextPipeline extends QModule {
         .select($"source", explode(split(trim($"text"), "\\s+")).as("token"))
         .filter(length($"token") > 0)
         .select($"source", graft.functions.PortableHash.hash($"token").as("h"))
-      val corpusCnt = tok.groupBy($"h").agg(count(lit(1)).as("c"))
-      val srcCnt = tok.groupBy($"source", $"h").agg(count(lit(1)).as("cs"))
+      // ONE pass over the token stream; the corpus counts and both totals
+      // derive from the (source × vocab) aggregate, which is orders of
+      // magnitude smaller than the stream. MEMOIZED: four consumers
+      // (join side, corpus counts, per-source totals, grand total) would
+      // otherwise each re-run the tokenize+hash scan — ReuseExchange
+      // does not fire across these differently-shaped parents (measured
+      // 4 parquet scans in the un-cached plan; warm 8.6 → 1.1 s at
+      // sf0.1, cold 7.9 → 6.2 with the remaining cost being the one
+      // intrinsic tokenize+hash pass that populates the memo)
+      val srcCnt = graft.Memo.cached(s, s"srcdiv:$d")(
+        tok.groupBy($"source", $"h").agg(count(lit(1)).as("cs")))
+      val corpusCnt = srcCnt.groupBy($"h").agg(sum($"cs").as("c"))
       val nS = srcCnt.groupBy($"source").agg(sum($"cs").as("ns"))
-      val nT = corpusCnt.agg(sum($"c").as("n"))
+      val nT = nS.agg(sum($"ns").as("n"))
       srcCnt.join(corpusCnt, Seq("h"))
         .join(nS, Seq("source"))
         .crossJoin(broadcast(nT))
