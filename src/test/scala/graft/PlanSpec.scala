@@ -273,4 +273,32 @@ class PlanSpec extends SparkSpec {
         s"embedding column rides a shuffle: $in")
     }
   }
+
+  test("span/prefix/divergence queries (q78/q79/q82): hash-only shuffles, no all-pairs join") {
+    for (name <- Seq("q78_dup_span_fraction", "q79_ppjoin_neardup", "q82_source_divergence")) {
+      val formattedPlan = formatted(q(name))
+      assert(!formattedPlan.contains("CartesianProduct"), s"$name has a cartesian join")
+      // q82's single BroadcastNestedLoopJoin is the deliberate 1-row
+      // grand-total cross join (bounded by construction); the span/prefix
+      // queries must have none at all
+      if (name != "q82_source_divergence")
+        assert(!formattedPlan.contains("BroadcastNestedLoopJoin"),
+          s"$name has an all-pairs join")
+      // window/span/token STRINGS must never ride an exchange — only
+      // 24-char PortableHashes (longs) and the doc rebalance may move
+      val lines = formattedPlan.linesIterator.toSeq
+      val exchanges = lines.zipWithIndex.collect {
+        case (l, i) if l.matches("""\(\d+\) (Broadcast)?Exchange.*""") =>
+          (lines(i + 1),
+            lines.drop(i + 1).take(3).find(_.startsWith("Arguments:")).getOrElse(""))
+      }
+      assert(exchanges.nonEmpty, s"no Exchange details found for $name")
+      val textPayload = """(\[|, )(text|win|tok|token)#""".r
+      exchanges.foreach { case (in, args) =>
+        if (textPayload.findFirstIn(in).isDefined)
+          assert(args.contains("hashpartitioning(doc_id"),
+            s"$name: text/window strings ride a non-rebalance exchange: $in / $args")
+      }
+    }
+  }
 }
