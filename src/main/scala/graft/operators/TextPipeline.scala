@@ -1915,21 +1915,54 @@ object TextPipeline extends QModule {
     * hashes]] — no window STRING ever shuffles (the q62 discipline). */
   private val SpanW = 5
 
+  /** Memoized (doc_id, wh) span-hash frame: every [[SpanW]]-token window
+    * of every doc, hashed — q78 (dup-span metric) and q83 (span Bloom)
+    * consume the identical projection.
+    *
+    * Two-stage cache, the [[shingleFrameOf]] discipline taken one step
+    * further: the ARRAY frame is cached BEFORE the explode. Caching the
+    * exploded frame instead let Catalyst push the Generate's inferred
+    * `size(…) > 0` filter through the projection into the raw-text scan
+    * with the whole window HOF inlined — re-running `split(trim(text))`
+    * per element_at, O(windows · W · tokens) per doc (measured: a 24 s
+    * recompute of a frame whose honest cost is 2 s at sf0.1). Exploding
+    * FROM the cached arrays keeps that filter on the materialized
+    * column. */
+  private def spanFrame(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, s"spans:$d") {
+      import s.implicits._
+      val ws = $"ws"
+      val arrays = graft.Memo.cached(s, s"span-arrays:$d") {
+        rebalanced(docs(s, d))
+          .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+          .select($"doc_id",
+            when(size(ws) >= SpanW,
+              transform(
+                sequence(lit(1), size(ws) - (SpanW - 1)),
+                i => concat_ws(" ", (0 until SpanW).map(o => element_at(ws, i + o)): _*)))
+              .otherwise(array().cast("array<string>")).as("wins"))
+      }
+      arrays
+        .select($"doc_id", explode($"wins").as("win"))
+        .select($"doc_id", graft.functions.PortableHash.hash($"win").as("wh"))
+    }
+
+  /** DuckDB mirror of [[spanFrame]] (CTE `wins`). */
+  private def duckSpans: String =
+    s"""toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+      wins AS (
+        SELECT doc_id, ${duckHash("w")} AS wh FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+${SpanW - 1}], ' ')
+                         for i in range(1, len(ws) - ${SpanW - 2})]) AS w
+          FROM toks WHERE len(ws) >= $SpanW))"""
+
   private val q78 = Q(
     "q78_dup_span_fraction",
     (s, d) => {
       import s.implicits._
-      val ws = $"ws"
-      val wins = rebalanced(docs(s, d))
-        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
-        .select($"doc_id",
-          when(size(ws) >= SpanW,
-            transform(
-              sequence(lit(1), size(ws) - (SpanW - 1)),
-              i => concat_ws(" ", (0 until SpanW).map(o => element_at(ws, i + o)): _*)))
-            .otherwise(array().cast("array<string>")).as("wins"))
-        .select($"doc_id", explode($"wins").as("win"))
-        .select($"doc_id", graft.functions.PortableHash.hash($"win").as("wh"))
+      val wins = spanFrame(s, d)
       val cnts = wins.groupBy($"wh").agg(count(lit(1)).as("cnt"))
       val byDoc = wins.groupBy($"doc_id", $"wh").agg(count(lit(1)).as("k"))
       val agg = byDoc.join(cnts, Seq("wh"))
@@ -1945,16 +1978,7 @@ object TextPipeline extends QModule {
             .as("dup_pm"))
         .orderBy($"doc_id")
     },
-    Some {
-      val hi = SpanW - 1
-      s"""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
-      wins AS (
-        SELECT doc_id, ${duckHash("w")} AS wh FROM (
-          SELECT doc_id,
-                 unnest([array_to_string(ws[i:i+$hi], ' ')
-                         for i in range(1, len(ws) - ${SpanW - 2})]) AS w
-          FROM toks WHERE len(ws) >= $SpanW)),
+    Some(s"""WITH $duckSpans,
       cnts AS (SELECT wh, count(*) AS cnt FROM wins GROUP BY wh),
       bd AS (SELECT doc_id, wh, count(*) AS k FROM wins GROUP BY doc_id, wh),
       agg AS (
@@ -1965,8 +1989,7 @@ object TextPipeline extends QModule {
     SELECT d.doc_id, coalesce(a.n_win, 0) AS n_win, coalesce(a.n_dup, 0) AS n_dup,
            CASE WHEN coalesce(a.n_win, 0) = 0 THEN CAST(0 AS BIGINT)
                 ELSE (1000 * a.n_dup) // a.n_win END AS dup_pm
-    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
-    })
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
 
   // ---------------------------------------------------------------- q79
   /** PPJoin-style prefix-filtered set-similarity self-join (Xiao et al.
@@ -2043,6 +2066,93 @@ object TextPipeline extends QModule {
       .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
+
+  // ---------------------------------------------------------------- q83
+  /** BLOOM-FILTER ingestion screen over SPANS — the O(1)-memory
+    * approximate membership sketch completing the classic quartet (CMS
+    * q73, KMV q41, HLL q77, Bloom q83). The already-ingested corpus
+    * (even doc_ids) is summarized as a [[BloomM]]-bit filter over
+    * [[BloomK]] LCG row-hashes of each [[SpanW]]-token window; every
+    * ARRIVING doc's spans (odd doc_ids) test membership map-side against
+    * the BROADCAST bit set — the cheap first pass of substring-level
+    * dedup (q78's metric, q75's ingestion shape) that decides which docs
+    * even need the exact check. The one-sided contract — a span really
+    * present in the corpus can NEVER test negative; false positives are
+    * the price of fixed memory — surfaces per doc as
+    * `n_known ≤ n_bloom ≤ n_spans`, pinned in TextPipelineSpec.
+    *
+    * Scale shape: filter state is ≤ min(K·|corpus spans|, M) set-bit
+    * rows — fixed by the M knob regardless of corpus size (load factor
+    * at sf0.1 is 3·122k/2²¹ ≈ 0.18; size M to the ingested span
+    * cardinality the same way at production scale, or shard filters per
+    * partition and OR them — set bits union). Probing is three broadcast
+    * joins; the arriving batch never shuffles. Row hashes are the q73
+    * pairwise-independent LCG family over the span's [[PortableHash]],
+    * so the oracle replays the FILTER itself. */
+  private val BloomM = 1L << 21
+  private val BloomK = 3
+  private val BloomA = Seq(1103515245L, 1140671485L, 214013L)
+  private val BloomB = Seq(12345L, 12820163L, 2531011L)
+
+  private val q83 = Q(
+    "q83_bloom_span_screen",
+    (s, d) => {
+      import s.implicits._
+      val P = graft.functions.PortableHash.P
+      def pos(j: Int): Column =
+        ((lit(BloomA(j)) * col("wh") + lit(BloomB(j))) % lit(P)) % lit(BloomM)
+      val wins = spanFrame(s, d)
+      val corpus = wins.filter($"doc_id" % 2 === 0)
+      // memoized: three broadcast builds would otherwise each re-run the
+      // corpus-side distinct (cold 4.4 s / warm 0.5 s at sf0.1 with the
+      // two-stage span cache; see spanFrame for the 24 s trap this avoids)
+      val bits = graft.Memo.cached(s, s"bloom-bits:$d")(
+        corpus
+          .select(explode(array((0 until BloomK).map(pos): _*)).as("p"))
+          .distinct())
+      val known = graft.Memo.cached(s, s"bloom-known:$d")(
+        corpus.select($"wh").distinct())
+      val probes = wins.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"wh", pos(0).as("p0"), pos(1).as("p1"), pos(2).as("p2"))
+      probes
+        .join(broadcast(bits.select($"p".as("p0"), lit(1L).as("b0"))), Seq("p0"), "left")
+        .join(broadcast(bits.select($"p".as("p1"), lit(1L).as("b1"))), Seq("p1"), "left")
+        .join(broadcast(bits.select($"p".as("p2"), lit(1L).as("b2"))), Seq("p2"), "left")
+        .join(broadcast(known.withColumn("kn", lit(1L))), Seq("wh"), "left")
+        .na.fill(0, Seq("b0", "b1", "b2", "kn"))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when($"b0" === 1 && $"b1" === 1 && $"b2" === 1, 1L).otherwise(0L))
+            .as("n_bloom"),
+          sum($"kn").as("n_known"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val P = graft.functions.PortableHash.P
+      def pos(j: Int, h: String) = s"(((${BloomA(j)} * $h + ${BloomB(j)}) % $P) % $BloomM)"
+      s"""WITH $duckSpans,
+      corpus AS (SELECT wh FROM wins WHERE doc_id % 2 = 0),
+      bits AS (
+        SELECT DISTINCT p FROM (
+          SELECT unnest([${(0 until BloomK).map(j => pos(j, "wh")).mkString(", ")}]) AS p
+          FROM corpus)),
+      known AS (SELECT DISTINCT wh FROM corpus),
+      probes AS (
+        SELECT doc_id, wh, ${pos(0, "wh")} AS p0, ${pos(1, "wh")} AS p1, ${pos(2, "wh")} AS p2
+        FROM wins WHERE doc_id % 2 = 1)
+    SELECT p.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN b0.p IS NOT NULL AND b1.p IS NOT NULL AND b2.p IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+           CAST(sum(CASE WHEN k.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+    FROM probes p
+    LEFT JOIN bits b0 ON b0.p = p.p0
+    LEFT JOIN bits b1 ON b1.p = p.p1
+    LEFT JOIN bits b2 ON b2.p = p.p2
+    LEFT JOIN known k ON k.wh = p.wh
+    GROUP BY p.doc_id ORDER BY p.doc_id"""
+    })
 
   // ---------------------------------------------------------------- q82
   /** Per-source token-distribution DIVERGENCE vs the corpus — the
@@ -2122,5 +2232,5 @@ object TextPipeline extends QModule {
     FROM agg ORDER BY source"""))
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75, q77, q78, q79, q82)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75, q77, q78, q79, q82, q83)
 }

@@ -278,6 +278,29 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q83 span Bloom: one-sided per doc (known ≤ bloom ≤ spans); real positives; low FP") {
+    for (d <- Seq(sf0001, sf001)) {
+      val rows = byName("q83_bloom_span_screen", d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (n, b, k) = (r.getAs[Long]("n_spans"), r.getAs[Long]("n_bloom"),
+          r.getAs[Long]("n_known"))
+        // a span truly in the corpus can never test negative; bloom can
+        // only over-report
+        assert(k <= b && b <= n, s"at $d: Bloom contract violated: $r")
+      }
+      val (sumN, sumB, sumK) = (
+        rows.map(_.getAs[Long]("n_spans")).sum,
+        rows.map(_.getAs[Long]("n_bloom")).sum,
+        rows.map(_.getAs[Long]("n_known")).sum)
+      assert(sumK > 0, s"degenerate fixture at $d — no cross-split span hits")
+      // with load ≪ 1 at fixture scale the FP mass must stay small:
+      // false positives ≤ 5% of the probed spans
+      assert((sumB - sumK).toDouble / sumN < 0.05,
+        s"at $d: implausible FP rate: bloom=$sumB known=$sumK spans=$sumN")
+    }
+  }
+
   test("q82 source divergence: TV per-mille in range, token totals conserved") {
     for (d <- Seq(sf0001, sf001)) {
       val rows = byName("q82_source_divergence", d).collect()
