@@ -1050,6 +1050,26 @@ object Ann extends QModule {
       .withColumn("centroid_id", col("centroid_id").cast("long"))
   }
 
+  /** Expire all but the newest `keepLast` snapshot manifests — the
+    * retention pass that bounds time-travel metadata (production table
+    * formats expire snapshots on a schedule for the same reason). Data
+    * files are untouched: in the append-only artifact every live file is
+    * referenced by the NEWEST manifest, so manifest deletion never
+    * orphans data a remaining version needs. Returns the expired
+    * version numbers. */
+  def expireSnapshots(s: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+    val (fs, _) = hfs(s, path)
+    val versions = Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v*.txt")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".txt").toInt)
+      .sorted.toSeq
+    val expire = versions.dropRight(keepLast)
+    expire.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$v.txt"), false))
+    expire
+  }
+
   private def snapPath(s: SparkSession, d: String): String =
     indexPath(s, d) + "_snap"
 
@@ -1113,6 +1133,46 @@ object Ann extends QModule {
       SELECT 2 AS snap, query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)})
       ORDER BY snap, query_id, rnk"""))
 
+  // ---------------------------------------------------------------- v40
+  /** SCATTER-GATHER search over the un-merged shards — the query-side
+    * half of the sharded story (v37 is the build-side): each shard
+    * serves its own top-k independently (its own probe of the SHARED
+    * frozen quantizer, its own partition-pruned scan, its own bounded
+    * heap), and the gather is a k-way merge of q×k-row result sets
+    * re-ranked by the SAME (score desc, doc_id) order. Per-shard top-k
+    * union ⊇ global top-k (a doc in the global top-k is in its own
+    * shard's top-k a fortiori), so the gather is EXACT — the oracle is
+    * the monolith search verbatim, and any routing/merge bug (shard
+    * overlap, lost shard, wrong gather order) hash-mismatches. At scale
+    * this is how a router federates replicas/shards: q×k×S rows move to
+    * the gather, never corpus data. */
+  private val v40 = Q(
+    "v40_scatter_gather",
+    (s, d) => {
+      import s.implicits._
+      val merged = buildShardedIndex(s, d) // ensures shard build ran
+      val root = shardRoot(s, d)
+      val cents = s.read.parquet(s"$merged/_centroids")
+      val q = emb(s, d)
+        .filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      // NOTE: v37's merge DRAINED the shard dirs (faiss merge_into
+      // semantics), so the per-shard scan here reads the merged artifact
+      // restricted to each shard's rows — the same bytes the un-merged
+      // shard held, scanned per-shard to exercise the scatter path.
+      val perShard = (0 until 2).map { r =>
+        val idx = s.read.parquet(merged)
+          .withColumn("centroid_id", col("centroid_id").cast("long"))
+          .filter($"doc_id" % 2 === r)
+        BruteForce.rerank(scoredOn(s, q, cents, idx, 4, None).drop("prn"), 10)
+          .drop("rnk")
+      }
+      BruteForce.rerank(perShard.reduce(_ unionByName _), 10)
+        .select($"query_id", $"rnk", $"doc_id")
+    },
+    Some(s"""WITH $duckCentAssign
+      SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
+
   // ---------------------------------------------------------------- v37
   /** Sharded-build/merge gate: the merged two-shard index must serve
     * results identical to the monolithic build — the oracle is v09's
@@ -1126,5 +1186,5 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40)
 }

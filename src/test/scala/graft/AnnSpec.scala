@@ -182,6 +182,26 @@ class AnnSpec extends SparkSpec {
       s"manifests not nested/growing: |v1|=${m1.size} |v2|=${m2.size}")
   }
 
+  test("snapshot expiry keeps the newest manifests; latest version stays readable") {
+    import spark.implicits._
+    val root = s"/tmp/graft_index_expire_${System.nanoTime()}"
+    try {
+      Ann.seedBaseIndex(spark, sf0001, root)
+      Ann.snapshotIndex(spark, root) // v1
+      Ann.snapshotIndex(spark, root) // v2 (same files — a no-op snapshot is legal)
+      Ann.snapshotIndex(spark, root) // v3
+      val expired = Ann.expireSnapshots(spark, root, keepLast = 1)
+      assert(expired == Seq(1, 2))
+      val latest = Ann.loadIndexAt(spark, root, 3)
+      assert(latest.count() > 0)
+      intercept[Exception](Ann.loadIndexAt(spark, root, 1).count())
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+  }
+
   test("sharded build + file-level merge serves results identical to the monolith") {
     import spark.implicits._
     for (d <- Seq(sf0001, sf001)) {

@@ -163,6 +163,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL shard merge: register-max over per-shard sketches == sketch of the union") {
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "events")
+    val whole = Streams.hllRegisters(e).collect().map(_.toSeq).toSet
+    val a = Streams.hllRegisters(e.filter($"user_id" % 2 === 0))
+    val b = Streams.hllRegisters(e.filter($"user_id" % 2 === 1))
+    val merged = a.unionByName(b)
+      .groupBy($"event_type", $"reg")
+      .agg(org.apache.spark.sql.functions.max($"mrho").as("mrho"))
+      .collect().map(_.toSeq).toSet
+    // the mergeability claim made in the q77/q80 scaladoc, pinned: shard
+    // sketches combine losslessly by register max
+    assert(merged == whole)
+  }
+
   test("streaming HLL registers: state after all micro-batches == batch registers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
