@@ -2154,6 +2154,62 @@ object TextPipeline extends QModule {
     GROUP BY p.doc_id ORDER BY p.doc_id"""
     })
 
+  // ---------------------------------------------------------------- q84
+  /** LEAKAGE-FREE train/val/test split: the q59 split keyed by the
+    * near-dup CLUSTER canonical instead of the doc — every member of a
+    * dup cluster lands on the same side, so a test doc can never have a
+    * near-duplicate in train (the contamination mode a doc-keyed split
+    * cannot prevent, and the reason eval suites dedup against training
+    * data — Lee et al. 2022 §5). Composes q46's connected components
+    * (isolated docs are their own canonical) with the same key-LCG
+    * variate and fractions as q59; the per-mille fraction drift vs the
+    * doc-keyed split is bounded by the dup mass. Leakage-freedom is
+    * pinned in TextPipelineSpec: every q22 near-dup pair shares a split.
+    *
+    * Scale: the cluster frame is memoized (shared with q46/q48), the
+    * split is a map-side expression on the canonical key — no new
+    * shuffle beyond the one left join. */
+  private val q84 = Q(
+    "q84_leakage_free_split",
+    (s, d) => {
+      import s.implicits._
+      val canon = dedupClusters(s, d, 0.5)
+      val withCanon = docs(s, d).select($"doc_id")
+        .join(canon, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"canonical_id", $"doc_id").as("canonical_id"))
+      val u = graft.Functions.keyLcgU($"canonical_id")
+      withCanon
+        .select($"doc_id", $"canonical_id",
+          when(u < Sampling.TrainFrac, "train")
+            .when(u < Sampling.ValFrac, "val")
+            .otherwise("test").as("split"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE $duckShingles,
+      ${duckCappedPairCtes(JaccardDfCap)},
+      qpairs AS (
+        SELECT doc_a, doc_b FROM cpairs
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM qpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM qpairs),
+      reach AS (
+        SELECT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      canon AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY node),
+      wc AS (
+        SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN canon c USING (doc_id))
+    SELECT doc_id, canonical_id,
+           CASE WHEN u < ${Sampling.TrainFrac} THEN 'train'
+                WHEN u < ${Sampling.ValFrac} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, canonical_id,
+                 ${graft.Functions.duckKeyLcgU("canonical_id")} AS u FROM wc)
+    ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- q82
   /** Per-source token-distribution DIVERGENCE vs the corpus — the
     * domain-shift diagnostic behind data-mixing decisions (which sources
@@ -2232,5 +2288,5 @@ object TextPipeline extends QModule {
     FROM agg ORDER BY source"""))
 
   override def all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75, q77, q78, q79, q82, q83)
+    Seq(q21, q22, q23, q24, q25, q26, q34, q46, q47, q48, q51, q52, q55, q56, q60, q62, q65, q67, q68, q69, q70, q71, q73, q75, q77, q78, q79, q82, q83, q84)
 }

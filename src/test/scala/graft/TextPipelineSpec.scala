@@ -301,6 +301,25 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q84 leakage-free split: no near-dup pair ever crosses the split boundary") {
+    for (d <- Seq(sf0001, sf001)) {
+      val split = byName("q84_leakage_free_split", d).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      assert(split.size == Tables(spark, d, "documents").count())
+      val near = pairs(byName("q22_jaccard_neardup", d))
+      assert(near.nonEmpty)
+      near.foreach { case (a, b) =>
+        assert(split(a) == split(b), s"at $d: leak — pair ($a,$b) split ${split(a)}/${split(b)}")
+      }
+      // the split must still be a real split (all three sides populated
+      // at the larger fixture; the smallest may miss 'val' by chance)
+      val sides = split.values.groupBy(identity).view.mapValues(_.size).toMap
+      assert(sides.getOrElse("train", 0) > 0 && sides.getOrElse("test", 0) > 0, s"$sides at $d")
+      val trainFrac = sides.getOrElse("train", 0).toDouble / split.size
+      assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction drifted: $trainFrac at $d")
+    }
+  }
+
   test("q82 source divergence: TV per-mille in range, token totals conserved") {
     for (d <- Seq(sf0001, sf001)) {
       val rows = byName("q82_source_divergence", d).collect()
