@@ -28,6 +28,7 @@ object Functions {
     treg.createOrReplaceTempFunction("ann_search", annSearchPlan, "built-in")
     treg.createOrReplaceTempFunction("cosine_topk", cosineTopKPlan, "built-in")
     treg.createOrReplaceTempFunction("range_search", rangeSearchPlan, "built-in")
+    treg.createOrReplaceTempFunction("parent_search", parentSearchPlan, "built-in")
   }
 
   /** Evaluate a TVF's foldable scalar arguments: `name(argNames…)`,
@@ -111,6 +112,23 @@ object Functions {
       .rangeSearchFrame(SparkSession.active, dir.toString,
         asInt("range_search", "max_query_id", maxQ),
         asDouble("range_search", "tau", tau))
+      .queryExecution.analyzed
+  }
+
+  /** Table-function builder for `parent_search(dir, max_query_id,
+    * parent_mod, k)` — parent-document retrieval (v39) through the
+    * parser: expands to [[operators.VectorSearch.parentTopK]]'s
+    * bounded-window plan over the memoized chunk frame. */
+  private[graft] def parentSearchPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val Seq(dir, maxQ, parentMod, k) =
+      tvfArgs("parent_search", Seq("dir", "max_query_id", "parent_mod", "k"), exprs)
+    operators.VectorSearch
+      .parentTopK(SparkSession.active, dir.toString,
+        asInt("parent_search", "max_query_id", maxQ),
+        asInt("parent_search", "parent_mod", parentMod),
+        asInt("parent_search", "k", k))
       .queryExecution.analyzed
   }
 

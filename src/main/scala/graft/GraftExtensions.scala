@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("range_search"),
       new ExpressionInfo(Functions.getClass.getName, "range_search"),
       (exprs: Seq[Expression]) => Functions.rangeSearchPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("parent_search"),
+      new ExpressionInfo(Functions.getClass.getName, "parent_search"),
+      (exprs: Seq[Expression]) => Functions.parentSearchPlan(exprs)))
   }
 }

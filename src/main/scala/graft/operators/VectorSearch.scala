@@ -861,23 +861,27 @@ object VectorSearch extends QModule {
   private val ParentMod = 8
   private val ParentK = 5
 
-  private val v39 = Q(
-    "v39_parent_topk",
-    (s, d) => {
-      import s.implicits._
-      val wBest = Window.partitionBy($"query_id", $"parent_id").orderBy($"rnk")
-      val wParent = Window.partitionBy($"query_id").orderBy($"rnk")
-      searchFrame(s, d)
-        .filter($"query_id" < 20)
-        .withColumn("parent_id", expr(s"doc_id div $ParentMod"))
-        .withColumn("crn", row_number().over(wBest))
-        .filter($"crn" === 1)
-        .withColumn("prnk", row_number().over(wParent))
-        .filter($"prnk" <= ParentK)
-        .select($"query_id", $"prnk", $"parent_id", $"doc_id".as("best_doc"))
-        .orderBy($"query_id", $"prnk")
-    },
-    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+  /** Parent aggregation over the memoized chunk search frame — the v39
+    * body, public so the `parent_search` SQL TVF expands to the same
+    * plan. */
+  def parentTopK(
+      s: SparkSession, d: String, maxQueryId: Int, parentMod: Int, parentK: Int): DataFrame = {
+    import s.implicits._
+    val wBest = Window.partitionBy($"query_id", $"parent_id").orderBy($"rnk")
+    val wParent = Window.partitionBy($"query_id").orderBy($"rnk")
+    searchFrame(s, d)
+      .filter($"query_id" < maxQueryId)
+      .withColumn("parent_id", expr(s"doc_id div $parentMod"))
+      .withColumn("crn", row_number().over(wBest))
+      .filter($"crn" === 1)
+      .withColumn("prnk", row_number().over(wParent))
+      .filter($"prnk" <= parentK)
+      .select($"query_id", $"prnk", $"parent_id", $"doc_id".as("best_doc"))
+      .orderBy($"query_id", $"prnk")
+  }
+
+  private def duckParentSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
       scored AS (
         SELECT q.query_id, c.vec_id AS doc_id,
                ${duckDot("q.qe", "c.embedding")} AS score
@@ -897,8 +901,26 @@ object VectorSearch extends QModule {
                row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS prnk
         FROM best WHERE crn = 1)
     SELECT query_id, prnk, parent_id, best_doc FROM parents
-    WHERE prnk <= $ParentK ORDER BY query_id, prnk"""))
+    WHERE prnk <= $ParentK ORDER BY query_id, prnk"""
+
+  private val v39 = Q(
+    "v39_parent_topk",
+    (s, d) => parentTopK(s, d, maxQueryId = 20, parentMod = ParentMod, parentK = ParentK),
+    Some(duckParentSql))
+
+  // ---------------------------------------------------------------- v41
+  /** v39 through the SQL PARSER: `FROM parent_search(dir, maxQ,
+    * parent_mod, k)` expands at analysis time to the SAME bounded-window
+    * plan over the memoized chunk frame ([[graft.Functions
+    * .parentSearchPlan]]) — identical results through both surfaces IS
+    * the contract under gate (same oracle as v39). */
+  private val v41 = Q(
+    "v41_sql_parent_search",
+    (s, d) => s.sql(
+      s"SELECT query_id, prnk, parent_id, best_doc " +
+      s"FROM parent_search('$d', 20, $ParentMod, $ParentK) ORDER BY query_id, prnk"),
+    Some(duckParentSql))
 
   override def all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33, v39)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33, v39, v41)
 }
