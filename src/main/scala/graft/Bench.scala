@@ -59,6 +59,8 @@ object Bench {
           .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
         val graphSweep = r.graphSweep
           .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
+        val binSweep = r.binSweep
+          .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
         // close the report loop at bench scale (r6 next #7): write the
         // per-method reports the engine just measured, read them back
         // through the 005-compare pipeline, quote the speedup column
@@ -70,7 +72,7 @@ object Bench {
           .map(row => s""""${row.getAs[String]("method")}":${f3(
             row.getAs[Double]("speedup_vs_bf"))}""")
           .mkString("{", ",", "}")
-        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
+        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
       } catch {
         case e: Throwable =>
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

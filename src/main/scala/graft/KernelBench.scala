@@ -47,7 +47,9 @@ object KernelBench {
       coarseTrainSample: Int = 16384,
       coarseTrainIters: Int = 5,
       sqRescore: Int = 64,
-      graphK: Int = 8)
+      graphK: Int = 8,
+      binRescore: Int = 3000,
+      binSweepPools: Seq[Int] = Seq(100, 300, 1000, 3000))
 
   /** The reference's published scale: 1M × 384, 100 queries, top-100.
     * PQ: 384 dims = 96 subspaces × 4 dims, 256 k-means-TRAINED codewords
@@ -194,6 +196,11 @@ object KernelBench {
       sqRecallAtK: Seq[(Int, Double)],
       sqPrecisionAtK: Seq[(Int, Double)],
       sqMrr: Double,
+      binBuildSec: Double,
+      binMsPerQuery: Double,
+      binQps: Double,
+      binRecallVsExact: Double,
+      binSweep: Seq[Report.SweepLevel],
       graphBuildSec: Double,
       graphMsPerQuery: Double,
       graphQps: Double,
@@ -287,6 +294,37 @@ object KernelBench {
       while (it.hasNext) {
         val id = it.next().longValue()
         val dv = lookup(id)
+        var s = 0.0
+        var i = 0
+        while (i < qv.length) { s += qv(i).toDouble * dv(i).toDouble; i += 1 }
+        heap.offer(s, id)
+      }
+      out(qi) = heap.sortedDesc().map(_._2)
+    }
+    out
+  }
+
+  /** Binary leg: residual-sign Hamming top-`r` candidate generation on
+    * the packed index, then exact rescore of the bounded candidate pool
+    * driver-side via the deterministic corpus generator (the [[refine]]
+    * pattern — a cluster deployment would gather the ≤ q·r vectors).
+    * With every list probed and r ≥ n this IS exact search (spec gate
+    * in KernelBenchSpec). */
+  private[graft] def binSearch(
+      cfg: Cfg,
+      binIndex: org.apache.spark.rdd.RDD[operators.VectorBlocks.BinBlock],
+      queries: Array[(Long, Array[Float])],
+      probes: Array[Array[Boolean]],
+      r: Int,
+      k: Int): Array[Array[Long]] = {
+    val cand = operators.VectorBlocks.binaryResidualCandidates(
+      binIndex, queries, probes, r)
+    val out = new Array[Array[Long]](queries.length)
+    java.util.stream.IntStream.range(0, queries.length).parallel().forEach { qi =>
+      val qv = queries(qi)._2
+      val heap = new graft.functions.TopKAgg.Heap(k)
+      cand(qi).foreach { id =>
+        val dv = vec(cfg, id)
         var s = 0.0
         var i = 0
         while (i < qv.length) { s += qv(i).toDouble * dv(i).toDouble; i += 1 }
@@ -410,6 +448,20 @@ object KernelBench {
     sqIndex.count()
     val sqBuildSec = (System.nanoTime() - ts) / 1e9
 
+    // binary (sign-bit) build over RESIDUALS: one narrow pack pass over
+    // the ASSIGNED float blocks (cids ride along — the Hamming kernel
+    // prunes to probed lists and picks the query's per-list residual
+    // pattern). Raw-sign variants measured recall@10 0.13–0.15 at 1M
+    // (the sign bits re-encode the cluster base every list member
+    // shares); residual signs rank within lists — the same by_residual
+    // argument as the PQ encode. 48 B/doc at 384 dims, the 32× rung of
+    // the ladder at bench scale (v34 is the registry-scale form).
+    val tbin = System.nanoTime()
+    val binIndex = VectorBlocks.packBinaryResidual(indexed, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    binIndex.count()
+    val binBuildSec = (System.nanoTime() - tbin) / 1e9
+
     // kNN-graph build (timed like the index builds — the HNSW-graph
     // analog, VERDICT r8 next #3): cross-list ADC top-graphK over the
     // cached float blocks + PQ index, collected to a driver adjacency
@@ -437,6 +489,7 @@ object KernelBench {
     VectorBlocks.ivfpqSearch(
       pqIndex, cents, codebook, cfg.pqSubDim,
       queries.take(2), probes.take(2), rCand = 10, k = 10)
+    binSearch(cfg, binIndex, queries.take(2), probes.take(2), r = 10, k = 10)
 
     // Timed passes, INTERLEAVED round-robin: (bf, ivf, ivfpq) × 3, min
     // per method. Best-of-3 alone is not enough on a shared host — when
@@ -450,10 +503,12 @@ object KernelBench {
     var annRanked: Map[Long, Array[Long]] = null
     var sqTopK: Array[Array[Long]] = null
     var pqTopK: Array[Array[Long]] = null
+    var binTopK: Array[Array[Long]] = null
     val bfTimes = Array.ofDim[Double](3)
     val annTimes = Array.ofDim[Double](3)
     val sqTimes = Array.ofDim[Double](3)
     val pqTimes = Array.ofDim[Double](3)
+    val binTimes = Array.ofDim[Double](3)
     (0 until 3).foreach { rep =>
       val t0 = System.nanoTime()
       exactRanked = rankedOf(
@@ -468,15 +523,19 @@ object KernelBench {
       pqTopK = VectorBlocks.ivfpqSearch(
         pqIndex, cents, codebook, cfg.pqSubDim, queries, probes, cfg.pqRescore, cfg.k)
       val t4 = System.nanoTime()
+      binTopK = binSearch(cfg, binIndex, queries, probes, cfg.binRescore, cfg.k)
+      val t5 = System.nanoTime()
       bfTimes(rep) = (t1 - t0) / 1e9
       annTimes(rep) = (t2 - t1) / 1e9
       sqTimes(rep) = (t3 - t2) / 1e9
       pqTimes(rep) = (t4 - t3) / 1e9
+      binTimes(rep) = (t5 - t4) / 1e9
     }
     val bfSec = bfTimes.min
     val annSec = annTimes.min
     val sqSec = sqTimes.min
     val pqSec = pqTimes.min
+    val binSec = binTimes.min
     // the raw float cache is only the BF corpus: IVF reads `indexed`, the
     // PQ rescore reads the float refs inside the PQ index — drop the
     // 1.5 GB before the sweeps run
@@ -558,6 +617,21 @@ object KernelBench {
         .map { case (ids, qi) => queries(qi)._1 -> ids }.toMap
     val (graphRec, graphPrec, graphMrr) =
       rankedMetrics(exactRanked, graphRanked, recallKs(cfg), precisionKs(cfg))
+    // binary rescore-pool sweep: the binary dial is the candidate pool R
+    // (Hamming pre-rank quality is fixed; recall is bought with exact
+    // rescore depth) — one timed fresh pass per level
+    val binSweep = cfg.binSweepPools.map { r =>
+      val t0 = System.nanoTime()
+      val ids = binSearch(cfg, binIndex, queries, probes, r, cfg.k)
+      val lvlSec = (System.nanoTime() - t0) / 1e9
+      val r10 = math.min(10, cfg.k)
+      val rc = ids.iterator.zipWithIndex.map { case (got, qi) =>
+        val e = exactRanked(queries(qi)._1).take(r10).toSet
+        got.take(r10).count(e.contains).toDouble / r10
+      }.sum / cfg.nQueries
+      Report.SweepLevel(r, rc, lvlSec, cfg.nQueries / lvlSec)
+    }
+    binIndex.unpersist()
     sqIndex.unpersist()
     pqIndex.unpersist()
     indexed.unpersist()
@@ -575,6 +649,10 @@ object KernelBench {
     val sqRecall = sqRows.count(exact.contains).toDouble / exact.size
     val (sqRec, sqPrec, sqMrr) =
       rankedMetrics(exactRanked, sqRanked, recallKs(cfg), precisionKs(cfg))
+
+    val binRanked: Map[Long, Array[Long]] =
+      binTopK.iterator.zipWithIndex.map { case (ids, qi) => queries(qi)._1 -> ids }.toMap
+    val binRecall = flatHits(binRanked).count(exact.contains).toDouble / exact.size
 
     Result(
       bfMsPerQuery = bfSec * 1000.0 / cfg.nQueries,
@@ -604,6 +682,11 @@ object KernelBench {
       sqRecallAtK = sqRec,
       sqPrecisionAtK = sqPrec,
       sqMrr = sqMrr,
+      binBuildSec = binBuildSec,
+      binMsPerQuery = binSec * 1000.0 / cfg.nQueries,
+      binQps = cfg.nQueries / binSec,
+      binRecallVsExact = binRecall,
+      binSweep = binSweep,
       graphBuildSec = graphBuildSec,
       graphMsPerQuery = graphHeadline.searchTimeSec * 1000.0 / cfg.nQueries,
       graphQps = graphHeadline.qps,

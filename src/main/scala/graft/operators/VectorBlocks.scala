@@ -1145,4 +1145,147 @@ object VectorBlocks {
       }
       .mapValues(_.map(_._2))
   }
+
+  // ------------------------------------------------------- binary (1-bit)
+
+  /** Packed sign-bit block: `wpv` longs per vector (dim/64 rounded up),
+    * row i occupies words[i*wpv, (i+1)*wpv); `cids` parallel to `ids`
+    * (−1s for an unindexed corpus). 384 dims → 6 longs = 48 B — the 32×
+    * rung of the compression ladder at kernel-bench scale (the
+    * registry-scale form is v34 in [[Compact]]). */
+  final case class BinBlock(ids: Array[Long], cids: Array[Int], wpv: Int, words: Array[Long])
+
+  /** Sign-bit pack of the RESIDUALS (v − its list's centroid) — the
+    * faiss IVF+binary layout: within a probed list every member shares
+    * the centroid term, so raw-sign Hamming spends its 384 bits
+    * re-encoding the base the whole list has in common and cannot rank
+    * neighbors (measured recall@10 0.15 at 1M even probed); residual
+    * signs encode exactly the part that ranks candidates within a list
+    * (same argument as the PQ by_residual encode). One narrow pass. */
+  def packBinaryResidual(blocks: RDD[Block], centroids: Array[Array[Float]]): RDD[BinBlock] = {
+    val bc = blocks.sparkContext.broadcast(centroids)
+    blocks.map { b =>
+      val cents = bc.value
+      val n = b.ids.length
+      val dim = b.dim
+      val wpv = (dim + 63) >>> 6
+      val words = new Array[Long](n * wpv)
+      var r = 0
+      while (r < n) {
+        val off = r * dim
+        val cv = cents(b.cids(r))
+        var j = 0
+        while (j < dim) {
+          if (b.data(off + j) - cv(j) >= 0f)
+            words(r * wpv + (j >>> 6)) |= 1L << (j & 63)
+          j += 1
+        }
+        r += 1
+      }
+      BinBlock(b.ids.clone(), b.cids.clone(), wpv, words)
+    }
+  }
+
+  /** ASYMMETRIC binary candidate generation over RESIDUAL doc signs,
+    * restricted to probed lists — the faiss binary-ADC layout: the query
+    * keeps full float precision and each doc contributes
+    * `Σ_j sign(r_j)·q_j`, evaluated as 48 per-byte LUT lookups per
+    * (query, doc) instead of 384 FMAs. The per-query LUT
+    * (bytePos × 256 → partial sum of ±q_j) is built driver-side —
+    * nq × (dim/8) × 256 floats ≈ 5 MB at bench scale — and broadcast.
+    * Fixed byte-order summation keeps scores deterministic; heap ties
+    * break id-asc as everywhere.
+    *
+    * Why asymmetric: symmetric sign-Hamming quantizes BOTH sides to one
+    * bit — measured recall@10 at 1M: 0.15 raw signs, 0.24 residual signs
+    * with sign(q−c), 0.39 residual signs with sign(q) — while the
+    * asymmetric form only pays the doc-side quantization. Same fused
+    * heap + QRun merge as every kernel; the caller exact-rescores the
+    * bounded pool. With every list probed and r ≥ n the pool is the
+    * whole corpus and rescore reproduces exact search — the spec gate. */
+  def binaryResidualCandidates(
+      bin: RDD[BinBlock],
+      queries: Array[(Long, Array[Float])],
+      probes: Array[Array[Boolean]],
+      r: Int): Array[Array[Long]] = {
+    val nQueries = queries.length
+    val nCent = if (probes.isEmpty) 0 else probes(0).length
+    val byCid: Array[Array[Int]] =
+      Array.tabulate(nCent)(c => (0 until nQueries).filter(qi => probes(qi)(c)).toArray)
+    val dim = queries.headOption.map(_._2.length).getOrElse(0)
+    val wpv = (dim + 63) >>> 6
+    val nBytes = wpv * 8
+    // lut((q·nBytes + p)·256 + byteVal) = Σ_{bit b set in byteVal, j = p·8+b < dim} ±q_j:
+    // +q_j when the doc's sign bit is set, −q_j when clear — fold the
+    // constant −Σq part in so one lookup covers both: contribution =
+    // Σ_{set} q_j − Σ_{clear} q_j over the byte's dims
+    val lut = new Array[Float](nQueries * nBytes * 256)
+    var qi = 0
+    while (qi < nQueries) {
+      val qv = queries(qi)._2
+      var p = 0
+      while (p < nBytes) {
+        val base = (qi * nBytes + p) * 256
+        var v = 0
+        while (v < 256) {
+          var acc = 0.0f
+          var b = 0
+          while (b < 8) {
+            val j = p * 8 + b
+            if (j < dim) {
+              if (((v >>> b) & 1) == 1) acc += qv(j) else acc -= qv(j)
+            }
+            b += 1
+          }
+          lut(base + v) = acc
+          v += 1
+        }
+        p += 1
+      }
+      qi += 1
+    }
+    val sc = bin.sparkContext
+    val bcLut = sc.broadcast(lut)
+    val bcByCid = sc.broadcast(byCid)
+    val perPartition: RDD[Array[QRun]] = bin.mapPartitions { bs =>
+      val lt = bcLut.value
+      val cidQ = bcByCid.value
+      val heaps = Array.fill(nQueries)(new graft.functions.TopKAgg.Heap(r))
+      bs.foreach { b =>
+        require(b.wpv == wpv, s"binary block wpv ${b.wpv} != query wpv $wpv")
+        val n = b.ids.length
+        var row = 0
+        while (row < n) {
+          val off = row * wpv
+          val id = b.ids(row)
+          val cid = b.cids(row)
+          val qlist = cidQ(cid)
+          var t = 0
+          while (t < qlist.length) {
+            val q = qlist(t)
+            val lbase = q * nBytes * 256
+            var score = 0.0
+            var p = 0
+            while (p < nBytes) {
+              val word = b.words(off + (p >>> 3))
+              val byteVal = ((word >>> ((p & 7) << 3)) & 0xFFL).toInt
+              score += lt(lbase + (p << 8) + byteVal)
+              p += 1
+            }
+            heaps(q).offer(score, id)
+            t += 1
+          }
+          row += 1
+        }
+      }
+      Iterator.single(Array.tabulate(nQueries) { i =>
+        val sorted = heaps(i).sortedDesc()
+        QRun(sorted.map(_._1), sorted.map(_._2))
+      })
+    }
+    val zero = Array.fill(nQueries)(QRun(Array.emptyDoubleArray, Array.emptyLongArray))
+    val mergeRuns = (a: Array[QRun], b: Array[QRun]) =>
+      Array.tabulate(a.length)(i => QRun.merge(a(i), b(i), r))
+    perPartition.treeAggregate(zero)(mergeRuns, mergeRuns).map(_.ids)
+  }
 }

@@ -268,4 +268,35 @@ class KernelBenchSpec extends SparkSpec {
     assert(result.sqSweep.forall(l => l.recall10 >= 0 && l.recall10 <= 1 &&
       l.searchTimeSec > 0 && l.qps > 0))
   }
+
+  test("binary tier: full-pool rescore IS exact search; pool dial is monotone") {
+    import spark.implicits._
+    val c = cfg
+    val corpus = spark.range(c.n.toLong)
+      .map(id => (id, KernelBench.vec(c, id)))
+      .toDF("id", "vec").as[(Long, Array[Float])]
+    val blocks = graft.operators.VectorBlocks.pack(corpus, c.dim).cache()
+    val cents = KernelBench.trainCoarse(c)
+    val indexed = graft.operators.VectorBlocks.assign(blocks, cents).cache()
+    val bin = graft.operators.VectorBlocks.packBinaryResidual(indexed, cents).cache()
+    val queries = Array.tabulate(c.nQueries)(i => (i.toLong, KernelBench.queryVec(c, i)))
+    val exact = graft.operators.VectorBlocks
+      .bfSearch(blocks, queries, c.k, excludeSelf = false)
+    // every list probed + pool == n: Hamming candidates are the whole
+    // corpus, so the exact rescore must reproduce exact search row for row
+    val allProbes = Array.fill(c.nQueries)(Array.fill(c.centroids)(true))
+    val full = KernelBench.binSearch(c, bin, queries, allProbes, r = c.n, k = c.k)
+    full.zip(exact).zipWithIndex.foreach { case ((got, exp), qi) =>
+      assert(got.sameElements(exp), s"query $qi: full-pool binary != exact")
+    }
+    // candidate pools nest (top-R1 ⊆ top-R2 by the shared heap order), so
+    // recall@10 of the exact-rescored top-10 is monotone in the pool
+    assert(result.binSweep.map(_.recall10).sliding(2).forall {
+      case Seq(a, b) => a <= b + 1e-9
+      case _ => true
+    }, s"binary pool sweep not monotone: ${result.binSweep}")
+    assert(result.binRecallVsExact > 0.0 && result.binRecallVsExact <= 1.0)
+    assert(result.binBuildSec > 0 && result.binMsPerQuery > 0 && result.binQps > 0)
+    blocks.unpersist(); indexed.unpersist(); bin.unpersist()
+  }
 }
