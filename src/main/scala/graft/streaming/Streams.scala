@@ -366,6 +366,22 @@ object Streams extends QModule {
       .agg(max(col("rho")).as("mrho"))
   }
 
+  /** Bloom set-bit frame over a (doc_id, wh)-shaped span stream: the
+    * distinct positions [[graft.operators.TextPipeline]]'s q83 filter
+    * sets — like [[hllRegisters]], set-union state is MONOTONE, so the
+    * identical declarative distinct is valid incremental streaming state
+    * (bounded by the M knob) and per-shard bit sets OR together
+    * losslessly. Batch ≡ stream pinned in StreamingSpec. */
+  def bloomBits(spans: DataFrame, a: Seq[Long], b: Seq[Long], m: Long): DataFrame = {
+    val P = graft.functions.PortableHash.P
+    val pos = a.zip(b).map { case (ai, bi) =>
+      ((lit(ai) * col("wh") + lit(bi)) % lit(P)) % lit(m)
+    }
+    spans
+      .select(explode(array(pos: _*)).as("p"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- q80
   /** Streaming distinct-user cardinality per event type, in batch mode:
     * the [[hllRegisters]] state folded to (exact, estimate) per type —

@@ -163,6 +163,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Bloom bits: set-union state across micro-batches == batch bit set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // span hashes from the fixture corpus — the exact frame q83's filter
+    // is built from, here arriving as an unbounded stream
+    val spans = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.explode(col("ws")).as("w"))
+      .select(col("doc_id"), graft.functions.PortableHash.hash(col("w")).as("wh"))
+    val a = Seq(1103515245L, 1140671485L, 214013L)
+    val b = Seq(12345L, 12820163L, 2531011L)
+    val m = 1L << 16
+    val batch = Streams.bloomBits(spans, a, b, m).collect().map(_.getLong(0)).toSet
+    val whs = spans.select("doc_id", "wh").as[(Long, Long)].collect().toSeq
+    val stream = MemoryStream[(Long, Long)]
+    val q = Streams.bloomBits(stream.toDF().toDF("doc_id", "wh"), a, b, m)
+      .writeStream.format("memory").queryName("bloom_out").outputMode("append").start()
+    try {
+      val chunks = whs.grouped(math.max(1, whs.size / 4 + 1)).toSeq
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("bloom_out").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("HLL shard merge: register-max over per-shard sketches == sketch of the union") {
     import spark.implicits._
     val e = Tables(spark, sf0001, "events")
