@@ -301,4 +301,21 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("Bloom screen (q83): bit set and known set broadcast; arriving spans never shuffle to them") {
+    val formattedPlan = formatted(q("q83_bloom_span_screen"))
+    assert(!formattedPlan.contains("CartesianProduct"))
+    // all four membership joins are broadcast — the probe side must not
+    // shuffle for the bounded filter state
+    assert(formattedPlan.contains("BroadcastHashJoin"))
+    assert(!formattedPlan.contains("SortMergeJoin"),
+      "a membership join fell back to sort-merge (filter state not broadcast)")
+  }
+
+  test("leakage-free split (q84): canonical join is the only wide op on the doc frame") {
+    val formattedPlan = formatted(q("q84_leakage_free_split"))
+    assert(!formattedPlan.contains("CartesianProduct") &&
+      !formattedPlan.contains("BroadcastNestedLoopJoin"),
+      "q84 has an all-pairs join")
+  }
 }
