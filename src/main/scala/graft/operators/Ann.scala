@@ -958,16 +958,24 @@ object Ann extends QModule {
     * (faiss `merge_into` semantics). */
   def mergeIndexArtifacts(s: SparkSession, dest: String, shards: Seq[String]): Unit = {
     val (fs, destPath) = hfs(s, dest)
+    // A crashed earlier merge leaves renamed files behind while the
+    // _SUCCESS gate says "rebuild": clear the destination up front so a
+    // retry can never double-count vectors (ADVICE r9), and fail every
+    // rename loudly — a false return here means a silently incomplete
+    // index.
+    if (fs.exists(destPath)) fs.delete(destPath, true)
     fs.mkdirs(destPath)
+    def renameOrDie(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(src, dst), s"merge rename failed: $src -> $dst")
     shards.zipWithIndex.foreach { case (sh, i) =>
       val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$sh/centroid_id=*/part-*"))
       parts.foreach { st =>
         val destDir = new org.apache.hadoop.fs.Path(destPath, st.getPath.getParent.getName)
         fs.mkdirs(destDir)
-        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(destDir, s"s${i}_${st.getPath.getName}"))
+        renameOrDie(st.getPath, new org.apache.hadoop.fs.Path(destDir, s"s${i}_${st.getPath.getName}"))
       }
     }
-    fs.rename(
+    renameOrDie(
       new org.apache.hadoop.fs.Path(s"${shards.head}/_centroids"),
       new org.apache.hadoop.fs.Path(destPath, "_centroids"))
     fs.create(new org.apache.hadoop.fs.Path(destPath, "_SUCCESS"), true).close()
@@ -1029,12 +1037,26 @@ object Ann extends QModule {
       .map(_.getPath.toString).sorted
     val snapDir = new org.apache.hadoop.fs.Path(s"$path/_snapshots")
     fs.mkdirs(snapDir)
-    val n = Option(fs.globStatus(new org.apache.hadoop.fs.Path(snapDir, "v*.txt")))
-      .map(_.length).getOrElse(0) + 1
-    val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$n.txt"), true)
+    // next version = max(existing)+1, NOT count+1 (ADVICE r9 medium):
+    // after expireSnapshots deletes older manifests, count no longer
+    // equals the max version — count+1 would either overwrite a live
+    // manifest or mint a version numbered BELOW the newest while holding
+    // a newer file set, breaking time-travel ordering. overwrite=false
+    // makes any residual collision fail loudly instead of silently.
+    val n = snapshotVersions(s, path).lastOption.getOrElse(0) + 1
+    val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$n.txt"), false)
     try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     n
+  }
+
+  /** The live (unexpired) snapshot versions of an artifact, ascending. */
+  def snapshotVersions(s: SparkSession, path: String): Seq[Int] = {
+    val (fs, _) = hfs(s, path)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v*.txt")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".txt").toInt)
+      .sorted.toSeq
   }
 
   /** The index AS OF snapshot `version`: reads exactly the manifest's
@@ -1059,12 +1081,7 @@ object Ann extends QModule {
     * version numbers. */
   def expireSnapshots(s: SparkSession, path: String, keepLast: Int): Seq[Int] = {
     val (fs, _) = hfs(s, path)
-    val versions = Option(
-      fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v*.txt")))
-      .getOrElse(Array.empty)
-      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".txt").toInt)
-      .sorted.toSeq
-    val expire = versions.dropRight(keepLast)
+    val expire = snapshotVersions(s, path).dropRight(keepLast)
     expire.foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$v.txt"), false))
     expire

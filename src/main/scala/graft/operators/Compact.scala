@@ -13,7 +13,7 @@ import graft.{Q, QModule, Tables}
   *     over packed longs, exact top-k rescore of the Hamming top-R. The
   *     production shape of every "binary quantization" tier in serving
   *     stacks (FAISS `IndexBinaryFlat`; the reference's float pipeline
-  *     `002-similarity_search.py:170-197` is the rescore stage here).
+  *     `002-brute_force_similarity.py:170-197` is the rescore stage here).
   *   - v35 — Matryoshka (MRL) prefix search: rank by the dot product of
   *     the first [[PrefixDim]] components only (the front-loaded prefix
   *     of an MRL-trained embedding), then exact full-dimension rescore —

@@ -2030,13 +2030,17 @@ object TextPipeline extends QModule {
     // enter the df aggregate, the rank window, or the prefix self-join
     // (the q62 discipline; the string form measured up to 28 s at sf0.1
     // under memory pressure, the hash form ~5 s warm). The prefix math
-    // runs on per-doc DISTINCT-HASH sets: a
-    // collision only merges shingles, so hash-set Jaccard ≥ string
-    // Jaccard and the complete hash-PPJoin candidate set still covers
-    // every string-qualifying pair — which the exact string-set verify
-    // then confirms. Any global total order works for the prefix-filter
-    // theorem; (df asc, hash asc) is portable because both sides hash
-    // identically.
+    // runs on per-doc DISTINCT-HASH sets. Completeness invariant
+    // (ADVICE r9): this is NOT "hash Jaccard ≥ string Jaccard" — a
+    // collision between two shingles present in BOTH documents lowers
+    // hash Jaccard to (i−1)/(u−1) < i/u, so a collision COULD in
+    // principle drop a string-qualifying pair below tau before the
+    // prefix filter sees it. Correctness rests on the 24-char
+    // PortableHash being injective on the corpus vocabulary (2^96
+    // space vs a vocabulary many orders smaller; injectivity makes
+    // hash-set Jaccard ≡ string-set Jaccard exactly), and the
+    // pp≡exact spec gate (TextPipelineSpec) plus the shared q22 oracle
+    // are the guards that would catch a collision if one ever landed.
     val tok = sh.select($"doc_id", explode($"s").as("tok"))
       .select($"doc_id", shingleHash($"tok").as("th"))
       .distinct()

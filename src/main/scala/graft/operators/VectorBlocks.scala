@@ -1150,9 +1150,12 @@ object VectorBlocks {
 
   /** Packed sign-bit block: `wpv` longs per vector (dim/64 rounded up),
     * row i occupies words[i*wpv, (i+1)*wpv); `cids` parallel to `ids`
-    * (−1s for an unindexed corpus). 384 dims → 6 longs = 48 B — the 32×
-    * rung of the compression ladder at kernel-bench scale (the
-    * registry-scale form is v34 in [[Compact]]). */
+    * and always VALID (≥ 0) — residual packing and the asymmetric
+    * scorer both index the centroid table by cid, so an unindexed
+    * corpus must be assigned first ([[assign]]); [[packBinaryResidual]]
+    * enforces this. 384 dims → 6 longs = 48 B — the 32× rung of the
+    * compression ladder at kernel-bench scale (the registry-scale form
+    * is v34 in [[Compact]]). */
   final case class BinBlock(ids: Array[Long], cids: Array[Int], wpv: Int, words: Array[Long])
 
   /** Sign-bit pack of the RESIDUALS (v − its list's centroid) — the
@@ -1167,6 +1170,13 @@ object VectorBlocks {
     blocks.map { b =>
       val cents = bc.value
       val n = b.ids.length
+      var g = 0
+      while (g < n) {
+        require(b.cids(g) >= 0 && b.cids(g) < cents.length,
+          s"packBinaryResidual needs an ASSIGNED corpus: cid ${b.cids(g)} for id ${b.ids(g)} " +
+            s"is outside [0, ${cents.length}) — run VectorBlocks.assign first")
+        g += 1
+      }
       val dim = b.dim
       val wpv = (dim + 63) >>> 6
       val words = new Array[Long](n * wpv)

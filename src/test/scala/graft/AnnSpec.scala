@@ -195,6 +195,13 @@ class AnnSpec extends SparkSpec {
       val latest = Ann.loadIndexAt(spark, root, 3)
       assert(latest.count() > 0)
       intercept[Exception](Ann.loadIndexAt(spark, root, 1).count())
+      // snapshot AFTER expiry must continue the version sequence (max+1,
+      // not count+1 — ADVICE r9 medium): never overwrite a live manifest,
+      // never mint a version below the newest
+      val v4 = Ann.snapshotIndex(spark, root)
+      assert(v4 == 4, s"post-expiry snapshot numbered $v4, expected 4")
+      assert(Ann.snapshotVersions(spark, root) == Seq(3, 4))
+      assert(Ann.loadIndexAt(spark, root, 4).count() == latest.count())
     } finally {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
