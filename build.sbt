@@ -41,10 +41,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 //    task OOMed the whole JVM (which no try/catch survives), and at 16g
 //    the working set out-sized the storage pool — the disk tier turned
 //    every probed-method slope superlinear (sq build 0.5 → 18.6 s).
-//    24g keeps the 2M set resident, which is the configuration the
-//    published slopes were measured under; Bench skips the 2M section
-//    with an inline note when the heap is smaller (SPARK_DRIVER_MEM=8g
-//    keeps small machines usable).
+//    24g keeps the 2M set resident; the r10 4M rung (~15.6 GB cached)
+//    needs ~40g for the same residency — Bench skips the 2M section
+//    below 14g and the 4M section below 36g with inline notes
+//    (SPARK_DRIVER_MEM=8g keeps small machines usable). The host has
+//    128 GiB; 40g leaves ~88 GiB of page cache, which the cold-scan
+//    leg drops explicitly anyway.
 //  - tests: fixture-scale data, 8g is ample.
-run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}"
 Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

@@ -72,11 +72,32 @@ object Bench {
           .map(row => s""""${row.getAs[String]("method")}":${f3(
             row.getAs[Double]("speedup_vs_bf"))}""")
           .mkString("{", ",", "}")
-        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
+        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_operating_point":{"pool":${r.binOpPool},"target":${KernelBench.BinOpTarget},"tune_recall_10":${f4(r.binOpTuneRecall)},"heldout_recall_10":${f4(r.binOpHoldRecall)},"ms_per_query":${f3(r.binOpMsPerQuery)}},"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
       } catch {
         case e: Throwable =>
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           "null"
+      }
+    // COLD-SCAN leg (VERDICT r9 next #1): the compression ladder's
+    // bytes-per-doc claim measured IO-bound — each tier's packed
+    // artifact re-read from parquet per pass, page cache dropped before
+    // every pass, bytes-read (syscall-level) + ms/query per tier.
+    // Failure is inline-reported, non-fatal (diagnostic leg).
+    val cold =
+      try {
+        spark.catalog.clearCache()
+        val cfgC = KernelBench.Default
+        val rootC = s"/tmp/graft_coldscan_n${cfgC.n}_d${cfgC.dim}"
+        val c = operators.ColdScan.run(spark, cfgC, rootC, passes = 3)
+        def f1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+        val tiers = c.tiers.map { t =>
+          s""""${t.name}":{"mb_disk":${f1(t.bytesDisk / 1e6)},"mb_read":${f1(t.bytesRead.min / 1e6)},"ms_per_query":${f3(t.passSec.min * 1000.0 / cfgC.nQueries)},"pass_sec":[${t.passSec.map(f3).mkString(",")}]}"""
+        }.mkString(",")
+        s"""{"n":${cfgC.n},"dim":${cfgC.dim},"page_cache_dropped":${c.pageCacheDropped},$tiers}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] kernel_cold_scan failed (non-fatal): ${e.getMessage}")
+          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
     // Scale-slope section (VERDICT r8 next #8): the same four scan
     // ladders at 2× the reference scale, trimmed to one sweep level and
@@ -100,10 +121,29 @@ object Bench {
           System.err.println(s"[bench] kernel_2m_384 failed (non-fatal): ${e.getMessage}")
           s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
+    // 4M rung (VERDICT r9 next #8): the third point of the scale-slope
+    // fit, same trims as 2M. Needs the 40g heap (resident set ~15.6 GB
+    // cached; at a smaller pool the disk tier turns every slope
+    // superlinear — the 2M@16g lesson, STATUS.md).
+    val kernel4m =
+      if (Runtime.getRuntime.maxMemory < 36L * 1024 * 1024 * 1024 * 96 / 100)
+        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 36g"}"""
+      else try {
+        spark.catalog.clearCache()
+        val cfg4 = KernelBench.Default.copy(
+          n = 4000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
+        val r4 = KernelBench.run(spark, cfg4)
+        val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+        s"""{"n":${cfg4.n},"dim":${cfg4.dim},"ms_per_query":${f3(r4.bfMsPerQuery)},"ann_build_sec":${f3(r4.annBuildSec)},"ann_ms_per_query":${f3(r4.annMsPerQuery)},"ann_recall_vs_exact":${f4(r4.annRecallVsExact)},"sq_build_sec":${f3(r4.sqBuildSec)},"sq_ms_per_query":${f3(r4.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r4.sqRecallVsExact)},"pq_build_sec":${f3(r4.pqBuildSec)},"pq_ms_per_query":${f3(r4.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r4.pqRecallVsExact)}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] kernel_4m_384 failed (non-fatal): ${e.getMessage}")
+          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+      }
     // serialize errors only now — the kernel benchmark above may add one
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"kernel_2m_384":$kernel2m,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"kernel_cold_scan":$cold,"kernel_2m_384":$kernel2m,"kernel_4m_384":$kernel4m,"errors":$errJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop() // stop BEFORE printing so no further logging can push the
     println(line) // JSON line out of the driver's bounded stdout tail

@@ -89,6 +89,10 @@ object KernelBench {
   val PqSubDim: Int = Default.pqSubDim
   val PqTrainIters: Int = Default.pqTrainIters
 
+  /** Recall@10 target the binary tier's declared operating point is
+    * selected against (tune half) and quoted at (held-out half). */
+  val BinOpTarget: Double = 0.95
+
   private[graft] def raw(cfg: Cfg, seed: Long): Array[Float] = {
     val a = new Array[Float](cfg.dim)
     var state = seed * 6364136223846793005L + 1442695040888963407L
@@ -201,6 +205,10 @@ object KernelBench {
       binQps: Double,
       binRecallVsExact: Double,
       binSweep: Seq[Report.SweepLevel],
+      binOpPool: Int,
+      binOpTuneRecall: Double,
+      binOpHoldRecall: Double,
+      binOpMsPerQuery: Double,
       graphBuildSec: Double,
       graphMsPerQuery: Double,
       graphQps: Double,
@@ -335,6 +343,36 @@ object KernelBench {
     out
   }
 
+  /** Residual-PQ codebook training for a cfg-scale corpus: a
+    * deterministic strided driver-side sample of residuals (v − its
+    * argmax-dot centroid) feeds [[operators.PqTrain.trainComposite]].
+    * Odd stride mod n, like trainCoarse: an even stride would sample
+    * residuals from only gcd(stride, C) of the cluster modes (61 at the
+    * 1M default is already odd — bit-identical there). Shared by the
+    * resident kernel run and the cold-scan leg so both scan the SAME
+    * codes. */
+  private[graft] def trainPqCodebook(cfg: Cfg, cents: Array[Array[Float]]): Array[Array[Float]] = {
+    val pqStride = math.max(1L, cfg.n.toLong / cfg.pqTrainSample) | 1L
+    val sample = Array.tabulate(cfg.pqTrainSample) { j =>
+      val v = vec(cfg, (j.toLong * pqStride) % cfg.n)
+      var bestC = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cfg.centroids) {
+        val cv = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < cfg.dim) { s += cv(i).toDouble * v(i).toDouble; i += 1 }
+        if (s > bestS) { bestS = s; bestC = c }
+        c += 1
+      }
+      val cv = cents(bestC)
+      Array.tabulate(cfg.dim)(i => v(i) - cv(i))
+    }
+    operators.PqTrain.trainComposite(
+      sample, cfg.dim, cfg.pqSubDim, cfg.pqCodebook, cfg.pqTrainIters)
+  }
+
   def run(spark: SparkSession): Result = run(spark, Default)
 
   /** Timed brute-force AND IVF-probed search at reference scale. The
@@ -404,28 +442,7 @@ object KernelBench {
     // encode of the INDEXED corpus (cids ride along for probe pruning);
     // Dim/PqSubDim one-byte codes per doc (96 B at 384-dim, PqSubDim 4).
     val tp = System.nanoTime()
-    // odd stride mod n, like trainCoarse: an even stride would sample
-    // residuals from only gcd(stride, C) of the cluster modes (61 at
-    // the 1M default is already odd — bit-identical there)
-    val pqStride = math.max(1L, cfg.n.toLong / cfg.pqTrainSample) | 1L
-    val sample = Array.tabulate(cfg.pqTrainSample) { j =>
-      val v = vec(cfg, (j.toLong * pqStride) % cfg.n)
-      var bestC = 0
-      var bestS = Double.NegativeInfinity
-      var c = 0
-      while (c < cfg.centroids) {
-        val cv = cents(c)
-        var s = 0.0
-        var i = 0
-        while (i < cfg.dim) { s += cv(i).toDouble * v(i).toDouble; i += 1 }
-        if (s > bestS) { bestS = s; bestC = c }
-        c += 1
-      }
-      val cv = cents(bestC)
-      Array.tabulate(cfg.dim)(i => v(i) - cv(i))
-    }
-    val codebook = operators.PqTrain.trainComposite(
-      sample, cfg.dim, cfg.pqSubDim, cfg.pqCodebook, cfg.pqTrainIters)
+    val codebook = trainPqCodebook(cfg, cents)
     val encoded = VectorBlocks.encodePqResidual(indexed, cents, codebook, cfg.pqSubDim)
     // MEMORY_AND_DISK, not MEMORY_ONLY: an evicted partition of this
     // index would silently RE-ENCODE its corpus slice inside a timed
@@ -620,16 +637,35 @@ object KernelBench {
     // binary rescore-pool sweep: the binary dial is the candidate pool R
     // (Hamming pre-rank quality is fixed; recall is bought with exact
     // rescore depth) — one timed fresh pass per level
-    val binSweep = cfg.binSweepPools.map { r =>
+    val binSweepFull = cfg.binSweepPools.map { r =>
       val t0 = System.nanoTime()
       val ids = binSearch(cfg, binIndex, queries, probes, r, cfg.k)
       val lvlSec = (System.nanoTime() - t0) / 1e9
       val r10 = math.min(10, cfg.k)
-      val rc = ids.iterator.zipWithIndex.map { case (got, qi) =>
+      val perQ = Array.tabulate(cfg.nQueries) { qi =>
         val e = exactRanked(queries(qi)._1).take(r10).toSet
-        got.take(r10).count(e.contains).toDouble / r10
-      }.sum / cfg.nQueries
-      Report.SweepLevel(r, rc, lvlSec, cfg.nQueries / lvlSec)
+        ids(qi).take(r10).count(e.contains).toDouble / r10
+      }
+      val rc = perQ.sum / cfg.nQueries
+      (Report.SweepLevel(r, rc, lvlSec, cfg.nQueries / lvlSec), perQ)
+    }
+    val binSweep = binSweepFull.map(_._1)
+    // DECLARED OPERATING POINT (VERDICT r9 wrong #2 / next #5): the
+    // published bin_recall_vs_exact scalar was the low-dial setting
+    // while the usable point hid inside the sweep. Select the pool the
+    // v36 way — the smallest rescore pool whose recall@10 on the TUNE
+    // half (even query indices) meets [[BinOpTarget]], falling back to
+    // the widest — then QUOTE it with recall measured on the HELD-OUT
+    // half (odd indices), so the headline number is an out-of-sample
+    // claim at a named dial, not the sweep's best cell.
+    val (binOpLvl, binOpHold, binOpTune) = {
+      def half(perQ: Array[Double], rem: Int): Double = {
+        val idx = perQ.indices.filter(_ % 2 == rem)
+        if (idx.isEmpty) 0.0 else idx.map(perQ(_)).sum / idx.size
+      }
+      val scored = binSweepFull.map { case (lvl, perQ) => (lvl, half(perQ, 0), half(perQ, 1)) }
+      scored.find(_._2 >= BinOpTarget)
+        .getOrElse(scored.last) match { case (lvl, tune, hold) => (lvl, hold, tune) }
     }
     binIndex.unpersist()
     sqIndex.unpersist()
@@ -687,6 +723,10 @@ object KernelBench {
       binQps = cfg.nQueries / binSec,
       binRecallVsExact = binRecall,
       binSweep = binSweep,
+      binOpPool = binOpLvl.ef,
+      binOpTuneRecall = binOpTune,
+      binOpHoldRecall = binOpHold,
+      binOpMsPerQuery = binOpLvl.searchTimeSec * 1000.0 / cfg.nQueries,
       graphBuildSec = graphBuildSec,
       graphMsPerQuery = graphHeadline.searchTimeSec * 1000.0 / cfg.nQueries,
       graphQps = graphHeadline.qps,

@@ -431,17 +431,30 @@ object Ann extends QModule {
     * [[compactIndex]] reclaims the space. Appending twice is harmless
     * (the mask is a set); the tombstone set stays broadcast-small
     * between compactions — the compaction cadence is the bound. */
-  def deleteFromIndex(s: SparkSession, d: String, pred: Column): Unit = {
-    val path = buildIndex(s, d)
-    loadIndex(s, d).filter(pred)
+  def deleteFromIndex(s: SparkSession, d: String, pred: Column): Unit =
+    deleteFromIndexAt(s, buildIndex(s, d), pred)
+
+  /** Path form of [[deleteFromIndex]] — the lifecycle ops all take a
+    * path so ONE artifact can be added to, snapshotted, deleted from,
+    * compacted and time-traveled (VERDICT r9 next #4; the (s, d) forms
+    * remain as registry-artifact sugar). */
+  def deleteFromIndexAt(s: SparkSession, path: String, pred: Column): Unit =
+    indexFrame(s, path).filter(pred)
       .select(col("doc_id"), col("centroid_id"))
       .write.mode("append").parquet(s"$path/_tombstones")
-  }
+
+  /** The artifact's live data scan at `path` (doc_id, label, embedding,
+    * centroid_id) — [[loadIndex]] without the build-if-absent tie to the
+    * registry corpus. */
+  def indexFrame(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).withColumn("centroid_id", col("centroid_id").cast("long"))
 
   /** The artifact's tombstone set — empty frame when none recorded. */
-  def tombstones(s: SparkSession, d: String): DataFrame = {
+  def tombstones(s: SparkSession, d: String): DataFrame =
+    tombstonesAt(s, buildIndex(s, d))
+
+  def tombstonesAt(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
-    val path = buildIndex(s, d)
     val (fs, p) = hfs(s, s"$path/_tombstones")
     if (fs.exists(p)) s.read.parquet(s"$path/_tombstones")
     else Seq.empty[(Long, Long)].toDF("doc_id", "centroid_id")
@@ -460,6 +473,36 @@ object Ann extends QModule {
     BruteForce.rerank(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
   }
 
+  /** Tombstone-masked search over an arbitrary artifact: the
+    * [[searchLive]] plan against `path`'s own frozen quantizer and live
+    * file set. */
+  def searchLiveAt(
+      s: SparkSession, d: String, path: String,
+      maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val q = emb(s, d)
+      .filter($"vec_id" < maxQueryId)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val cents = s.read.parquet(s"$path/_centroids")
+    val cand = scoredOn(s, q, cents, indexFrame(s, path), nProbe, None).drop("prn")
+    val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
+    BruteForce.rerank(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
+  }
+
+  /** Time-travel search over an arbitrary artifact: the probe/score/
+    * rerank core over exactly snapshot `version`'s file set. */
+  def searchAtPath(
+      s: SparkSession, d: String, path: String, version: Int,
+      maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val q = emb(s, d)
+      .filter($"vec_id" < maxQueryId)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val cents = s.read.parquet(s"$path/_centroids")
+    BruteForce.rerank(
+      scoredOn(s, q, cents, loadIndexAt(s, path, version), nProbe, None).drop("prn"), k)
+  }
+
   /** Physical reclaim of tombstoned rows — PARTITION-LOCAL: only the
     * centroid partitions that actually contain tombstoned docs (an O(C)
     * driver-side list) are read and rewritten; untouched partitions'
@@ -467,15 +510,27 @@ object Ann extends QModule {
     * swapped in with Hadoop-FS renames (a partition whose rows were all
     * deleted simply disappears), then the tombstone set is cleared.
     * After compaction [[searchLive]] ≡ [[search]] by construction. */
-  def compactIndex(s: SparkSession, d: String): Unit = {
+  def compactIndex(s: SparkSession, d: String): Unit =
+    compactIndexAt(s, buildIndex(s, d))
+
+  /** Path form of [[compactIndex]], UNIFIED with time travel (VERDICT
+    * r9 next #4): compaction rewrites files that live snapshot
+    * manifests may reference, so after the partition swap it (a)
+    * EXPIRES exactly the manifests that now reference a missing file —
+    * the production table-format rule: a rewrite invalidates the
+    * snapshots that pinned the rewritten files — and (b) writes a fresh
+    * POST-COMPACT snapshot, so `search-as-of latest` over the compacted
+    * artifact equals the pre-compact tombstone-masked search and the
+    * version history stays monotone (max+1 numbering survives the
+    * expiry). An artifact that never snapshotted pays nothing. */
+  def compactIndexAt(s: SparkSession, path: String): Unit = {
     import s.implicits._
-    val path = buildIndex(s, d)
-    val tomb = tombstones(s, d)
+    val tomb = tombstonesAt(s, path)
     val affected = tomb.select($"centroid_id").distinct().as[Long].collect().sorted
     if (affected.nonEmpty) {
       val (fs, _) = hfs(s, path)
       val tmp = s"${path}_compacting"
-      loadIndex(s, d)
+      indexFrame(s, path)
         .filter($"centroid_id".isin(affected: _*))
         .join(broadcast(tomb.select($"doc_id").distinct()), Seq("doc_id"), "left_anti")
         .select($"doc_id", $"label", $"embedding", $"centroid_id")
@@ -488,7 +543,156 @@ object Ann extends QModule {
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+      val versions = snapshotVersions(s, path)
+      if (versions.nonEmpty) {
+        val invalidated = versions.filter(v =>
+          manifestFiles(s, path, v).exists(f => !fs.exists(new org.apache.hadoop.fs.Path(f))))
+        invalidated.foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$v.txt"), false))
+        snapshotIndex(s, path)
+      }
     }
+  }
+
+  // ------------------------------------------- index lifecycle: kNN graph
+
+  /** Serving degree of the artifact's kNN-graph sidecar (per-src edge
+    * budget at read time — same role as [[VectorSearch]]'s registry
+    * graph degree). */
+  val GraphDegree = 3
+
+  /** Probe width for graph construction/insert candidate generation. */
+  val GraphBuildProbe = 2
+
+  /** BULK kNN-graph build over an artifact's live rows — the graph
+    * sidecar analog of the registry's memoized graph (VectorSearch
+    * knnGraph; reference context: hnswlib's insert-all construction,
+    * `003-hnswlib_demo.py:234-257`), persisted as append-only candidate
+    * edges at `$path/_graph` (src, dst, score). Shape: each row emits
+    * [[GraphBuildProbe]] probe rows against the broadcast centroid set,
+    * which equi-join the artifact's OWN centroid_id partitioning (the
+    * assignment side is free — index rows already carry centroid_id);
+    * per-src top-[[GraphDegree]] via the bounded-heap rerank. No
+    * corpus-sized broadcast, no cartesian. */
+  def buildGraphAt(s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    val cs = s.read.parquet(s"$path/_centroids")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcC = s.sparkContext.broadcast(cs)
+    val probes = indexFrame(s, path)
+      .select($"doc_id", $"embedding").as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        bcC.value.iterator.map { case (cid, cv) =>
+          val n = math.min(vec.length, cv.length)
+          var sc = 0.0
+          var i = 0
+          while (i < n) { sc += cv(i).toDouble * vec(i).toDouble; i += 1 }
+          (cid, sc)
+        }.toArray.sortBy { case (cid, sc) => (-sc, cid) }
+          .take(GraphBuildProbe)
+          .map { case (cid, _) => (id, vec, cid) }
+      }.toDF("query_id", "qe", "centroid_id")
+    val nbrs = indexFrame(s, path)
+      .select($"doc_id", $"embedding".as("ne"), $"centroid_id")
+    val scored = probes.join(nbrs, Seq("centroid_id"))
+      .filter($"query_id" =!= $"doc_id")
+      .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"ne").as("score"))
+    BruteForce.rerank(scored, GraphDegree)
+      .select($"query_id".as("src"), $"doc_id".as("dst"), $"score")
+      .write.mode("overwrite").parquet(s"$path/_graph")
+  }
+
+  /** INCREMENTAL graph maintenance (VERDICT r9 next #2) — the O(|delta|)
+    * insert that [[addVectors]] has and the graph lacked: each new
+    * vector probes the EXISTING index for its top-[[GraphDegree]]
+    * neighbors (O(|delta| · probed-list) work — the natural graph
+    * insert, exactly hnswlib's per-point search-then-link,
+    * `003-hnswlib_demo.py:234-257`, made bulk-synchronous), then BOTH
+    * directions are APPENDED as candidate edges:
+    *
+    *  - out-edges (new → nbr): the new vector's own adjacency;
+    *  - in-edges (nbr → new): the touched neighborhoods' refresh — made
+    *    LAZY by the read contract below, so no existing neighbor's edge
+    *    list is read or rewritten at insert time.
+    *
+    * Read contract ([[graphAt]]): the serving adjacency is per-src
+    * top-[[GraphDegree]] by (score desc, dst) over ALL candidate edges,
+    * so an appended in-edge that beats a neighbor's current worst edge
+    * wins at read time with zero write amplification — and a full
+    * [[buildGraphAt]] rebuild is never required for reachability.
+    * Call AFTER [[addVectors]] with the same delta: probing the merged
+    * artifact lets delta–delta neighborships form too. */
+  def addToGraphAt(
+      s: SparkSession, path: String,
+      delta: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = {
+    import s.implicits._
+    val q = delta.toDF("id", "vec", "label")
+      .select($"id".as("query_id"), $"vec".as("qe"))
+    val cents = s.read.parquet(s"$path/_centroids")
+    val nbr = BruteForce.rerank(
+      scoredOn(s, q, cents, indexFrame(s, path), GraphBuildProbe, None).drop("prn"),
+      GraphDegree)
+      .select($"query_id", $"doc_id", $"score")
+    val out = nbr.select($"query_id".as("src"), $"doc_id".as("dst"), $"score")
+    val in = nbr.select($"doc_id".as("src"), $"query_id".as("dst"), $"score")
+    out.unionByName(in).write.mode("append").parquet(s"$path/_graph")
+  }
+
+  /** The artifact's serving adjacency `(src, rnk, dst)`: per-src
+    * top-[[GraphDegree]] by (score desc, dst) over the appended
+    * candidate edges, (src, dst) deduped first (bulk build + incremental
+    * appends can re-derive the same edge; scores are deterministic dots,
+    * so max() is a no-op dedup, not a choice). */
+  def graphAt(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val edges = s.read.parquet(s"$path/_graph")
+      .groupBy($"src", $"dst").agg(max($"score").as("score"))
+      .select($"src".as("query_id"), $"dst".as("doc_id"), $"score")
+    BruteForce.rerank(edges, GraphDegree)
+      .select($"query_id".as("src"), $"rnk", $"doc_id".as("dst"))
+  }
+
+  /** Plain tombstone-masked top-k over an artifact for an ARBITRARY
+    * query frame (query_id, qe) — [[searchLiveAt]] without the
+    * registry-corpus query tie; the seed stage of
+    * [[graphRefinedSearchAt]] and the baseline its specs compare
+    * against. */
+  def searchArtifact(
+      s: SparkSession, q: DataFrame, path: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = s.read.parquet(s"$path/_centroids")
+    val cand = scoredOn(s, q, cents, indexFrame(s, path), nProbe, None).drop("prn")
+    val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
+    BruteForce.rerank(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
+  }
+
+  /** Graph-refined search over an artifact (the v33 plan shape, served
+    * from the PERSISTED sidecar): a narrow seed search expands one hop
+    * over [[graphAt]], the union is exact-rescored from the artifact's
+    * own rows, tombstones masked, top-k re-ranked. A vector added via
+    * [[addVectors]] + [[addToGraphAt]] is reachable HERE without any
+    * bulk rebuild — via its own out-edges when seeded, and via its
+    * appended in-edges when its neighbors are seeded (the spec pins the
+    * latter on a navigable corpus). Candidates stay query-bounded
+    * (≤ q·seedK·(1+[[GraphDegree]])), so they broadcast into the
+    * corpus-sided rescore fetch — the artifact never shuffles. */
+  def graphRefinedSearchAt(
+      s: SparkSession, q: DataFrame, path: String, k: Int, nProbe: Int,
+      seedK: Int): DataFrame = {
+    import s.implicits._
+    val seeds = searchArtifact(s, q, path, seedK, nProbe)
+      .select($"query_id", $"doc_id")
+    val expanded = seeds.as("s")
+      .join(graphAt(s, path).as("g"), col("s.doc_id") === col("g.src"))
+      .select(col("s.query_id").as("query_id"), col("g.dst").as("doc_id"))
+    val cand = seeds.union(expanded).distinct()
+      .filter($"query_id" =!= $"doc_id") // corpus-member queries (v33 style)
+    val scored = indexFrame(s, path)
+      .select($"doc_id", $"embedding".as("de"))
+      .join(broadcast(cand), Seq("doc_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"de").as("score"))
+    val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
+    BruteForce.rerank(scored.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
   }
 
   // -------------------------------------------- index lifecycle: rebalance
@@ -1037,16 +1241,31 @@ object Ann extends QModule {
       .map(_.getPath.toString).sorted
     val snapDir = new org.apache.hadoop.fs.Path(s"$path/_snapshots")
     fs.mkdirs(snapDir)
-    // next version = max(existing)+1, NOT count+1 (ADVICE r9 medium):
+    // next version = max(ever issued)+1, NOT count+1 (ADVICE r9 medium):
     // after expireSnapshots deletes older manifests, count no longer
     // equals the max version — count+1 would either overwrite a live
     // manifest or mint a version numbered BELOW the newest while holding
-    // a newer file set, breaking time-travel ordering. overwrite=false
-    // makes any residual collision fail loudly instead of silently.
-    val n = snapshotVersions(s, path).lastOption.getOrElse(0) + 1
+    // a newer file set, breaking time-travel ordering. And max(EXISTING)
+    // alone is not enough either: expiring ALL manifests (post-compact
+    // expiry can) would restart numbering at 1, so a `_hwm` high-water
+    // sidecar remembers the last issued version across total expiry.
+    // overwrite=false on the manifest makes any residual collision fail
+    // loudly instead of silently.
+    val hwmPath = new org.apache.hadoop.fs.Path(snapDir, "_hwm")
+    val hwm =
+      if (!fs.exists(hwmPath)) 0
+      else {
+        val in = fs.open(hwmPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }
+    val n = math.max(hwm, snapshotVersions(s, path).lastOption.getOrElse(0)) + 1
     val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$n.txt"), false)
     try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val hw = fs.create(hwmPath, true)
+    try hw.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally hw.close()
     n
   }
 
@@ -1062,14 +1281,16 @@ object Ann extends QModule {
   /** The index AS OF snapshot `version`: reads exactly the manifest's
     * files; `basePath` keeps the `centroid_id=` partition column (and
     * with it partition pruning) intact. */
-  def loadIndexAt(s: SparkSession, path: String, version: Int): DataFrame = {
+  def loadIndexAt(s: SparkSession, path: String, version: Int): DataFrame =
+    s.read.option("basePath", path).parquet(manifestFiles(s, path, version): _*)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+
+  /** Snapshot `version`'s recorded file list. */
+  def manifestFiles(s: SparkSession, path: String, version: Int): Seq[String] = {
     val (fs, _) = hfs(s, path)
     val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$version.txt"))
-    val files =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSeq
-      finally in.close()
-    s.read.option("basePath", path).parquet(files: _*)
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSeq
+    finally in.close()
   }
 
   /** Expire all but the newest `keepLast` snapshot manifests — the
@@ -1115,16 +1336,8 @@ object Ann extends QModule {
     * probe/score/rerank core, over exactly the manifest's files. */
   def searchAt(
       s: SparkSession, d: String, version: Int,
-      maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
-    import s.implicits._
-    val path = buildSnapshottedIndex(s, d)
-    val cents = s.read.parquet(s"$path/_centroids")
-    val q = emb(s, d)
-      .filter($"vec_id" < maxQueryId)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    BruteForce.rerank(
-      scoredOn(s, q, cents, loadIndexAt(s, path, version), nProbe, None).drop("prn"), k)
-  }
+      maxQueryId: Int, k: Int, nProbe: Int): DataFrame =
+    searchAtPath(s, d, buildSnapshottedIndex(s, d), version, maxQueryId, k, nProbe)
 
   // ---------------------------------------------------------------- v38
   /** Time-travel gate: search AS OF v1 must see ONLY the base corpus

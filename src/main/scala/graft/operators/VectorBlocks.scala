@@ -106,8 +106,11 @@ object VectorBlocks {
     }
   }
 
-  /** 4-way-unrolled dot of query `q` against row `r` of `data`. */
-  @inline private def dotRow(q: Array[Float], data: Array[Float], off: Int, dim: Int): Double = {
+  /** 4-way-unrolled dot of query `q` against row `r` of `data`.
+    * `private[operators]` so [[ColdScan]] scores with the IDENTICAL
+    * summation order — its float-tier equality gate vs [[bfSearch]]
+    * needs bit-equal doubles, not just mathematically-equal ones. */
+  @inline private[operators] def dotRow(q: Array[Float], data: Array[Float], off: Int, dim: Int): Double = {
     var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
     var i = 0
     val lim = dim - 3

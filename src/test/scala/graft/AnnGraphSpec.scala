@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.Ann
+
+/** Incremental kNN-graph maintenance (VERDICT r9 next #2): the graph
+  * sidecar gets the same O(|delta|) story as the index — a vector added
+  * via [[Ann.addVectors]] + [[Ann.addToGraphAt]] must be reachable
+  * through graph-refined search WITHOUT a bulk [[Ann.buildGraphAt]]
+  * rebuild, at O(|delta| · probe) insert cost (append-only: no existing
+  * edge file read or rewritten).
+  *
+  * Corpus: the navigable ring manifold (doc i at angle 2πi/n, small
+  * off-plane noise — KernelBenchSpec's graph-lift geometry): IVF lists
+  * are Voronoi arcs, a query near an arc boundary loses its across-
+  * boundary true neighbors at nProbe=1, and ring-adjacent graph edges
+  * point exactly at them. The DELTA is every 8th ring position — held
+  * out of the base build, added incrementally — so across-boundary
+  * rescues of delta docs are witnesses that incremental edges carry
+  * reachability.
+  */
+object AnnGraphSpec {
+  val n = 1000
+  val dim = 32
+  val nCent = 16
+  private def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+  def mvec(i: Double): Array[Float] = {
+    val a = new Array[Float](dim)
+    val th = 2.0 * math.Pi * i / n
+    a(0) = math.cos(th).toFloat
+    a(1) = math.sin(th).toFloat
+    var st = lcg(math.round(i * 1024).toLong + 7)
+    var j = 2
+    while (j < dim) {
+      st = lcg(st)
+      a(j) = 0.05f * (((st >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f)
+      j += 1
+    }
+    a
+  }
+  def isDelta(id: Long): Boolean = id % 8 == 7
+}
+
+class AnnGraphSpec extends SparkSpec {
+
+  import spark.implicits._
+  import AnnGraphSpec._
+
+  private lazy val fixture: (String, Long, Set[String], Long) = {
+    val path = java.nio.file.Files.createTempDirectory("graft_graph").toString + "/idx"
+    val base = spark.range(n.toLong).filter(id => !isDelta(id))
+      .map(id => (id, mvec(id.toDouble), 0))
+      .toDF("id", "vec", "label").as[(Long, Array[Float], Int)]
+    val cents = Array.tabulate(nCent)(c => (c.toLong, mvec(c.toDouble * n / nCent)))
+    Ann.writeIndexArtifact(spark, path, base, cents)
+    Ann.buildGraphAt(spark, path)
+    val gp = new org.apache.hadoop.fs.Path(s"$path/_graph")
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles = fs.listStatus(gp).map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+    val filesBefore = partFiles
+    val edgesBefore = spark.read.parquet(s"$path/_graph").count()
+    val delta = spark.range(n.toLong).filter(id => isDelta(id))
+      .map(id => (id, mvec(id.toDouble), 0))
+      .toDF("id", "vec", "label").as[(Long, Array[Float], Int)]
+    Ann.addVectors(spark, path, delta)
+    Ann.addToGraphAt(spark, path, delta)
+    assert(filesBefore.subsetOf(partFiles),
+      "incremental graph add rewrote or removed existing edge files")
+    (path, edgesBefore, filesBefore, delta.count())
+  }
+  private def path = fixture._1
+
+  // held-out queries just INSIDE each Voronoi boundary: position
+  // 62.5c + 31.25 - 0.3, probing arc c, with true neighbors across
+  private lazy val queries: Array[(Long, Array[Float])] =
+    Array.tabulate(nCent)(c => (c.toLong, mvec(c * n.toDouble / nCent + n.toDouble / (2 * nCent) - 0.3)))
+  private lazy val qDf = queries.toSeq.toDF("query_id", "qe")
+
+  private lazy val exact10: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+    val scored = (0L until n.toLong).map { id =>
+      val v = mvec(id.toDouble)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += qv(i).toDouble * v(i).toDouble; i += 1 }
+      (id, s)
+    }
+    qid -> scored.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+  }.toMap
+
+  private def resultsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select($"query_id", $"doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+
+  test("added vectors are reachable via graph refinement with NO bulk rebuild") {
+    val plain = resultsOf(Ann.searchArtifact(spark, qDf, path, k = 10, nProbe = 1))
+    val refined = resultsOf(
+      Ann.graphRefinedSearchAt(spark, qDf, path, k = 10, nProbe = 1, seedK = 10))
+    // witnesses: a DELTA doc in the query's exact top-10 that plain
+    // nProbe=1 misses (it lives across the arc boundary) and graph
+    // refinement recovers — reachable only through edges appended by
+    // addToGraphAt, since the bulk build never saw the delta
+    val witnesses = queries.flatMap { case (qid, _) =>
+      exact10(qid).filter(isDelta)
+        .filter(v => !plain.getOrElse(qid, Set.empty).contains(v))
+        .filter(v => refined.getOrElse(qid, Set.empty).contains(v))
+        .map(v => (qid, v))
+    }
+    info(s"across-boundary delta rescues: ${witnesses.length} (${witnesses.take(5).toSeq})")
+    assert(witnesses.nonEmpty,
+      "no added vector was rescued by incremental graph edges — reachability broken")
+    // aggregate: refinement must not lose recall anywhere and must lift it overall
+    def recall(m: Map[Long, Set[Long]]): Double = queries.map { case (qid, _) =>
+      exact10(qid).count(m.getOrElse(qid, Set.empty).contains).toDouble / 10
+    }.sum / queries.length
+    val (pr, rr) = (recall(plain), recall(refined))
+    info(f"boundary queries: plain@nProbe=1 recall10=$pr%.4f -> graph-refined $rr%.4f")
+    assert(rr > pr, s"graph refinement must lift recall on the navigable ring: $rr vs $pr")
+  }
+
+  test("incremental graph insert is O(|delta|): append-only, bounded edge rows") {
+    val (_, edgesBefore, _, deltaCount) = fixture
+    val edgesAfter = spark.read.parquet(s"$path/_graph").count()
+    val appended = edgesAfter - edgesBefore
+    // out-edges + in-edges, GraphDegree each per delta vector
+    assert(appended > 0 && appended <= 2L * deltaCount * Ann.GraphDegree,
+      s"appended $appended edge rows for $deltaCount delta vectors")
+  }
+
+  test("serving adjacency: per-src degree bound and dedup under re-append") {
+    // appending the SAME delta again must not change the served graph
+    // (scores are deterministic; (src,dst) dedup + top-degree re-rank)
+    val before = Ann.graphAt(spark, path).as[(Long, Long, Long)].collect().toSet
+    val delta = spark.range(n.toLong).filter(id => isDelta(id))
+      .map(id => (id, mvec(id.toDouble), 0))
+      .toDF("id", "vec", "label").as[(Long, Array[Float], Int)]
+    Ann.addToGraphAt(spark, path, delta)
+    val after = Ann.graphAt(spark, path).as[(Long, Long, Long)].collect().toSet
+    assert(after == before, "re-appending identical edges changed the served adjacency")
+    val degrees = after.groupBy(_._1).map(_._2.size)
+    assert(degrees.forall(_ <= Ann.GraphDegree))
+  }
+}

@@ -299,4 +299,32 @@ class KernelBenchSpec extends SparkSpec {
     assert(result.binBuildSec > 0 && result.binMsPerQuery > 0 && result.binQps > 0)
     blocks.unpersist(); indexed.unpersist(); bin.unpersist()
   }
+
+  test("binary operating point: tune-half selection meets the target out of sample") {
+    // the published pool must be a sweep level, selected as the SMALLEST
+    // tune-half-qualifying pool (or the widest fallback)
+    assert(cfg.binSweepPools.contains(result.binOpPool),
+      s"operating pool ${result.binOpPool} not a sweep level")
+    if (result.binOpTuneRecall >= KernelBench.BinOpTarget) {
+      // selection qualified on the tune half: the quoted held-out recall
+      // must carry the claim (small-sample slack: 10 held-out queries ×
+      // recall@10 quantizes in 0.01 steps)
+      assert(result.binOpHoldRecall >= KernelBench.BinOpTarget - 0.05,
+        s"held-out recall ${result.binOpHoldRecall} far below target at pool ${result.binOpPool}")
+      // no SMALLER pool also qualified (minimality of the dial)
+      val idx = cfg.binSweepPools.indexOf(result.binOpPool)
+      assert(idx == 0 || {
+        // recompute nothing: monotone pools mean any smaller level in the
+        // sweep with recall >= target would contradict minimality; the
+        // sweep's full-query recall upper-bounds neither half, so just
+        // sanity-check the chosen level is the first index whose FULL
+        // sweep recall could clear target-0.05
+        result.binSweep(idx - 1).recall10 < KernelBench.BinOpTarget + 0.05
+      })
+    } else {
+      // nothing qualified: the fallback is the widest pool
+      assert(result.binOpPool == cfg.binSweepPools.last)
+    }
+    assert(result.binOpMsPerQuery > 0)
+  }
 }
