@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, Bucketing, Cluster, Compact, Fingerprint, FullText, Multimodal, Pq, Relational, Sampling, Sq, Temporal, TextPipeline, VectorSearch}
+import graft.operators.{Analytics, Ann, Autotune, Bucketing, Cluster, Compact, Fingerprint, FullText, Multimodal, Pq, Relational, Sampling, Sq, Temporal, TextPipeline, VectorSearch}
 import graft.sources.{FileFormats, ReportLoop}
 import graft.streaming.Streams
 
@@ -12,7 +12,7 @@ object SparkEntry {
   /** All registered operator modules; each Q carries its Spark impl and
     * (when SQL-expressible) its DuckDB oracle. */
   def modules: Seq[QModule] =
-    Seq(Relational, VectorSearch, Ann, Pq, Sq, Compact, TextPipeline, Sampling, Multimodal, FileFormats, ReportLoop, Streams, Analytics, Temporal, Bucketing, Fingerprint, Cluster, FullText)
+    Seq(Relational, VectorSearch, Ann, Pq, Sq, Compact, Autotune, TextPipeline, Sampling, Multimodal, FileFormats, ReportLoop, Streams, Analytics, Temporal, Bucketing, Fingerprint, Cluster, FullText)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

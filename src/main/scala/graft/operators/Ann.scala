@@ -809,6 +809,13 @@ object Ann extends QModule {
     * embeddings row — mirrors the engine's pre-filter on index rows). */
   private[graft] def duckSearch(maxQ: Int, k: Int, nProbe: Int,
       predSql: String = "TRUE"): String =
+    duckSearchDyn(maxQ, k, nProbe.toString, predSql)
+
+  /** [[duckSearch]] with the probe bound as an arbitrary SQL scalar
+    * expression — v42's oracle replays the adaptive widening as a
+    * computed subquery instead of a literal. */
+  private[graft] def duckSearchDyn(maxQ: Int, k: Int, nProbeSql: String,
+      predSql: String = "TRUE"): String =
     s"""SELECT query_id, doc_id, rnk FROM (
         SELECT s.query_id, s.doc_id,
                row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rnk
@@ -820,7 +827,7 @@ object Ann extends QModule {
                      row_number() OVER (PARTITION BY q.vec_id
                                         ORDER BY ${duckDot("q.embedding", "c.ce")} DESC, c.centroid_id) AS prn
               FROM embeddings q, cent c WHERE q.vec_id < $maxQ)
-            WHERE prn <= $nProbe) p
+            WHERE prn <= ($nProbeSql)) p
           JOIN assign a USING (centroid_id)
           JOIN embeddings e ON e.vec_id = a.doc_id
           WHERE a.doc_id <> p.query_id AND ($predSql)) s)
@@ -1141,6 +1148,108 @@ object Ann extends QModule {
       SELECT target_pm, n_probe, osum, nq FROM r WHERE rn = 1 ORDER BY target_pm"""
     })
 
+  // ---------------------------------------------------------------- v42
+  /** The adaptive probe-widening rule, shared by engine and oracle as
+    * ALL-INTEGER arithmetic (the v36 discipline): widen the base probe
+    * count by the inverse survivor fraction, capped at [[Centroids]] —
+    * `min(C, ⌈baseProbe · total / surv⌉)` with integer ceil, so both
+    * engines pick the same dial from the same counts. Widening by 1/f
+    * keeps the EXPECTED number of predicate-surviving candidates per
+    * query constant as the filter thins the probed lists — the quantity
+    * a fixed dial silently loses. */
+  def adaptiveProbes(baseProbe: Int, total: Long, surv: Long): Int = {
+    val s = math.max(1L, surv)
+    math.min(Centroids.toLong, (baseProbe.toLong * total + s - 1) / s).toInt
+  }
+
+  /** SELECTIVITY-ADAPTIVE filtered ANN (VERDICT r9 next #3) — the fix
+    * for the classic filtered-vector-search failure mode: at a fixed
+    * nProbe, a selective predicate thins each probed inverted list, so
+    * the candidate pool starves and recall silently drops (v19 hand-set
+    * a wider dial; this operator DERIVES it). Decision:
+    *
+    *  1. measure selectivity: `surv / total` over the index's own
+    *     predicate columns (a column-pruned count — at 100 TB this is
+    *     parquet statistics work, not a data scan, and the per-source
+    *     count frames q70/q82 maintain serve as the cached estimate);
+    *  2. widen: nEff = [[adaptiveProbes]] — expected surviving
+    *     candidates per query stay at the unfiltered level;
+    *  3. CROSSOVER: when nEff reaches [[Centroids]] the probe machinery
+    *     buys nothing (every partition would be read) — fall back to
+    *     EXACT brute force over the filtered subset, the cheaper plan:
+    *     the predicate pushes into the partitioned parquet scan and the
+    *     q-bounded query side broadcasts into it (v18's shape). Exact
+    *     results for the hardest filters is the property the oracle
+    *     gates: below the crossover the engine serves exactly what
+    *     full-probe filtered search would.
+    *
+    * Both branches pre-filter (k stays guaranteed over the filtered
+    * universe) and end in the bounded-heap rerank. */
+  def adaptiveFilteredSearch(
+      s: SparkSession, d: String, maxQueryId: Int, k: Int, baseProbe: Int,
+      pred: Column): DataFrame = {
+    import s.implicits._
+    val idx = loadIndex(s, d)
+    val total = idx.count()
+    val surv = idx.filter(pred).count()
+    val nEff = adaptiveProbes(baseProbe, total, surv)
+    if (nEff >= Centroids) {
+      val q = emb(s, d)
+        .filter($"vec_id" < maxQueryId)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val scored = idx.filter(pred)
+        .select($"doc_id", $"embedding")
+        .crossJoin(broadcast(q))
+        .filter($"doc_id" =!= $"query_id")
+        .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"embedding").as("score"))
+      BruteForce.rerank(scored, k)
+    } else search(s, d, maxQueryId, k, nEff, Some(pred))
+  }
+
+  /** Registry surface for the adaptive rule, BOTH regimes under one
+    * hash gate: a ~1/37-selective predicate that crosses over to exact
+    * (the oracle for that branch IS exact filtered search — the engine's
+    * decision must deliver it), and a ~0.4-selective one that stays on
+    * the widened probe path (the oracle REPLAYS the widening formula
+    * from SQL-computed counts as the probe bound — same integers, same
+    * dial, same rows). A broken decision rule on either side
+    * hash-mismatches. */
+  private val v42 = Q(
+    "v42_adaptive_filtered",
+    (s, d) => {
+      import s.implicits._
+      val sel = adaptiveFilteredSearch(s, d, maxQueryId = 20, k = 10,
+          baseProbe = 4, pred = col("doc_id") % 37 === 0)
+        .select(lit("selective").as("branch"), $"query_id", $"rnk", $"doc_id")
+      val mid = adaptiveFilteredSearch(s, d, maxQueryId = 20, k = 10,
+          baseProbe = 4, pred = col("label") % 3 === 0)
+        .select(lit("midrange").as("branch"), $"query_id", $"rnk", $"doc_id")
+      sel.unionByName(mid).orderBy($"branch", $"query_id", $"rnk")
+    },
+    Some(s"""WITH $duckCentAssign,
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      sel_scored AS (
+        SELECT q.query_id, e.vec_id AS doc_id, ${duckDot("q.qe", "e.embedding")} AS score
+        FROM q, embeddings e
+        WHERE e.vec_id % 37 = 0 AND e.vec_id <> q.query_id),
+      sel AS (
+        SELECT 'selective' AS branch, query_id, rnk, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+          FROM sel_scored)
+        WHERE rnk <= 10),
+      mid AS (
+        SELECT 'midrange' AS branch, query_id, rnk, doc_id
+        FROM (${duckSearchDyn(20, 10,
+          s"""SELECT LEAST($Centroids,
+                (4 * (SELECT count(*) FROM embeddings)
+                 + (SELECT count(*) FROM embeddings WHERE label % 3 = 0) - 1)
+                // (SELECT count(*) FROM embeddings WHERE label % 3 = 0))""",
+          "e.label % 3 = 0")}))
+    SELECT branch, query_id, rnk, doc_id FROM sel
+    UNION ALL SELECT branch, query_id, rnk, doc_id FROM mid
+    ORDER BY branch, query_id, rnk"""))
+
   // --------------------------------------------- sharded build + merge
 
   private def shardRoot(s: SparkSession, d: String): String =
@@ -1416,5 +1525,5 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42)
 }

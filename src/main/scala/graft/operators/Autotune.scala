@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QModule}
+
+/** CROSS-TIER operating-point selection (VERDICT r9 next #7) — the full
+  * faiss `OperatingPoints` decision (`004-faiss_demo.py:300-334`
+  * explores one index's dial by hand; production faiss autotune picks
+  * across index TYPES): given a recall target AND a byte budget, choose
+  * WHICH tier and WHICH dial — not just a dial within one method. v36
+  * answers "what nProbe for ≥95% of exact on IVF"; v43 answers "IVF at
+  * 256 B/doc, IVF+SQ8 at 64, or flat PQ at 8 — and at what dial — for
+  * this (target, budget)".
+  *
+  * Candidate cells (tier × dial), all served from the session's
+  * persisted/memoized artifacts:
+  *  - `ivf`   (float, 4·dim B/doc): nProbe ∈ [[IvfDials]]
+  *  - `ivfsq` (8-bit, dim B/doc):   nProbe ∈ [[SqDials]]
+  *  - `pq`    (dim/[[Pq.SubDim]] B/doc, flat ADC): rescore pool ∈
+  *    [[PqDials]]
+  *
+  * Declared COST MODEL (scan-dominated, corpus-size-free integers so
+  * both engines rank cells identically): `cost = bytes_per_doc ×
+  * effective probes`, where probed tiers scan dial of [[Ann.Centroids]]
+  * lists and the flat tier scans all of them; the bounded exact-rescore
+  * tail is tier-independent and excluded (the cold-scan bench leg
+  * measures the same model's byte side empirically).
+  *
+  * Selection per (target‰, budget): among cells with `bytes_per_doc ≤
+  * budget`, the cheapest whose overlap@10 meets the target — the v36
+  * all-integer contract (`100·osum ≥ target‰·nq`) so the pick is
+  * bit-deterministic; when NO cell under the budget meets the target,
+  * fall back to the highest-osum cell under the budget (the best the
+  * budget can buy — v36's widest-probe fallback generalized). Ties
+  * break (cost, bytes, tier, dial) ascending everywhere. Monotonicity
+  * in the target at fixed budget — chosen osum and qualifying cost
+  * never decrease — is pinned in AutotuneSpec.
+  */
+object Autotune extends QModule {
+
+  /** Fixture embedding dim (the Sq oracle's documented constant). */
+  private val Dim = 64
+
+  val IvfDials = Seq(4, 16, 32)
+  val SqDials = Seq(4, 16, 32)
+  val PqDials = Seq(10, 50)
+  val Targets = Seq(800, 900, 950, 990)
+  val Budgets = Seq(256, 64, 8)
+
+  /** Index bytes per document for a tier — the budget side. */
+  def bytesOf(tier: String): Int = tier match {
+    case "ivf" => 4 * Dim
+    case "ivfsq" => Dim
+    case "pq" => Dim / Pq.SubDim
+  }
+
+  /** Scan-cost units for a cell — the declared cost model. */
+  def costOf(tier: String, dial: Int): Long = tier match {
+    case "ivf" => bytesOf("ivf").toLong * dial
+    case "ivfsq" => bytesOf("ivfsq").toLong * dial
+    case "pq" => bytesOf("pq").toLong * Ann.Centroids
+  }
+
+  /** All (tier, dial) cells in display order. */
+  def cells: Seq[(String, Int)] =
+    IvfDials.map("ivf" -> _) ++ SqDials.map("ivfsq" -> _) ++ PqDials.map("pq" -> _)
+
+  private val MaxQ = 10
+  private val K = 10
+
+  private val v43 = Q(
+    "v43_cross_tier_tune",
+    (s, d) => {
+      import s.implicits._
+      val exact10 = VectorSearch.searchFrame(s, d)
+        .filter($"rnk" <= 10 && $"query_id" < MaxQ)
+        .select($"query_id", $"doc_id", lit(1).as("in_exact"))
+      val frames = cells.map { case (tier, dial) =>
+        val f = tier match {
+          case "ivf" => Ann.search(s, d, MaxQ, K, dial)
+          case "ivfsq" => Sq.searchIvf(s, d, MaxQ, K, dial)
+          case "pq" => Pq.search(s, d, MaxQ, K, dial)
+        }
+        f.select($"query_id", $"doc_id", $"rnk")
+          .withColumn("tier", lit(tier)).withColumn("dial", lit(dial))
+      }
+      val po = frames.reduce(_ unionByName _)
+        .join(exact10, Seq("query_id", "doc_id"), "left_outer")
+        .na.fill(0, Seq("in_exact"))
+        .groupBy($"tier", $"dial", $"query_id")
+        .agg(sum(when($"in_exact" === 1 && $"rnk" <= 10, 1L).otherwise(0L)).as("o10"))
+        .groupBy($"tier", $"dial")
+        .agg(sum($"o10").as("osum"), count(lit(1)).as("nq"))
+      val meta = cells.map { case (t, dl) => (t, dl, bytesOf(t), costOf(t, dl)) }
+        .toDF("tier", "dial", "bytes_per_doc", "cost_units")
+      val stats = po.join(meta, Seq("tier", "dial"))
+      val tb = Targets.toDF("target_pm").crossJoin(Budgets.toDF("budget_b"))
+      val scored = tb.join(stats, $"bytes_per_doc" <= $"budget_b")
+        .withColumn("ok",
+          when(lit(100L) * $"osum" >= $"target_pm".cast("long") * $"nq", 1).otherwise(0))
+      val wSel = Window.partitionBy($"target_pm", $"budget_b")
+        .orderBy(
+          $"ok".desc,
+          when($"ok" === 1, $"cost_units").otherwise(-$"osum").asc,
+          $"cost_units".asc, $"bytes_per_doc".asc, $"tier".asc, $"dial".asc)
+      scored
+        .withColumn("rn", row_number().over(wSel))
+        .filter($"rn" === 1)
+        .select($"target_pm", $"budget_b", $"tier", $"dial", $"osum", $"nq")
+        .orderBy($"target_pm", $"budget_b")
+    },
+    Some {
+      def cellSql(tier: String, dial: Int): String = {
+        val inner = tier match {
+          case "ivf" => s"SELECT query_id, doc_id, rnk FROM (${Ann.duckSearch(MaxQ, K, dial)})"
+          case "ivfsq" => Sq.duckIvfSqSearch(MaxQ, K, dial)
+          case "pq" => Pq.duckPqSearchCand(MaxQ, K, dial)
+        }
+        s"SELECT '$tier' AS tier, $dial AS dial, query_id, doc_id, rnk FROM ($inner)"
+      }
+      val cellUnion = cells.map { case (t, dl) => cellSql(t, dl) }
+        .mkString("(", ") UNION ALL (", ")")
+      val metaValues = cells
+        .map { case (t, dl) => s"('$t', $dl, ${bytesOf(t)}, ${costOf(t, dl)})" }
+        .mkString(", ")
+      s"""WITH ${Ann.duckCentAssign},
+        exq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $MaxQ),
+        exact_scored AS (
+          SELECT q.query_id, c.vec_id AS doc_id,
+                 (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  FROM (SELECT unnest(q.qe) AS x, unnest(c.embedding) AS y) zz) AS score
+          FROM exq q, embeddings c WHERE c.vec_id <> q.query_id),
+        exact10 AS (
+          SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM exact_scored)
+          WHERE rnk <= 10),
+        cells AS ($cellUnion),
+        perq AS (
+          SELECT c.tier, c.dial, c.query_id,
+                 sum(CASE WHEN x.doc_id IS NOT NULL AND c.rnk <= 10 THEN 1 ELSE 0 END) AS o10
+          FROM cells c
+          LEFT JOIN exact10 x ON c.query_id = x.query_id AND c.doc_id = x.doc_id
+          GROUP BY 1, 2, 3),
+        po AS (
+          SELECT tier, dial, CAST(sum(o10) AS BIGINT) AS osum, count(*) AS nq
+          FROM perq GROUP BY tier, dial),
+        meta AS (SELECT * FROM (VALUES $metaValues) AS m(tier, dial, bytes_per_doc, cost_units)),
+        stats AS (SELECT po.*, m.bytes_per_doc, m.cost_units
+                  FROM po JOIN meta m ON po.tier = m.tier AND po.dial = m.dial),
+        tb AS (SELECT t.target_pm, b.budget_b
+               FROM (SELECT unnest([${Targets.mkString(", ")}]) AS target_pm) t,
+                    (SELECT unnest([${Budgets.mkString(", ")}]) AS budget_b) b),
+        sc AS (
+          SELECT tb.target_pm, tb.budget_b, s.tier, s.dial, s.osum, s.nq,
+                 s.bytes_per_doc, s.cost_units,
+                 CASE WHEN 100 * s.osum >= tb.target_pm * s.nq THEN 1 ELSE 0 END AS ok
+          FROM tb JOIN stats s ON s.bytes_per_doc <= tb.budget_b),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY target_pm, budget_b
+            ORDER BY ok DESC,
+                     CASE WHEN ok = 1 THEN cost_units ELSE -osum END,
+                     cost_units, bytes_per_doc, tier, dial) AS rn
+          FROM sc)
+      SELECT target_pm, budget_b, tier, dial, osum, nq
+      FROM r WHERE rn = 1 ORDER BY target_pm, budget_b"""
+    })
+
+  override def all: Seq[Q] = Seq(v43)
+}

@@ -254,10 +254,18 @@ object Pq extends QModule {
     * oracle's global `arn <= R`) → exact rescore of that set only →
     * top-k.
     * @return (query_id, doc_id, score, rnk) */
-  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame = {
+  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int): DataFrame =
+    search(s, d, maxQueryId, k, RCand)
+
+  /** [[search]] with the rescore-pool DIAL exposed (v43's per-tier
+    * operating parameter): global ADC trim to `rcand` candidates before
+    * the exact rescore. Valid for rcand ≤ [[RCand]] — the per-partition
+    * ADC heaps are [[RCand]]-sized, so any global top-rcand within that
+    * bound is exact. */
+  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int, rcand: Int): DataFrame = {
     val cb = codebook(s, d)
     val encoded = graft.Memo.cached(s, s"pq-encoded:$d")(encode(corpusDs(s, d), cb))
-    searchFrom(s, d, encoded, cb, maxQueryId, k)
+    searchFrom(s, d, encoded, cb, maxQueryId, k, rcand)
   }
 
   /** The search pipeline over an arbitrary (doc_id, codes) frame and
@@ -269,15 +277,17 @@ object Pq extends QModule {
       encoded: DataFrame,
       cb: Array[(Long, Array[Double])],
       maxQueryId: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      rcand: Int = RCand): DataFrame = {
     import s.implicits._
+    require(rcand <= RCand, s"rcand $rcand exceeds the per-partition ADC heap bound $RCand")
     val emb = Tables(s, d, "embeddings")
     val corpus = corpusDs(s, d)
     val queries = corpus.filter($"id" < maxQueryId).collect().sortBy(_._1)
     val cands = BruteForce
       .rerank(
         adcCandidates(encoded, cb, queries).withColumnRenamed("approx", "score"),
-        RCand)
+        rcand)
       .select($"query_id", $"doc_id")
     // exact rescore: candidates are q × RCand rows (tiny) — broadcast them
     // into the corpus join so only candidate vectors are re-read
@@ -439,8 +449,14 @@ object Pq extends QModule {
   /** v13's oracle, shared with v17: the persisted path must produce the
     * EXACT same answer as the in-session pipeline — parquet round-trips
     * the double codebook and long codes exactly. */
-  private lazy val duckPqSearch: String = (s"""WITH $duckEncode,
-      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+  private lazy val duckPqSearch: String = duckPqSearchCand(20, 10, RCand)
+
+  /** The PQ pipeline as SQL, parameterized by query bound / k / rescore
+    * pool — v13/v17 use the defaults; v43's cross-tier tune replays each
+    * rcand dial. A `def` so interpolated knobs can never capture
+    * init-order zeros. */
+  private[graft] def duckPqSearchCand(maxQ: Int, k: Int, rcand: Int): String = (s"""WITH $duckEncode,
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQ),
       -- ADC score == dot(query, PQ reconstruction): per (query, doc),
       -- sum over subspaces of dot(q_sub, codeword_sub)
       lut AS (
@@ -459,7 +475,7 @@ object Pq extends QModule {
           SELECT query_id, doc_id,
                  row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, doc_id) AS arn
           FROM approx)
-        WHERE arn <= $RCand),
+        WHERE arn <= $rcand),
       rescored AS (
         SELECT cand.query_id, cand.doc_id, ${duckDot("qq.qe", "ee.embedding")} AS score
         FROM cand
@@ -469,7 +485,7 @@ object Pq extends QModule {
       SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
       FROM rescored)
-    WHERE rnk <= 10 ORDER BY query_id, rnk""")
+    WHERE rnk <= $k ORDER BY query_id, rnk""")
 
   // ---------------------------------------------------------------- v17
   /** K4 persistence for the compressed tier under the oracle gate:

@@ -480,7 +480,7 @@ object Sq extends QModule {
     * centroid set + assignment, the v09 probe contract (top-nProbe by
     * dot desc, centroid_id ties), ADC restricted to probed inverted
     * lists, then the shared trim/rescore tail. */
-  private def duckIvfSqSearch(maxQueryId: Int, k: Int, nProbe: Int): String =
+  private[graft] def duckIvfSqSearch(maxQueryId: Int, k: Int, nProbe: Int): String =
     s"""WITH ${Ann.duckCentAssign},
     $duckEncodeCtes,
     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQueryId),

@@ -1264,6 +1264,12 @@ object VectorBlocks {
       val lt = bcLut.value
       val cidQ = bcByCid.value
       val heaps = Array.fill(nQueries)(new graft.functions.TopKAgg.Heap(r))
+      // per-row byte values, extracted ONCE and shared by every probing
+      // query (the inner loop previously re-derived each byte from the
+      // packed words per query — nBytes × |qlist| shifts instead of
+      // nBytes; scores are unchanged, the lookups read the same cells
+      // in the same order)
+      val rowBytes = new Array[Int](nBytes)
       bs.foreach { b =>
         require(b.wpv == wpv, s"binary block wpv ${b.wpv} != query wpv $wpv")
         val n = b.ids.length
@@ -1273,20 +1279,26 @@ object VectorBlocks {
           val id = b.ids(row)
           val cid = b.cids(row)
           val qlist = cidQ(cid)
-          var t = 0
-          while (t < qlist.length) {
-            val q = qlist(t)
-            val lbase = q * nBytes * 256
-            var score = 0.0
-            var p = 0
-            while (p < nBytes) {
-              val word = b.words(off + (p >>> 3))
-              val byteVal = ((word >>> ((p & 7) << 3)) & 0xFFL).toInt
-              score += lt(lbase + (p << 8) + byteVal)
-              p += 1
+          if (qlist.length > 0) {
+            var p0 = 0
+            while (p0 < nBytes) {
+              val word = b.words(off + (p0 >>> 3))
+              rowBytes(p0) = ((word >>> ((p0 & 7) << 3)) & 0xFFL).toInt
+              p0 += 1
             }
-            heaps(q).offer(score, id)
-            t += 1
+            var t = 0
+            while (t < qlist.length) {
+              val q = qlist(t)
+              val lbase = q * nBytes * 256
+              var score = 0.0
+              var p = 0
+              while (p < nBytes) {
+                score += lt(lbase + (p << 8) + rowBytes(p))
+                p += 1
+              }
+              heaps(q).offer(score, id)
+              t += 1
+            }
           }
           row += 1
         }
