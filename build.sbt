@@ -41,12 +41,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 //    task OOMed the whole JVM (which no try/catch survives), and at 16g
 //    the working set out-sized the storage pool — the disk tier turned
 //    every probed-method slope superlinear (sq build 0.5 → 18.6 s).
-//    24g keeps the 2M set resident; the r10 4M rung (~15.6 GB cached)
-//    needs ~40g for the same residency — Bench skips the 2M section
-//    below 14g and the 4M section below 36g with inline notes
-//    (SPARK_DRIVER_MEM=8g keeps small machines usable). The host has
-//    128 GiB; 40g leaves ~88 GiB of page cache, which the cold-scan
-//    leg drops explicitly anyway.
+//    24g keeps the 2M set resident. The r10 4M rung (~15.6 GB cached)
+//    exposed the UPPER bound too: a 40g heap crosses the ~32g
+//    compressed-oops cliff and the scan kernels lose ~35% throughput
+//    (measured 1M bf 15 → 20 ms/query; 4M slope 1.36 vs 1.05 on the
+//    same code) — so the bench heap is 31g, the largest coops-intact
+//    size, and Bench raises spark.memory.fraction to 0.75 instead
+//    (GraftSession.build's sizing note) so the 4M working set plus
+//    build-time execution fits the unified pool without eviction.
+//    Bench skips the 2M section below 14g and the 4M section below 28g
+//    with inline notes (SPARK_DRIVER_MEM=8g keeps small machines
+//    usable).
 //  - tests: fixture-scale data, 8g is ample.
-run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}"
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "31g")}"
 Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

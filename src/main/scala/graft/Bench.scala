@@ -15,7 +15,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.build(cpus)
+    // fraction 0.75 (not the 0.6 default): the bench is the one entry
+    // point that holds multi-GB block caches while building more of
+    // them — see GraftSession.build's sizing note
+    val spark = GraftSession.build(cpus,
+      Some(sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.75")))
     // Warm-up: JVM/codegen/scheduler start-up must not be billed to the
     // first timed query (it was inflating it ~10×).
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -122,19 +126,20 @@ object Bench {
           s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
     // 4M rung (VERDICT r9 next #8): the third point of the scale-slope
-    // fit, same trims as 2M. Needs the 40g heap (resident set ~15.6 GB
-    // cached; at a smaller pool the disk tier turns every slope
-    // superlinear — the 2M@16g lesson, STATUS.md).
+    // fit — FLOAT LADDERS ONLY (bf + IVF). The all-tiers 4M working set
+    // is past the reliable single-JVM envelope (KernelBench.runFloat's
+    // scaladoc has the measured envelope; compressed-tier slopes publish
+    // at the 2M rung where every tier stays resident).
     val kernel4m =
-      if (Runtime.getRuntime.maxMemory < 36L * 1024 * 1024 * 1024 * 96 / 100)
-        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 36g"}"""
+      if (Runtime.getRuntime.maxMemory < 28L * 1024 * 1024 * 1024 * 96 / 100)
+        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 28g"}"""
       else try {
         spark.catalog.clearCache()
         val cfg4 = KernelBench.Default.copy(
           n = 4000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
-        val r4 = KernelBench.run(spark, cfg4)
+        val r4 = KernelBench.runFloat(spark, cfg4)
         val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        s"""{"n":${cfg4.n},"dim":${cfg4.dim},"ms_per_query":${f3(r4.bfMsPerQuery)},"ann_build_sec":${f3(r4.annBuildSec)},"ann_ms_per_query":${f3(r4.annMsPerQuery)},"ann_recall_vs_exact":${f4(r4.annRecallVsExact)},"sq_build_sec":${f3(r4.sqBuildSec)},"sq_ms_per_query":${f3(r4.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r4.sqRecallVsExact)},"pq_build_sec":${f3(r4.pqBuildSec)},"pq_ms_per_query":${f3(r4.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r4.pqRecallVsExact)}}"""
+        s"""{"n":${cfg4.n},"dim":${cfg4.dim},"float_only":true,"ms_per_query":${f3(r4.bfMsPerQuery)},"ann_build_sec":${f3(r4.annBuildSec)},"ann_ms_per_query":${f3(r4.annMsPerQuery)},"ann_recall_vs_exact":${f4(r4.annRecallVsExact)}}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] kernel_4m_384 failed (non-fatal): ${e.getMessage}")

@@ -11,8 +11,20 @@ object GraftSession {
 
   /** @param cpus local parallelism; shuffle partitions match it so a
     *             local[32] run doesn't pay 200 near-empty reducers. */
-  def build(cpus: String): SparkSession = {
-    val spark = SparkSession
+  def build(cpus: String): SparkSession =
+    build(cpus, sys.env.get("SPARK_GRAFT_MEM_FRACTION"))
+
+  /** @param memFraction optional `spark.memory.fraction` override. The
+    *   kernel bench's 4M rung keeps a ~15 GB block working set resident
+    *   in a sub-32g heap (32g is a hard executor-sizing ceiling: above
+    *   it the JVM drops compressed oops and the measured scan kernels
+    *   lose ~35% throughput — bf slope 1.05 at 31g vs 1.36 at 40g, same
+    *   code); the default 0.6 unified pool (≈18.4 GB at 31g) leaves the
+    *   compressed-tier builds evicting cache mid-bench, so Bench raises
+    *   the fraction instead of the heap. Env `SPARK_GRAFT_MEM_FRACTION`
+    *   reaches probes the same way. */
+  def build(cpus: String, memFraction: Option[String]): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,6 +43,8 @@ object GraftSession {
       // stale-location cleanup, one deleting a table dir the other's
       // catalog still points at (ADVICE r3).
       .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
+    val spark = memFraction
+      .foldLeft(builder)((b, f) => b.config("spark.memory.fraction", f))
       .getOrCreate()
     registerWarehouseCleanup()
     spark.sparkContext.setLogLevel("WARN")

@@ -373,6 +373,84 @@ object KernelBench {
       sample, cfg.dim, cfg.pqSubDim, cfg.pqCodebook, cfg.pqTrainIters)
   }
 
+  /** Float-ladder-only result for the largest scale rung. */
+  final case class FloatResult(
+      bfMsPerQuery: Double,
+      annBuildSec: Double,
+      annMsPerQuery: Double,
+      annRecallVsExact: Double)
+
+  /** Float-ladder-only kernel run: brute force + IVF, NOTHING else
+    * built or cached. The 4M×384 all-tiers working set (~15 GB
+    * reported) sits past the reliable single-JVM envelope on this host:
+    * the compressed-tier builds churn enough allocation against a
+    * near-full storage pool that LRU evicts the float blocks mid-bench,
+    * and measured 4M slopes swung 1.05↔1.37 (bf) / 1.3↔2.4 (ivf) across
+    * heap/fraction configurations while the 2M full ladder stayed
+    * stable. Dropping to the two float structures (~12.5 GB reported,
+    * shared data arrays underneath) keeps the rung resident, so the
+    * published 3-point fit measures SCALING, not eviction noise —
+    * the compressed tiers publish their slope at the 2M rung where
+    * every tier is reliably resident (STATUS round-10 notes carry the
+    * full envelope measurement). Same interleaved min-of-3 pass
+    * discipline as [[run]]. */
+  def runFloat(spark: SparkSession, cfg: Cfg): FloatResult = {
+    import spark.implicits._
+    val bcCfg = cfg
+    val corpus = spark.range(cfg.n.toLong)
+      .map(id => (id, vec(bcCfg, id)))
+      .toDF("id", "vec")
+      .as[(Long, Array[Float])]
+    val blocks = VectorBlocks.pack(corpus, cfg.dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blocks.count()
+    val queries = Array.tabulate(cfg.nQueries)(i => (i.toLong, queryVec(cfg, i)))
+    VectorBlocks.bfSearch(blocks, queries.take(2), k = 10, excludeSelf = false)
+    val tb = System.nanoTime()
+    val cents = trainCoarse(cfg)
+    val indexed = VectorBlocks.assign(blocks, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    indexed.count()
+    val annBuildSec = (System.nanoTime() - tb) / 1e9
+    val probes = queries.map { case (_, qv) =>
+      val scores = Array.tabulate(cfg.centroids) { c =>
+        val cv = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < cfg.dim) { s += cv(i).toDouble * qv(i).toDouble; i += 1 }
+        s
+      }
+      val m = new Array[Boolean](cfg.centroids)
+      Array.range(0, cfg.centroids).sortBy(c => -scores(c)).take(cfg.nProbe).foreach(m(_) = true)
+      m
+    }
+    VectorBlocks.ivfFlatSearch(indexed, queries.take(2), probes.take(2), k = 10)
+    var exactRanked: Map[Long, Array[Long]] = null
+    var annRanked: Map[Long, Array[Long]] = null
+    val bfTimes = Array.ofDim[Double](3)
+    val annTimes = Array.ofDim[Double](3)
+    (0 until 3).foreach { rep =>
+      val t0 = System.nanoTime()
+      exactRanked = rankedOf(
+        queries, VectorBlocks.bfSearch(blocks, queries, cfg.k, excludeSelf = false))
+      val t1 = System.nanoTime()
+      annRanked = rankedOf(
+        queries, VectorBlocks.ivfFlatSearch(indexed, queries, probes, cfg.k))
+      val t2 = System.nanoTime()
+      bfTimes(rep) = (t1 - t0) / 1e9
+      annTimes(rep) = (t2 - t1) / 1e9
+    }
+    val exact = flatHits(exactRanked)
+    val recall = flatHits(annRanked).count(exact.contains).toDouble / exact.size
+    blocks.unpersist()
+    indexed.unpersist()
+    FloatResult(
+      bfMsPerQuery = bfTimes.min * 1000.0 / cfg.nQueries,
+      annBuildSec = annBuildSec,
+      annMsPerQuery = annTimes.min * 1000.0 / cfg.nQueries,
+      annRecallVsExact = recall)
+  }
+
   def run(spark: SparkSession): Result = run(spark, Default)
 
   /** Timed brute-force AND IVF-probed search at reference scale. The

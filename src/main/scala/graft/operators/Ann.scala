@@ -638,6 +638,26 @@ object Ann extends QModule {
     out.unionByName(in).write.mode("append").parquet(s"$path/_graph")
   }
 
+  /** STREAMING ingest that keeps BOTH the index and the graph sidecar
+    * fresh: each micro-batch is assigned + appended ([[addVectors]]) and
+    * then graph-inserted ([[addToGraphAt]]) — a streamed vector is
+    * immediately reachable through [[graphRefinedSearchAt]], no bulk
+    * rebuild. Edge sets are insert-order dependent (a batch-1 vector's
+    * out-edges can't see batch 2 — the same order dependence as any
+    * incremental graph insert, hnswlib included); the read contract's
+    * lazy top-degree refresh converges the IN-edges as later batches
+    * arrive. */
+  def ingestStreamWithGraph(
+      s: SparkSession, path: String,
+      stream: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)], _: Long) =>
+        addVectors(s, path, batch)
+        addToGraphAt(s, path, batch)
+      }
+      .start()
+
   /** The artifact's serving adjacency `(src, rnk, dst)`: per-src
     * top-[[GraphDegree]] by (score desc, dst) over the appended
     * candidate edges, (src, dst) deduped first (bulk build + incremental

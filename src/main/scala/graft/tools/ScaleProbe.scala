@@ -21,6 +21,21 @@ object ScaleProbe {
     val n2 = if (args.nonEmpty) args(0).toInt else 2000000
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
+    // float-only mode (`… ScaleProbe <n2> float`): the 4M rung's
+    // published configuration — bf + IVF, no compressed-tier builds
+    if (args.length > 1 && args(1) == "float") {
+      Seq(1000000, n2).foreach { n =>
+        val c = KernelBench.Default.copy(
+          n = n, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
+        val r = KernelBench.runFloat(spark, c)
+        println(f"SCALE float n=$n bf=${r.bfMsPerQuery}%.2f ivf=${r.annMsPerQuery}%.2f " +
+          f"(recall=${r.annRecallVsExact}%.4f) build=${r.annBuildSec}%.1fs")
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+      return
+    }
+
     def line(tag: String, n: Int, r: KernelBench.Result): String =
       f"SCALE $tag n=$n bf=${r.bfMsPerQuery}%.2f ivf=${r.annMsPerQuery}%.2f (recall=${r.annRecallVsExact}%.4f) " +
         f"sq=${r.sqMsPerQuery}%.2f pq=${r.pqMsPerQuery}%.2f " +

@@ -125,6 +125,40 @@ class AnnGraphSpec extends SparkSpec {
       s"appended $appended edge rows for $deltaCount delta vectors")
   }
 
+  test("streaming ingest with graph maintenance: streamed vectors reachable, no rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sPath = java.nio.file.Files.createTempDirectory("graft_graph_stream").toString + "/idx"
+    val base = spark.range(n.toLong).filter(id => !isDelta(id))
+      .map(id => (id, mvec(id.toDouble), 0))
+      .toDF("id", "vec", "label").as[(Long, Array[Float], Int)]
+    val cents = Array.tabulate(nCent)(c => (c.toLong, mvec(c.toDouble * n / nCent)))
+    Ann.writeIndexArtifact(spark, sPath, base, cents)
+    Ann.buildGraphAt(spark, sPath)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val delta = (0L until n.toLong).filter(isDelta).map(id => (id, mvec(id.toDouble), 0))
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    val stream = MemoryStream[(Long, Array[Float], Int)]
+    val q = Ann.ingestStreamWithGraph(spark, sPath, stream.toDS())
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // every streamed vector has out-edges in the served adjacency
+    val srcs = Ann.graphAt(spark, sPath).select($"src").as[Long].collect().toSet
+    val missing = delta.map(_._1).filterNot(srcs.contains)
+    assert(missing.isEmpty, s"streamed vectors with no out-edges: ${missing.take(5)}")
+    // and across-boundary rescues still happen through the streamed graph
+    val plain = resultsOf(Ann.searchArtifact(spark, qDf, sPath, k = 10, nProbe = 1))
+    val refined = resultsOf(
+      Ann.graphRefinedSearchAt(spark, qDf, sPath, k = 10, nProbe = 1, seedK = 10))
+    val witnesses = queries.flatMap { case (qid, _) =>
+      exact10(qid).filter(isDelta)
+        .filter(v => !plain.getOrElse(qid, Set.empty).contains(v))
+        .filter(v => refined.getOrElse(qid, Set.empty).contains(v))
+    }
+    assert(witnesses.nonEmpty, "no streamed vector rescued via the graph sidecar")
+  }
+
   test("serving adjacency: per-src degree bound and dedup under re-append") {
     // appending the SAME delta again must not change the served graph
     // (scores are deterministic; (src,dst) dedup + top-degree re-rank)
