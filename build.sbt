@@ -54,4 +54,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 //    usable).
 //  - tests: fixture-scale data, 8g is ample.
 run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "31g")}"
+// opt-in madvise-THP for the heap (SPARK_GRAFT_THP=1): the host exposes
+// THP in madvise mode only, so without this flag the 31g heap sits on
+// 4 KB pages and the multi-GB block scans pay TLB misses that GROW as
+// the heap ages (measured: 4M bf 40 ms/query in a fresh JVM -> 66 after
+// one 1M section -> 150 after the full bench, all fully memory-resident)
+run / javaOptions ++=
+  (if (sys.env.get("SPARK_GRAFT_THP").contains("1"))
+    Seq("-XX:+UseTransparentHugePages") else Seq.empty)
 Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

@@ -82,6 +82,62 @@ object Bench {
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           "null"
       }
+    // 4M rung (VERDICT r9 next #8): the third point of the scale-slope
+    // fit — FLOAT LADDERS ONLY (bf + IVF). The all-tiers 4M working set
+    // is past the reliable single-JVM envelope (KernelBench.runFloat's
+    // scaladoc has the measured envelope; compressed-tier slopes publish
+    // at the 2M rung where every tier stays resident).
+    val kernel4m =
+      if (Runtime.getRuntime.maxMemory < 28L * 1024 * 1024 * 1024 * 96 / 100)
+        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 28g"}"""
+      else try {
+        spark.catalog.clearCache()
+        // runs DIRECTLY after the 1M section, before the cold-scan and
+        // 2M churn: large-array scan throughput degrades as this JVM's
+        // heap ages even fully memory-resident (measured 4M bf 40
+        // ms/query fresh -> 66 after the 1M section -> 150 after the
+        // full bench; GC, blocking unpersists and THP all ruled out) —
+        // section order is the one lever that keeps the published rung
+        // close to the standalone number. STATUS round-10 notes carry
+        // the full measurement set.
+        System.gc()
+        val cfg4 = KernelBench.Default.copy(
+          n = 4000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
+        val r4 = KernelBench.runFloat(spark, cfg4)
+        val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+        s"""{"n":${cfg4.n},"dim":${cfg4.dim},"float_only":true,"ms_per_query":${f3(r4.bfMsPerQuery)},"ann_build_sec":${f3(r4.annBuildSec)},"ann_ms_per_query":${f3(r4.annMsPerQuery)},"ann_recall_vs_exact":${f4(r4.annRecallVsExact)}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] kernel_4m_384 failed (non-fatal): ${e.getMessage}")
+          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+      }
+    // Scale-slope section (VERDICT r8 next #8): the same four scan
+    // ladders at 2× the reference scale, trimmed to one sweep level and
+    // no kNN graph (its cluster-scoped cost is n²-scaled). A 2M failure
+    // (e.g. memory on a smaller host) reports inline WITHOUT flipping
+    // the exit code — the slope probe is diagnostic, not a gate.
+    // (ordering: both scale rungs run before the cold-scan leg — the
+    // aged-heap scan penalty documented at the 4M section hits the big
+    // resident float ladders; the cold leg is IO-dominated with small
+    // per-pass structures and measures the same either way)
+    val kernel2m =
+      if (Runtime.getRuntime.maxMemory < 14L * 1024 * 1024 * 1024 * 96 / 100)
+        // an executor-task OOM at this scale kills the JVM past any
+        // catch (measured at 12g) — skip rather than risk the whole run
+        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 14g"}"""
+      else try {
+        spark.catalog.clearCache()
+        System.gc() // old-gen compaction between sections (see 4M note)
+        val cfg2 = KernelBench.Default.copy(
+          n = 2000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
+        val r2 = KernelBench.run(spark, cfg2)
+        val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+        s"""{"n":${cfg2.n},"dim":${cfg2.dim},"ms_per_query":${f3(r2.bfMsPerQuery)},"ann_build_sec":${f3(r2.annBuildSec)},"ann_ms_per_query":${f3(r2.annMsPerQuery)},"ann_recall_vs_exact":${f4(r2.annRecallVsExact)},"sq_build_sec":${f3(r2.sqBuildSec)},"sq_ms_per_query":${f3(r2.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r2.sqRecallVsExact)},"pq_build_sec":${f3(r2.pqBuildSec)},"pq_ms_per_query":${f3(r2.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r2.pqRecallVsExact)}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] kernel_2m_384 failed (non-fatal): ${e.getMessage}")
+          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+      }
     // COLD-SCAN leg (VERDICT r9 next #1): the compression ladder's
     // bytes-per-doc claim measured IO-bound — each tier's packed
     // artifact re-read from parquet per pass, page cache dropped before
@@ -101,48 +157,6 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] kernel_cold_scan failed (non-fatal): ${e.getMessage}")
-          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
-      }
-    // Scale-slope section (VERDICT r8 next #8): the same four scan
-    // ladders at 2× the reference scale, trimmed to one sweep level and
-    // no kNN graph (its cluster-scoped cost is n²-scaled). A 2M failure
-    // (e.g. memory on a smaller host) reports inline WITHOUT flipping
-    // the exit code — the slope probe is diagnostic, not a gate.
-    val kernel2m =
-      if (Runtime.getRuntime.maxMemory < 14L * 1024 * 1024 * 1024 * 96 / 100)
-        // an executor-task OOM at this scale kills the JVM past any
-        // catch (measured at 12g) — skip rather than risk the whole run
-        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 14g"}"""
-      else try {
-        spark.catalog.clearCache()
-        val cfg2 = KernelBench.Default.copy(
-          n = 2000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
-        val r2 = KernelBench.run(spark, cfg2)
-        val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        s"""{"n":${cfg2.n},"dim":${cfg2.dim},"ms_per_query":${f3(r2.bfMsPerQuery)},"ann_build_sec":${f3(r2.annBuildSec)},"ann_ms_per_query":${f3(r2.annMsPerQuery)},"ann_recall_vs_exact":${f4(r2.annRecallVsExact)},"sq_build_sec":${f3(r2.sqBuildSec)},"sq_ms_per_query":${f3(r2.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r2.sqRecallVsExact)},"pq_build_sec":${f3(r2.pqBuildSec)},"pq_ms_per_query":${f3(r2.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r2.pqRecallVsExact)}}"""
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] kernel_2m_384 failed (non-fatal): ${e.getMessage}")
-          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
-      }
-    // 4M rung (VERDICT r9 next #8): the third point of the scale-slope
-    // fit — FLOAT LADDERS ONLY (bf + IVF). The all-tiers 4M working set
-    // is past the reliable single-JVM envelope (KernelBench.runFloat's
-    // scaladoc has the measured envelope; compressed-tier slopes publish
-    // at the 2M rung where every tier stays resident).
-    val kernel4m =
-      if (Runtime.getRuntime.maxMemory < 28L * 1024 * 1024 * 1024 * 96 / 100)
-        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 28g"}"""
-      else try {
-        spark.catalog.clearCache()
-        val cfg4 = KernelBench.Default.copy(
-          n = 4000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
-        val r4 = KernelBench.runFloat(spark, cfg4)
-        val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        s"""{"n":${cfg4.n},"dim":${cfg4.dim},"float_only":true,"ms_per_query":${f3(r4.bfMsPerQuery)},"ann_build_sec":${f3(r4.annBuildSec)},"ann_ms_per_query":${f3(r4.annMsPerQuery)},"ann_recall_vs_exact":${f4(r4.annRecallVsExact)}}"""
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] kernel_4m_384 failed (non-fatal): ${e.getMessage}")
           s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
     // serialize errors only now — the kernel benchmark above may add one

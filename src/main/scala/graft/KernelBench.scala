@@ -412,6 +412,13 @@ object KernelBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     indexed.count()
     val annBuildSec = (System.nanoTime() - tb) / 1e9
+    // residency diagnostic: a partition on the disk tier here means every
+    // timed pass below re-reads it from disk — the number being measured
+    // would be IO, not the scan kernel
+    spark.sparkContext.getRDDStorageInfo.foreach { i =>
+      System.err.println(s"[runFloat] rdd=${i.id} parts=${i.numCachedPartitions}/" +
+        s"${i.numPartitions} mem=${i.memSize >> 20}MiB disk=${i.diskSize >> 20}MiB")
+    }
     val probes = queries.map { case (_, qv) =>
       val scores = Array.tabulate(cfg.centroids) { c =>
         val cv = cents(c)
@@ -442,8 +449,8 @@ object KernelBench {
     }
     val exact = flatHits(exactRanked)
     val recall = flatHits(annRanked).count(exact.contains).toDouble / exact.size
-    blocks.unpersist()
-    indexed.unpersist()
+    blocks.unpersist(blocking = true)
+    indexed.unpersist(blocking = true)
     FloatResult(
       bfMsPerQuery = bfTimes.min * 1000.0 / cfg.nQueries,
       annBuildSec = annBuildSec,
@@ -634,7 +641,7 @@ object KernelBench {
     // the raw float cache is only the BF corpus: IVF reads `indexed`, the
     // PQ rescore reads the float refs inside the PQ index — drop the
     // 1.5 GB before the sweeps run
-    blocks.unpersist()
+    blocks.unpersist(blocking = true)
 
     val exact = flatHits(exactRanked)
     require(
@@ -745,10 +752,16 @@ object KernelBench {
       scored.find(_._2 >= BinOpTarget)
         .getOrElse(scored.last) match { case (lvl, tune, hold) => (lvl, hold, tune) }
     }
-    binIndex.unpersist()
-    sqIndex.unpersist()
-    pqIndex.unpersist()
-    indexed.unpersist()
+    // BLOCKING drops (unpersist() is async by default): the next bench
+    // section materializes its own multi-GB blocks immediately — against
+    // a MemoryStore this section still occupies, persist would shunt the
+    // new partitions to the disk tier for good (MEMORY_AND_DISK never
+    // promotes back), which measured as a stable ~3.6x slowdown on the
+    // in-bench 4M float leg vs the identical standalone run
+    binIndex.unpersist(blocking = true)
+    sqIndex.unpersist(blocking = true)
+    pqIndex.unpersist(blocking = true)
+    indexed.unpersist(blocking = true)
     // the fused searches return ids sorted by exact score desc — position
     // is rank
     val pqRanked: Map[Long, Array[Long]] =

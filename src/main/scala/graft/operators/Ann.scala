@@ -567,7 +567,7 @@ object Ann extends QModule {
   /** BULK kNN-graph build over an artifact's live rows — the graph
     * sidecar analog of the registry's memoized graph (VectorSearch
     * knnGraph; reference context: hnswlib's insert-all construction,
-    * `003-hnswlib_demo.py:234-257`), persisted as append-only candidate
+    * `003-hnswlib_demo.py:174-218`), persisted as append-only candidate
     * edges at `$path/_graph` (src, dst, score). Shape: each row emits
     * [[GraphBuildProbe]] probe rows against the broadcast centroid set,
     * which equi-join the artifact's OWN centroid_id partitioning (the
@@ -607,7 +607,7 @@ object Ann extends QModule {
     * vector probes the EXISTING index for its top-[[GraphDegree]]
     * neighbors (O(|delta| · probed-list) work — the natural graph
     * insert, exactly hnswlib's per-point search-then-link,
-    * `003-hnswlib_demo.py:234-257`, made bulk-synchronous), then BOTH
+    * `003-hnswlib_demo.py:174-218`, made bulk-synchronous), then BOTH
     * directions are APPENDED as candidate edges:
     *
     *  - out-edges (new → nbr): the new vector's own adjacency;

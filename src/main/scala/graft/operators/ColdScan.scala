@@ -113,7 +113,7 @@ object ColdScan {
       lo.indices.map(i => (i, lo(i), hi(i)))
         .toDF("idx", "lo", "hi").coalesce(1).write.mode("overwrite").parquet(s"$root/_sq_bounds")
       fs.create(ready, true).close()
-    } finally indexed.unpersist(blocking = false)
+    } finally indexed.unpersist(blocking = true)
   }
 
   private def readVecSidecar(spark: SparkSession, path: String): Array[Array[Float]] = {

@@ -21,6 +21,23 @@ object ScaleProbe {
     val n2 = if (args.nonEmpty) args(0).toInt else 2000000
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
+    // mimic mode: the bench's section sequence in miniature — full 1M
+    // kernel first, then the float-only rung — to bisect why the
+    // in-bench 4M leg is ~3.7x the standalone one
+    if (args.length > 1 && args(1) == "mimic") {
+      val r1 = KernelBench.run(spark, KernelBench.Default.copy(
+        sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0))
+      println(f"SCALE mimic-1m bf=${r1.bfMsPerQuery}%.2f ivf=${r1.annMsPerQuery}%.2f")
+      spark.catalog.clearCache()
+      val c = KernelBench.Default.copy(
+        n = n2, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
+      val r = KernelBench.runFloat(spark, c)
+      println(f"SCALE mimic-float n=$n2 bf=${r.bfMsPerQuery}%.2f ivf=${r.annMsPerQuery}%.2f " +
+        f"(recall=${r.annRecallVsExact}%.4f) build=${r.annBuildSec}%.1fs")
+      spark.stop()
+      return
+    }
+
     // float-only mode (`… ScaleProbe <n2> float`): the 4M rung's
     // published configuration — bf + IVF, no compressed-tier builds
     if (args.length > 1 && args(1) == "float") {
