@@ -543,14 +543,66 @@ object Ann extends QModule {
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
-      val versions = snapshotVersions(s, path)
-      if (versions.nonEmpty) {
-        val invalidated = versions.filter(v =>
-          manifestFiles(s, path, v).exists(f => !fs.exists(new org.apache.hadoop.fs.Path(f))))
-        invalidated.foreach(v =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$v.txt"), false))
-        snapshotIndex(s, path)
+      remanifestAfterRewrite(s, path)
+    }
+  }
+
+  /** The table-format rule every rewrite shares: manifests pinning a
+    * now-missing file are EXPIRED and a fresh snapshot re-manifests the
+    * rewritten state, keeping `search-as-of latest` ≡ the live search
+    * and the version history monotone. No-op for artifacts that never
+    * snapshotted. */
+  private def remanifestAfterRewrite(s: SparkSession, path: String): Unit = {
+    val (fs, _) = hfs(s, path)
+    val versions = snapshotVersions(s, path)
+    if (versions.nonEmpty) {
+      val invalidated = versions.filter(v =>
+        manifestFiles(s, path, v).exists(f => !fs.exists(new org.apache.hadoop.fs.Path(f))))
+      invalidated.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$v.txt"), false))
+      snapshotIndex(s, path)
+    }
+  }
+
+  /** FILE compaction — the streaming-ingest counterpart of the
+    * tombstone reclaim: every [[ingestStream]] micro-batch appends its
+    * own small part file(s) to each touched centroid partition, and an
+    * inverted list fragmented into thousands of files pays an open +
+    * footer cost per file per probe — at 100 TB the probe cost becomes
+    * file-count-bound, not byte-bound. PARTITION-LOCAL and
+    * THRESHOLDED like [[compactIndexAt]]: only lists holding more than
+    * `maxFilesPerList` part files are rewritten (each coalesced to one
+    * file per list via a hash repartition on centroid_id); every other
+    * list's files are never opened. Rewritten partitions swap in with
+    * FS renames and the snapshot rule is shared
+    * ([[remanifestAfterRewrite]]): rewritten files expire the
+    * manifests that pinned them, and a post-compact snapshot
+    * re-manifests. Results are IDENTICAL by construction — the same
+    * rows, re-bin-packed (AnnLifecycleSpec pins search equality and
+    * the untouched lists' file sets). */
+  def compactSmallFilesAt(s: SparkSession, path: String, maxFilesPerList: Int = 4): Unit = {
+    import s.implicits._
+    val (fs, root) = hfs(s, path)
+    val affected = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+      .filter(d => fs.listStatus(d.getPath).count(_.getPath.getName.startsWith("part-")) > maxFilesPerList)
+      .map(_.getPath.getName.stripPrefix("centroid_id=").toLong)
+      .sorted.toSeq
+    if (affected.nonEmpty) {
+      val tmp = s"${path}_filecompacting"
+      indexFrame(s, path)
+        .filter($"centroid_id".isin(affected: _*))
+        .repartition(affected.length, $"centroid_id")
+        .select($"doc_id", $"label", $"embedding", $"centroid_id")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+      affected.foreach { cid =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cid")
+        fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
       }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      remanifestAfterRewrite(s, path)
     }
   }
 
@@ -1270,6 +1322,70 @@ object Ann extends QModule {
     UNION ALL SELECT branch, query_id, rnk, doc_id FROM mid
     ORDER BY branch, query_id, rnk"""))
 
+  // ---------------------------------------------------------------- v44
+  /** Drift threshold in PER-MILLE of list share: a list whose share of
+    * the corpus moved more than this since the quantizer was trained is
+    * flagged. */
+  val DriftTauPm = 5
+
+  /** Per-list drift frame over an index's (doc_id, centroid_id) rows:
+    * `(centroid_id, n_base, n_full, drifted)` where n_base counts the
+    * rows satisfying `basePred` (the quantizer's TRAINING universe) and
+    * drifted applies the all-integer share test `1000·|n_full·tb −
+    * n_base·tf| > τ·tb·tf` ⇔ |share_full − share_base| > τ‰. Exposed
+    * standalone so specs can probe planted-skew artifacts. */
+  def quantizerDriftFrame(idx: DataFrame, basePred: Column): DataFrame = {
+    val s = idx.sparkSession
+    import s.implicits._
+    val rows = idx.select($"doc_id", $"centroid_id".cast("long").as("centroid_id"))
+    val base = rows.filter(basePred)
+      .groupBy($"centroid_id").agg(count(lit(1)).as("n_base"))
+    val full = rows.groupBy($"centroid_id").agg(count(lit(1)).as("n_full"))
+    val totals = rows.agg(
+      count(lit(1)).as("tf"),
+      sum(when(basePred, 1L).otherwise(0L)).as("tb"))
+    full.join(base, Seq("centroid_id"), "left_outer")
+      .na.fill(0, Seq("n_base"))
+      .crossJoin(broadcast(totals))
+      .select($"centroid_id", $"n_base", $"n_full",
+        when(lit(1000L) * abs($"n_full" * $"tb" - $"n_base" * $"tf") >
+          lit(DriftTauPm.toLong) * $"tb" * $"tf", 1).otherwise(0).as("drifted"))
+      .orderBy($"centroid_id")
+  }
+
+  /** QUANTIZER-DRIFT monitor — closes the loop the incremental-add
+    * contract leaves open: centroids are FROZEN at base-build time
+    * ([[buildIncrementalIndex]]), so heavy adds can shift the corpus
+    * distribution out from under the quantizer, and "repair by full
+    * rebuild" needs a TRIGGER. This is production IVF practice (drifted
+    * list shares degrade probe recall long before imbalance — v32's
+    * size-only diagnostic — fires). Per-list, all-integer, O(C) output:
+    * counts over the training universe vs the full corpus plus the
+    * per-mille share test — the DuckDB oracle replays the same frozen
+    * base-trained assignment (v20's CTEs) and the same integer
+    * arithmetic, so the FLAGS are hash-gated, not just the counts. */
+  private val v44 = Q(
+    "v44_quantizer_drift",
+    (s, d) => {
+      import s.implicits._
+      val idx = s.read.parquet(buildIncrementalIndex(s, d))
+        .select($"doc_id", $"centroid_id")
+      quantizerDriftFrame(idx, col("doc_id") % IncrMod =!= IncrRem)
+    },
+    Some(s"""WITH ${duckCentAssignBase(s"vec_id % $IncrMod <> $IncrRem")},
+      fullc AS (SELECT centroid_id, count(*) AS n_full FROM assign GROUP BY 1),
+      basec AS (SELECT centroid_id, count(*) AS n_base FROM assign
+                WHERE doc_id % $IncrMod <> $IncrRem GROUP BY 1),
+      t AS (SELECT count(*) AS tf,
+                   sum(CASE WHEN doc_id % $IncrMod <> $IncrRem THEN 1 ELSE 0 END) AS tb
+            FROM assign)
+    SELECT f.centroid_id, coalesce(b.n_base, 0) AS n_base, f.n_full,
+           CASE WHEN 1000 * abs(f.n_full * t.tb - coalesce(b.n_base, 0) * t.tf)
+                     > $DriftTauPm * t.tb * t.tf
+                THEN 1 ELSE 0 END AS drifted
+    FROM fullc f LEFT JOIN basec b USING (centroid_id), t
+    ORDER BY f.centroid_id"""))
+
   // --------------------------------------------- sharded build + merge
 
   private def shardRoot(s: SparkSession, d: String): String =
@@ -1545,5 +1661,5 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44)
 }

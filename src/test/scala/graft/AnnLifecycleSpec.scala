@@ -145,6 +145,88 @@ class AnnLifecycleSpec extends SparkSpec {
     assert(plain == before, "post-compaction plain search must equal the masked result")
   }
 
+  test("small-file compaction: fragmented lists coalesce, results identical, untouched lists untouched") {
+    val root = s"/tmp/graft_filecompact_${System.nanoTime()}"
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+      // fragment: append the delta in FOUR separate adds (the streaming
+      // micro-batch shape) — each touched list gains a file per add
+      val delta = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter($"vec_id" % Ann.IncrMod === Ann.IncrRem)
+        .select($"vec_id", $"embedding", $"label")
+        .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+      delta.grouped(math.max(1, delta.length / 4)).foreach { b =>
+        Ann.addVectors(s2, root, b.toSeq.toDS())
+      }
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(): Map[String, Set[String]] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+          .map(d => d.getPath.getName ->
+            fs.listStatus(d.getPath).map(_.getPath.getName).filter(_.startsWith("part-")).toSet)
+          .toMap
+      val before = files()
+      val threshold = 3
+      val fragmented = before.filter(_._2.size > threshold).keySet
+      assert(fragmented.nonEmpty, "fixture failed to fragment any list")
+      val resBefore = Ann.searchLiveAt(s2, sf0001, root, maxQueryId = 20, k = 10, nProbe = 4)
+        .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+
+      Ann.compactSmallFilesAt(s2, root, maxFilesPerList = threshold)
+
+      val after = files()
+      // every fragmented list coalesced to one file; every other list's
+      // file set is bit-for-bit untouched (never opened, never renamed)
+      fragmented.foreach { d =>
+        assert(after(d).size == 1, s"$d still holds ${after(d).size} files")
+      }
+      (before.keySet -- fragmented).foreach { d =>
+        assert(after(d) == before(d), s"untouched list $d was modified")
+      }
+      val resAfter = Ann.searchLiveAt(s2, sf0001, root, maxQueryId = 20, k = 10, nProbe = 4)
+        .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+      assert(resAfter == resBefore, "file compaction changed search results")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+  }
+
+  test("quantizer drift: planted skewed add flags exactly the drifted lists") {
+    val root = s"/tmp/graft_drift_${System.nanoTime()}"
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+      // planted skew: every added vector is a near-copy of ONE existing
+      // doc, so the whole delta lands in that doc's list — its share
+      // must cross the per-mille threshold while most others drift only
+      // by dilution
+      val donor = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select($"vec_id", $"embedding", $"label")
+        .as[(Long, Array[Float], Int)].head()
+      val skew = (0 until 60).map(i => (1000000L + i, donor._2, donor._3))
+      Ann.addVectors(s2, root, skew.toDS())
+      val idx = s2.read.parquet(root).select($"doc_id", $"centroid_id")
+      val drift = Ann.quantizerDriftFrame(idx, col("doc_id") < 1000000L)
+        .as[(Long, Long, Long, Int)].collect()
+      val flagged = drift.filter(_._4 == 1)
+      assert(flagged.nonEmpty, "planted skew did not flag any list")
+      // the donor's list is the top-gainer and must be flagged
+      val gainer = drift.maxBy(r => r._3 - r._2)
+      assert(gainer._4 == 1, s"top-gaining list ${gainer._1} not flagged")
+      assert(gainer._3 - gainer._2 == 60, "the skewed delta should all land in one list")
+      // a no-drift universe flags nothing: base == full
+      val clean = Ann.quantizerDriftFrame(idx.filter($"doc_id" < 1000000L), lit(true))
+        .as[(Long, Long, Long, Int)].collect()
+      assert(clean.forall(_._4 == 0), "identical universes must not drift")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+  }
+
   test("unified lifecycle: add -> snapshot -> delete -> compact -> search-as-of, ONE artifact") {
     // VERDICT r9 next #4: the full production sequence on a single
     // artifact, with time-travel correctness asserted ACROSS the
