@@ -728,13 +728,34 @@ object Ann extends QModule {
     * query frame (query_id, qe) — [[searchLiveAt]] without the
     * registry-corpus query tie; the seed stage of
     * [[graphRefinedSearchAt]] and the baseline its specs compare
-    * against. */
+    * against. `maskTombstones = false` serves the v09-style UNMASKED
+    * view (the registry artifact carries v21's persistent tombstones,
+    * which plain `search` ignores by contract). */
   def searchArtifact(
-      s: SparkSession, q: DataFrame, path: String, k: Int, nProbe: Int): DataFrame = {
+      s: SparkSession, q: DataFrame, path: String, k: Int, nProbe: Int,
+      maskTombstones: Boolean = true): DataFrame = {
     val cents = s.read.parquet(s"$path/_centroids")
     val cand = scoredOn(s, q, cents, indexFrame(s, path), nProbe, None).drop("prn")
-    val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
-    BruteForce.rerank(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
+    val live =
+      if (maskTombstones) {
+        val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
+        cand.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      } else cand
+    BruteForce.rerank(live, k)
+  }
+
+  /** Persist the session quantizer as the registry artifact's
+    * `_centroids` sidecar (build-if-absent) — [[buildIndex]] predates
+    * the path-form lifecycle ops, which all read the quantizer from the
+    * artifact itself. Underscore dir: invisible to the data scan. */
+  def ensureCentroidSidecar(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val path = buildIndex(s, d)
+    val (fs, p) = hfs(s, s"$path/_centroids/_SUCCESS")
+    if (!fs.exists(p))
+      centroids(s, d).select($"centroid_id", $"ce").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_centroids")
+    path
   }
 
   /** Graph-refined search over an artifact (the v33 plan shape, served
@@ -749,9 +770,9 @@ object Ann extends QModule {
     * corpus-sided rescore fetch — the artifact never shuffles. */
   def graphRefinedSearchAt(
       s: SparkSession, q: DataFrame, path: String, k: Int, nProbe: Int,
-      seedK: Int): DataFrame = {
+      seedK: Int, maskTombstones: Boolean = true): DataFrame = {
     import s.implicits._
-    val seeds = searchArtifact(s, q, path, seedK, nProbe)
+    val seeds = searchArtifact(s, q, path, seedK, nProbe, maskTombstones)
       .select($"query_id", $"doc_id")
     val expanded = seeds.as("s")
       .join(graphAt(s, path).as("g"), col("s.doc_id") === col("g.src"))
@@ -763,8 +784,12 @@ object Ann extends QModule {
       .join(broadcast(cand), Seq("doc_id"))
       .join(broadcast(q), Seq("query_id"))
       .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"de").as("score"))
-    val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
-    BruteForce.rerank(scored.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
+    val live =
+      if (maskTombstones) {
+        val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
+        scored.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      } else scored
+    BruteForce.rerank(live, k)
   }
 
   // -------------------------------------------- index lifecycle: rebalance

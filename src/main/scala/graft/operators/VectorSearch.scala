@@ -823,7 +823,13 @@ object VectorSearch extends QModule {
         .select($"query_id", $"rnk", $"doc_id")
         .orderBy($"query_id", $"rnk")
     },
-    Some(s"""WITH ${Ann.duckCentAssign},
+    Some(duckGraphRefined))
+
+  /** v33's oracle, shared with v45: persisted-sidecar serving must be
+    * row-identical to the in-session memoized-graph pipeline (the
+    * v13 → v17 persistence-parity discipline). A `def` so interpolated
+    * knobs never capture init-order zeros. */
+  private def duckGraphRefined: String = s"""WITH ${Ann.duckCentAssign},
       $duckGraphEdges,
       seeds AS (${Ann.duckSearch(20, GraphSeedK, GraphNProbe)}),
       cand AS (
@@ -843,7 +849,39 @@ object VectorSearch extends QModule {
                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
         FROM resc)
     SELECT query_id, rnk, doc_id FROM rr
-    WHERE rnk <= $GraphSeedK ORDER BY query_id, rnk"""))
+    WHERE rnk <= $GraphSeedK ORDER BY query_id, rnk"""
+
+  // ---------------------------------------------------------------- v45
+  /** Graph-refined search served from the PERSISTED artifact + graph
+    * SIDECAR (VERDICT r9 next #2's machinery under the oracle gate):
+    * the registry index grows its `_centroids` sidecar and a
+    * build-if-absent `_graph` built by [[Ann.buildGraphAt]] over the
+    * artifact's own partitioning (same probe width, degree, and tie
+    * orders as the memoized [[knnGraph]] — probe 2, degree 3 — so the
+    * persisted adjacency IS the in-session one), then
+    * [[Ann.graphRefinedSearchAt]] serves v33's exact parameters from
+    * disk alone. Same oracle as v33, because persisted serving must be
+    * row-identical to the in-session pipeline. Tombstones unmasked:
+    * this is the v09-style plain view (v21's persistent tombstones are
+    * a searchLive concern). */
+  private val v45 = Q(
+    "v45_graph_sidecar_search",
+    (s, d) => {
+      import s.implicits._
+      val path = Ann.ensureCentroidSidecar(s, d)
+      val (fs, gdone) = {
+        val p = new org.apache.hadoop.fs.Path(s"$path/_graph/_SUCCESS")
+        (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+      }
+      if (!fs.exists(gdone)) Ann.buildGraphAt(s, path)
+      val q = emb(s, d).filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      Ann.graphRefinedSearchAt(s, q, path, k = GraphSeedK,
+          nProbe = GraphNProbe, seedK = GraphSeedK, maskTombstones = false)
+        .select($"query_id", $"rnk", $"doc_id")
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckGraphRefined))
 
   // ---------------------------------------------------------------- v39
   /** PARENT-document retrieval (grouped top-k): chunks are what gets
@@ -922,5 +960,5 @@ object VectorSearch extends QModule {
     Some(duckParentSql))
 
   override def all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33, v39, v41)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33, v39, v41, v45)
 }
