@@ -29,6 +29,7 @@ object Functions {
     treg.createOrReplaceTempFunction("cosine_topk", cosineTopKPlan, "built-in")
     treg.createOrReplaceTempFunction("range_search", rangeSearchPlan, "built-in")
     treg.createOrReplaceTempFunction("parent_search", parentSearchPlan, "built-in")
+    treg.createOrReplaceTempFunction("graph_search", graphSearchPlan, "built-in")
   }
 
   /** Evaluate a TVF's foldable scalar arguments: `name(argNames…)`,
@@ -129,6 +130,25 @@ object Functions {
         asInt("parent_search", "max_query_id", maxQ),
         asInt("parent_search", "parent_mod", parentMod),
         asInt("parent_search", "k", k))
+      .queryExecution.analyzed
+  }
+
+  /** Table-function builder for `graph_search(dir, max_query_id, k,
+    * n_probe, seed_k)` — graph-refined search over the persisted
+    * artifact + graph sidecar (v45) through the parser: expands to
+    * [[operators.VectorSearch.graphSidecarSearch]]'s plan (sidecar
+    * build-if-absent at expansion, like ann_search's index build). */
+  private[graft] def graphSearchPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val Seq(dir, maxQ, k, nProbe, seedK) =
+      tvfArgs("graph_search", Seq("dir", "max_query_id", "k", "n_probe", "seed_k"), exprs)
+    operators.VectorSearch
+      .graphSidecarSearch(SparkSession.active, dir.toString,
+        asInt("graph_search", "max_query_id", maxQ),
+        asInt("graph_search", "k", k),
+        asInt("graph_search", "n_probe", nProbe),
+        asInt("graph_search", "seed_k", seedK))
       .queryExecution.analyzed
   }
 

@@ -864,23 +864,51 @@ object VectorSearch extends QModule {
     * row-identical to the in-session pipeline. Tombstones unmasked:
     * this is the v09-style plain view (v21's persistent tombstones are
     * a searchLive concern). */
+  /** The v45 plan as a reusable surface (also the `graph_search` SQL
+    * TVF's expansion): ensure the `_centroids` + `_graph` sidecars on
+    * the registry artifact (build-if-absent), then serve
+    * [[Ann.graphRefinedSearchAt]] from disk alone.
+    * @return (query_id, doc_id, score, rnk) — unordered, like
+    *         [[Ann.search]] */
+  def graphSidecarSearch(
+      s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int,
+      seedK: Int): DataFrame = {
+    import s.implicits._
+    val path = Ann.ensureCentroidSidecar(s, d)
+    val gdone = new org.apache.hadoop.fs.Path(s"$path/_graph/_SUCCESS")
+    val fs = gdone.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(gdone)) Ann.buildGraphAt(s, path)
+    val q = emb(s, d).filter($"vec_id" < maxQueryId)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    Ann.graphRefinedSearchAt(s, q, path, k = k, nProbe = nProbe,
+      seedK = seedK, maskTombstones = false)
+  }
+
   private val v45 = Q(
     "v45_graph_sidecar_search",
     (s, d) => {
       import s.implicits._
-      val path = Ann.ensureCentroidSidecar(s, d)
-      val (fs, gdone) = {
-        val p = new org.apache.hadoop.fs.Path(s"$path/_graph/_SUCCESS")
-        (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
-      }
-      if (!fs.exists(gdone)) Ann.buildGraphAt(s, path)
-      val q = emb(s, d).filter($"vec_id" < 20)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      Ann.graphRefinedSearchAt(s, q, path, k = GraphSeedK,
-          nProbe = GraphNProbe, seedK = GraphSeedK, maskTombstones = false)
+      graphSidecarSearch(s, d, maxQueryId = 20, k = GraphSeedK,
+          nProbe = GraphNProbe, seedK = GraphSeedK)
         .select($"query_id", $"rnk", $"doc_id")
         .orderBy($"query_id", $"rnk")
     },
+    Some(duckGraphRefined))
+
+  // ---------------------------------------------------------------- v46
+  /** The graph-refined search through the SQL PARSER end to end (the
+    * v15/v41 TVF discipline): `FROM graph_search(dir, maxQ, k, nProbe,
+    * seedK)` expands at analysis time to [[graphSidecarSearch]]'s plan
+    * — SQL users get the engine's persisted-sidecar plan, not a
+    * parser-side reimplementation. Same parameters and oracle as
+    * v33/v45: identical results through all three surfaces IS the
+    * contract under gate. */
+  private val v46 = Q(
+    "v46_sql_graph_search",
+    (s, d) => s.sql(
+      s"""SELECT query_id, rnk, doc_id
+          FROM graph_search('$d', 20, $GraphSeedK, $GraphNProbe, $GraphSeedK)
+          ORDER BY query_id, rnk"""),
     Some(duckGraphRefined))
 
   // ---------------------------------------------------------------- v39
@@ -960,5 +988,5 @@ object VectorSearch extends QModule {
     Some(duckParentSql))
 
   override def all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33, v39, v41, v45)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33, v39, v41, v45, v46)
 }
