@@ -531,7 +531,7 @@ object Ann extends QModule {
       val (fs, _) = hfs(s, path)
       val tmp = s"${path}_compacting"
       indexFrame(s, path)
-        .filter($"centroid_id".isin(affected: _*))
+        .filter($"centroid_id".isin(affected.toIndexedSeq: _*))
         .join(broadcast(tomb.select($"doc_id").distinct()), Seq("doc_id"), "left_anti")
         .select($"doc_id", $"label", $"embedding", $"centroid_id")
         .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
@@ -591,7 +591,7 @@ object Ann extends QModule {
     if (affected.nonEmpty) {
       val tmp = s"${path}_filecompacting"
       indexFrame(s, path)
-        .filter($"centroid_id".isin(affected: _*))
+        .filter($"centroid_id".isin(affected.toIndexedSeq: _*))
         .repartition(affected.length, $"centroid_id")
         .select($"doc_id", $"label", $"embedding", $"centroid_id")
         .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
@@ -840,7 +840,7 @@ object Ann extends QModule {
 
     val centsAll = s.read.parquet(s"$path/_centroids")
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val centsMap = scala.collection.mutable.LinkedHashMap(centsAll: _*)
+    val centsMap = scala.collection.mutable.LinkedHashMap(centsAll.toIndexedSeq: _*)
     var nextCid = centsAll.map(_._1).max + 1
     val (fs, _) = hfs(s, path)
     over.foreach { cid =>

@@ -1346,7 +1346,7 @@ object TextPipeline extends QModule {
     df
       .withColumn("__chunks", chunks)
       .select(
-        df.columns.map(col) :+
+        df.columns.toIndexedSeq.map(col) :+
           posexplode(col("__chunks")).as(Seq("chunk_id", "chunk_words")): _*)
   }
 

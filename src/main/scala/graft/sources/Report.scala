@@ -168,7 +168,7 @@ object Report {
     * placed at the reference's flat-file location). */
   def write(report: DataFrame, dir: String): String = {
     import report.sparkSession.implicits._
-    val row = report.select(to_json(struct(report.columns.map(col): _*)).as("js"))
+    val row = report.select(to_json(struct(report.columns.toIndexedSeq.map(col): _*)).as("js"))
       .as[String].collect().head
     val method = report.select("method").as[String].collect().head
     val ts = report.select($"metadata.timestamp").as[String].collect().head

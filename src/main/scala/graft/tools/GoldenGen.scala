@@ -27,7 +27,7 @@ object GoldenGen {
     import org.apache.spark.sql.functions.{col, struct, to_json}
     import spark.implicits._
     val js = report
-      .select(to_json(struct(report.columns.map(col): _*)).as("js"))
+      .select(to_json(struct(report.columns.toIndexedSeq.map(col): _*)).as("js"))
       .as[String].collect().head
     val path = java.nio.file.Paths.get("/root/repo/fixtures/golden/report_sf0.001.json")
     java.nio.file.Files.writeString(path, js + "\n")
