@@ -147,7 +147,9 @@ object Bench {
       try {
         spark.catalog.clearCache()
         val cfgC = KernelBench.Default
-        val rootC = s"/tmp/graft_coldscan_n${cfgC.n}_d${cfgC.dim}"
+        // root carries an encode-cfg fingerprint so a changed cfg can
+        // never reuse stale artifacts behind _COLD_READY (ADVICE r10)
+        val rootC = operators.ColdScan.artifactRoot("/tmp/graft_coldscan", cfgC)
         val c = operators.ColdScan.run(spark, cfgC, rootC, passes = 3)
         def f1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
         val tiers = c.tiers.map { t =>

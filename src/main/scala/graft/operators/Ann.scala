@@ -698,30 +698,110 @@ object Ann extends QModule {
     * out-edges can't see batch 2 — the same order dependence as any
     * incremental graph insert, hnswlib included); the read contract's
     * lazy top-degree refresh converges the IN-edges as later batches
-    * arrive. */
+    * arrive. Each micro-batch ends with the thresholded edge fold
+    * ([[maybeCompactGraphAt]]) so a long-running ingest can't fragment
+    * the sidecar into per-batch part files — the same file-count bound
+    * [[compactSmallFilesAt]] gives the inverted lists. */
   def ingestStreamWithGraph(
       s: SparkSession, path: String,
-      stream: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): org.apache.spark.sql.streaming.StreamingQuery =
+      stream: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)],
+      maxGraphTailFiles: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)], _: Long) =>
         addVectors(s, path, batch)
         addToGraphAt(s, path, batch)
+        maybeCompactGraphAt(s, path, maxGraphTailFiles)
       }
       .start()
+
+  /** Tail (uncompacted) candidate-edge part files under `_graph`. */
+  private def graphTailFiles(s: SparkSession, path: String): Seq[String] = {
+    val (fs, _) = hfs(s, path)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/_graph/part-*")))
+      .getOrElse(Array.empty).map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** EDGE-SIDECAR COMPACTION (VERDICT r10 next #3) — the lazy-refresh
+    * read contract is what makes [[addToGraphAt]]'s O(|delta|) insert
+    * honest, but it leaves every read paying a full `_graph`
+    * groupBy-dedup + rerank. This pass folds ALL current candidate
+    * edges down to the MATERIALIZED serving adjacency — per-src
+    * top-[[GraphDegree]] `(src, rnk, dst, score)` at `_graph_serve` —
+    * and drains the consumed `_graph` part files, so a compacted read
+    * is a plain columnar scan (no aggregation, no window; [[graphAt]]
+    * serves `_graph_serve` directly while the tail is empty). Valid
+    * because top-d is a semilattice fold: top-d(top-d(A) ∪ B) =
+    * top-d(A ∪ B), so folding the history loses nothing a future
+    * append could have needed. Same swap discipline as
+    * [[compactSmallFilesAt]]: write aside, rename in, then delete
+    * exactly the part files that were folded (appends racing the
+    * compaction survive as tail). Scores are kept in the serve form so
+    * tail merges re-rank against real edge weights. */
+  def compactGraphAt(s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    val (fs, _) = hfs(s, path)
+    val consumed = graphTailFiles(s, path)
+    val serveDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve")
+    if (consumed.isEmpty && fs.exists(new org.apache.hadoop.fs.Path(serveDir, "_SUCCESS")))
+      return // nothing to fold
+    val folded = graphServing(s, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_tmp")
+    folded.select($"src", $"rnk", $"dst", $"score")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(serveDir, true)
+    require(fs.rename(tmp, serveDir), s"graph compact rename failed: $tmp -> $serveDir")
+    consumed.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    // folding drains manifest-referenced edge files — same snapshot rule
+    // as every compaction: expire the invalidated manifests, re-manifest
+    remanifestAfterRewrite(s, path)
+  }
+
+  /** Thresholded form for ingest paths: fold only once the tail holds
+    * more than `maxTailFiles` appended part files (file-count trigger,
+    * like [[compactSmallFilesAt]]). */
+  def maybeCompactGraphAt(s: SparkSession, path: String, maxTailFiles: Int = 4): Unit =
+    if (graphTailFiles(s, path).length > maxTailFiles) compactGraphAt(s, path)
+
+  /** Full serving adjacency WITH scores `(src, rnk, dst, score)` —
+    * compacted form (if any) unioned with the uncompacted tail, per-src
+    * top-[[GraphDegree]] re-ranked. Internal: [[graphAt]] adds the
+    * tail-empty fast path on top. */
+  private def graphServing(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val (fs, _) = hfs(s, path)
+    val tail = graphTailFiles(s, path)
+    val parts = Seq(
+      (if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graph_serve/_SUCCESS")))
+        Some(s.read.parquet(s"$path/_graph_serve").select($"src", $"dst", $"score"))
+      else None),
+      (if (tail.nonEmpty)
+        Some(s.read.parquet(tail: _*).select($"src", $"dst", $"score"))
+      else None)).flatten
+    require(parts.nonEmpty, s"no graph sidecar at $path (_graph empty and no _graph_serve)")
+    val edges = parts.reduce(_ unionByName _)
+      .groupBy($"src", $"dst").agg(max($"score").as("score"))
+      .select($"src".as("query_id"), $"dst".as("doc_id"), $"score")
+    BruteForce.rerank(edges, GraphDegree)
+      .select($"query_id".as("src"), $"rnk", $"doc_id".as("dst"), $"score")
+  }
 
   /** The artifact's serving adjacency `(src, rnk, dst)`: per-src
     * top-[[GraphDegree]] by (score desc, dst) over the appended
     * candidate edges, (src, dst) deduped first (bulk build + incremental
     * appends can re-derive the same edge; scores are deterministic dots,
-    * so max() is a no-op dedup, not a choice). */
+    * so max() is a no-op dedup, not a choice). After
+    * [[compactGraphAt]], while no new edges have been appended, this is
+    * a DIRECT scan of the materialized `_graph_serve` adjacency — no
+    * aggregation, no window (AnnGraphSpec pins the plan shape). */
   def graphAt(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
-    val edges = s.read.parquet(s"$path/_graph")
-      .groupBy($"src", $"dst").agg(max($"score").as("score"))
-      .select($"src".as("query_id"), $"dst".as("doc_id"), $"score")
-    BruteForce.rerank(edges, GraphDegree)
-      .select($"query_id".as("src"), $"rnk", $"doc_id".as("dst"))
+    val (fs, _) = hfs(s, path)
+    val compacted = fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graph_serve/_SUCCESS"))
+    if (compacted && graphTailFiles(s, path).isEmpty)
+      s.read.parquet(s"$path/_graph_serve").select($"src", $"rnk", $"dst")
+    else
+      graphServing(s, path).select($"src", $"rnk", $"dst")
   }
 
   /** Plain tombstone-masked top-k over an artifact for an ARBITRARY
@@ -767,18 +847,28 @@ object Ann extends QModule {
     * appended in-edges when its neighbors are seeded (the spec pins the
     * latter on a navigable corpus). Candidates stay query-bounded
     * (≤ q·seedK·(1+[[GraphDegree]])), so they broadcast into the
-    * corpus-sided rescore fetch — the artifact never shuffles. */
+    * corpus-sided rescore fetch — the artifact never shuffles.
+    *
+    * `excludeSelf` (ADVICE r10): the v33-style corpus-member-query
+    * convention drops candidates whose doc_id equals the query_id —
+    * correct ONLY when query ids live in the doc-id space (each query IS
+    * a corpus row). Pass `false` for external query frames whose ids
+    * merely coincide with doc ids (e.g. 0-based query numbering), or the
+    * colliding candidate is silently lost despite being a different
+    * vector. */
   def graphRefinedSearchAt(
       s: SparkSession, q: DataFrame, path: String, k: Int, nProbe: Int,
-      seedK: Int, maskTombstones: Boolean = true): DataFrame = {
+      seedK: Int, maskTombstones: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
     val seeds = searchArtifact(s, q, path, seedK, nProbe, maskTombstones)
       .select($"query_id", $"doc_id")
     val expanded = seeds.as("s")
       .join(graphAt(s, path).as("g"), col("s.doc_id") === col("g.src"))
       .select(col("s.query_id").as("query_id"), col("g.dst").as("doc_id"))
-    val cand = seeds.union(expanded).distinct()
-      .filter($"query_id" =!= $"doc_id") // corpus-member queries (v33 style)
+    val cand0 = seeds.union(expanded).distinct()
+    val cand = // corpus-member queries (v33 style) — see excludeSelf doc
+      if (excludeSelf) cand0.filter($"query_id" =!= $"doc_id") else cand0
     val scored = indexFrame(s, path)
       .select($"doc_id", $"embedding".as("de"))
       .join(broadcast(cand), Seq("doc_id"))
@@ -1253,10 +1343,14 @@ object Ann extends QModule {
     * engines pick the same dial from the same counts. Widening by 1/f
     * keeps the EXPECTED number of predicate-surviving candidates per
     * query constant as the filter thins the probed lists — the quantity
-    * a fixed dial silently loses. */
-  def adaptiveProbes(baseProbe: Int, total: Long, surv: Long): Int = {
+    * a fixed dial silently loses. `cap` is the session's centroid count
+    * (ADVICE r10: capping on the [[Centroids]] constant made the
+    * crossover fire at the wrong point under an overridden
+    * [[CentroidsConf]]); the default keeps the oracle-documented
+    * constant for callers without a session. */
+  def adaptiveProbes(baseProbe: Int, total: Long, surv: Long, cap: Int = Centroids): Int = {
     val s = math.max(1L, surv)
-    math.min(Centroids.toLong, (baseProbe.toLong * total + s - 1) / s).toInt
+    math.min(cap.toLong, (baseProbe.toLong * total + s - 1) / s).toInt
   }
 
   /** SELECTIVITY-ADAPTIVE filtered ANN (VERDICT r9 next #3) — the fix
@@ -1287,10 +1381,11 @@ object Ann extends QModule {
       pred: Column): DataFrame = {
     import s.implicits._
     val idx = loadIndex(s, d)
+    val c = centroidCount(s) // session knob, not the constant (ADVICE r10)
     val total = idx.count()
     val surv = idx.filter(pred).count()
-    val nEff = adaptiveProbes(baseProbe, total, surv)
-    if (nEff >= Centroids) {
+    val nEff = adaptiveProbes(baseProbe, total, surv, c)
+    if (nEff >= c) {
       val q = emb(s, d)
         .filter($"vec_id" < maxQueryId)
         .select($"vec_id".as("query_id"), $"embedding".as("qe"))
@@ -1359,6 +1454,13 @@ object Ann extends QModule {
     * drifted applies the all-integer share test `1000·|n_full·tb −
     * n_base·tf| > τ·tb·tf` ⇔ |share_full − share_base| > τ‰. Exposed
     * standalone so specs can probe planted-skew artifacts. */
+  /** The all-integer per-mille share test shared by the oracle-gated
+    * frame and the sidecar-based lifecycle monitor: `1000·|n_full·tb −
+    * n_base·tf| > τ·tb·tf` ⇔ |share_full − share_base| > τ‰. */
+  private def driftFlag(nBase: Column, nFull: Column, tb: Column, tf: Column): Column =
+    when(lit(1000L) * abs(nFull * tb - nBase * tf) >
+      lit(DriftTauPm.toLong) * tb * tf, 1).otherwise(0)
+
   def quantizerDriftFrame(idx: DataFrame, basePred: Column): DataFrame = {
     val s = idx.sparkSession
     import s.implicits._
@@ -1373,9 +1475,136 @@ object Ann extends QModule {
       .na.fill(0, Seq("n_base"))
       .crossJoin(broadcast(totals))
       .select($"centroid_id", $"n_base", $"n_full",
-        when(lit(1000L) * abs($"n_full" * $"tb" - $"n_base" * $"tf") >
-          lit(DriftTauPm.toLong) * $"tb" * $"tf", 1).otherwise(0).as("drifted"))
+        driftFlag($"n_base", $"n_full", $"tb", $"tf").as("drifted"))
       .orderBy($"centroid_id")
+  }
+
+  // --------------------------------------- index lifecycle: drift repair
+
+  /** Persist the artifact's CURRENT per-list counts as its quantizer
+    * training snapshot (`_drift_base`) — the reference distribution
+    * [[driftFrameAt]] monitors against and [[repairDrifted]] advances.
+    * Call at (re)build time, when the quantizer's training universe IS
+    * the corpus. O(C) rows. */
+  def writeDriftBase(s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    indexFrame(s, path)
+      .groupBy($"centroid_id".cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_base"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_drift_base")
+  }
+
+  /** [[quantizerDriftFrame]]'s lifecycle form: current list counts vs
+    * the persisted `_drift_base` training snapshot, same integer test —
+    * `(centroid_id, n_base, n_full, drifted)`. Lists minted after the
+    * snapshot count n_base = 0 (maximally drifted until repaired or
+    * re-based). */
+  def driftFrameAt(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val full = indexFrame(s, path)
+      .groupBy($"centroid_id".cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_full"))
+    val base = s.read.parquet(s"$path/_drift_base")
+      .select($"centroid_id".cast("long").as("centroid_id"), $"n_base")
+    val joined = full.join(base, Seq("centroid_id"), "full_outer")
+      .na.fill(0, Seq("n_base", "n_full"))
+    val totals = joined.agg(sum($"n_full").as("tf"), sum($"n_base").as("tb"))
+    joined.crossJoin(broadcast(totals))
+      .select($"centroid_id", $"n_base", $"n_full",
+        driftFlag($"n_base", $"n_full", $"tb", $"tf").as("drifted"))
+      .orderBy($"centroid_id")
+  }
+
+  /** REPAIR actuator for the drift monitor (VERDICT r10 next #4) — v44
+    * flags drifted lists; this is what CONSUMES the flags. For exactly
+    * the flagged lists (everything else frozen — files never opened,
+    * `_drift_base` rows untouched): retrain the sub-quantizer on a
+    * bounded sample of the list's CURRENT members ([[rebalanceIndex]]'s
+    * mechanics — local spherical k-means, unit-normalized means, side
+    * dir + rename swap, re-manifest), splitting a list that outgrew its
+    * training share into ⌈n_full/mean⌉ sub-lists and re-centering a
+    * shrunk one in place, then advance the repaired lists' training
+    * snapshot to their current counts — the surgical form of the
+    * retrain-by-rebuild decision a faiss/hnswlib operator makes
+    * (`003-hnswlib_demo.py:234-257` rebuilds the whole index; here the
+    * un-drifted lists keep their quantizer AND their snapshot). After
+    * repair [[driftFrameAt]] is clean for the repaired region by
+    * construction, and the arrived distribution has its own
+    * centroid(s), so probe ranking resolves it — AnnDriftRepairSpec
+    * pins both plus the frozen lists' file sets. Returns the repaired
+    * (pre-split) centroid ids. */
+  def repairDrifted(s: SparkSession, path: String, iters: Int = 5): Seq[Long] = {
+    import s.implicits._
+    val frame = driftFrameAt(s, path)
+      .select($"centroid_id", $"n_base", $"n_full", $"drifted")
+      .as[(Long, Long, Long, Int)].collect()
+    val flagged = frame.collect { case (cid, _, nf, 1) if nf > 0 => (cid, nf) }.toSeq
+    if (flagged.isEmpty) return Nil
+    val mean = frame.map(_._3).sum.toDouble / frame.count(_._3 > 0)
+    val centsAll = s.read.parquet(s"$path/_centroids")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val centsMap = scala.collection.mutable.LinkedHashMap(centsAll.toIndexedSeq: _*)
+    var nextCid = centsAll.map(_._1).max + 1
+    val (fs, _) = hfs(s, path)
+    flagged.foreach { case (cid, nFull) =>
+      val k = math.max(1, math.ceil(nFull / mean).toInt)
+      val rows = indexFrame(s, path)
+        .filter($"centroid_id" === cid)
+        .select($"doc_id".as("id"), $"embedding".as("vec"), $"label".as("tag"))
+        .as[(Long, Array[Float], Int)]
+      val sample = rows.orderBy($"id").limit(RebalanceTrainSample).collect().map(_._2)
+      val stride = math.max(1, sample.length / k)
+      var means = Array.tabulate(k)(i => sample(math.min(i * stride, sample.length - 1)).clone())
+      (0 until iters).foreach(_ => means = Cluster.lloydStepLocal(sample, means))
+      val sub = means.zipWithIndex.map { case (v, i) =>
+        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+        // k = 1 re-centers IN PLACE (same list id, retrained centroid);
+        // k > 1 mints fresh sub-list ids like rebalance
+        val scid = if (k == 1) cid else nextCid + i
+        (scid, if (nrm > 0f) v.map(x => x / nrm) else v)
+      }
+      if (k > 1) nextCid += k
+      val tmp = s"${path}_driftrepair"
+      assignWrite(s, tmp, rows, sub, "overwrite")
+      sub.foreach { case (scid, _) =>
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$scid")
+        val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$scid")
+        if (fs.exists(src)) { fs.delete(dst, true); fs.rename(src, dst) }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      if (k > 1) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid"), true)
+        centsMap.remove(cid)
+      }
+      sub.foreach { case (scid, v) => centsMap += scid -> v }
+    }
+    centsMap.toSeq.toDF("centroid_id", "ce").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    // advance the training snapshot for the REPAIRED region only:
+    // repaired/minted lists re-base to their current counts (their
+    // quantizer was just retrained on the current universe); frozen
+    // lists keep their original snapshot rows
+    val repairedCids = flagged.map(_._1).toSet
+    val keptBase = s.read.parquet(s"$path/_drift_base")
+      .select($"centroid_id".cast("long").as("centroid_id"), $"n_base")
+      .as[(Long, Long)].collect()
+      .filterNot { case (cid, _) => repairedCids.contains(cid) }
+    val liveCids = centsMap.keySet.toSet
+    val rebased = indexFrame(s, path)
+      .groupBy($"centroid_id".cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_base"))
+      .as[(Long, Long)].collect()
+      .filter { case (cid, _) =>
+        !keptBase.exists(_._1 == cid) && liveCids.contains(cid) }
+    (keptBase ++ rebased).toSeq.sortBy(_._1).toDF("centroid_id", "n_base")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_drift_base_tmp")
+    val bDir = new org.apache.hadoop.fs.Path(s"$path/_drift_base")
+    fs.delete(bDir, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_drift_base_tmp"), bDir),
+      s"drift-base swap failed at $path")
+    remanifestAfterRewrite(s, path)
+    flagged.map(_._1)
   }
 
   /** QUANTIZER-DRIFT monitor — closes the loop the incremental-add
@@ -1432,6 +1661,23 @@ object Ann extends QModule {
     * (faiss `merge_into` semantics). */
   def mergeIndexArtifacts(s: SparkSession, dest: String, shards: Seq[String]): Unit = {
     val (fs, destPath) = hfs(s, dest)
+    // PRECONDITION before anything destructive (ADVICE r10: the
+    // unconditional dest delete below would destroy the only copy of the
+    // data if a caller passed an already-merged dest with drained
+    // shards): every shard must still HOLD its data — partitioned part
+    // files plus the head shard's quantizer sidecar. Checked up front so
+    // a misuse fails loudly with dest untouched.
+    require(shards.nonEmpty, "merge requires at least one shard")
+    val shardParts = shards.map { sh =>
+      sh -> fs.globStatus(new org.apache.hadoop.fs.Path(s"$sh/centroid_id=*/part-*"))
+    }
+    shardParts.foreach { case (sh, parts) =>
+      require(parts != null && parts.nonEmpty,
+        s"merge precondition: shard $sh has no centroid_id=*/part-* files " +
+          "(already drained by a previous merge?) — refusing to clear dest")
+    }
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"${shards.head}/_centroids")),
+      s"merge precondition: head shard ${shards.head} has no _centroids sidecar")
     // A crashed earlier merge leaves renamed files behind while the
     // _SUCCESS gate says "rebuild": clear the destination up front so a
     // retry can never double-count vectors (ADVICE r9), and fail every
@@ -1441,8 +1687,7 @@ object Ann extends QModule {
     fs.mkdirs(destPath)
     def renameOrDie(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
       require(fs.rename(src, dst), s"merge rename failed: $src -> $dst")
-    shards.zipWithIndex.foreach { case (sh, i) =>
-      val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$sh/centroid_id=*/part-*"))
+    shardParts.zipWithIndex.foreach { case ((sh, parts), i) =>
       parts.foreach { st =>
         val destDir = new org.apache.hadoop.fs.Path(destPath, st.getPath.getParent.getName)
         fs.mkdirs(destDir)
@@ -1507,8 +1752,17 @@ object Ann extends QModule {
     * compaction; here the v38 gate never compacts its artifact.) */
   def snapshotIndex(s: SparkSession, path: String): Int = {
     val (fs, _) = hfs(s, path)
-    val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/centroid_id=*/part-*"))
-      .map(_.getPath.toString).sorted
+    // the manifest covers the graph sidecar too (VERDICT r10 next #6):
+    // `_graph` is append-only exactly like the data files, so without
+    // manifest coverage a graph-REFINED search-as-of would silently use
+    // today's edges with yesterday's files. Readers split the list by
+    // path prefix ([[loadIndexAt]] takes the data lines,
+    // [[graphFilesAt]] the sidecar lines).
+    val globs = Seq("centroid_id=*/part-*", "_graph/part-*", "_graph_serve/part-*")
+    val files = globs.flatMap { g =>
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/$g")))
+        .getOrElse(Array.empty).map(_.getPath.toString)
+    }.sorted.toArray
     val snapDir = new org.apache.hadoop.fs.Path(s"$path/_snapshots")
     fs.mkdirs(snapDir)
     // next version = max(ever issued)+1, NOT count+1 (ADVICE r9 medium):
@@ -1549,11 +1803,69 @@ object Ann extends QModule {
   }
 
   /** The index AS OF snapshot `version`: reads exactly the manifest's
-    * files; `basePath` keeps the `centroid_id=` partition column (and
-    * with it partition pruning) intact. */
+    * DATA files (graph-sidecar lines are [[graphFilesAt]]'s);
+    * `basePath` keeps the `centroid_id=` partition column (and with it
+    * partition pruning) intact. */
   def loadIndexAt(s: SparkSession, path: String, version: Int): DataFrame =
-    s.read.option("basePath", path).parquet(manifestFiles(s, path, version): _*)
+    s.read.option("basePath", path)
+      .parquet(manifestFiles(s, path, version).filter(_.contains("/centroid_id=")): _*)
       .withColumn("centroid_id", col("centroid_id").cast("long"))
+
+  /** Snapshot `version`'s graph-sidecar files (candidate-edge tail +
+    * compacted serve form; empty when the artifact had no graph at
+    * snapshot time). */
+  def graphFilesAt(s: SparkSession, path: String, version: Int): Seq[String] =
+    manifestFiles(s, path, version)
+      .filter(f => f.contains("/_graph/") || f.contains("/_graph_serve/"))
+
+  /** Serving adjacency AS OF snapshot `version`: per-src
+    * top-[[GraphDegree]] over exactly the manifest's edge files —
+    * post-snapshot appends are invisible, which is what makes
+    * graph-REFINED search-as-of reproducible ([[graphAt]]'s live read
+    * would mix today's edges into yesterday's file set). The as-of
+    * read always pays the fold (serve rows re-enter as plain edges);
+    * only the LIVE read has the compacted fast path. */
+  def graphAtVersion(s: SparkSession, path: String, version: Int): DataFrame = {
+    import s.implicits._
+    val files = graphFilesAt(s, path, version)
+    require(files.nonEmpty, s"snapshot v$version of $path has no graph sidecar files")
+    val edges = s.read.parquet(files: _*)
+      .select($"src", $"dst", $"score")
+      .groupBy($"src", $"dst").agg(max($"score").as("score"))
+      .select($"src".as("query_id"), $"dst".as("doc_id"), $"score")
+    BruteForce.rerank(edges, GraphDegree)
+      .select($"query_id".as("src"), $"rnk", $"doc_id".as("dst"))
+  }
+
+  /** Graph-refined search AS OF snapshot `version`
+    * ([[graphRefinedSearchAt]] with every input pinned to the
+    * manifest): seeds, one-hop expansion, and exact rescore all read
+    * the version's file set — the as-of answer is blind to BOTH
+    * post-snapshot data files and post-snapshot edge appends
+    * (AnnGraphSpec pins the latter). Tombstones are ignored like every
+    * as-of read (v38: snapshots pin file sets; the live-view mask is a
+    * searchLive concern). */
+  def graphRefinedSearchAsOf(
+      s: SparkSession, q: DataFrame, path: String, version: Int,
+      k: Int, nProbe: Int, seedK: Int, excludeSelf: Boolean = true): DataFrame = {
+    import s.implicits._
+    val idx = loadIndexAt(s, path, version)
+    val cents = s.read.parquet(s"$path/_centroids")
+    val seeds = BruteForce.rerank(
+      scoredOn(s, q, cents, idx, nProbe, None).drop("prn"), seedK)
+      .select($"query_id", $"doc_id")
+    val expanded = seeds.as("s")
+      .join(graphAtVersion(s, path, version).as("g"), col("s.doc_id") === col("g.src"))
+      .select(col("s.query_id").as("query_id"), col("g.dst").as("doc_id"))
+    val cand0 = seeds.union(expanded).distinct()
+    val cand = if (excludeSelf) cand0.filter($"query_id" =!= $"doc_id") else cand0
+    val scored = idx
+      .select($"doc_id", $"embedding".as("de"))
+      .join(broadcast(cand), Seq("doc_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"de").as("score"))
+    BruteForce.rerank(scored, k)
+  }
 
   /** Snapshot `version`'s recorded file list. */
   def manifestFiles(s: SparkSession, path: String, version: Int): Seq[String] = {

@@ -57,6 +57,23 @@ object ColdScan {
 
   // ------------------------------------------------------------ artifacts
 
+  /** Artifact root for a cfg under `base`, keyed by EVERY field that
+    * changes what [[ensureArtifacts]] encodes (ADVICE r10: a root keyed
+    * only by (n, dim) + the persistent `_COLD_READY` gate silently
+    * reused stale artifacts after a cfg change — and a LUT built from
+    * the new pqSubDim against old codes would publish wrong numbers
+    * with no recall gate in the bench leg). n/dim stay human-readable;
+    * the remaining encode-relevant knobs fold into one fingerprint. */
+  def artifactRoot(base: String, cfg: KernelBench.Cfg): String = {
+    val enc = Seq(
+      cfg.centroids, cfg.pqSubDim, cfg.pqCodebook,
+      cfg.pqTrainSample, cfg.pqTrainIters,
+      cfg.coarseTrainSample, cfg.coarseTrainIters)
+    val fp = java.lang.Long.toHexString(
+      enc.foldLeft(1125899906842597L)((h, v) => h * 31 + v))
+    s"${base}_n${cfg.n}_d${cfg.dim}_e$fp"
+  }
+
   /** Build the four tier artifacts + sidecars under `root` if absent.
     * One assigned-blocks pass feeds all four encodes, so every tier
     * scans the SAME corpus, centroids, codebook and bounds as the

@@ -159,6 +159,79 @@ class AnnGraphSpec extends SparkSpec {
     assert(witnesses.nonEmpty, "no streamed vector rescued via the graph sidecar")
   }
 
+  test("edge compaction: read-equality across the boundary; compacted reads skip the aggregation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val before = Ann.graphAt(spark, path).as[(Long, Long, Long)].collect().toSet
+    Ann.compactGraphAt(spark, path)
+    val compacted = Ann.graphAt(spark, path)
+    assert(compacted.as[(Long, Long, Long)].collect().toSet == before,
+      "edge compaction changed the served adjacency")
+    // the tail is drained, so the read is a direct _graph_serve scan:
+    // no groupBy dedup, no top-degree re-rank in the plan
+    val gp = new org.apache.hadoop.fs.Path(s"$path/_graph")
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tail = fs.listStatus(gp).map(_.getPath.getName).count(_.startsWith("part-"))
+    assert(tail == 0, s"compaction left $tail tail part files")
+    val aggNodes = compacted.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a
+      case w: LWindow => w
+    }
+    assert(aggNodes.isEmpty,
+      s"compacted graph read still aggregates: ${aggNodes.map(_.nodeName)}")
+    // post-compaction appends still win at read time (lossless fold:
+    // top-d(top-d(A) ∪ B) = top-d(A ∪ B)) — append fresh edges, fold
+    // again, and the two read paths must agree
+    val extra = spark.range(n.toLong, n.toLong + 5L)
+      .map(id => (id, mvec((id - n.toLong) * n.toDouble / 5 + 0.5), 0))
+      .toDF("id", "vec", "label").as[(Long, Array[Float], Int)]
+    Ann.addVectors(spark, path, extra)
+    Ann.addToGraphAt(spark, path, extra)
+    val merged = Ann.graphAt(spark, path).as[(Long, Long, Long)].collect().toSet
+    assert((n.toLong until n.toLong + 5L).forall(id => merged.exists(_._1 == id)),
+      "post-compaction appended vectors missing from the served adjacency")
+    Ann.compactGraphAt(spark, path)
+    val refolded = Ann.graphAt(spark, path).as[(Long, Long, Long)].collect().toSet
+    assert(refolded == merged, "second fold changed the adjacency (fold not lossless)")
+  }
+
+  test("graph sidecar is snapshotted: graph-refined search-as-of is blind to later edge appends") {
+    val sPath = java.nio.file.Files.createTempDirectory("graft_graph_snap").toString + "/idx"
+    val base = spark.range(n.toLong).filter(id => !isDelta(id))
+      .map(id => (id, mvec(id.toDouble), 0))
+      .toDF("id", "vec", "label").as[(Long, Array[Float], Int)]
+    val cents = Array.tabulate(nCent)(c => (c.toLong, mvec(c.toDouble * n / nCent)))
+    Ann.writeIndexArtifact(spark, sPath, base, cents)
+    Ann.buildGraphAt(spark, sPath)
+    val v1 = Ann.snapshotIndex(spark, sPath)
+    assert(Ann.graphFilesAt(spark, sPath, v1).nonEmpty,
+      "snapshot manifest carries no graph sidecar files")
+    val liveBefore = Ann.graphRefinedSearchAt(
+        spark, qDf, sPath, k = 10, nProbe = 1, seedK = 10, maskTombstones = false)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+    val delta = spark.range(n.toLong).filter(id => isDelta(id))
+      .map(id => (id, mvec(id.toDouble), 0))
+      .toDF("id", "vec", "label").as[(Long, Array[Float], Int)]
+    Ann.addVectors(spark, sPath, delta)
+    Ann.addToGraphAt(spark, sPath, delta)
+    val v2 = Ann.snapshotIndex(spark, sPath)
+    assert(Ann.graphFilesAt(spark, sPath, v1).toSet
+      .subsetOf(Ann.graphFilesAt(spark, sPath, v2).toSet))
+    // AS OF v1: pre-delta files AND pre-delta edges — row-identical to
+    // the live read taken before the append, and blind to every delta id
+    val asOf1 = Ann.graphRefinedSearchAsOf(spark, qDf, sPath, v1, k = 10, nProbe = 1, seedK = 10)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+    assert(asOf1 == liveBefore,
+      "search-as-of v1 differs from the pre-append live read (manifest leak)")
+    assert(!asOf1.exists { case (_, _, doc) => isDelta(doc) })
+    // AS OF v2 equals the live post-append read
+    val asOf2 = Ann.graphRefinedSearchAsOf(spark, qDf, sPath, v2, k = 10, nProbe = 1, seedK = 10)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+    val liveAfter = Ann.graphRefinedSearchAt(
+        spark, qDf, sPath, k = 10, nProbe = 1, seedK = 10, maskTombstones = false)
+      .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+    assert(asOf2 == liveAfter)
+  }
+
   test("serving adjacency: per-src degree bound and dedup under re-append") {
     // appending the SAME delta again must not change the served graph
     // (scores are deterministic; (src,dst) dedup + top-degree re-rank)
