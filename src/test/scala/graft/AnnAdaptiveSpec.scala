@@ -90,4 +90,19 @@ class AnnAdaptiveSpec extends SparkSpec {
     val dials = Seq(500L, 400L, 250L, 100L, 50L, 10L).map(Ann.adaptiveProbes(4, 500, _))
     assert(dials == dials.sorted, s"dial not monotone: $dials")
   }
+
+  test("widening rule: non-default cap moves the crossover (ADVICE r10 closure)") {
+    // uncapped widening for this survivor fraction would be
+    // ceil(4·1000/50) = 80 probes; the cap is where the exact-fallback
+    // crossover FIRES, so it must track the session's centroid count,
+    // not the constant
+    assert(Ann.adaptiveProbes(4, 1000, 50) == Ann.Centroids) // default cap: crossover
+    assert(Ann.adaptiveProbes(4, 1000, 50, cap = 128) == 80) // wider C: still probing
+    assert(Ann.adaptiveProbes(4, 1000, 50, cap = 16) == 16) // narrower C: crosses sooner
+    // at a survivor fraction the DEFAULT cap tolerates, a smaller cap
+    // still fires the crossover — the boundary genuinely moves
+    assert(Ann.adaptiveProbes(4, 1000, 500) == 8)
+    assert(Ann.adaptiveProbes(4, 1000, 500, cap = 8) == 8)
+    assert(Ann.adaptiveProbes(4, 1000, 500, cap = 6) == 6)
+  }
 }

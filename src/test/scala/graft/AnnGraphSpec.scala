@@ -232,6 +232,52 @@ class AnnGraphSpec extends SparkSpec {
     assert(asOf2 == liveAfter)
   }
 
+  test("excludeSelf=false keeps colliding-id candidates for external query frames") {
+    // EXTERNAL query frame whose ids merely coincide with doc ids (the
+    // exact ADVICE r10 scenario): each query sits right on top of the
+    // doc sharing its id, so that doc IS the true top-1. The v33-style
+    // corpus-member convention (default) drops it; excludeSelf=false
+    // must keep it — via the one-hop edges of its ring-adjacent seeds.
+    // dedicated TWIN-PAIR fixture (the ring's per-dim noise makes
+    // degree-3 edge membership fuzzy at single-doc granularity): docs
+    // come in mutually-nearest twins (dot ≈ 0.99995 within a pair vs
+    // ≈ 0.916 across pairs), so each doc's twin carries a GUARANTEED
+    // serving edge back to it. The query is the collider's own vector
+    // (self-dot 1.0 — the unique true top-1); the seed stage finds the
+    // twin, the one-hop edge reaches the collider, and only the
+    // excludeSelf flag decides whether it survives the union.
+    val tPath = java.nio.file.Files.createTempDirectory("graft_graph_collide").toString + "/idx"
+    val dimc = 16
+    def uv(a: Int) = Array.tabulate(dimc)(i => if (i == a) 1.0f else 0.0f)
+    def tvec(axis: Int, tilt: Int, w: Float): Array[Float] = {
+      val v = uv(axis)
+      v(tilt) = w
+      val nm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
+      v.map(_ / nm)
+    }
+    def dvec(j: Long): Array[Float] = {
+      val g = (j / 2).toInt
+      tvec(g % 2, 2 + g / 2, 0.30f + 0.01f * (j % 2))
+    }
+    val docs = (0L until 40L).map(j => (j, dvec(j), 0))
+    Ann.writeIndexArtifact(spark, tPath, spark.createDataset(docs),
+      Array((0L, uv(0)), (1L, uv(1))))
+    Ann.buildGraphAt(spark, tPath)
+    val ids = Seq(0L, 5L, 12L, 19L)
+    val q = ids.map(d => (d, dvec(d))).toDF("query_id", "qe")
+    val dropped = resultsOf(
+      Ann.graphRefinedSearchAt(spark, q, tPath, k = 5, nProbe = 1, seedK = 5))
+    val kept = resultsOf(
+      Ann.graphRefinedSearchAt(spark, q, tPath, k = 5, nProbe = 1, seedK = 5,
+        excludeSelf = false))
+    ids.foreach { d =>
+      assert(!dropped(d).contains(d),
+        s"corpus-member convention should drop the colliding doc $d")
+      assert(kept(d).contains(d),
+        s"excludeSelf=false lost external query $d's colliding true top candidate")
+    }
+  }
+
   test("serving adjacency: per-src degree bound and dedup under re-append") {
     // appending the SAME delta again must not change the served graph
     // (scores are deterministic; (src,dst) dedup + top-degree re-rank)
