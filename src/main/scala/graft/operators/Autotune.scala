@@ -21,13 +21,20 @@ import graft.{Q, QModule}
   *  - `ivfsq` (8-bit, dim B/doc):   nProbe ∈ [[SqDials]]
   *  - `pq`    (dim/[[Pq.SubDim]] B/doc, flat ADC): rescore pool ∈
   *    [[PqDials]]
+  *  - `bin`   (1 bit/dim → ⌈dim/8⌉ B/doc, flat Hamming): rescore pool ∈
+  *    [[BinDials]] (VERDICT r10 next #5 / r11 next #4 — the tier with
+  *    the best measured cold-scan economics joins the decision table)
   *
   * Declared COST MODEL (scan-dominated, corpus-size-free integers so
   * both engines rank cells identically): `cost = bytes_per_doc ×
   * effective probes`, where probed tiers scan dial of [[Ann.Centroids]]
-  * lists and the flat tier scans all of them; the bounded exact-rescore
-  * tail is tier-independent and excluded (the cold-scan bench leg
-  * measures the same model's byte side empirically).
+  * lists and the flat tiers (pq, bin) scan all of them; the bounded
+  * exact-rescore tail is tier-independent and excluded (the cold-scan
+  * bench leg measures the same model's byte side empirically). At the
+  * 8-B budget the bin and pq tiers tie EXACTLY (both 8 B/doc × C): the
+  * deterministic (…, tier, dial) tie-break resolves it — bin first
+  * lexically, and between two bin pools the smaller (cheaper rescore
+  * tail) wins; AutotuneSpec pins the tie.
   *
   * Selection per (target‰, budget): among cells with `bytes_per_doc ≤
   * budget`, the cheapest whose overlap@10 meets the target — the v36
@@ -47,6 +54,7 @@ object Autotune extends QModule {
   val IvfDials = Seq(4, 16, 32)
   val SqDials = Seq(4, 16, 32)
   val PqDials = Seq(10, 50)
+  val BinDials = Seq(10, 50)
   val Targets = Seq(800, 900, 950, 990)
   val Budgets = Seq(256, 64, 8)
 
@@ -55,6 +63,7 @@ object Autotune extends QModule {
     case "ivf" => 4 * Dim
     case "ivfsq" => Dim
     case "pq" => Dim / Pq.SubDim
+    case "bin" => (Dim + 7) / 8
   }
 
   /** Scan-cost units for a cell — the declared cost model. */
@@ -62,11 +71,13 @@ object Autotune extends QModule {
     case "ivf" => bytesOf("ivf").toLong * dial
     case "ivfsq" => bytesOf("ivfsq").toLong * dial
     case "pq" => bytesOf("pq").toLong * Ann.Centroids
+    case "bin" => bytesOf("bin").toLong * Ann.Centroids
   }
 
   /** All (tier, dial) cells in display order. */
   def cells: Seq[(String, Int)] =
-    IvfDials.map("ivf" -> _) ++ SqDials.map("ivfsq" -> _) ++ PqDials.map("pq" -> _)
+    IvfDials.map("ivf" -> _) ++ SqDials.map("ivfsq" -> _) ++
+      PqDials.map("pq" -> _) ++ BinDials.map("bin" -> _)
 
   private val MaxQ = 10
   private val K = 10
@@ -83,6 +94,7 @@ object Autotune extends QModule {
           case "ivf" => Ann.search(s, d, MaxQ, K, dial)
           case "ivfsq" => Sq.searchIvf(s, d, MaxQ, K, dial)
           case "pq" => Pq.search(s, d, MaxQ, K, dial)
+          case "bin" => Compact.searchBinary(s, d, MaxQ, K, dial)
         }
         f.select($"query_id", $"doc_id", $"rnk")
           .withColumn("tier", lit(tier)).withColumn("dial", lit(dial))
@@ -118,6 +130,7 @@ object Autotune extends QModule {
           case "ivf" => s"SELECT query_id, doc_id, rnk FROM (${Ann.duckSearch(MaxQ, K, dial)})"
           case "ivfsq" => Sq.duckIvfSqSearch(MaxQ, K, dial)
           case "pq" => Pq.duckPqSearchCand(MaxQ, K, dial)
+          case "bin" => Compact.duckBinSearch(MaxQ, K, dial)
         }
         s"SELECT '$tier' AS tier, $dial AS dial, query_id, doc_id, rnk FROM ($inner)"
       }

@@ -71,7 +71,7 @@ object Compact extends QModule {
     h
   }
 
-  /** Stage-1 kernel: per-query top-[[BqRescore]] docs by (Hamming asc,
+  /** Stage-1 kernel: per-query top-`pool` docs by (Hamming asc,
     * doc_id asc). Queries are broadcast as packed codes; each corpus row
     * is packed once and offered to every query's bounded heap with score
     * = −hamming (the heap's (score desc, id asc) order is then exactly
@@ -79,7 +79,8 @@ object Compact extends QModule {
   private def hammingCandidates(
       s: SparkSession,
       d: String,
-      queries: Array[(Long, Array[Long])]): DataFrame = {
+      queries: Array[(Long, Array[Long])],
+      pool: Int): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(queries)
     emb(s, d)
@@ -88,7 +89,7 @@ object Compact extends QModule {
       .mapPartitions { rows =>
         val qs = bc.value
         val nq = qs.length
-        val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(BqRescore))
+        val heaps = Array.fill(nq)(new graft.functions.TopKAgg.Heap(pool))
         rows.foreach { case (docId, vec) =>
           val code = packSigns(vec)
           var qi = 0
@@ -108,38 +109,45 @@ object Compact extends QModule {
   }
 
   /** Exact full-dimension rescore of a query-bounded candidate frame:
-    * (query_id, doc_id) → top-[[K]] by float dot, ties by doc_id — the
+    * (query_id, doc_id) → top-`k` by float dot, ties by doc_id — the
     * shared stage-2 of v34/v35 (same shape as v33's rescore). */
-  private def rescoreExact(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+  private def rescoreExact(
+      s: SparkSession, d: String, cand: DataFrame,
+      maxQ: Int = MaxQ, k: Int = K): DataFrame = {
     import s.implicits._
-    val qv = emb(s, d).filter($"vec_id" < MaxQ)
+    val qv = emb(s, d).filter($"vec_id" < maxQ)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     val scored = emb(s, d)
       .select($"vec_id".as("doc_id"), $"embedding".as("de"))
       .join(broadcast(cand.select("query_id", "doc_id")), Seq("doc_id"))
       .join(broadcast(qv), Seq("query_id"))
       .select($"query_id", $"doc_id", graft.Functions.vecDot($"qe", $"de").as("score"))
-    BruteForce.rerank(scored, K)
+    BruteForce.rerank(scored, k)
       .select($"query_id", $"rnk", $"doc_id")
       .orderBy($"query_id", $"rnk")
   }
 
-  // ---------------------------------------------------------------- v34
-  /** Binary-quantized search: Hamming top-[[BqRescore]] candidates over
-    * 1-bit sign codes, exact top-[[K]] rescore. */
-  private val v34 = Q(
-    "v34_binary_topk",
-    (s, d) => {
-      import s.implicits._
-      val queries = emb(s, d).filter($"vec_id" < MaxQ)
-        .select($"vec_id", $"embedding")
-        .as[(Long, Array[Float])]
-        .collect()
-        .sortBy(_._1)
-        .map { case (id, v) => (id, packSigns(v)) }
-      rescoreExact(s, d, hammingCandidates(s, d, queries))
-    },
-    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $MaxQ),
+  /** The v34 two-stage binary search with the dial exposed: Hamming
+    * top-`pool` candidates, exact top-`k` rescore — v43's bin tier
+    * cells (the pool is the tier's recall dial, exactly like the 1M
+    * bench's `bin_operating_point`). */
+  private[operators] def searchBinary(
+      s: SparkSession, d: String, maxQ: Int, k: Int, pool: Int): DataFrame = {
+    import s.implicits._
+    val queries = emb(s, d).filter($"vec_id" < maxQ)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) => (id, packSigns(v)) }
+    rescoreExact(s, d, hammingCandidates(s, d, queries, pool), maxQ, k)
+  }
+
+  /** [[searchBinary]] as DuckDB SQL, parameterized like the engine call
+    * — self-contained WITH block, embeddable as a subquery (the Pq/Sq
+    * oracle pattern). */
+  private[operators] def duckBinSearch(maxQ: Int, k: Int, pool: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQ),
       ham AS (
         SELECT q.query_id, c.vec_id AS doc_id,
                (SELECT count(*) FROM (SELECT unnest(q.qe) AS x, unnest(c.embedding) AS y) zz
@@ -150,7 +158,7 @@ object Compact extends QModule {
           SELECT query_id, doc_id,
                  row_number() OVER (PARTITION BY query_id ORDER BY hd, doc_id) AS crn
           FROM ham)
-        WHERE crn <= $BqRescore),
+        WHERE crn <= $pool),
       resc AS (
         SELECT c.query_id, c.doc_id,
                ${duckDot("q.qe", "dd.embedding")} AS score
@@ -161,7 +169,15 @@ object Compact extends QModule {
         SELECT query_id, doc_id,
                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
         FROM resc)
-    SELECT query_id, rnk, doc_id FROM rr WHERE rnk <= $K ORDER BY query_id, rnk"""))
+    SELECT query_id, rnk, doc_id FROM rr WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  // ---------------------------------------------------------------- v34
+  /** Binary-quantized search: Hamming top-[[BqRescore]] candidates over
+    * 1-bit sign codes, exact top-[[K]] rescore. */
+  private val v34 = Q(
+    "v34_binary_topk",
+    (s, d) => searchBinary(s, d, MaxQ, K, BqRescore),
+    Some(duckBinSearch(MaxQ, K, BqRescore)))
 
   // ---------------------------------------------------------------- v35
   /** Matryoshka prefix search: first pass ranks by the dot of the first

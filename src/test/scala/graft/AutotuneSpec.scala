@@ -39,10 +39,12 @@ class AutotuneSpec extends SparkSpec {
     }
   }
 
-  test("tight budget forces the compressed tier; loose budget at low target picks the cheapest") {
-    // budget 8 admits only pq — every pick under it must be pq
+  test("tight budget forces the compressed tiers; loose budget at low target picks the cheapest") {
+    // budget 8 admits exactly the two 8-B tiers (bin joined the table in
+    // r12) — every pick under it must be one of them
     rows.filter(_._2 == 8).foreach { case (t, _, tier, _, _, _) =>
-      assert(tier == "pq", s"budget 8 must force pq, got $tier at target $t")
+      assert(tier == "pq" || tier == "bin",
+        s"budget 8 must force an 8-B tier, got $tier at target $t")
     }
     // under the loosest budget, a HIGHER target never picks a cheaper
     // cell than a lower one (cost of the pick is non-decreasing until
@@ -53,6 +55,23 @@ class AutotuneSpec extends SparkSpec {
     info(loose.map { case (t, b, tier, dial, osum, nq) =>
       f"target $t budget $b -> ($tier, $dial) osum $osum/$nq"
     }.mkString("; "))
+  }
+
+  test("8-B budget: bin and pq tie exactly in the cost model; tie-break is deterministic") {
+    // the two flat 8-B tiers cost the SAME under the declared model
+    // (bytes × all lists; the rescore tail is excluded by contract), so
+    // selection between them rests entirely on the (…, tier, dial)
+    // lexical tie-break — bin before pq, smaller pool before larger.
+    // The DuckDB oracle replays the identical ORDER BY, so any engine
+    // drift in the tie-break is a v43 hash mismatch; here we pin the
+    // model's tie itself so a future cost change can't silently untie it.
+    assert(Autotune.bytesOf("bin") == 8 && Autotune.bytesOf("pq") == 8)
+    Autotune.BinDials.foreach { bd =>
+      Autotune.PqDials.foreach { pd =>
+        assert(Autotune.costOf("bin", bd) == Autotune.costOf("pq", pd))
+      }
+    }
+    assert(Seq("bin", "pq").sorted.head == "bin")
   }
 
   test("fallback is the best the budget can buy") {
