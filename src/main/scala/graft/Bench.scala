@@ -12,6 +12,50 @@ import java.nio.file.{Files, Paths}
   * (cwd) because sbt's logger may prefix stdout.
   */
 object Bench {
+
+  /** Run one scale leg in a FRESH JVM via [[tools.BenchFork]] and return
+    * its JSON body. The child inherits this JVM's full argument list
+    * (heap size, --add-opens, -D flags — sbt forked us, so
+    * `java.class.path` is the real application classpath) plus the
+    * environment (SPARK_GRAFT_* knobs). Stdout is scanned for the single
+    * `BENCHFORK_JSON` line; stderr passes through. On any failure the
+    * in-session `fallback` runs instead, stamped
+    * `"suspect_session_age":true` so a JSON consumer can tell a clean
+    * fresh-JVM point from a heap-aged one (VERDICT r11 next #2). */
+  private def forked(mode: String, fallback: () => String): String =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.tools.BenchFork", mode)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      // drain stdout fully BEFORE waitFor: stderr is inherited, so the
+      // only pipe that could deadlock on a full buffer is this one
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      var ln = out.readLine()
+      while (ln != null) { lines += ln; ln = out.readLine() }
+      val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); sys.error(s"fork $mode timed out") }
+      if (p.exitValue() != 0) sys.error(s"fork $mode exited ${p.exitValue()}")
+      lines.reverseIterator
+        .collectFirst { case l if l.startsWith("BENCHFORK_JSON ") =>
+          l.stripPrefix("BENCHFORK_JSON ") }
+        .getOrElse(sys.error(s"fork $mode printed no BENCHFORK_JSON line"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] fork $mode failed (${e.getMessage}) — in-session fallback, stamped suspect")
+        val j = fallback()
+        if (j.startsWith("{")) """{"suspect_session_age":true,""" + j.drop(1) else j
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -82,62 +126,32 @@ object Bench {
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           "null"
       }
-    // 4M rung (VERDICT r9 next #8): the third point of the scale-slope
-    // fit — FLOAT LADDERS ONLY (bf + IVF). The all-tiers 4M working set
-    // is past the reliable single-JVM envelope (KernelBench.runFloat's
-    // scaladoc has the measured envelope; compressed-tier slopes publish
-    // at the 2M rung where every tier stays resident).
-    val kernel4m =
-      if (Runtime.getRuntime.maxMemory < 28L * 1024 * 1024 * 1024 * 96 / 100)
-        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 28g"}"""
-      else try {
-        spark.catalog.clearCache()
-        // runs DIRECTLY after the 1M section, before the cold-scan and
-        // 2M churn: large-array scan throughput degrades as this JVM's
-        // heap ages even fully memory-resident (measured 4M bf 40
-        // ms/query fresh -> 66 after the 1M section -> 150 after the
-        // full bench; GC, blocking unpersists and THP all ruled out) —
-        // section order is the one lever that keeps the published rung
-        // close to the standalone number. STATUS round-10 notes carry
-        // the full measurement set.
-        System.gc()
-        val cfg4 = KernelBench.Default.copy(
-          n = 4000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
-        val r4 = KernelBench.runFloat(spark, cfg4)
-        val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        s"""{"n":${cfg4.n},"dim":${cfg4.dim},"float_only":true,"ms_per_query":${f3(r4.bfMsPerQuery)},"ann_build_sec":${f3(r4.annBuildSec)},"ann_ms_per_query":${f3(r4.annMsPerQuery)},"ann_recall_vs_exact":${f4(r4.annRecallVsExact)}}"""
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] kernel_4m_384 failed (non-fatal): ${e.getMessage}")
-          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
-      }
-    // Scale-slope section (VERDICT r8 next #8): the same four scan
-    // ladders at 2× the reference scale, trimmed to one sweep level and
-    // no kNN graph (its cluster-scoped cost is n²-scaled). A 2M failure
-    // (e.g. memory on a smaller host) reports inline WITHOUT flipping
-    // the exit code — the slope probe is diagnostic, not a gate.
-    // (ordering: both scale rungs run before the cold-scan leg — the
-    // aged-heap scan penalty documented at the 4M section hits the big
-    // resident float ladders; the cold leg is IO-dominated with small
-    // per-pass structures and measures the same either way)
-    val kernel2m =
-      if (Runtime.getRuntime.maxMemory < 14L * 1024 * 1024 * 1024 * 96 / 100)
-        // an executor-task OOM at this scale kills the JVM past any
-        // catch (measured at 12g) — skip rather than risk the whole run
-        s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 14g"}"""
-      else try {
-        spark.catalog.clearCache()
-        System.gc() // old-gen compaction between sections (see 4M note)
-        val cfg2 = KernelBench.Default.copy(
-          n = 2000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
-        val r2 = KernelBench.run(spark, cfg2)
-        val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        s"""{"n":${cfg2.n},"dim":${cfg2.dim},"ms_per_query":${f3(r2.bfMsPerQuery)},"ann_build_sec":${f3(r2.annBuildSec)},"ann_ms_per_query":${f3(r2.annMsPerQuery)},"ann_recall_vs_exact":${f4(r2.annRecallVsExact)},"sq_build_sec":${f3(r2.sqBuildSec)},"sq_ms_per_query":${f3(r2.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r2.sqRecallVsExact)},"pq_build_sec":${f3(r2.pqBuildSec)},"pq_ms_per_query":${f3(r2.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r2.pqRecallVsExact)}}"""
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] kernel_2m_384 failed (non-fatal): ${e.getMessage}")
-          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
-      }
+    // Scale rungs (VERDICT r9 next #8 / r8 next #8) — each runs in a
+    // FRESH FORKED JVM (VERDICT r11 next #2): multi-GB float-scan
+    // throughput decays with JVM session age on this host (measured 4M
+    // bf 40 ms/query fresh -> ~150 late-session, residency verified,
+    // GC/THP/unpersist ruled out — STATUS r10 #8), so two rounds of
+    // published 2M/4M points measured heap age, not scaling. The parent
+    // blocks idle while each fork runs (the bench-truth keep-host-idle
+    // rule); on fork failure the leg runs in-session with a
+    // machine-readable "suspect_session_age":true stamp. Leg bodies and
+    // heap gates live in BenchLegs; failures stay non-fatal (diagnostic
+    // legs, exit code untouched).
+    val kernel4m = forked("float4m", () => {
+      spark.catalog.clearCache(); System.gc()
+      BenchLegs.float4m(spark)
+    })
+    val kernel2m = forked("full2m", () => {
+      spark.catalog.clearCache(); System.gc()
+      BenchLegs.full2m(spark)
+    })
+    // kNN-graph BUILD slope (VERDICT r11 next #5): two half-scale rungs
+    // in their own fork — the first measured points for the one build
+    // whose cost is cluster-scoped n².
+    val graphSlope = forked("graphslope", () => {
+      spark.catalog.clearCache(); System.gc()
+      BenchLegs.graphSlope(spark)
+    })
     // COLD-SCAN leg (VERDICT r9 next #1): the compression ladder's
     // bytes-per-doc claim measured IO-bound — each tier's packed
     // artifact re-read from parquet per pass, page cache dropped before
@@ -164,7 +178,7 @@ object Bench {
     // serialize errors only now — the kernel benchmark above may add one
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"kernel_cold_scan":$cold,"kernel_2m_384":$kernel2m,"kernel_4m_384":$kernel4m,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"kernel_1m_384":$kernel,"kernel_cold_scan":$cold,"kernel_2m_384":$kernel2m,"kernel_4m_384":$kernel4m,"graph_build_slope":$graphSlope,"errors":$errJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop() // stop BEFORE printing so no further logging can push the
     println(line) // JSON line out of the driver's bounded stdout tail
