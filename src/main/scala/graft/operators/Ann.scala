@@ -845,9 +845,9 @@ object Ann extends QModule {
     * which plain `search` ignores by contract). */
   def searchArtifact(
       s: SparkSession, q: DataFrame, path: String, k: Int, nProbe: Int,
-      maskTombstones: Boolean = true): DataFrame = {
+      maskTombstones: Boolean = true, pred: Option[Column] = None): DataFrame = {
     val cents = s.read.parquet(s"$path/_centroids")
-    val cand = scoredOn(s, q, cents, indexFrame(s, path), nProbe, None).drop("prn")
+    val cand = scoredOn(s, q, cents, indexFrame(s, path), nProbe, pred).drop("prn")
     val live =
       if (maskTombstones) {
         val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
@@ -887,13 +887,28 @@ object Ann extends QModule {
     * a corpus row). Pass `false` for external query frames whose ids
     * merely coincide with doc ids (e.g. 0-based query numbering), or the
     * colliding candidate is silently lost despite being a different
-    * vector. */
+    * vector.
+    *
+    * `pred` (v47): a metadata predicate composed with graph-refined
+    * search — the filtered form every production vector database also
+    * needs on its graph tier. Pre-filter discipline on BOTH stages:
+    * seeds come from the filtered universe (pred pushed into the pruned
+    * probe scan — k stays guaranteed over that universe within the
+    * probe set), and the exact rescore re-applies pred on the index
+    * side, because the UNFILTERED graph's one-hop expansion can lead
+    * OUT of the filtered universe (an edge dst violating pred must
+    * never be served). The graph itself stays unfiltered — edges encode
+    * corpus geometry, not tenancy, so one sidecar serves every
+    * predicate: a filtered seed reaches its filtered true neighbor in
+    * an UNPROBED list through the same geometry edge an unfiltered
+    * search would use, which is exactly the across-list rescue filtered
+    * search loses at a thin dial. */
   def graphRefinedSearchAt(
       s: SparkSession, q: DataFrame, path: String, k: Int, nProbe: Int,
       seedK: Int, maskTombstones: Boolean = true,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, pred: Option[Column] = None): DataFrame = {
     import s.implicits._
-    val seeds = searchArtifact(s, q, path, seedK, nProbe, maskTombstones)
+    val seeds = searchArtifact(s, q, path, seedK, nProbe, maskTombstones, pred)
       .select($"query_id", $"doc_id")
     val expanded = seeds.as("s")
       .join(graphAt(s, path).as("g"), col("s.doc_id") === col("g.src"))
@@ -901,7 +916,7 @@ object Ann extends QModule {
     val cand0 = seeds.union(expanded).distinct()
     val cand = // corpus-member queries (v33 style) — see excludeSelf doc
       if (excludeSelf) cand0.filter($"query_id" =!= $"doc_id") else cand0
-    val scored = indexFrame(s, path)
+    val scored = pred.foldLeft(indexFrame(s, path))(_ filter _)
       .select($"doc_id", $"embedding".as("de"))
       .join(broadcast(cand), Seq("doc_id"))
       .join(broadcast(q), Seq("query_id"))

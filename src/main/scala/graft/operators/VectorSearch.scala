@@ -872,7 +872,7 @@ object VectorSearch extends QModule {
     *         [[Ann.search]] */
   def graphSidecarSearch(
       s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int,
-      seedK: Int): DataFrame = {
+      seedK: Int, pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
     val path = Ann.ensureCentroidSidecar(s, d)
     val gdone = new org.apache.hadoop.fs.Path(s"$path/_graph/_SUCCESS")
@@ -881,7 +881,7 @@ object VectorSearch extends QModule {
     val q = emb(s, d).filter($"vec_id" < maxQueryId)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     Ann.graphRefinedSearchAt(s, q, path, k = k, nProbe = nProbe,
-      seedK = seedK, maskTombstones = false)
+      seedK = seedK, maskTombstones = false, pred = pred)
   }
 
   private val v45 = Q(
@@ -910,6 +910,56 @@ object VectorSearch extends QModule {
           FROM graph_search('$d', 20, $GraphSeedK, $GraphNProbe, $GraphSeedK)
           ORDER BY query_id, rnk"""),
     Some(duckGraphRefined))
+
+  // ---------------------------------------------------------------- v47
+  /** FILTERED graph-refined search — the metadata predicate composed
+    * with the graph tier (the v18/v19/v42 filtered-search family
+    * extended to the serving surface it was missing; every production
+    * vector database needs filters on its graph tier too). Both stages
+    * pre-filter ([[Ann.graphRefinedSearchAt]]'s `pred` doc): seeds from
+    * the filtered universe through the pruned probe scan at a widened
+    * dial (nProbe [[FilteredGraphNProbe]] — the v19 discipline: a
+    * selective predicate thins each probed list), one-hop expansion
+    * over the UNFILTERED persisted `_graph` sidecar (edges encode
+    * corpus geometry, not tenancy — one sidecar serves every
+    * predicate), and the exact rescore re-applies the predicate so an
+    * edge leading out of the filtered universe is never served. The
+    * oracle replays seed filter, shared graph, and rescore filter
+    * identically — a lost rescue, a leaked unfiltered doc, or a wrong
+    * widening all hash-mismatch. */
+  private val FilteredGraphNProbe = 2
+
+  private val v47 = Q(
+    "v47_filtered_graph_search",
+    (s, d) => {
+      import s.implicits._
+      graphSidecarSearch(s, d, maxQueryId = 20, k = GraphSeedK,
+          nProbe = FilteredGraphNProbe, seedK = GraphSeedK,
+          pred = Some(col("label") % 3 === 0))
+        .select($"query_id", $"rnk", $"doc_id")
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(s"""WITH ${Ann.duckCentAssign},
+      $duckGraphEdges,
+      seeds AS (${Ann.duckSearch(20, GraphSeedK, FilteredGraphNProbe, "e.label % 3 = 0")}),
+      cand AS (
+        SELECT query_id, doc_id FROM seeds
+        UNION
+        SELECT s.query_id, e.dst AS doc_id
+        FROM seeds s JOIN edge e ON e.src = s.doc_id),
+      resc AS (
+        SELECT c.query_id, c.doc_id,
+               ${duckDot("q.embedding", "dd.embedding")} AS score
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings dd ON dd.vec_id = c.doc_id
+        WHERE c.doc_id <> c.query_id AND dd.label % 3 = 0),
+      rr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM resc)
+    SELECT query_id, rnk, doc_id FROM rr
+    WHERE rnk <= $GraphSeedK ORDER BY query_id, rnk"""))
 
   // ---------------------------------------------------------------- v39
   /** PARENT-document retrieval (grouped top-k): chunks are what gets
@@ -988,5 +1038,5 @@ object VectorSearch extends QModule {
     Some(duckParentSql))
 
   override def all: Seq[Q] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33, v39, v41, v45, v46)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v11, v14, v16, v18, v22, v24, v25, v28, v29, v30, v31, v33, v39, v41, v45, v46, v47)
 }

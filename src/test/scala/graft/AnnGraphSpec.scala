@@ -278,6 +278,56 @@ class AnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("filtered graph refinement: predicate never leaks, across-boundary filtered docs rescued") {
+    // v47's behavioral contract on the navigable ring: label docs by
+    // id % 3 and filter label != 2 (keeps 2/3 of the ring, dense enough
+    // to stay navigable). Plain FILTERED search at nProbe=1 loses true
+    // filtered neighbors across each Voronoi boundary; the UNFILTERED
+    // geometry edges rescue exactly those — and no label-2 doc may ever
+    // be served.
+    val fPath = java.nio.file.Files.createTempDirectory("graft_graph_filter").toString + "/idx"
+    val all = spark.range(n.toLong)
+      .map(id => (id, mvec(id.toDouble), (id % 3).toInt))
+      .toDF("id", "vec", "label").as[(Long, Array[Float], Int)]
+    val cents = Array.tabulate(nCent)(c => (c.toLong, mvec(c.toDouble * n / nCent)))
+    Ann.writeIndexArtifact(spark, fPath, all, cents)
+    Ann.buildGraphAt(spark, fPath)
+    val pred = org.apache.spark.sql.functions.col("label") =!= 2
+    val plain = resultsOf(
+      Ann.searchArtifact(spark, qDf, fPath, k = 10, nProbe = 1, pred = Some(pred)))
+    val refined = resultsOf(
+      Ann.graphRefinedSearchAt(spark, qDf, fPath, k = 10, nProbe = 1, seedK = 10,
+        pred = Some(pred)))
+    refined.values.flatten.foreach(d =>
+      assert(d % 3 != 2, s"filtered graph search served excluded doc $d"))
+    // filtered ground truth: exact top-10 over the label != 2 universe
+    val exactF: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      val scored = (0L until n.toLong).filter(_ % 3 != 2).map { id =>
+        val v = mvec(id.toDouble)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += qv(i).toDouble * v(i).toDouble; i += 1 }
+        (id, s)
+      }
+      qid -> scored.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    }.toMap
+    val witnesses = queries.flatMap { case (qid, _) =>
+      exactF(qid)
+        .filter(v => !plain.getOrElse(qid, Set.empty).contains(v))
+        .filter(v => refined.getOrElse(qid, Set.empty).contains(v))
+        .map(v => (qid, v))
+    }
+    info(s"filtered across-boundary rescues: ${witnesses.length} (${witnesses.take(5).toSeq})")
+    assert(witnesses.nonEmpty,
+      "no filtered true neighbor was rescued through the unfiltered geometry edges")
+    def recallF(m: Map[Long, Set[Long]]): Double = queries.map { case (qid, _) =>
+      exactF(qid).count(m.getOrElse(qid, Set.empty).contains).toDouble / 10
+    }.sum / queries.length
+    val (pr, rr) = (recallF(plain), recallF(refined))
+    info(f"filtered boundary queries: plain@nProbe=1 recall10=$pr%.4f -> refined $rr%.4f")
+    assert(rr > pr, s"filtered refinement must lift recall on the ring: $rr vs $pr")
+  }
+
   test("serving adjacency: per-src degree bound and dedup under re-append") {
     // appending the SAME delta again must not change the served graph
     // (scores are deterministic; (src,dst) dedup + top-degree re-rank)
