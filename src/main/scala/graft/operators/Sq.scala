@@ -51,6 +51,13 @@ object Sq extends QModule {
       .as[(Long, Array[Float])]
   }
 
+  private def corpusDsTagged(s: SparkSession, d: String): Dataset[(Long, Array[Float], Int)] = {
+    import s.implicits._
+    Tables(s, d, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+      .as[(Long, Array[Float], Int)]
+  }
+
   /** Per-dimension [lo, hi] corpus bounds: per-partition partial min/max
     * arrays, combined at the driver — one narrow pass, O(P × dim) driver
     * traffic. Exact (min/max of the same float set) on any partitioning. */
@@ -254,9 +261,16 @@ object Sq extends QModule {
     * argmax-dot centroid ([[BruteForce.nearestCentroid]] — the [[Ann]]
     * assignment contract, ties to the smallest centroid id) AND its byte
     * codes in the same narrow map — no join between the two build
-    * artifacts, no shuffle at all. */
-  def encodeAssigned(
-      corpus: Dataset[(Long, Array[Float])],
+    * artifacts, no shuffle at all. The corpus `label` metadata column
+    * rides into the encoded frame — the layout filtered
+    * compressed-tier search needs (v48): a predicate over the encoded
+    * rows is a declarative filter the scan prunes, not a join back to
+    * the float corpus. One frame serves BOTH the filtered and
+    * unfiltered paths ([[adcProbed]] selects its three columns
+    * explicitly, so the extra column costs the unfiltered path
+    * nothing). */
+  def encodeAssignedTagged(
+      corpus: Dataset[(Long, Array[Float], Int)],
       cents: Array[(Long, Array[Float])],
       lo: Array[Double],
       hi: Array[Double]): DataFrame = {
@@ -266,7 +280,7 @@ object Sq extends QModule {
     val bcLo = spark.sparkContext.broadcast(lo)
     val bcStep = spark.sparkContext.broadcast(steps(lo, hi))
     corpus
-      .map { case (id, vec) =>
+      .map { case (id, vec, tag) =>
         val l = bcLo.value
         val st = bcStep.value
         val codes = new Array[Byte](vec.length)
@@ -275,9 +289,9 @@ object Sq extends QModule {
           codes(i) = encodeComponent(vec(i).toDouble, l(i), st(i)).toByte
           i += 1
         }
-        (id, BruteForce.nearestCentroid(vec, bcC.value)._1, codes)
+        (id, BruteForce.nearestCentroid(vec, bcC.value)._1, codes, tag)
       }
-      .toDF("doc_id", "centroid_id", "codes")
+      .toDF("doc_id", "centroid_id", "codes", "label")
   }
 
   /** Probed ADC candidates: like [[adcCandidates]] but each doc is
@@ -339,15 +353,24 @@ object Sq extends QModule {
     * gate: probe the top-nProbe [[Ann]] centroids per query (same probe
     * arithmetic and ties as v09), ADC-scan ONLY the probed inverted
     * lists' byte codes, global RCand trim, exact rescore, top-k. */
-  def searchIvf(s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
+  def searchIvf(s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
     val (lo, hi) = graft.Memo.cachedValue(s, s"sq-bounds:$d")(trainBounds(corpusDs(s, d)))
     val cents = Ann.centroids(s, d)
       .select($"centroid_id".cast("long"), $"ce")
       .as[(Long, Array[Float])]
       .collect()
-    val assigned = graft.Memo.cached(s, s"sq-assigned:$d")(
-      encodeAssigned(corpusDs(s, d), cents, lo, hi))
+    // ONE memoized encoded frame serves filtered and unfiltered alike:
+    // the label column rides in the encode (v48), so `pred` is a
+    // declarative filter the scan prunes BEFORE the ADC kernel — the
+    // pre-filter discipline (k and the RCand trim stay guaranteed over
+    // the filtered universe within the probe set), with no join back to
+    // the float corpus. The rescore stays automatically filtered: its
+    // candidate set only ever contains surviving docs.
+    val assignedAll = graft.Memo.cached(s, s"sq-assigned:$d")(
+      encodeAssignedTagged(corpusDsTagged(s, d), cents, lo, hi))
+    val assigned = pred.foldLeft(assignedAll)(_ filter _)
     val queries = corpusDs(s, d).filter($"id" < maxQueryId).collect().sortBy(_._1)
     // top-nProbe probe set per query: dot desc, centroid_id asc — the
     // v09 probe contract, computed with the same array-order double dot
@@ -476,11 +499,15 @@ object Sq extends QModule {
       FROM q, decv d WHERE d.doc_id <> q.query_id),
     ${duckTail(k)}"""
 
-  /** The IVF+SQ composition in DuckDB (v27): [[Ann.duckCentAssign]]'s
+  /** The IVF+SQ composition in DuckDB (v27/v48): [[Ann.duckCentAssign]]'s
     * centroid set + assignment, the v09 probe contract (top-nProbe by
     * dot desc, centroid_id ties), ADC restricted to probed inverted
-    * lists, then the shared trim/rescore tail. */
-  private[graft] def duckIvfSqSearch(maxQueryId: Int, k: Int, nProbe: Int): String =
+    * lists, then the shared trim/rescore tail. `predSql` (over alias
+    * `em`, the candidate's embeddings row) mirrors the engine's
+    * pre-filter on the encoded rows — applied BEFORE the ADC ranking
+    * and the RCand trim, exactly where the engine applies it. */
+  private[graft] def duckIvfSqSearch(maxQueryId: Int, k: Int, nProbe: Int,
+      predSql: String = "TRUE"): String =
     s"""WITH ${Ann.duckCentAssign},
     $duckEncodeCtes,
     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQueryId),
@@ -499,7 +526,8 @@ object Sq extends QModule {
               FROM (SELECT unnest(p.qe) AS x, unnest(dv.dv) AS y) zz) AS ascore
       FROM probed p JOIN assign a USING (centroid_id)
       JOIN decv dv ON dv.doc_id = a.doc_id
-      WHERE a.doc_id <> p.query_id),
+      JOIN embeddings em ON em.vec_id = a.doc_id
+      WHERE a.doc_id <> p.query_id AND ($predSql)),
     ${duckTail(k)}"""
 
   // ---------------------------------------------------------------- v23
@@ -547,5 +575,30 @@ object Sq extends QModule {
     },
     Some(duckIvfSqSearch(maxQueryId = 10, k = 10, nProbe = 4)))
 
-  override def all: Seq[Q] = Seq(v23, v26, v27)
+  // ---------------------------------------------------------------- v48
+  /** FILTERED compressed-tier search — the metadata predicate composed
+    * with IVF+SQ8 (v48; round 12). At 100 TB the float tier is too big
+    * to serve filters from — the predicate has to run against the
+    * compressed scan tier, which is exactly this composition: the label
+    * rides in the encoded frame ([[encodeAssignedTagged]]), the
+    * predicate prunes the encoded rows BEFORE the ADC kernel (k and the
+    * RCand trim guaranteed over the filtered universe within the probe
+    * set — the v19 pre-filter discipline), and the exact rescore only
+    * ever sees surviving candidates. nProbe widened to 8 (vs v27's 4),
+    * the standard filtered-dial compensation for thinned lists. The
+    * oracle replays the same pre-ADC filter position — a post-filtered
+    * trim (RCand over unfiltered candidates) would hash-mismatch. */
+  private val v48 = Q(
+    "v48_filtered_ivfsq",
+    (s, d) => {
+      import s.implicits._
+      searchIvf(s, d, maxQueryId = 10, k = 10, nProbe = 8,
+          pred = Some(col("label") % 3 === 0))
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckIvfSqSearch(maxQueryId = 10, k = 10, nProbe = 8,
+      predSql = "em.label % 3 = 0")))
+
+  override def all: Seq[Q] = Seq(v23, v26, v27, v48)
 }

@@ -131,6 +131,12 @@ class AnnDriftRepairSpec extends SparkSpec {
       .select(col("centroid_id").cast("long")).as[Long].collect().sorted.toSeq
     assert(cids == Seq(0L, 1L, 2L, 3L, 4L), s"centroid ids changed: $cids")
 
+    // idempotent: a clean monitor means a second repair is a no-op
+    val baseSnapshot = baseRows(path)
+    assert(Ann.repairDrifted(spark, path).isEmpty,
+      "second repair on a clean monitor must repair nothing")
+    assert(baseRows(path) == baseSnapshot, "no-op repair changed _drift_base")
+
     // search at full probe width stays row-identical to exact
     val corpus = spark.read.parquet(path)
       .select(col("doc_id"), col("embedding"))
@@ -208,6 +214,60 @@ class AnnDriftRepairSpec extends SparkSpec {
     assert(versions == Seq(2), s"expected v1 expired + v2 re-manifested, got $versions")
     val asOf = Ann.loadIndexAt(spark, path, 2).select(col("doc_id")).as[Long].collect()
     assert(asOf.sorted.toSeq == docs.sorted.toSeq, "as-of latest != live file set")
+  }
+
+  test("streaming ingest with the drift loop closed: skewed stream self-heals, search stays exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = Files.createTempDirectory("graft_driftstream").toString + "/idx"
+    // balanced seed: 4 lists of 50, training snapshot frozen at seed time
+    val cents = Array.tabulate(4)(c => (c.toLong, unit(c)))
+    val base = (0 until 4).flatMap(c =>
+      (0 until 50).map(i => (c * 1000L + i, near(c, 8 + i % 4, 0.25f), i % 3)))
+    Ann.writeIndexArtifact(spark, path, spark.createDataset(base), cents)
+    Ann.writeDriftBase(spark, path)
+
+    // the stream pours 600 docs into list 0's region, 4 micro-batches of
+    // 150; checkEvery=2 -> the monitor ticks at batch ids 1 and 3, and
+    // the FIRST tick already sees list 0 at 350/500 vs base 50/200 —
+    // repair fires mid-stream, later batches assign against the
+    // repaired (split) quantizer immediately
+    val hot = (0 until 600).map(i =>
+      (10000L + i, near(0, 5 + i % 3, 0.35f + 0.01f * (i % 5)), i % 3))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float], Int)]
+    val q = Ann.ingestStreamWithRepair(spark, path, stream.toDS(), checkEvery = 2)
+    try {
+      hot.grouped(150).foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    // the loop closed: monitor clean at end-of-stream with NO manual
+    // repair call anywhere
+    driftRows(path).foreach { case (cid, row) =>
+      assert(row._3 == 0, s"list $cid still drifted after self-healing stream: $row")
+    }
+    // the hot region got its own quantizer resolution (list 0 split)
+    val cids = spark.read.parquet(s"$path/_centroids")
+      .select(col("centroid_id").cast("long")).as[Long].collect().sorted.toSeq
+    assert(!cids.contains(0L) && cids.exists(_ >= 4L),
+      s"hot list was never split by the in-stream repair: $cids")
+    // nothing lost or duplicated across appends + repairs
+    val docs = spark.read.parquet(path).select(col("doc_id")).as[Long].collect()
+    assert(docs.length == 800 && docs.distinct.length == 800)
+    // and search at full probe width is still row-identical to exact
+    val corpus = spark.read.parquet(path)
+      .select(col("doc_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val qvs = Seq((90000L, near(0, 5, 0.35f)), (90001L, near(2, 9, 0.2f)))
+    val got = Ann.searchArtifact(spark, qvs.toDF("query_id", "qe"), path,
+        k = 5, nProbe = cids.length)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (qid, rows) => qid -> rows.sortBy(_._2).map(_._3).toSeq }
+    qvs.foreach { case (qid, qv) =>
+      assert(got(qid) == exactTopK(corpus, qv, 5),
+        s"post-self-heal full-probe search != exact for query $qid")
+    }
   }
 
   test("rebalance (the other centroid rewrite) also expires stale manifests") {
