@@ -80,10 +80,15 @@ object Compact extends QModule {
       s: SparkSession,
       d: String,
       queries: Array[(Long, Array[Long])],
-      pool: Int): DataFrame = {
+      pool: Int,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(queries)
-    emb(s, d)
+    // pred (v50) pre-filters the corpus scan BEFORE the Hamming heaps —
+    // a declarative filter Catalyst pushes into the parquet read, so
+    // the pool is guaranteed over the filtered universe and excluded
+    // rows are never packed or scored
+    pred.foldLeft(emb(s, d))(_ filter _)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
@@ -130,9 +135,11 @@ object Compact extends QModule {
   /** The v34 two-stage binary search with the dial exposed: Hamming
     * top-`pool` candidates, exact top-`k` rescore — v43's bin tier
     * cells (the pool is the tier's recall dial, exactly like the 1M
-    * bench's `bin_operating_point`). */
+    * bench's `bin_operating_point`). `pred` (v50) pre-filters the
+    * Hamming scan, completing the filtered matrix on the 1-bit tier. */
   private[operators] def searchBinary(
-      s: SparkSession, d: String, maxQ: Int, k: Int, pool: Int): DataFrame = {
+      s: SparkSession, d: String, maxQ: Int, k: Int, pool: Int,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
     val queries = emb(s, d).filter($"vec_id" < maxQ)
       .select($"vec_id", $"embedding")
@@ -140,19 +147,22 @@ object Compact extends QModule {
       .collect()
       .sortBy(_._1)
       .map { case (id, v) => (id, packSigns(v)) }
-    rescoreExact(s, d, hammingCandidates(s, d, queries, pool), maxQ, k)
+    rescoreExact(s, d, hammingCandidates(s, d, queries, pool, pred), maxQ, k)
   }
 
   /** [[searchBinary]] as DuckDB SQL, parameterized like the engine call
     * — self-contained WITH block, embeddable as a subquery (the Pq/Sq
-    * oracle pattern). */
-  private[operators] def duckBinSearch(maxQ: Int, k: Int, pool: Int): String =
+    * oracle pattern). `predSql` is over alias `c`, the candidate's
+    * embeddings row, applied BEFORE the Hamming ranking — the engine's
+    * pre-filter position. */
+  private[operators] def duckBinSearch(maxQ: Int, k: Int, pool: Int,
+      predSql: String = "TRUE"): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQ),
       ham AS (
         SELECT q.query_id, c.vec_id AS doc_id,
                (SELECT count(*) FROM (SELECT unnest(q.qe) AS x, unnest(c.embedding) AS y) zz
                 WHERE (x > 0) <> (y > 0)) AS hd
-        FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+        FROM q, embeddings c WHERE c.vec_id <> q.query_id AND ($predSql)),
       cand AS (
         SELECT query_id, doc_id FROM (
           SELECT query_id, doc_id,
@@ -178,6 +188,22 @@ object Compact extends QModule {
     "v34_binary_topk",
     (s, d) => searchBinary(s, d, MaxQ, K, BqRescore),
     Some(duckBinSearch(MaxQ, K, BqRescore)))
+
+  // ---------------------------------------------------------------- v50
+  /** FILTERED binary search (round 12): the predicate pre-filters the
+    * packed Hamming scan — pushed into the parquet read, excluded rows
+    * never packed or scored, the candidate pool guaranteed over the
+    * filtered universe — then the exact rescore sees only surviving
+    * candidates. With v18/v19/v42/v47/v48/v49 this completes the
+    * filtered-search matrix across every serving tier (exact, float
+    * IVF, adaptive, graph, IVF+SQ8, flat PQ, 1-bit binary): a user can
+    * compose a tenant/metadata predicate with ANY representation the
+    * engine serves. */
+  private val v50 = Q(
+    "v50_filtered_binary",
+    (s, d) => searchBinary(s, d, MaxQ, K, BqRescore,
+      pred = Some(col("label") % 3 === 0)),
+    Some(duckBinSearch(MaxQ, K, BqRescore, predSql = "c.label % 3 = 0")))
 
   // ---------------------------------------------------------------- v35
   /** Matryoshka prefix search: first pass ranks by the dot of the first
@@ -220,5 +246,5 @@ object Compact extends QModule {
         FROM resc)
     SELECT query_id, rnk, doc_id FROM rr WHERE rnk <= $K ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v34, v35)
+  override def all: Seq[Q] = Seq(v34, v35, v50)
 }

@@ -74,6 +74,13 @@ object Pq extends QModule {
       .as[(Long, Array[Float])]
   }
 
+  private def corpusDsTagged(s: SparkSession, d: String): Dataset[(Long, Array[Float], Int)] = {
+    import s.implicits._
+    Tables(s, d, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+      .as[(Long, Array[Float], Int)]
+  }
+
   /** Deterministic UNTRAINED init: the [[Codes]] corpus vectors with the
     * smallest key-LCG variate, as (code_id, float vector) sorted by
     * code_id. Public seam for the block-kernel parity tests. */
@@ -175,6 +182,50 @@ object Pq extends QModule {
     }.toDF("doc_id", "codes")
   }
 
+  /** [[encode]] with the corpus `label` metadata column riding into the
+    * encoded frame — the filtered compressed-tier layout (v48's SQ
+    * pattern brought to PQ, for v49): a predicate over the encoded rows
+    * is a declarative filter the scan prunes before the ADC kernel, no
+    * join back to the float corpus. One memoized frame serves filtered
+    * and unfiltered alike ([[adcCandidates]] selects (doc_id, codes)
+    * explicitly, so the extra column costs nothing). */
+  def encodeTagged(
+      corpus: Dataset[(Long, Array[Float], Int)],
+      codes: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codes)
+    corpus.mapPartitions { rows =>
+      val cb = bc.value
+      rows.map { case (id, v, tag) =>
+        val m = v.length / SubDim
+        val out = new Array[Long](m)
+        var mi = 0
+        while (mi < m) {
+          val off = mi * SubDim
+          var bestId = -1L
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cb.length) {
+            val cv = cb(j)._2
+            var d = 0.0
+            var i = 0
+            while (i < SubDim) {
+              val diff = v(off + i).toDouble - cv(off + i)
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; bestId = cb(j)._1 }
+            j += 1
+          }
+          out(mi) = bestId
+          mi += 1
+        }
+        (id, out, tag)
+      }
+    }.toDF("doc_id", "codes", "label")
+  }
+
   /** ADC candidate generation: per query build the M × |codebook| lookup
     * table of subspace dots, score every encoded doc as Σ_m lut(m,
     * code(m)), keep the top [[RCand]] per query in bounded heaps
@@ -262,9 +313,16 @@ object Pq extends QModule {
     * the exact rescore. Valid for rcand ≤ [[RCand]] — the per-partition
     * ADC heaps are [[RCand]]-sized, so any global top-rcand within that
     * bound is exact. */
-  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int, rcand: Int): DataFrame = {
+  def search(s: SparkSession, d: String, maxQueryId: Int, k: Int, rcand: Int,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val cb = codebook(s, d)
-    val encoded = graft.Memo.cached(s, s"pq-encoded:$d")(encode(corpusDs(s, d), cb))
+    // the tagged frame under the SHARED memo key (v12 uses the same one)
+    // — pred prunes the encoded rows BEFORE the ADC kernel, so the
+    // global rcand trim and k are guaranteed over the filtered universe
+    // (v48's pre-filter discipline on the flat tier)
+    val encodedAll = graft.Memo.cached(s, s"pq-encoded:$d")(
+      encodeTagged(corpusDsTagged(s, d), cb))
+    val encoded = pred.foldLeft(encodedAll)(_ filter _)
     searchFrom(s, d, encoded, cb, maxQueryId, k, rcand)
   }
 
@@ -420,7 +478,7 @@ object Pq extends QModule {
     (s, d) => {
       import s.implicits._
       val cb = codebook(s, d)
-      graft.Memo.cached(s, s"pq-encoded:$d")(encode(corpusDs(s, d), cb))
+      graft.Memo.cached(s, s"pq-encoded:$d")(encodeTagged(corpusDsTagged(s, d), cb))
         .select(posexplode($"codes").as(Seq("m", "code_id")))
         .groupBy($"m", $"code_id")
         .agg(count(lit(1)).as("n_docs"))
@@ -453,9 +511,12 @@ object Pq extends QModule {
 
   /** The PQ pipeline as SQL, parameterized by query bound / k / rescore
     * pool — v13/v17 use the defaults; v43's cross-tier tune replays each
-    * rcand dial. A `def` so interpolated knobs can never capture
-    * init-order zeros. */
-  private[graft] def duckPqSearchCand(maxQ: Int, k: Int, rcand: Int): String = (s"""WITH $duckEncode,
+    * rcand dial, v49 passes `predSql` (over alias `em`, the candidate's
+    * embeddings row), applied BEFORE the ADC ranking and the rcand trim
+    * — the engine's pre-filter position. A `def` so interpolated knobs
+    * can never capture init-order zeros. */
+  private[graft] def duckPqSearchCand(maxQ: Int, k: Int, rcand: Int,
+      predSql: String = "TRUE"): String = (s"""WITH $duckEncode,
       q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQ),
       -- ADC score == dot(query, PQ reconstruction): per (query, doc),
       -- sum over subspaces of dot(q_sub, codeword_sub)
@@ -468,7 +529,8 @@ object Pq extends QModule {
       approx AS (
         SELECT l.query_id, e.doc_id, sum(l.pdot) AS ascore
         FROM enc e JOIN lut l ON l.m = e.m AND l.code_id = e.code_id
-        WHERE e.doc_id <> l.query_id
+        JOIN embeddings em ON em.vec_id = e.doc_id
+        WHERE e.doc_id <> l.query_id AND ($predSql)
         GROUP BY 1, 2),
       cand AS (
         SELECT query_id, doc_id FROM (
@@ -503,5 +565,24 @@ object Pq extends QModule {
     },
     Some(duckPqSearch))
 
-  override def all: Seq[Q] = Seq(v12, v13, v17)
+  // ---------------------------------------------------------------- v49
+  /** FILTERED PQ search (round 12; completes the filtered matrix on the
+    * flat compressed tier next to v48's probed one): the label rides in
+    * the encoded frame ([[encodeTagged]]), the predicate prunes encoded
+    * rows BEFORE the ADC kernel — so the GLOBAL rcand trim and k are
+    * guaranteed over the filtered universe (a post-filtered trim
+    * returns < rcand filtered candidates and hash-mismatches the
+    * oracle, which replays the same pre-ADC filter position). */
+  private val v49 = Q(
+    "v49_filtered_pq",
+    (s, d) => {
+      import s.implicits._
+      search(s, d, maxQueryId = 20, k = 10, rcand = RCand,
+          pred = Some(col("label") % 3 === 0))
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckPqSearchCand(20, 10, RCand, predSql = "em.label % 3 = 0")))
+
+  override def all: Seq[Q] = Seq(v12, v13, v17, v49)
 }
