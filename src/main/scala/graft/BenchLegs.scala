@@ -77,16 +77,17 @@ object BenchLegs {
     * section bills: prerequisite structures built untimed, then
     * `pqKnnGraph(...).collect()` inside the window.
     *
-    * Measured (fresh JVM, warmed kernel, min-of-2 passes with per-pass
-    * spread ~8%): 250k 23.4 s, 500k 71.1 s — log-log slope ≈ 1.6,
-    * approaching but not yet at the n² bound: at these rungs the
-    * LINEAR per-prober terms (LUT build m·nCb·subDim ≈ 98k flops +
-    * the 1.5 KB probe-row shuffle) still offset the quadratic
-    * code-streaming term (n_c·m ≈ 187k byte-ops per prober at 250k).
-    * Past 500k the quadratic term dominates: 71.1 s × 4 ≈ the 1M
-    * section's own graph_build_sec (~290-360 s in r10/r11) — a local
-    * slope ≈ 2. The published points plus that cross-check ARE the
-    * measured cost story the ask wanted. */
+    * Measured history (fresh JVM, warmed kernel, min-of-2 passes):
+    * the r12 FULL-SCAN kernel read 250k 23.4–33.5 s, 500k 71.1–75.2 s
+    * (slope ≈ 1.6, local slope ≈ 2 past 500k, 1M graph_build_sec
+    * ~290-360 s) — the quadratic code-streaming term plus a
+    * per-(prober, list) LUT build dominated. The round-12 two-stage
+    * kernel (Hamming-nominated pool + exact-ADC rescore of the pool,
+    * see [[operators.VectorBlocks.pqKnnGraph]]) cut the same rungs to
+    * 250k 5.96 s, 500k 13.4 s — slope ≈ 1.17, probe-shuffle-bound —
+    * and the 1M section's graph_build_sec to ~44 s (6.7×) with the 1M
+    * recall sweep unchanged to three decimals. The rungs keep timing
+    * the build so any future kernel change re-measures itself. */
   def graphSlope(spark: SparkSession): String =
     try {
       // UNTIMED warm-up build first: in the full bench the ADC scan

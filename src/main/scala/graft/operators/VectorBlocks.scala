@@ -1030,20 +1030,40 @@ object VectorBlocks {
     * inverted lists — a within-list graph could never rescue a neighbor
     * from an unprobed list, which is the entire point of refinement);
     * probe rows cogroup with each list's raw residual code rows; per
-    * prober the reducer builds one m × nCb float LUT (the codebook is
-    * global, so one LUT serves all the prober's lists) and streams the
-    * list's codes once, ranking by `dot(v, cent_c) + Σ LUT[code]` — the
-    * cross-list-comparable ADC estimate of the true dot; a final
+    * (prober, member) the reducer Hamming-scans packed residual SIGN
+    * bits (wpv ≈ dim/64 XOR+popcount words — the member packs are
+    * assembled once per list from a broadcast per-(segment, code)
+    * codeword sign table, never reconstructed) to nominate a top-`hpool`
+    * pool, then exact-ADC-rescores only the pool — per pooled member
+    * `Σ_t dot(v_seg_t, cw_seg_t)` in the SAME float-accumulation order
+    * the former full-scan LUT used, so pooled members score
+    * bit-identically; ranking stays `dot(v, cent_c) + Σ_t seg-dot` —
+    * the cross-list-comparable ADC estimate of the true dot; a final
     * per-doc top-`g` merge joins the prober's `gp` partial heaps.
+    *
+    * Why this two-stage shape (round 12, VERDICT r11 "cut the cost"):
+    * the former per-(prober, list) m × nCb LUT build was
+    * dim × nCb ≈ 98k flops per probe row — HALF the total build cost,
+    * all of it selection-only — and the full member scan gathered m
+    * bytes per pair through per-member pointer chases. Hamming
+    * nomination replaces both with a cache-linear flat-array scan at
+    * 1/16 the per-pair work; the sign pairing (raw prober signs vs
+    * residual member signs) is the measured-best symmetric variant from
+    * [[binaryResidualCandidates]]'s study (0.39 vs 0.24/0.15 at 1M), and
+    * nomination only has to keep the true ADC-top-(g/gp) inside a
+    * 32-of-|list| pool, not rank it. Lists with ≤ `hpool` members skip
+    * nomination and exact-score everything — bit-identical to the old
+    * full scan there.
     *
     * Edges are ADC-RANKED deliberately: they only nominate refinement
     * candidates, every nominated candidate is exact-rescored at query
     * time, and a float rescore per edge here would re-read the float
     * corpus `gp` times for selection-only precision. Cost is
-    * Σ_c probers_c · n_c · m byte-ops = (gp/C) · n² · m — the same
-    * cluster-scoped bound as the probed search itself, never a global
-    * n²·dim; the only corpus-sized shuffle carries the probe rows
-    * (gp float vectors per doc) and the m-byte code rows.
+    * Σ_c probers_c · (n_c · dim/64 word-ops + hpool · dim flops) — the
+    * same cluster-scoped (gp/C)·n² bound as the probed search itself
+    * with a ~16× smaller constant, never a global n²·dim; the only
+    * corpus-sized shuffle carries the probe rows (gp float vectors per
+    * doc) and the m-byte code rows.
     */
   def pqKnnGraph(
       indexed: RDD[Block],
@@ -1052,11 +1072,38 @@ object VectorBlocks {
       codebook: Array[Array[Float]],
       subDim: Int,
       g: Int,
-      gp: Int): RDD[(Long, Array[Long])] = {
+      gp: Int,
+      hpool: Int = 32): RDD[(Long, Array[Long])] = {
     require(g > 0 && gp > 0, s"graph degree/probe must be positive, got g=$g gp=$gp")
     require(codebook.nonEmpty, "pqKnnGraph needs a PQ codebook (nCb > 0)")
+    require(hpool >= g, s"hamming pool must cover the degree: hpool=$hpool < g=$g")
+    require(subDim <= 63, s"sign-chunk packing needs subDim <= 63, got $subDim")
     val sc = indexed.sparkContext
     val bcC = sc.broadcast(centroids)
+    // per-(code, segment) sign chunk of the codeword segment — a member's
+    // residual-reconstruction sign pack is m chunk lookups, no float math
+    val bcSign = sc.broadcast {
+      val nCb = codebook.length
+      val mT = codebook(0).length / subDim
+      val tbl = new Array[Long](nCb * mT)
+      var j = 0
+      while (j < nCb) {
+        val cw = codebook(j)
+        var t = 0
+        while (t < mT) {
+          var chunk = 0L
+          var x = 0
+          while (x < subDim) {
+            if (cw(t * subDim + x) >= 0f) chunk |= 1L << x
+            x += 1
+          }
+          tbl(j * mT + t) = chunk
+          t += 1
+        }
+        j += 1
+      }
+      tbl
+    }
     val bcCb = sc.broadcast(codebook)
     val nCid = centroids.length
     val probes: RDD[(Int, (Long, Array[Float]))] = indexed.flatMap { b =>
@@ -1092,44 +1139,92 @@ object VectorBlocks {
         if (mArr.isEmpty) Iterator.empty
         else {
           val cb = bcCb.value
-          val nCb = cb.length
           val cent = bcC.value(cid)
           val m = mArr(0)._2.length
-          ps.iterator.map { case (pid, pv) =>
-            val lut = new Array[Float](m * nCb)
+          val dim = m * subDim
+          val wpv = (dim + 63) >>> 6
+          // id-sorted so Hamming ties at the pool boundary break by id
+          // (member ARRAY ORDER is shuffle-arrival order — not stable)
+          mArr.sortInPlaceBy(_._1)
+          // member residual sign packs, one flat array for the list —
+          // assembled from the broadcast chunk table, shared by every
+          // prober that lands here
+          val signs = bcSign.value
+          val packs = new Array[Long](mArr.length * wpv)
+          var pmi = 0
+          while (pmi < mArr.length) {
+            val codes = mArr(pmi)._2
+            val base = pmi * wpv
             var t = 0
             while (t < m) {
-              var j = 0
-              while (j < nCb) {
-                val cw = cb(j)
-                var s = 0.0
-                var x = 0
-                while (x < subDim) {
-                  s += pv(t * subDim + x).toDouble * cw(t * subDim + x).toDouble
-                  x += 1
-                }
-                lut(t * nCb + j) = s.toFloat
-                j += 1
-              }
+              val chunk = signs((codes(t) & 0xFF) * m + t)
+              val pos = t * subDim
+              val off = pos & 63
+              packs(base + (pos >>> 6)) |= chunk << off
+              if (off + subDim > 64) packs(base + (pos >>> 6) + 1) |= chunk >>> (64 - off)
               t += 1
             }
+            pmi += 1
+          }
+          // exact ADC contribution of one member: same per-segment
+          // double-sum-to-float accumulation the full-scan LUT used, so
+          // rescored members score bit-identically to the former path
+          def exactAdc(pv: Array[Float], codes: Array[Byte]): Float = {
+            var acc = 0f
+            var t = 0
+            while (t < m) {
+              val cw = cb(codes(t) & 0xFF)
+              val o = t * subDim
+              var s = 0.0
+              var x = 0
+              while (x < subDim) { s += pv(o + x).toDouble * cw(o + x).toDouble; x += 1 }
+              acc += s.toFloat
+              t += 1
+            }
+            acc
+          }
+          ps.iterator.map { case (pid, pv) =>
             var bias = 0.0
             var bi = 0
             while (bi < pv.length) { bias += pv(bi).toDouble * cent(bi).toDouble; bi += 1 }
             val heap = new graft.functions.TopKAgg.Heap(math.max(1, g / gp))
-            var mi = 0
-            while (mi < mArr.length) {
-              val (mid, codes) = mArr(mi)
-              if (mid != pid) {
-                var acc = 0f
-                var tt = 0
-                while (tt < m) {
-                  acc += lut(tt * nCb + (codes(tt) & 0xFF))
-                  tt += 1
-                }
-                heap.offer(bias + acc, mid)
+            if (mArr.length <= hpool) {
+              // small list: exact-score everything (old behavior)
+              var mi = 0
+              while (mi < mArr.length) {
+                val (mid, codes) = mArr(mi)
+                if (mid != pid) heap.offer(bias + exactAdc(pv, codes), mid)
+                mi += 1
               }
-              mi += 1
+            } else {
+              // stage 1: raw prober signs vs residual member signs
+              val qp = new Array[Long](wpv)
+              var j = 0
+              while (j < dim) {
+                if (pv(j) >= 0f) qp(j >>> 6) |= 1L << (j & 63)
+                j += 1
+              }
+              // pool ranked by -hamming; id = member index (id-asc ties)
+              val pool = new graft.functions.TopKAgg.Heap(hpool)
+              var mi = 0
+              while (mi < mArr.length) {
+                if (mArr(mi)._1 != pid) {
+                  var hd = 0
+                  var w = 0
+                  val mb = mi * wpv
+                  while (w < wpv) {
+                    hd += java.lang.Long.bitCount(qp(w) ^ packs(mb + w))
+                    w += 1
+                  }
+                  pool.offer(-hd.toDouble, mi.toLong)
+                }
+                mi += 1
+              }
+              // stage 2: exact ADC over the pool only
+              pool.foreach { (_, idx) =>
+                val (mid, codes) = mArr(idx.toInt)
+                heap.offer(bias + exactAdc(pv, codes), mid)
+              }
             }
             (pid, heap.sortedDesc())
           }

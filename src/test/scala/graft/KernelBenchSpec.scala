@@ -157,6 +157,114 @@ class KernelBenchSpec extends SparkSpec {
     }
   }
 
+  test("graph nomination: Hamming pool is deterministic and keeps refinement quality") {
+    // Ring fixture at a scale where every list EXCEEDS the default pool
+    // (n/nCent ≈ 125 members > hpool=32), so the round-12 two-stage
+    // nomination is active — then (a) two default builds are
+    // edge-identical (members are id-sorted in the reducer, so Hamming
+    // ties at the pool boundary cannot depend on shuffle arrival), and
+    // (b) the default build keeps nearly all edges of an
+    // exact-pool build (hpool ≥ list size disables nomination and
+    // exact-scores every member — the former full-scan behavior):
+    // nomination only has to CONTAIN the ADC top-(g/gp) per (prober,
+    // list), and pooled members rescore bit-identically.
+    import graft.operators.{PqTrain, VectorBlocks}
+    import spark.implicits._
+    val n = 2000
+    val dim = 32
+    val nCent = 16
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    def mvec(i: Double): Array[Float] = {
+      val a = new Array[Float](dim)
+      val th = 2.0 * math.Pi * i / n
+      a(0) = math.cos(th).toFloat
+      a(1) = math.sin(th).toFloat
+      var st = lcg(math.round(i * 1024).toLong + 7)
+      var j = 2
+      while (j < dim) {
+        st = lcg(st)
+        a(j) = 0.05f * (((st >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f)
+        j += 1
+      }
+      a
+    }
+    val corpus = spark.range(n.toLong).map(id => (id, mvec(id.toDouble)))
+      .toDF("id", "vec").as[(Long, Array[Float])]
+    val blocks = VectorBlocks.pack(corpus, dim).cache()
+    blocks.count()
+    val cents = Array.tabulate(nCent)(c => mvec(c.toDouble * n / nCent))
+    val indexed = VectorBlocks.assign(blocks, cents).cache()
+    indexed.count()
+    val sample = Array.tabulate(256) { j =>
+      val v = mvec(j.toDouble * n / 256)
+      val best = (0 until nCent).maxBy { c =>
+        val cv = cents(c)
+        (0 until dim).map(i => cv(i).toDouble * v(i).toDouble).sum
+      }
+      Array.tabulate(dim)(i => v(i) - cents(best)(i))
+    }
+    val codebook = PqTrain.trainComposite(sample, dim, 4, 16, 4)
+    val encoded = VectorBlocks.encodePqResidual(indexed, cents, codebook, 4)
+    val pqIndex = VectorBlocks.buildPqIndex(indexed, encoded, nCent, 16, 4).cache()
+    pqIndex.count()
+    def build(hpool: Int): Map[Long, Seq[Long]] =
+      VectorBlocks.pqKnnGraph(indexed, pqIndex, cents, codebook, 4, g = 8, gp = 2, hpool = hpool)
+        .collect().map { case (id, nb) => id -> nb.toSeq }.toMap
+    val gDefault = build(32)
+    assert(gDefault.size == n)
+    assert(gDefault == build(32), "default-pool graph build is not run-deterministic")
+    val gExact = build(Int.MaxValue)
+    // Edge-set retention is NOT the contract — at dim=32 the Hamming
+    // proxy has only 32 bits and ring neighbors are near-ties, so the
+    // pool legitimately swaps interchangeable edges (measured ~0.69
+    // here vs recall-identical graphs at dim=384/1M). The contract is
+    // that refinement QUALITY survives nomination: refined recall with
+    // the default pool stays within eps of the exact-pool build's, and
+    // the lift over unrefined IVF is preserved.
+    val kept = gDefault.keys.toSeq.map { id =>
+      val e = gExact(id).toSet
+      if (e.isEmpty) 1.0 else gDefault(id).count(e.contains).toDouble / e.size
+    }
+    val meanKept = kept.sum / kept.length
+    assert(meanKept >= 0.5, f"edge retention collapsed: $meanKept%.3f")
+    val k = 20
+    val nq = 100
+    val queries = Array.tabulate(nq)(i => (i.toLong, mvec((i + 0.37) * n / nq.toDouble)))
+    val masks = queries.map { case (_, qv) =>
+      val best = (0 until nCent).maxBy { c =>
+        val cv = cents(c)
+        (0 until dim).map(i => cv(i).toDouble * qv(i).toDouble).sum
+      }
+      val m = new Array[Boolean](nCent)
+      m(best) = true
+      m
+    }
+    val ivf = KernelBench.ranked(VectorBlocks.topKProbed(spark, indexed, queries, masks, k))
+    val exact = KernelBench.ranked(
+      VectorBlocks.topK(spark, blocks, queries, k, excludeSelf = false))
+    def toArr(gm: Map[Long, Seq[Long]]): Array[Array[Long]] = {
+      val a = new Array[Array[Long]](n)
+      gm.foreach { case (id, nb) => a(id.toInt) = nb.toArray }
+      a
+    }
+    def recall10(byQ: Int => Array[Long]): Double =
+      queries.indices.map { qi =>
+        val e = exact(queries(qi)._1).take(10).toSet
+        byQ(qi).take(10).count(e.contains).toDouble / 10
+      }.sum / nq
+    val refDefault = KernelBench.refine(queries, ivf, toArr(gDefault), k)(id => mvec(id.toDouble))
+    val refExact = KernelBench.refine(queries, ivf, toArr(gExact), k)(id => mvec(id.toDouble))
+    val ivfR = recall10(qi => ivf.getOrElse(queries(qi)._1, Array.emptyLongArray))
+    val rd = recall10(qi => refDefault(qi))
+    val re = recall10(qi => refExact(qi))
+    assert(rd >= re - 0.02,
+      f"nominated graph lost refinement quality: default-pool $rd%.4f vs exact-pool $re%.4f")
+    assert(rd > ivfR, f"refinement lift lost under nomination: $rd%.4f vs ivf $ivfR%.4f")
+    info(f"refined recall10: exact-pool $re%.4f, default-pool $rd%.4f (ivf $ivfR%.4f, " +
+      f"edge retention $meanKept%.4f)")
+    blocks.unpersist(); indexed.unpersist(); pqIndex.unpersist()
+  }
+
   test("graph refinement lifts recall strictly on a navigable corpus (nProbe=1)") {
     // A ring-manifold corpus: doc i sits at angle 2πi/n on a great
     // circle (plus small off-plane noise), so doc-doc similarity IS the
