@@ -78,16 +78,22 @@ object BenchLegs {
     * `pqKnnGraph(...).collect()` inside the window.
     *
     * Measured history (fresh JVM, warmed kernel, min-of-2 passes):
-    * the r12 FULL-SCAN kernel read 250k 23.4–33.5 s, 500k 71.1–75.2 s
-    * (slope ≈ 1.6, local slope ≈ 2 past 500k, 1M graph_build_sec
-    * ~290-360 s) — the quadratic code-streaming term plus a
-    * per-(prober, list) LUT build dominated. The round-12 two-stage
-    * kernel (Hamming-nominated pool + exact-ADC rescore of the pool,
-    * see [[operators.VectorBlocks.pqKnnGraph]]) cut the same rungs to
-    * 250k 5.96 s, 500k 13.4 s — slope ≈ 1.17, probe-shuffle-bound —
-    * and the 1M section's graph_build_sec to ~44 s (6.7×) with the 1M
-    * recall sweep unchanged to three decimals. The rungs keep timing
-    * the build so any future kernel change re-measures itself. */
+    * the pre-r12 FULL-SCAN kernel read 250k 23.4–33.5 s, 500k
+    * 71.1–75.2 s (slope ≈ 1.6, local slope ≈ 2 past 500k, 1M
+    * graph_build_sec ~290-360 s) — the quadratic code-streaming term
+    * plus a per-(prober, list) LUT build dominated. The round-12
+    * two-stage kernel (Hamming-nominated pool via counting-select +
+    * exact-ADC rescore of the pool, see
+    * [[operators.VectorBlocks.pqKnnGraph]]) cut the same rungs 7–8×:
+    * 250k 4.2 s, 500k 12.3 s, 1M 42.4 s — cheap enough that the 1M
+    * rung (formerly ~5 min/pass, out of budget) is now published too,
+    * with the 1M recall sweep unchanged to three decimals. The
+    * remaining slope ≈ 1.7 is the benched workload's FIXED C=64
+    * (members/list grows with n, so the per-pair Hamming term is
+    * n²·(dim/64)/C); a deployment following the engine's own rebalance
+    * guidance scales C with n and keeps members/list — and therefore
+    * the build — linear. The rungs keep timing the build so any future
+    * kernel change re-measures itself. */
   def graphSlope(spark: SparkSession): String =
     try {
       // UNTIMED warm-up build first: in the full bench the ADC scan
@@ -101,13 +107,21 @@ object BenchLegs {
       // measured up to 4× over its own repeat in-bench (135.7 s vs the
       // 35.6 s standalone at 250k) — per-pass times publish alongside
       // the min so the spread is never hidden
-      val rungs = Seq(250000, 500000)
+      // a 1M rung was unaffordable under the full-scan kernel (~300 s
+      // per pass); the round-12 nominated kernel brought it to ~30 s,
+      // so the published slope now spans a full 4× — fit = log-log
+      // least squares over all rungs, not a 2-point ratio
+      val rungs = Seq(250000, 500000, 1000000)
       val secs = rungs.map { n =>
         spark.catalog.clearCache()
         (n, graphBuildOnly(spark, KernelBench.Default.copy(n = n), passes = 2))
       }
-      val slope = math.log(secs(1)._2.min / secs(0)._2.min) /
-        math.log(rungs(1).toDouble / rungs(0))
+      val xs = rungs.map(n => math.log(n.toDouble))
+      val ys = secs.map { case (_, ps) => math.log(ps.min) }
+      val xm = xs.sum / xs.length
+      val ym = ys.sum / ys.length
+      val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+        xs.map(x => (x - xm) * (x - xm)).sum
       val points = secs.map { case (n, ps) =>
         s""""$n":{"sec":${f3(ps.min)},"pass_sec":[${ps.map(f3).mkString(",")}]}"""
       }.mkString("{", ",", "}")

@@ -1183,6 +1183,14 @@ object VectorBlocks {
             }
             acc
           }
+          // reusable per-prober scratch (probers run sequentially within
+          // a list): Hamming distances are small ints (0..dim), so pool
+          // selection is a counting-select — two linear passes, zero
+          // allocation, no per-member heap calls (at 1M×C=64 a heap pool
+          // paid ~31G offer calls; this is the stage-1 hot loop)
+          val hds = new Array[Int](mArr.length)
+          val hist = new Array[Int](dim + 2)
+          val qp = new Array[Long](wpv)
           ps.iterator.map { case (pid, pv) =>
             var bias = 0.0
             var bi = 0
@@ -1198,14 +1206,13 @@ object VectorBlocks {
               }
             } else {
               // stage 1: raw prober signs vs residual member signs
-              val qp = new Array[Long](wpv)
+              java.util.Arrays.fill(qp, 0L)
               var j = 0
               while (j < dim) {
                 if (pv(j) >= 0f) qp(j >>> 6) |= 1L << (j & 63)
                 j += 1
               }
-              // pool ranked by -hamming; id = member index (id-asc ties)
-              val pool = new graft.functions.TopKAgg.Heap(hpool)
+              java.util.Arrays.fill(hist, 0)
               var mi = 0
               while (mi < mArr.length) {
                 if (mArr(mi)._1 != pid) {
@@ -1216,14 +1223,29 @@ object VectorBlocks {
                     hd += java.lang.Long.bitCount(qp(w) ^ packs(mb + w))
                     w += 1
                   }
-                  pool.offer(-hd.toDouble, mi.toLong)
-                }
+                  hds(mi) = hd
+                  hist(hd) += 1
+                } else hds(mi) = Int.MaxValue
                 mi += 1
               }
+              // threshold T: smallest hd where the cumulative count
+              // reaches hpool; quota = pool slots left AT T, taken in
+              // member (= id) order — identical selection to a
+              // (-hd, idx)-ordered bounded heap
+              var T = 0
+              var cum = 0
+              while (T <= dim && cum + hist(T) < hpool) { cum += hist(T); T += 1 }
+              var quota = hpool - cum
               // stage 2: exact ADC over the pool only
-              pool.foreach { (_, idx) =>
-                val (mid, codes) = mArr(idx.toInt)
-                heap.offer(bias + exactAdc(pv, codes), mid)
+              mi = 0
+              while (mi < mArr.length) {
+                val hd = hds(mi)
+                if (hd < T || (hd == T && quota > 0)) {
+                  if (hd == T) quota -= 1
+                  val (mid, codes) = mArr(mi)
+                  heap.offer(bias + exactAdc(pv, codes), mid)
+                }
+                mi += 1
               }
             }
             (pid, heap.sortedDesc())
