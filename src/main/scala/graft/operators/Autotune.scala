@@ -24,6 +24,11 @@ import graft.{Q, QModule}
   *  - `bin`   (1 bit/dim → ⌈dim/8⌉ B/doc, flat Hamming): rescore pool ∈
   *    [[BinDials]] (VERDICT r10 next #5 / r11 next #4 — the tier with
   *    the best measured cold-scan economics joins the decision table)
+  *  - `graph` (float + persisted edge sidecar, 4·dim + degree·24
+  *    B/doc): seed nProbe ∈ [[GraphDials]] (round 12 — the LAST serving
+  *    tier joins: every representation the engine serves is now a cell;
+  *    admitted only by the 512-B budget rung, where its edges can buy a
+  *    recall target the float probes alone can't reach at the cost)
   *
   * Declared COST MODEL (scan-dominated, corpus-size-free integers so
   * both engines rank cells identically): `cost = bytes_per_doc ×
@@ -55,29 +60,44 @@ object Autotune extends QModule {
   val SqDials = Seq(4, 16, 32)
   val PqDials = Seq(10, 50)
   val BinDials = Seq(10, 50)
+  val GraphDials = Seq(1, 4)
   val Targets = Seq(800, 900, 950, 990)
-  val Budgets = Seq(256, 64, 8)
+  val Budgets = Seq(512, 256, 64, 8)
 
-  /** Index bytes per document for a tier — the budget side. */
+  /** Index bytes per document for a tier — the budget side. The graph
+    * tier (round 12) stores the FLOAT corpus plus the persisted edge
+    * sidecar ([[VectorSearch.knnDegree]] edges × 24 B (src, dst,
+    * score)): graph buys recall with BYTES, not scan — its scan cost
+    * at a dial equals plain ivf's, so under the (cost, bytes, …)
+    * tie-break ivf wins whenever it already meets the target and the
+    * graph cell is only chosen when the edges BUY a target the budget's
+    * float probes alone can't reach. */
   def bytesOf(tier: String): Int = tier match {
     case "ivf" => 4 * Dim
     case "ivfsq" => Dim
     case "pq" => Dim / Pq.SubDim
     case "bin" => (Dim + 7) / 8
+    case "graph" => 4 * Dim + VectorSearch.knnDegree * 24
   }
 
-  /** Scan-cost units for a cell — the declared cost model. */
+  /** Scan-cost units for a cell — the declared cost model. The graph
+    * cell scans dial float lists exactly like ivf; the one-hop edge
+    * fetch and the widened exact-rescore tail are query-bounded
+    * (≤ k·(1+degree) rows, corpus-size-free) and excluded like every
+    * tier's rescore tail. */
   def costOf(tier: String, dial: Int): Long = tier match {
     case "ivf" => bytesOf("ivf").toLong * dial
     case "ivfsq" => bytesOf("ivfsq").toLong * dial
     case "pq" => bytesOf("pq").toLong * Ann.Centroids
     case "bin" => bytesOf("bin").toLong * Ann.Centroids
+    case "graph" => bytesOf("ivf").toLong * dial
   }
 
   /** All (tier, dial) cells in display order. */
   def cells: Seq[(String, Int)] =
     IvfDials.map("ivf" -> _) ++ SqDials.map("ivfsq" -> _) ++
-      PqDials.map("pq" -> _) ++ BinDials.map("bin" -> _)
+      PqDials.map("pq" -> _) ++ BinDials.map("bin" -> _) ++
+      GraphDials.map("graph" -> _)
 
   private val MaxQ = 10
   private val K = 10
@@ -95,6 +115,7 @@ object Autotune extends QModule {
           case "ivfsq" => Sq.searchIvf(s, d, MaxQ, K, dial)
           case "pq" => Pq.search(s, d, MaxQ, K, dial)
           case "bin" => Compact.searchBinary(s, d, MaxQ, K, dial)
+          case "graph" => VectorSearch.graphRefined(s, d, MaxQ, K, dial)
         }
         f.select($"query_id", $"doc_id", $"rnk")
           .withColumn("tier", lit(tier)).withColumn("dial", lit(dial))
@@ -131,6 +152,7 @@ object Autotune extends QModule {
           case "ivfsq" => Sq.duckIvfSqSearch(MaxQ, K, dial)
           case "pq" => Pq.duckPqSearchCand(MaxQ, K, dial)
           case "bin" => Compact.duckBinSearch(MaxQ, K, dial)
+          case "graph" => VectorSearch.duckGraphRefinedCand(MaxQ, K, dial)
         }
         s"SELECT '$tier' AS tier, $dial AS dial, query_id, doc_id, rnk FROM ($inner)"
       }
@@ -140,6 +162,7 @@ object Autotune extends QModule {
         .map { case (t, dl) => s"('$t', $dl, ${bytesOf(t)}, ${costOf(t, dl)})" }
         .mkString(", ")
       s"""WITH ${Ann.duckCentAssign},
+        ${VectorSearch.duckGraphEdgesSql},
         exq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $MaxQ),
         exact_scored AS (
           SELECT q.query_id, c.vec_id AS doc_id,

@@ -801,28 +801,40 @@ object VectorSearch extends QModule {
   private val GraphSeedK = 10
   private val GraphNProbe = 1
 
+  /** The registry graph's serving degree — v43's cross-tier cost model
+    * charges the persisted sidecar (KnnK edges × 24 B) to the graph
+    * tier's bytes-per-doc budget side. */
+  private[operators] def knnDegree: Int = KnnK
+
+  /** v33's pipeline with the dial exposed (round 12: the graph tier
+    * joins v43's cross-tier autotune): seed with an nProbe-dial IVF
+    * search, expand each seed one hop over the memoized [[knnGraph]],
+    * exact-rescore the union. Returns (query_id, rnk, doc_id). */
+  private[operators] def graphRefined(
+      s: SparkSession, d: String, maxQ: Int, k: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val seeds = Ann.search(s, d, maxQueryId = maxQ, k = k, nProbe = nProbe)
+      .select($"query_id", $"doc_id")
+    val expanded = seeds.as("s")
+      .join(knnGraph(s, d).as("g"), col("s.doc_id") === col("g.src"))
+      .select(col("s.query_id").as("query_id"), col("g.dst").as("doc_id"))
+    val cand = seeds.union(expanded).distinct()
+      .filter($"query_id" =!= $"doc_id")
+    val qv = emb(s, d).filter($"vec_id" < maxQ)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val scored = emb(s, d)
+      .select($"vec_id".as("doc_id"), $"embedding".as("de"))
+      .join(broadcast(cand), Seq("doc_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select($"query_id", $"doc_id", graft.Functions.vecDot($"qe", $"de").as("score"))
+    BruteForce.rerank(scored, k)
+      .select($"query_id", $"rnk", $"doc_id")
+      .orderBy($"query_id", $"rnk")
+  }
+
   private val v33 = Q(
     "v33_graph_refined",
-    (s, d) => {
-      import s.implicits._
-      val seeds = Ann.search(s, d, maxQueryId = 20, k = GraphSeedK, nProbe = GraphNProbe)
-        .select($"query_id", $"doc_id")
-      val expanded = seeds.as("s")
-        .join(knnGraph(s, d).as("g"), col("s.doc_id") === col("g.src"))
-        .select(col("s.query_id").as("query_id"), col("g.dst").as("doc_id"))
-      val cand = seeds.union(expanded).distinct()
-        .filter($"query_id" =!= $"doc_id")
-      val qv = emb(s, d).filter($"vec_id" < 20)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      val scored = emb(s, d)
-        .select($"vec_id".as("doc_id"), $"embedding".as("de"))
-        .join(broadcast(cand), Seq("doc_id"))
-        .join(broadcast(qv), Seq("query_id"))
-        .select($"query_id", $"doc_id", graft.Functions.vecDot($"qe", $"de").as("score"))
-      BruteForce.rerank(scored, GraphSeedK)
-        .select($"query_id", $"rnk", $"doc_id")
-        .orderBy($"query_id", $"rnk")
-    },
+    (s, d) => graphRefined(s, d, maxQ = 20, k = GraphSeedK, nProbe = GraphNProbe),
     Some(duckGraphRefined))
 
   /** v33's oracle, shared with v45: persisted-sidecar serving must be
@@ -830,8 +842,19 @@ object VectorSearch extends QModule {
     * v13 → v17 persistence-parity discipline). A `def` so interpolated
     * knobs never capture init-order zeros. */
   private def duckGraphRefined: String = s"""WITH ${Ann.duckCentAssign},
-      $duckGraphEdges,
-      seeds AS (${Ann.duckSearch(20, GraphSeedK, GraphNProbe)}),
+      $duckGraphEdges
+    SELECT query_id, rnk, doc_id
+    FROM (${duckGraphRefinedCand(20, GraphSeedK, GraphNProbe)})
+    ORDER BY query_id, rnk"""
+
+  /** [[graphRefined]] as an embeddable subquery over alias-free outer
+    * CTEs — requires [[Ann.duckCentAssign]]'s cent/assign AND
+    * [[duckGraphEdges]]'s edge CTEs in scope (v43 hoists both once and
+    * replays every graph cell against them, the Pq/Sq/Compact
+    * parameterized-oracle pattern). A `def` so interpolated knobs can
+    * never capture init-order zeros. */
+  private[operators] def duckGraphRefinedCand(maxQ: Int, k: Int, nProbe: Int): String =
+    s"""WITH seeds AS (${Ann.duckSearch(maxQ, k, nProbe)}),
       cand AS (
         SELECT query_id, doc_id FROM seeds
         UNION
@@ -848,8 +871,10 @@ object VectorSearch extends QModule {
         SELECT query_id, doc_id,
                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
         FROM resc)
-    SELECT query_id, rnk, doc_id FROM rr
-    WHERE rnk <= $GraphSeedK ORDER BY query_id, rnk"""
+    SELECT query_id, doc_id, rnk FROM rr WHERE rnk <= $k"""
+
+  /** [[duckGraphEdges]] for cross-module oracle composition (v43). */
+  private[operators] def duckGraphEdgesSql: String = duckGraphEdges
 
   // ---------------------------------------------------------------- v45
   /** Graph-refined search served from the PERSISTED artifact + graph

@@ -74,6 +74,24 @@ class AutotuneSpec extends SparkSpec {
     assert(Seq("bin", "pq").sorted.head == "bin")
   }
 
+  test("graph tier: admitted only above the float budget; scan cost ties ivf, bytes break it") {
+    // the graph cell stores the float corpus PLUS the edge sidecar, so
+    // 256 B (bare float) must NOT admit it — only the 512-B rung does
+    assert(Autotune.bytesOf("graph") > Autotune.bytesOf("ivf"))
+    assert(Autotune.bytesOf("graph") > 256 && Autotune.bytesOf("graph") <= 512)
+    // declared model: the graph cell SCANS exactly like ivf at the same
+    // dial (edge fetch + widened rescore are query-bounded tails,
+    // excluded by contract) — so whenever both meet a target, the
+    // (cost, bytes, …) order prefers plain ivf and the graph is chosen
+    // only when its edges buy a target float probes can't reach at cost
+    Autotune.GraphDials.foreach { dl =>
+      assert(Autotune.costOf("graph", dl) == Autotune.costOf("ivf", dl))
+    }
+    rows.filter(_._2 <= 256).foreach { case (t, b, tier, _, _, _) =>
+      assert(tier != "graph", s"graph busts budget $b at target $t")
+    }
+  }
+
   test("fallback is the best the budget can buy") {
     rows.foreach { case (t, b, tier, dial, osum, nq) =>
       if (100L * osum < t.toLong * nq) {
