@@ -207,5 +207,130 @@ object Autotune extends QModule {
       FROM r WHERE rn = 1 ORDER BY target_pm, budget_b"""
     })
 
-  override def all: Seq[Q] = Seq(v43)
+  // -------------------------------------------------------------- v51
+  /** SAMPLED recall estimation with confidence bounds (round 12) — the
+    * 100 TB tuning path. v36/v43 compute exact ground truth for EVERY
+    * query; at production scale that exact pass per query over the
+    * corpus is the one unaffordable step of the tuning loop. v51
+    * estimates each tier's recall@10 from a deterministic LCG-sampled
+    * query subset ([[graft.Functions.keyLcgU]] < [[SampleRate]] over
+    * the first [[SampleMaxQ]] ids — the engine's seeded-sampling seam,
+    * q28's), pays the exact pass ONLY for the sample (one corpus scan
+    * against the broadcast sample, [[BruteForce.topK]] — cost ∝
+    * |sample|·n, independent of the real query-log size), and reports
+    * a 95% WILSON interval per tier so the consumer sees the
+    * estimate's width, not a false point value. Trials are the 10·nq
+    * per-position indicators (the naive binomial; clustering by query
+    * widens true intervals somewhat — the declared caveat). Estimate
+    * and bounds are integer-derived doubles with identical expression
+    * structure in both engines, rounded at 4 — the oracle replays them
+    * bit-for-bit. */
+  private val SampleMaxQ = 40
+  private val SampleRate = 0.5
+  val SampleCells = Seq(("ivf", 4), ("ivfsq", 4), ("pq", 50))
+
+  private val v51 = Q(
+    "v51_sampled_recall",
+    (s, d) => {
+      import s.implicits._
+      val embT = graft.Tables(s, d, "embeddings")
+      val sampleP = graft.Functions.keyLcgU($"query_id") < SampleRate
+      val qarr = embT
+        .select($"vec_id".as("query_id"), $"embedding")
+        .filter($"query_id" < SampleMaxQ)
+        .filter(sampleP)
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+      val corpus = embT.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      val exact10 = BruteForce.topK(corpus, qarr, K, excludeSelf = true)
+        .select($"query_id", $"doc_id", lit(1).as("in_exact"))
+      val frames = SampleCells.map { case (tier, dial) =>
+        val f = tier match {
+          case "ivf" => Ann.search(s, d, SampleMaxQ, K, dial)
+          case "ivfsq" => Sq.searchIvf(s, d, SampleMaxQ, K, dial)
+          case "pq" => Pq.search(s, d, SampleMaxQ, K, dial)
+        }
+        f.filter(sampleP)
+          .select($"query_id", $"doc_id", $"rnk")
+          .withColumn("tier", lit(tier)).withColumn("dial", lit(dial))
+      }
+      val po = frames.reduce(_ unionByName _)
+        .join(exact10, Seq("query_id", "doc_id"), "left_outer")
+        .na.fill(0, Seq("in_exact"))
+        .groupBy($"tier", $"dial", $"query_id")
+        .agg(sum(when($"in_exact" === 1 && $"rnk" <= 10, 1L).otherwise(0L)).as("o10"))
+        .groupBy($"tier", $"dial")
+        .agg(sum($"o10").as("osum"), count(lit(1)).as("nq"))
+      // Wilson 95%: mirror the oracle's expression structure exactly —
+      // all inputs are integers, so both engines round the same double
+      val n = ($"nq" * 10).cast("double")
+      val p = $"osum" / n
+      val z2 = lit(3.8416)
+      val denom = lit(1.0) + z2 / n
+      val center = p + z2 / (lit(2.0) * n)
+      val rad = lit(1.96) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+      po.select(
+          $"tier", $"dial", $"nq", $"osum",
+          round(p, 4).as("est"),
+          round((center - rad) / denom, 4).as("lo95"),
+          round((center + rad) / denom, 4).as("hi95"))
+        .orderBy($"tier", $"dial")
+    },
+    Some {
+      def cellSql(tier: String, dial: Int): String = {
+        val inner = tier match {
+          case "ivf" => s"SELECT query_id, doc_id, rnk FROM (${Ann.duckSearch(SampleMaxQ, K, dial)})"
+          case "ivfsq" => Sq.duckIvfSqSearch(SampleMaxQ, K, dial)
+          case "pq" => Pq.duckPqSearchCand(SampleMaxQ, K, dial)
+        }
+        s"""SELECT '$tier' AS tier, $dial AS dial, t.query_id, t.doc_id, t.rnk
+            FROM ($inner) t JOIN smp ON smp.query_id = t.query_id"""
+      }
+      val cellUnion = SampleCells.map { case (t, dl) => cellSql(t, dl) }
+        .mkString("(", ") UNION ALL (", ")")
+      s"""WITH ${Ann.duckCentAssign},
+        smp AS (SELECT vec_id AS query_id FROM embeddings
+                WHERE vec_id < $SampleMaxQ
+                  AND ${graft.Functions.duckKeyLcgU("vec_id")} < $SampleRate),
+        exq AS (SELECT e.vec_id AS query_id, e.embedding AS qe
+                FROM embeddings e JOIN smp ON smp.query_id = e.vec_id),
+        exact_scored AS (
+          SELECT q.query_id, c.vec_id AS doc_id,
+                 (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  FROM (SELECT unnest(q.qe) AS x, unnest(c.embedding) AS y) zz) AS score
+          FROM exq q, embeddings c WHERE c.vec_id <> q.query_id),
+        exact10 AS (
+          SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM exact_scored)
+          WHERE rnk <= $K),
+        cells AS ($cellUnion),
+        perq AS (
+          SELECT c.tier, c.dial, c.query_id,
+                 sum(CASE WHEN x.doc_id IS NOT NULL AND c.rnk <= $K THEN 1 ELSE 0 END) AS o10
+          FROM cells c
+          LEFT JOIN exact10 x ON c.query_id = x.query_id AND c.doc_id = x.doc_id
+          GROUP BY 1, 2, 3),
+        po AS (
+          SELECT tier, dial, CAST(sum(o10) AS BIGINT) AS osum, count(*) AS nq
+          FROM perq GROUP BY tier, dial),
+        w AS (
+          SELECT tier, dial, nq, osum,
+                 osum / CAST(nq * 10 AS DOUBLE) AS p,
+                 CAST(nq * 10 AS DOUBLE) AS n
+          FROM po)
+      SELECT tier, dial, nq, osum,
+             round(p, 4) AS est,
+             round((p + 3.8416 / (2.0 * n)
+                    - 1.96 * sqrt(p * (1.0 - p) / n + 3.8416 / (4.0 * n * n)))
+                   / (1.0 + 3.8416 / n), 4) AS lo95,
+             round((p + 3.8416 / (2.0 * n)
+                    + 1.96 * sqrt(p * (1.0 - p) / n + 3.8416 / (4.0 * n * n)))
+                   / (1.0 + 3.8416 / n), 4) AS hi95
+      FROM w ORDER BY tier, dial"""
+    })
+
+  override def all: Seq[Q] = Seq(v43, v51)
 }

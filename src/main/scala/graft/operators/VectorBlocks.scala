@@ -1228,14 +1228,11 @@ object VectorBlocks {
                 } else hds(mi) = Int.MaxValue
                 mi += 1
               }
-              // threshold T: smallest hd where the cumulative count
-              // reaches hpool; quota = pool slots left AT T, taken in
-              // member (= id) order — identical selection to a
-              // (-hd, idx)-ordered bounded heap
-              var T = 0
-              var cum = 0
-              while (T <= dim && cum + hist(T) < hpool) { cum += hist(T); T += 1 }
-              var quota = hpool - cum
+              // threshold + quota: identical selection to a (-hd, idx)-
+              // ordered bounded heap (GraphPoolProps pins the equality)
+              val (tThresh, q0) = poolThreshold(hist, hpool, dim)
+              val T = tThresh
+              var quota = q0
               // stage 2: exact ADC over the pool only
               mi = 0
               while (mi < mArr.length) {
@@ -1264,6 +1261,23 @@ object VectorBlocks {
         (a ++ b).sortBy { case (s, i) => (-s, i) }
       }
       .mapValues(_.map(_._2))
+  }
+
+  /** Counting-select cut for the graph-build Hamming pool: given a
+    * histogram of small-int distances, the smallest threshold `T` whose
+    * strictly-below count leaves room in the pool, plus the number of
+    * `== T` slots still open (taken in member/id order by the caller).
+    * Selecting `{hd < T} ∪ first-quota{hd == T}` is EXACTLY the content
+    * of a (-hd, idx)-ordered bounded heap of capacity `hpool` —
+    * GraphPoolProps pins the equality on arbitrary inputs. Assumes
+    * Σ hist ≥ hpool (the caller only nominates when the list exceeds
+    * the pool). */
+  private[graft] def poolThreshold(
+      hist: Array[Int], hpool: Int, maxHd: Int): (Int, Int) = {
+    var t = 0
+    var cum = 0
+    while (t <= maxHd && cum + hist(t) < hpool) { cum += hist(t); t += 1 }
+    (t, hpool - cum)
   }
 
   // ------------------------------------------------------- binary (1-bit)
