@@ -758,6 +758,166 @@ object Ann extends QModule {
       .start()
   }
 
+  // ------------------------------------------- serving-quality monitor
+
+  /** One sampled serving-recall measurement over an artifact — v51's
+    * estimator as a LIFECYCLE op. All counts are integers; `est`/`lo95`
+    * /`hi95` are the Wilson-95 doubles derived from (osum, k·nq) at the
+    * SERVING dial; `perDial` carries the whole ladder so a consumer can
+    * see the dial/recall curve the recommendation came from. */
+  final case class RecallProbe(
+      nq: Int, k: Int, servingProbe: Int, osum: Long,
+      est: Double, lo95: Double, hi95: Double,
+      recommendedProbe: Int, perDial: Seq[(Int, Long)])
+
+  private def wilson95(osum: Long, trials: Long): (Double, Double, Double) = {
+    val n = trials.toDouble
+    val p = osum / n
+    val z2 = 3.8416
+    val denom = 1.0 + z2 / n
+    val center = p + z2 / (2.0 * n)
+    val rad = 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    // the algebraic interval always contains p and sits in [0, 1];
+    // float rounding can violate both at the p∈{0,1} corners — clamp
+    val lo = math.max(0.0, math.min((center - rad) / denom, p))
+    val hi = math.min(1.0, math.max((center + rad) / denom, p))
+    (p, lo, hi)
+  }
+
+  /** SAMPLED serving-recall probe (round 12): does the artifact still
+    * meet its recall target AT THE DIAL IT IS SERVED WITH — measured,
+    * not assumed, and cheap enough to run inside an ingest stream?
+    * v44's drift monitor watches list-share GEOMETRY; this watches the
+    * quantity the user actually experiences. Method = v51's estimator
+    * turned on the artifact itself: sample `nSample` live docs as
+    * queries (deterministic: smallest [[graft.Functions.keyLcgU]]
+    * variate, ties id-asc — the q28 seeded-sampling seam), compute
+    * exact ground truth by FULL-probe [[searchArtifact]] over the same
+    * live rows (every list scanned + exact dots + exact rerank = exact
+    * by construction; queries are corpus members, so the self-match
+    * occupies one slot of BOTH sides identically), then walk a
+    * doubling probe ladder and count top-k overlap per dial. Cost: the
+    * ladder is log₂C bounded-query probed scans — the v10 sweep's
+    * shape, affordable as a monitor tick; nothing corpus-sized
+    * shuffles or collects (sample ≤ nSample rows, answers ≤ nq·k).
+    *
+    * `recommendedProbe` is the smallest ladder dial whose overlap
+    * meets the integer target (`1000·osum ≥ targetPm·k·nq` — the v36
+    * all-integer contract over k·nq trials), else the full-probe dial: the SELF-TUNING
+    * answer to "what dial should serving use now", re-derived from
+    * live data as the stream shifts it (hnswlib's efSearch/recall
+    * sweep, `003-hnswlib_demo.py:408-458`, run continuously instead of
+    * once at build time). */
+  def recallProbeAt(
+      s: SparkSession, path: String, servingProbe: Int,
+      nSample: Int = 16, k: Int = 10, targetPm: Int = 950): RecallProbe = {
+    import s.implicits._
+    require(nSample > 0 && k > 0 && servingProbe > 0,
+      s"recallProbeAt needs positive dials, got nSample=$nSample k=$k probe=$servingProbe")
+    val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
+    val liveRows = indexFrame(s, path).join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val sample = liveRows
+      .select($"doc_id", $"embedding")
+      .orderBy(graft.Functions.keyLcgU($"doc_id"), $"doc_id")
+      .limit(nSample)
+      .as[(Long, Array[Float])]
+      .collect()
+    require(sample.nonEmpty, s"recallProbeAt on an empty artifact: $path")
+    val q = s.createDataset(sample.toSeq).toDF("query_id", "qe")
+    val cCount = s.read.parquet(s"$path/_centroids").count().toInt
+    val full = math.max(cCount, 1)
+    val ladder =
+      (Iterator.iterate(1)(_ * 2).takeWhile(_ < full) ++ Iterator(full)).toSeq
+    val exact = searchArtifact(s, q, path, k, full)
+      .select($"query_id", $"doc_id")
+      .as[(Long, Long)].collect().toSet
+    def osumAt(dial: Int): Long =
+      searchArtifact(s, q, path, k, dial)
+        .select($"query_id", $"doc_id")
+        .as[(Long, Long)].collect()
+        .count(exact.contains).toLong
+    val perDial = ladder.map(dl => dl -> osumAt(dl))
+    val nq = sample.length
+    val trials = k.toLong * nq
+    val recommended = perDial
+      .collectFirst { case (dl, o) if 1000L * o >= targetPm.toLong * trials => dl }
+      .getOrElse(full)
+    val servingOsum =
+      perDial.collectFirst { case (dl, o) if dl == servingProbe => o }
+        .getOrElse(osumAt(servingProbe))
+    val (est, lo, hi) = wilson95(servingOsum, trials)
+    RecallProbe(nq, k, servingProbe, servingOsum, est, lo, hi, recommended, perDial)
+  }
+
+  /** Append one [[RecallProbe]] measurement to the artifact's
+    * `_recall_log` sidecar — the quality time series a dashboard (or
+    * the next serving session) reads. Append-only parquet; underscore
+    * dir, invisible to the data scan. */
+  def writeRecallLogAt(
+      s: SparkSession, path: String, batchId: Long, pr: RecallProbe): Unit = {
+    import s.implicits._
+    s.createDataset(Seq((
+        batchId, pr.servingProbe, pr.nq, pr.k, pr.osum,
+        pr.est, pr.lo95, pr.hi95, pr.recommendedProbe)))
+      .toDF("batch_id", "serving_probe", "nq", "k", "osum",
+        "est", "lo95", "hi95", "recommended_probe")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/_recall_log")
+  }
+
+  /** The artifact's recall time series (empty frame if never probed). */
+  def recallLogAt(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val (fs, p) = hfs(s, s"$path/_recall_log")
+    if (fs.exists(p)) s.read.parquet(s"$path/_recall_log")
+    else s.emptyDataset[(Long, Int, Int, Int, Long, Double, Double, Double, Int)]
+      .toDF("batch_id", "serving_probe", "nq", "k", "osum",
+        "est", "lo95", "hi95", "recommended_probe")
+  }
+
+  /** Latest recommended serving dial from the quality log, or `default`
+    * when the artifact has never been probed — the consumer-side hook
+    * that closes the loop: serve with
+    * `searchArtifact(..., nProbe = latestRecommendedProbeAt(...))`. */
+  def latestRecommendedProbeAt(s: SparkSession, path: String, default: Int): Int = {
+    import s.implicits._
+    recallLogAt(s, path)
+      .orderBy(col("batch_id").desc)
+      .limit(1)
+      .select(col("recommended_probe"))
+      .as[Int].collect().headOption.getOrElse(default)
+  }
+
+  /** [[ingestStream]] with the QUALITY loop attached (round 12; the
+    * recall-side sibling of [[ingestStreamWithRepair]]'s geometry
+    * loop): every `checkEvery`-th micro-batch runs [[recallProbeAt]]
+    * at the declared serving dial and appends the measurement to
+    * `_recall_log` — so as the stream shifts the data distribution,
+    * the artifact carries a MEASURED record of what its serving dial
+    * delivers and what dial would meet the target now. Advisory by
+    * design: widening a dial is a serving-time decision
+    * ([[latestRecommendedProbeAt]]), not a destructive rewrite, so the
+    * monitor never mutates data files — it only appends measurements. */
+  def ingestStreamWithQualityMonitor(
+      s: SparkSession, path: String,
+      stream: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)],
+      servingProbe: Int,
+      checkEvery: Int = 4,
+      targetPm: Int = 950,
+      nSample: Int = 16,
+      k: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)], batchId: Long) =>
+        addVectors(s, path, batch)
+        if (batchId % checkEvery == checkEvery - 1)
+          writeRecallLogAt(s, path, batchId,
+            recallProbeAt(s, path, servingProbe, nSample, k, targetPm))
+      }
+      .start()
+  }
+
   /** Tail (uncompacted) candidate-edge part files under `_graph`. */
   private def graphTailFiles(s: SparkSession, path: String): Seq[String] = {
     val (fs, _) = hfs(s, path)

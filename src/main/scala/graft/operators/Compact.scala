@@ -246,5 +246,54 @@ object Compact extends QModule {
         FROM resc)
     SELECT query_id, rnk, doc_id FROM rr WHERE rnk <= $K ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v34, v35, v50)
+  // ---------------------------------------------------------------- v52
+  /** FILTERED MRL prefix search (round 12): the predicate pre-filters
+    * the SLICED prefix scan — excluded rows are never prefix-scored, so
+    * the [[MrlRescore]] candidate pool is guaranteed over the filtered
+    * universe and the exact full-dimension rescore sees survivors only
+    * (the v48/v49/v50 pre-filter discipline on the MRL tier). With this
+    * the filtered matrix covers literally every representation the
+    * engine serves: exact, float IVF, adaptive, graph, IVF+SQ8, flat
+    * PQ, 1-bit binary, AND the MRL prefix tier. At 100 TB the filter
+    * prunes the already-4×-cheaper truncated-column scan — predicate
+    * and prefix cheapness compose. */
+  private val v52 = Q(
+    "v52_filtered_mrl",
+    (s, d) => {
+      import s.implicits._
+      val slicedAll = emb(s, d)
+        .select($"vec_id".as("id"), slice($"embedding", 1, PrefixDim).as("vec"), $"label")
+      val queries = slicedAll.filter($"id" < MaxQ)
+        .select($"id", $"vec").as[(Long, Array[Float])].collect().sortBy(_._1)
+      val sliced = slicedAll.filter($"label" % 3 === 0)
+        .select($"id", $"vec").as[(Long, Array[Float])]
+      val cand = BruteForce.topK(sliced, queries, MrlRescore, excludeSelf = true)
+        .select($"query_id", $"doc_id")
+      rescoreExact(s, d, cand)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $MaxQ),
+      pref AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ${duckDot(s"list_slice(q.qe, 1, $PrefixDim)", s"list_slice(c.embedding, 1, $PrefixDim)")} AS pscore
+        FROM q, embeddings c
+        WHERE c.vec_id <> q.query_id AND c.label % 3 = 0),
+      cand AS (
+        SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY pscore DESC, doc_id) AS crn
+          FROM pref)
+        WHERE crn <= $MrlRescore),
+      resc AS (
+        SELECT c.query_id, c.doc_id,
+               ${duckDot("q.qe", "dd.embedding")} AS score
+        FROM cand c
+        JOIN q ON q.query_id = c.query_id
+        JOIN embeddings dd ON dd.vec_id = c.doc_id),
+      rr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM resc)
+    SELECT query_id, rnk, doc_id FROM rr WHERE rnk <= $K ORDER BY query_id, rnk"""))
+
+  override def all: Seq[Q] = Seq(v34, v35, v50, v52)
 }
