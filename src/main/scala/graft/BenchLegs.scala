@@ -160,6 +160,11 @@ object BenchLegs {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pqIndex.count()
     val secs = (1 to passes).map { _ =>
+      // flush dirty writeback OUT of the timed window: the window's own
+      // shuffle writes must not queue behind a prior rung's (or a prior
+      // bench leg's) pending pages
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       val edges = VectorBlocks
         .pqKnnGraph(indexed, pqIndex, cents, codebook, cfg.pqSubDim, cfg.graphK, gp = 2)

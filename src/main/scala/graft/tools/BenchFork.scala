@@ -16,6 +16,16 @@ import graft.{BenchLegs, GraftSession}
 object BenchFork {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: BenchFork float4m|full2m|graphslope")
+    // A fresh JVM is not a fresh HOST: the parent bench's multi-GB legs
+    // leave the OS page cache full and writeback dirty, and that state
+    // survives process exits — measured on the graph slope leg, whose
+    // now-small timed windows (4-40 s) picked up a ~25 s/pass floor
+    // in-bench (and even across back-to-back standalone runs: 1M 42 →
+    // 82 s) that drop_caches fully removes. Start every forked leg
+    // from a cold page cache and publish whether the drop worked.
+    val dropped = graft.operators.ColdScan.dropPageCache()
+    if (!dropped)
+      System.err.println("[benchfork] page-cache drop failed (not root?) — leg runs warm")
     val spark = GraftSession.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       Some(sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.75")))
@@ -27,7 +37,9 @@ object BenchFork {
     }
     spark.stop()
     val tagged =
-      if (json.startsWith("{")) """{"forked":true,""" + json.drop(1) else json
+      if (json.startsWith("{"))
+        s"""{"forked":true,"page_cache_dropped":$dropped,""" + json.drop(1)
+      else json
     println("BENCHFORK_JSON " + tagged)
   }
 }
