@@ -25,10 +25,17 @@ import graft.{Q, QModule}
   *    [[BinDials]] (VERDICT r10 next #5 / r11 next #4 — the tier with
   *    the best measured cold-scan economics joins the decision table)
   *  - `graph` (float + persisted edge sidecar, 4·dim + degree·24
-  *    B/doc): seed nProbe ∈ [[GraphDials]] (round 12 — the LAST serving
-  *    tier joins: every representation the engine serves is now a cell;
-  *    admitted only by the 512-B budget rung, where its edges can buy a
-  *    recall target the float probes alone can't reach at the cost)
+  *    B/doc): seed nProbe ∈ [[GraphDials]] (round 12 — every
+  *    representation the engine serves is a cell; admitted only by the
+  *    512-B budget rung, where its edges can buy a recall target the
+  *    float probes alone can't reach at the cost)
+  *  - `ivfpq` (residual PQ over IVF lists, dim/[[Pq.SubDim]] B/doc,
+  *    PROBED): nProbe ∈ [[IvfPqDials]] (v53 joined the registry in
+  *    round 12 and its tier joins the table with it) — the only 8-B
+  *    cell whose cost scales with the dial instead of paying all
+  *    [[Ann.Centroids]] lists, which is exactly why IndexIVFPQ is the
+  *    production default: at the tightest byte budget it underbids the
+  *    flat 8-B tiers whenever its probed recall meets the target
   *
   * Declared COST MODEL (scan-dominated, corpus-size-free integers so
   * both engines rank cells identically): `cost = bytes_per_doc ×
@@ -61,6 +68,7 @@ object Autotune extends QModule {
   val PqDials = Seq(10, 50)
   val BinDials = Seq(10, 50)
   val GraphDials = Seq(1, 4)
+  val IvfPqDials = Seq(4, 16, 32)
   val Targets = Seq(800, 900, 950, 990)
   val Budgets = Seq(512, 256, 64, 8)
 
@@ -78,6 +86,7 @@ object Autotune extends QModule {
     case "pq" => Dim / Pq.SubDim
     case "bin" => (Dim + 7) / 8
     case "graph" => 4 * Dim + VectorSearch.knnDegree * 24
+    case "ivfpq" => Dim / Pq.SubDim
   }
 
   /** Scan-cost units for a cell — the declared cost model. The graph
@@ -91,11 +100,13 @@ object Autotune extends QModule {
     case "pq" => bytesOf("pq").toLong * Ann.Centroids
     case "bin" => bytesOf("bin").toLong * Ann.Centroids
     case "graph" => bytesOf("ivf").toLong * dial
+    case "ivfpq" => bytesOf("ivfpq").toLong * dial
   }
 
   /** All (tier, dial) cells in display order. */
   def cells: Seq[(String, Int)] =
     IvfDials.map("ivf" -> _) ++ SqDials.map("ivfsq" -> _) ++
+      IvfPqDials.map("ivfpq" -> _) ++
       PqDials.map("pq" -> _) ++ BinDials.map("bin" -> _) ++
       GraphDials.map("graph" -> _)
 
@@ -116,6 +127,7 @@ object Autotune extends QModule {
           case "pq" => Pq.search(s, d, MaxQ, K, dial)
           case "bin" => Compact.searchBinary(s, d, MaxQ, K, dial)
           case "graph" => VectorSearch.graphRefined(s, d, MaxQ, K, dial)
+          case "ivfpq" => Pq.searchIvfPq(s, d, MaxQ, K, dial)
         }
         f.select($"query_id", $"doc_id", $"rnk")
           .withColumn("tier", lit(tier)).withColumn("dial", lit(dial))
@@ -153,6 +165,7 @@ object Autotune extends QModule {
           case "pq" => Pq.duckPqSearchCand(MaxQ, K, dial)
           case "bin" => Compact.duckBinSearch(MaxQ, K, dial)
           case "graph" => VectorSearch.duckGraphRefinedCand(MaxQ, K, dial)
+          case "ivfpq" => Pq.duckIvfPqSearch(MaxQ, K, dial, Pq.RCand)
         }
         s"SELECT '$tier' AS tier, $dial AS dial, query_id, doc_id, rnk FROM ($inner)"
       }

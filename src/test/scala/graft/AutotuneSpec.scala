@@ -40,10 +40,10 @@ class AutotuneSpec extends SparkSpec {
   }
 
   test("tight budget forces the compressed tiers; loose budget at low target picks the cheapest") {
-    // budget 8 admits exactly the two 8-B tiers (bin joined the table in
-    // r12) — every pick under it must be one of them
+    // budget 8 admits exactly the three 8-B tiers (bin and ivfpq joined
+    // the table in r12) — every pick under it must be one of them
     rows.filter(_._2 == 8).foreach { case (t, _, tier, _, _, _) =>
-      assert(tier == "pq" || tier == "bin",
+      assert(tier == "pq" || tier == "bin" || tier == "ivfpq",
         s"budget 8 must force an 8-B tier, got $tier at target $t")
     }
     // under the loosest budget, a HIGHER target never picks a cheaper
@@ -72,6 +72,16 @@ class AutotuneSpec extends SparkSpec {
       }
     }
     assert(Seq("bin", "pq").sorted.head == "bin")
+    // ivfpq is the third 8-B tier but PROBED-priced: below full probe it
+    // underbids the flat 8-B cells, at full probe it ties them — the
+    // production IndexIVFPQ economics, pinned so a cost change can't
+    // silently flatten it
+    assert(Autotune.bytesOf("ivfpq") == 8)
+    Autotune.IvfPqDials.filter(_ < graft.operators.Ann.Centroids).foreach { dl =>
+      assert(Autotune.costOf("ivfpq", dl) < Autotune.costOf("pq", Autotune.PqDials.head))
+    }
+    assert(Autotune.costOf("ivfpq", graft.operators.Ann.Centroids) ==
+      Autotune.costOf("pq", Autotune.PqDials.head))
   }
 
   test("graph tier: admitted only above the float budget; scan cost ties ivf, bytes break it") {
