@@ -572,13 +572,29 @@ object Pq extends QModule {
     * filtered universe within the probe set). */
   def searchIvfPq(s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int,
       rcand: Int = RCand, pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    import s.implicits._
-    require(rcand <= RCand, s"rcand $rcand exceeds the per-partition ADC heap bound $RCand")
     val rcb = residCodebook(s, d)
     val encodedAll = graft.Memo.cached(s, s"ivfpq-encoded:$d")(
       encodeResidTagged(residFrame(s, d), rcb))
     val encoded = pred.foldLeft(encodedAll)(_ filter _)
-    val cents = ivfCents(s, d)
+    searchIvfPqFrom(s, d, encoded, rcb, ivfCents(s, d), maxQueryId, k, nProbe, rcand)
+  }
+
+  /** The IVF+PQ pipeline over arbitrary (encoded frame, codebook,
+    * centroids) — shared by the memoized in-session path
+    * ([[searchIvfPq]]) and the persisted-index serving path
+    * ([[searchIvfPqPersisted]]), the [[searchFrom]] discipline. */
+  private def searchIvfPqFrom(
+      s: SparkSession,
+      d: String,
+      encoded: DataFrame,
+      rcb: Array[(Long, Array[Double])],
+      cents: Array[(Long, Array[Float])],
+      maxQueryId: Int,
+      k: Int,
+      nProbe: Int,
+      rcand: Int): DataFrame = {
+    import s.implicits._
+    require(rcand <= RCand, s"rcand $rcand exceeds the per-partition ADC heap bound $RCand")
     val queries = corpusDs(s, d).filter($"id" < maxQueryId).collect().sortBy(_._1)
     // probe sets + first-stage coarse dots, computed once driver-side
     // (C × nq doubles) with the same array-order double accumulation as
@@ -608,6 +624,48 @@ object Pq extends QModule {
         rcand)
       .select($"query_id", $"doc_id")
     rescoreExact(s, d, cands, maxQueryId, k)
+  }
+
+  private def ivfPqIndexPath(s: SparkSession, d: String): String = {
+    val root = s.conf.get(Ann.IndexRootConf, "/tmp/graft_index")
+    s"$root/${d.replaceAll("[^A-Za-z0-9.]", "_")}_ivfpq_c${Codes}_s$SubDim"
+  }
+
+  /** K4 for the IVF+PQ tier (mirrors [[buildPersistedIndex]]): the
+    * coarse centroids, the residual codebook, and the encoded
+    * (doc_id, centroid_id, codes, label) frame written once as parquet
+    * under the configurable Hadoop-FS root, build-if-absent. Parquet
+    * round-trips float centroid arrays, double codewords, and long
+    * codes exactly, so persisted serving is bit-identical to the
+    * in-session pipeline (v55 shares v53's oracle). */
+  def buildPersistedIvfPq(s: SparkSession, d: String): String = {
+    val path = ivfPqIndexPath(s, d)
+    val (fs, success) = Ann.hfs(s, s"$path/codes/_SUCCESS")
+    if (!fs.exists(success)) {
+      val spark = s
+      import spark.implicits._
+      val rcb = residCodebook(s, d)
+      ivfCents(s, d).toSeq.toDF("centroid_id", "ce")
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      rcb.toSeq.toDF("code_id", "ce")
+        .write.mode("overwrite").parquet(s"$path/codebook")
+      encodeResidTagged(residFrame(s, d), rcb)
+        .write.mode("overwrite").parquet(s"$path/codes")
+    }
+    path
+  }
+
+  /** IVF+PQ search served from the PERSISTED artifacts only. */
+  def searchIvfPqPersisted(s: SparkSession, d: String, maxQueryId: Int, k: Int,
+      nProbe: Int): DataFrame = {
+    import s.implicits._
+    val path = buildPersistedIvfPq(s, d)
+    val rcb = s.read.parquet(s"$path/codebook")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val cents = s.read.parquet(s"$path/centroids")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    searchIvfPqFrom(s, d, s.read.parquet(s"$path/codes"), rcb, cents,
+      maxQueryId, k, nProbe, RCand)
   }
 
   // ------------------------------------------------------------ oracle SQL
@@ -896,5 +954,21 @@ object Pq extends QModule {
     },
     Some(duckIvfPqSearch(10, 10, 8, RCand, predSql = "em.label % 3 = 0")))
 
-  override def all: Seq[Q] = Seq(v12, v13, v17, v49, v53, v54)
+  // ---------------------------------------------------------------- v55
+  /** K4 persistence for the IVF+PQ tier under the oracle gate: search
+    * served entirely from the persisted centroids + residual codebook +
+    * codes parquet (build-if-absent, Hadoop-FS root) — same parameters
+    * and oracle as v53, because persisted serving must be bit-identical
+    * to the in-session pipeline (the v13 → v17 / v23 → v26 discipline). */
+  private val v55 = Q(
+    "v55_ivfpq_persisted",
+    (s, d) => {
+      import s.implicits._
+      searchIvfPqPersisted(s, d, maxQueryId = 10, k = 10, nProbe = 4)
+        .select($"query_id", $"rnk", $"doc_id", round($"score", 4).as("score"))
+        .orderBy($"query_id", $"rnk")
+    },
+    Some(duckIvfPqSearch(10, 10, 4, RCand)))
+
+  override def all: Seq[Q] = Seq(v12, v13, v17, v49, v53, v54, v55)
 }

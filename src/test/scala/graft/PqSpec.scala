@@ -138,6 +138,27 @@ class PqSpec extends SparkSpec {
     assert(resid != flat, "residual training reproduced the flat codebook — residuals not used")
   }
 
+  test("persisted IVF+PQ index: build-if-absent, bit-exact serving parity") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    spark.conf.set(graft.operators.Ann.IndexRootConf, root)
+    try {
+      val fromDisk = Pq.searchIvfPqPersisted(spark, sf0001, maxQueryId = 10, k = 5, nProbe = 4)
+        .select("query_id", "rnk", "doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+      val path = new java.io.File(root).listFiles.map(_.getName)
+        .find(_.contains("_ivfpq_")).getOrElse(fail(s"no ivfpq index under $root"))
+      val codes = new java.io.File(s"$root/$path/codes")
+      assert(codes.isDirectory && codes.listFiles.exists(_.getName == "_SUCCESS"))
+      val mtime = codes.lastModified
+      Pq.searchIvfPqPersisted(spark, sf0001, maxQueryId = 10, k = 5, nProbe = 4).collect()
+      assert(codes.lastModified == mtime, "second serve rebuilt the persisted index")
+      val inMem = Pq.searchIvfPq(spark, sf0001, maxQueryId = 10, k = 5, nProbe = 4)
+        .select("query_id", "rnk", "doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+      assert(fromDisk.sameElements(inMem), "persisted serving diverged from in-session search")
+    } finally spark.conf.unset(graft.operators.Ann.IndexRootConf)
+  }
+
   test("filtered IVF+PQ never serves a predicate-failing doc") {
     val got = Pq.searchIvfPq(spark, sf0001, maxQueryId = 10, k = 10, nProbe = 8,
       pred = Some(col("label") % 3 === 0))
