@@ -90,6 +90,21 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // kNN-graph BUILD slope (VERDICT r11 next #5) — runs FIRST among the
+    // kernel sections: unlike the 2M/4M float legs (in-JVM corpora,
+    // compute-bound), the graph build is shuffle-heavy, so its fork is
+    // sensitive to how much page cache the HOST has left — and the
+    // parent's 1M-section residents (31g heap) are exactly what squeezed
+    // it when this leg ran last (measured 250k 10.6 / 1M 51.1 in-bench
+    // vs 5.4 / 38.9 standalone, even with the fork's own drop_caches).
+    // Before the parent has allocated anything big, the fork sees a
+    // near-idle host.
+    spark.catalog.clearCache()
+    System.gc()
+    val graphSlope = forked("graphslope", () => {
+      spark.catalog.clearCache(); System.gc()
+      BenchLegs.graphSlope(spark)
+    })
     // Headline: brute-force search at the reference's own scale (1M × 384,
     // 100 queries, top-100) for a like-for-like BASELINE.md comparison.
     val kernel =
@@ -137,6 +152,10 @@ object Bench {
     // machine-readable "suspect_session_age":true stamp. Leg bodies and
     // heap gates live in BenchLegs; failures stay non-fatal (diagnostic
     // legs, exit code untouched).
+    // free the parent's 1M-section residents before the forks launch —
+    // a blocked-idle parent should also be as memory-quiet as possible
+    spark.catalog.clearCache()
+    System.gc()
     val kernel4m = forked("float4m", () => {
       spark.catalog.clearCache(); System.gc()
       BenchLegs.float4m(spark)
@@ -144,13 +163,6 @@ object Bench {
     val kernel2m = forked("full2m", () => {
       spark.catalog.clearCache(); System.gc()
       BenchLegs.full2m(spark)
-    })
-    // kNN-graph BUILD slope (VERDICT r11 next #5): two half-scale rungs
-    // in their own fork — the first measured points for the one build
-    // whose cost is cluster-scoped n².
-    val graphSlope = forked("graphslope", () => {
-      spark.catalog.clearCache(); System.gc()
-      BenchLegs.graphSlope(spark)
     })
     // COLD-SCAN leg (VERDICT r9 next #1): the compression ladder's
     // bytes-per-doc claim measured IO-bound — each tier's packed

@@ -111,12 +111,16 @@ object BenchLegs {
       // per pass); the round-12 nominated kernel brought it to ~30 s,
       // so the published slope now spans a full 4× — fit = log-log
       // least squares over all rungs, not a 2-point ratio
-      val rungs = Seq(250000, 500000, 1000000)
-      val secs = rungs.map { n =>
+      // the 1M rung gets a third pass: it is the leg's biggest shuffle
+      // job and measures the widest spread (79.5/64.6 in one run vs
+      // 38.9 standalone, with the small rungs clean in both) — one more
+      // sample on the noisiest point costs ~40 s and tightens the min
+      val rungs = Seq(250000 -> 2, 500000 -> 2, 1000000 -> 3)
+      val secs = rungs.map { case (n, p) =>
         spark.catalog.clearCache()
-        (n, graphBuildOnly(spark, KernelBench.Default.copy(n = n), passes = 2))
+        (n, graphBuildOnly(spark, KernelBench.Default.copy(n = n), passes = p))
       }
-      val xs = rungs.map(n => math.log(n.toDouble))
+      val xs = rungs.map { case (n, _) => math.log(n.toDouble) }
       val ys = secs.map { case (_, ps) => math.log(ps.min) }
       val xm = xs.sum / xs.length
       val ym = ys.sum / ys.length

@@ -2164,6 +2164,36 @@ object Ann extends QModule {
     finally in.close()
   }
 
+  /** Incremental scan between two snapshots (v56) — the Iceberg/Delta
+    * "changed files" CDC primitive: diff the two manifests' DATA file
+    * sets and read ONLY the files unique to either side, so the cost is
+    * O(|changed files|) regardless of corpus size — the export/sync
+    * pattern a 100 TB pipeline ships (a downstream consumer pulls the
+    * delta between yesterday's and today's versions, never a full
+    * scan). Returns (change ∈ {added, removed}, doc_id): file-level CDC
+    * semantics over the append-only artifact — between two live
+    * manifests only appends can differ, because any rewrite (compaction,
+    * rebalance, repair) EXPIRES every manifest that referenced the
+    * rewritten files, so a version pair spanning a rewrite cannot both
+    * exist to be diffed. AnnLifecycleSpec pins: delta-exactness,
+    * antisymmetry, empty self-diff, and that ONLY the changed files are
+    * read (`inputFiles` ⊆ the manifests' symmetric difference).
+    * Graph-sidecar lines are data-free and excluded: the diff is about
+    * corpus rows. */
+  def diffSnapshots(s: SparkSession, path: String, v1: Int, v2: Int): DataFrame = {
+    import s.implicits._
+    def dataFiles(v: Int): Set[String] =
+      manifestFiles(s, path, v).filter(_.contains("/centroid_id=")).toSet
+    val (f1, f2) = (dataFiles(v1), dataFiles(v2))
+    def rows(files: Seq[String], change: String): DataFrame =
+      if (files.isEmpty)
+        s.range(0).select(lit(change).as("change"), $"id".as("doc_id"))
+      else
+        s.read.option("basePath", path).parquet(files.sorted: _*)
+          .select(lit(change).as("change"), col("doc_id").cast("long").as("doc_id"))
+    rows((f2 -- f1).toSeq, "added").unionByName(rows((f1 -- f2).toSeq, "removed"))
+  }
+
   /** Expire all but the newest `keepLast` snapshot manifests — the
     * retention pass that bounds time-travel metadata (production table
     * formats expire snapshots on a schedule for the same reason). Data
@@ -2234,6 +2264,24 @@ object Ann extends QModule {
       SELECT 2 AS snap, query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)})
       ORDER BY snap, query_id, rnk"""))
 
+  // ---------------------------------------------------------------- v56
+  /** Snapshot DIFF under the oracle gate: the incremental scan between
+    * the v38 artifact's v1 (base) and v2 (base + delta) must surface
+    * exactly the delta rows as `added` and nothing as `removed` (the
+    * artifact is append-only between compactions) — and the engine must
+    * get there by reading ONLY the manifests' differing files, never
+    * the corpus. The oracle replays the delta's definition. */
+  private val v56 = Q(
+    "v56_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val path = buildSnapshottedIndex(s, d)
+      diffSnapshots(s, path, 1, 2).orderBy($"change", $"doc_id")
+    },
+    Some(s"""SELECT 'added' AS change, vec_id AS doc_id
+      FROM embeddings WHERE vec_id % $IncrMod = $IncrRem
+      ORDER BY change, doc_id"""))
+
   // ---------------------------------------------------------------- v40
   /** SCATTER-GATHER search over the un-merged shards — the query-side
     * half of the sharded story (v37 is the build-side): each shard
@@ -2287,5 +2335,5 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44, v56)
 }
