@@ -2194,6 +2194,58 @@ object Ann extends QModule {
     rows((f2 -- f1).toSeq, "added").unionByName(rows((f1 -- f2).toSeq, "removed"))
   }
 
+  // ------------------------------------------------------------ alias (v57)
+  /** Serving ALIAS — the blue-green cutover primitive every production
+    * vector store ships for reindexing: readers address a stable alias
+    * directory; the alias holds a pointer to the artifact actually
+    * served. A reindex builds the NEW artifact beside the old one (zero
+    * impact on serving), then cutover is one atomic metadata operation,
+    * and rollback is the same operation pointed back. The pointer is a
+    * VERSIONED append-only file set (`_ALIAS_v<N>`, written tmp-file +
+    * rename so a reader never observes a partial write; readers take
+    * the highest N) — no delete-then-rename gap, crash leftovers
+    * (`_ALIAS_tmp_*`) never match the reader's glob, and the version
+    * trail doubles as the cutover audit log. Returns the new pointer
+    * version. */
+  def setAlias(s: SparkSession, aliasDir: String, targetPath: String): Int = {
+    val (fs, dir) = hfs(s, aliasDir)
+    fs.mkdirs(dir)
+    val n = aliasVersions(s, aliasDir).lastOption.getOrElse(0) + 1
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_ALIAS_tmp_${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(targetPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"_ALIAS_v$n")
+    require(fs.rename(tmp, dst), s"alias cutover rename failed: $tmp -> $dst")
+    n
+  }
+
+  /** The alias pointer versions present, ascending. */
+  def aliasVersions(s: SparkSession, aliasDir: String): Seq[Int] = {
+    val (fs, _) = hfs(s, aliasDir)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$aliasDir/_ALIAS_v*")))
+      .getOrElse(Array.empty)
+      .flatMap(st => st.getPath.getName.stripPrefix("_ALIAS_v").toIntOption)
+      .sorted.toSeq
+  }
+
+  /** The artifact path the alias currently serves (highest version). */
+  def resolveAlias(s: SparkSession, aliasDir: String): String = {
+    val vs = aliasVersions(s, aliasDir)
+    require(vs.nonEmpty, s"no alias pointer under $aliasDir")
+    val (fs, _) = hfs(s, aliasDir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$aliasDir/_ALIAS_v${vs.last}"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Tombstone-masked search through the alias — what a reader runs:
+    * resolve, then [[searchLiveAt]] against whatever artifact the alias
+    * currently serves. */
+  def searchAlias(s: SparkSession, d: String, aliasDir: String,
+      maxQueryId: Int, k: Int, nProbe: Int): DataFrame =
+    searchLiveAt(s, d, resolveAlias(s, aliasDir), maxQueryId, k, nProbe)
+
   /** Expire all but the newest `keepLast` snapshot manifests — the
     * retention pass that bounds time-travel metadata (production table
     * formats expire snapshots on a schedule for the same reason). Data
@@ -2263,6 +2315,54 @@ object Ann extends QModule {
       UNION ALL
       SELECT 2 AS snap, query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)})
       ORDER BY snap, query_id, rnk"""))
+
+  /** The v57 gate's fixture: two artifacts side by side — `blue` (base
+    * corpus only) and `green` (base + delta, the reindex product), both
+    * on the frozen base-trained quantizer — plus a serving-alias dir.
+    * Build-if-absent with marker-last crash discipline. */
+  private def aliasScenario(s: SparkSession, d: String): (String, String, String) = {
+    import s.implicits._
+    val base = indexPath(s, d) + "_alias"
+    val (fs, done) = hfs(s, s"$base/_scenario_complete")
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      seedBaseIndex(s, d, s"$base/blue")
+      seedBaseIndex(s, d, s"$base/green")
+      addVectors(s, s"$base/green", corpusTyped(s, d).filter($"id" % IncrMod === IncrRem))
+      fs.create(done, true).close()
+    }
+    (s"$base/serving", s"$base/blue", s"$base/green")
+  }
+
+  // ---------------------------------------------------------------- v57
+  /** Blue-green ALIAS cutover under the oracle gate: phase 1 serves
+    * through the alias pointed at the base-only artifact, the cutover
+    * is one [[setAlias]] call, phase 2 serves the reindexed (base +
+    * delta) artifact through the SAME alias — readers never address an
+    * artifact path directly. [[searchAlias]] resolves the pointer at
+    * DataFrame-construction time, so phase 1's plan stays pinned to
+    * blue even though it may execute after the swap. The oracle is the
+    * v38 shape: both phases replay the frozen base-trained quantizer,
+    * phase 1 restricted to the base corpus. */
+  private val v57 = Q(
+    "v57_alias_cutover",
+    (s, d) => {
+      import s.implicits._
+      val (aliasDir, blue, green) = aliasScenario(s, d)
+      setAlias(s, aliasDir, blue)
+      val p1 = searchAlias(s, d, aliasDir, maxQueryId = 20, k = 10, nProbe = 4)
+        .select(lit(1).as("phase"), $"query_id", $"rnk", $"doc_id")
+      setAlias(s, aliasDir, green) // the cutover — one atomic pointer write
+      val p2 = searchAlias(s, d, aliasDir, maxQueryId = 20, k = 10, nProbe = 4)
+        .select(lit(2).as("phase"), $"query_id", $"rnk", $"doc_id")
+      p1.unionByName(p2).orderBy($"phase", $"query_id", $"rnk")
+    },
+    Some(s"""WITH ${duckCentAssignBase(s"vec_id % $IncrMod <> $IncrRem")}
+      SELECT 1 AS phase, query_id, rnk, doc_id
+      FROM (${duckSearch(20, 10, 4, s"e.vec_id % $IncrMod <> $IncrRem")})
+      UNION ALL
+      SELECT 2 AS phase, query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)})
+      ORDER BY phase, query_id, rnk"""))
 
   // ---------------------------------------------------------------- v56
   /** Snapshot DIFF under the oracle gate: the incremental scan between
@@ -2335,5 +2435,5 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44, v56)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44, v56, v57)
 }

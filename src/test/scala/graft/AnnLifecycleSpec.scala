@@ -274,6 +274,50 @@ class AnnLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("alias: cutover swaps serving, rollback restores it, crash leftovers are ignored") {
+    val base = s"/tmp/graft_alias_${System.nanoTime()}"
+    try {
+      Ann.seedBaseIndex(s2, sf0001, s"$base/blue")
+      Ann.seedBaseIndex(s2, sf0001, s"$base/green")
+      Ann.addVectors(s2, s"$base/green",
+        spark.read.parquet(s"$sf0001/embeddings.parquet")
+          .filter($"vec_id" % Ann.IncrMod === Ann.IncrRem)
+          .select($"vec_id", $"embedding", $"label")
+          .as[(Long, Array[Float], Int)])
+      val alias = s"$base/serving"
+      def served(): Set[(Long, Long, Long)] =
+        Ann.searchAlias(s2, sf0001, alias, maxQueryId = 20, k = 10, nProbe = 4)
+          .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+
+      assert(Ann.setAlias(s2, alias, s"$base/blue") == 1)
+      val blueRes = served()
+      val direct = Ann.searchLiveAt(s2, sf0001, s"$base/blue", 20, 10, 4)
+        .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+      assert(blueRes == direct, "alias serving diverged from the target artifact")
+
+      // cutover: one pointer write; the delta becomes visible
+      assert(Ann.setAlias(s2, alias, s"$base/green") == 2)
+      val greenRes = served()
+      assert(greenRes != blueRes, "cutover did not change serving")
+      assert(greenRes.exists(_._3 % Ann.IncrMod == Ann.IncrRem),
+        "green must serve delta docs")
+
+      // a crashed cutover's tmp leftover must not perturb resolution
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(alias, "_ALIAS_tmp_99"), true).close()
+      assert(Ann.resolveAlias(s2, alias) == s"$base/green")
+
+      // rollback is the same operation pointed back — results return
+      // EXACTLY to blue's, and the version trail records the history
+      assert(Ann.setAlias(s2, alias, s"$base/blue") == 3)
+      assert(served() == blueRes, "rollback did not restore blue's results")
+      assert(Ann.aliasVersions(s2, alias) == Seq(1, 2, 3))
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    }
+  }
+
   test("unified lifecycle: add -> snapshot -> delete -> compact -> search-as-of, ONE artifact") {
     // VERDICT r9 next #4: the full production sequence on a single
     // artifact, with time-travel correctness asserted ACROSS the
