@@ -1236,8 +1236,13 @@ object Ann extends QModule {
 
   /** [[duckCentAssign]] with the centroid TRAINING universe restricted
     * by `baseWhere` (assignment still covers every doc) — mirrors the
-    * incremental build's frozen base-trained quantizer. */
-  private[graft] def duckCentAssignBase(baseWhere: String): String =
+    * incremental build's frozen base-trained quantizer. `src` is the
+    * corpus the ASSIGNMENT runs over (training always reads the
+    * original `embeddings` — the quantizer is frozen from before any
+    * mutation): v58 assigns an upserted corpus against the original
+    * quantizer. */
+  private[graft] def duckCentAssignBase(baseWhere: String,
+      src: String = "embeddings"): String =
     s"""cent AS (
         SELECT vec_id AS centroid_id, embedding AS ce FROM (
           SELECT vec_id, embedding,
@@ -1249,7 +1254,7 @@ object Ann extends QModule {
           SELECT e.vec_id AS doc_id, c.centroid_id,
                  row_number() OVER (PARTITION BY e.vec_id
                                     ORDER BY ${duckDot("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-          FROM embeddings e, cent c)
+          FROM $src e, cent c)
         WHERE rn = 1)"""
 
   private[graft] val duckCentAssign = duckCentAssignBase("TRUE")
@@ -1258,14 +1263,16 @@ object Ann extends QModule {
     * nProbe / corpus predicate (`predSql` over alias `e`, the candidate's
     * embeddings row — mirrors the engine's pre-filter on index rows). */
   private[graft] def duckSearch(maxQ: Int, k: Int, nProbe: Int,
-      predSql: String = "TRUE"): String =
-    duckSearchDyn(maxQ, k, nProbe.toString, predSql)
+      predSql: String = "TRUE", src: String = "embeddings"): String =
+    duckSearchDyn(maxQ, k, nProbe.toString, predSql, src)
 
   /** [[duckSearch]] with the probe bound as an arbitrary SQL scalar
     * expression — v42's oracle replays the adaptive widening as a
-    * computed subquery instead of a literal. */
+    * computed subquery instead of a literal. `src` is the corpus table
+    * the SCORING reads (queries always come from the original
+    * `embeddings`): v58 scores against an upserted corpus CTE. */
   private[graft] def duckSearchDyn(maxQ: Int, k: Int, nProbeSql: String,
-      predSql: String = "TRUE"): String =
+      predSql: String = "TRUE", src: String = "embeddings"): String =
     s"""SELECT query_id, doc_id, rnk FROM (
         SELECT s.query_id, s.doc_id,
                row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rnk
@@ -1279,7 +1286,7 @@ object Ann extends QModule {
               FROM embeddings q, cent c WHERE q.vec_id < $maxQ)
             WHERE prn <= ($nProbeSql)) p
           JOIN assign a USING (centroid_id)
-          JOIN embeddings e ON e.vec_id = a.doc_id
+          JOIN $src e ON e.vec_id = a.doc_id
           WHERE a.doc_id <> p.query_id AND ($predSql)) s)
       WHERE rnk <= $k"""
 
@@ -2194,6 +2201,30 @@ object Ann extends QModule {
     rows((f2 -- f1).toSeq, "added").unionByName(rows((f1 -- f2).toSeq, "removed"))
   }
 
+  /** UPSERT — the remaining CRUD verb (v20 adds, v21 deletes): rows
+    * whose doc_ids already exist in the artifact are tombstoned and
+    * PHYSICALLY reclaimed before the batch is appended — the tombstone
+    * mask is doc_id-keyed, so a replacement row could never be served
+    * from behind a live tombstone for its own id; the compaction is the
+    * partition-local one (only affected lists rewritten). The batch
+    * then assigns against the artifact's FROZEN quantizer like any add.
+    * Cost: O(affected lists) rewrite + O(|batch|) append — the LSM
+    * update discipline. A pure-insert batch skips the rewrite
+    * entirely. */
+  def upsertVectors(s: SparkSession, path: String,
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = {
+    import s.implicits._
+    val ids = ds.map(_._1).toDF("doc_id")
+    val existing = indexFrame(s, path)
+      .join(broadcast(ids), Seq("doc_id"))
+      .select($"doc_id", $"centroid_id")
+    if (!existing.isEmpty) {
+      existing.write.mode("append").parquet(s"$path/_tombstones")
+      compactIndexAt(s, path)
+    }
+    addVectors(s, path, ds)
+  }
+
   // ------------------------------------------------------------ alias (v57)
   /** Serving ALIAS — the blue-green cutover primitive every production
     * vector store ships for reindexing: readers address a stable alias
@@ -2364,6 +2395,53 @@ object Ann extends QModule {
       SELECT 2 AS phase, query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)})
       ORDER BY phase, query_id, rnk"""))
 
+  /** The v58 gate's fixture: base artifact (frozen base-trained
+    * quantizer), then ONE upsert batch mixing inserts (the delta ids,
+    * absent from the base) with updates (ids ≡ 1 mod 16 — present in
+    * the base — re-submitted with REVERSED embeddings: a pure
+    * reordering both engines replay bit-exactly). Build-if-absent,
+    * marker last. */
+  private def upsertScenario(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val path = indexPath(s, d) + "_upsert"
+    val (fs, done) = hfs(s, s"$path/_upsert_complete")
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      seedBaseIndex(s, d, path)
+      val inserts = corpusTyped(s, d).filter($"id" % IncrMod === IncrRem)
+      val updates = corpusTyped(s, d).filter($"id" % 16 === 1)
+        .map { case (id, v, l) => (id, v.reverse, l) }
+      upsertVectors(s, path, inserts.union(updates))
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  // ---------------------------------------------------------------- v58
+  /** UPSERT search under the oracle gate: after the mixed
+    * insert+update batch, search must rank the UPDATED (reversed)
+    * vectors — assigned by the frozen base-trained quantizer to their
+    * new lists — and the inserted delta, with the replaced originals
+    * gone. The oracle rebuilds the post-upsert corpus as a CTE
+    * (list_reverse on the update set) and replays assignment + scoring
+    * over it while training the quantizer and drawing queries from the
+    * ORIGINAL corpus, exactly the engine's frozen-quantizer split. */
+  private val v58 = Q(
+    "v58_upsert_search",
+    (s, d) => {
+      val path = upsertScenario(s, d)
+      searchLiveAt(s, d, path, maxQueryId = 20, k = 10, nProbe = 4)
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+    },
+    Some(s"""WITH corpus2 AS (
+        SELECT vec_id, CASE WHEN vec_id % 16 = 1 THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+        FROM embeddings),
+      ${duckCentAssignBase(s"vec_id % $IncrMod <> $IncrRem", src = "corpus2")}
+      SELECT query_id, rnk, doc_id
+      FROM (${duckSearch(20, 10, 4, src = "corpus2")})
+      ORDER BY query_id, rnk"""))
+
   // ---------------------------------------------------------------- v56
   /** Snapshot DIFF under the oracle gate: the incremental scan between
     * the v38 artifact's v1 (base) and v2 (base + delta) must surface
@@ -2435,5 +2513,5 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44, v56, v57)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44, v56, v57, v58)
 }
