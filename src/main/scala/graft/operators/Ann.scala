@@ -405,6 +405,24 @@ object Ann extends QModule {
       }
       .start()
 
+  /** CDC ingest — [[ingestStream]] with UPSERT semantics per
+    * micro-batch: consuming a changelog (Kafka compacted topic, Debezium
+    * feed) where a key can re-arrive with a new vector. Each batch's
+    * re-arriving ids physically replace their old rows
+    * ([[upsertVectors]]'s partition-local reclaim), fresh ids append —
+    * so the artifact converges to last-write-wins per key, and a
+    * replayed batch is a no-op (AnnLifecycleSpec pins stream ≡ one
+    * batch upsert on the served rows). */
+  def ingestStreamUpsert(
+      s: SparkSession, path: String,
+      stream: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)], _: Long) =>
+        upsertVectors(s, path, batch)
+      }
+      .start()
+
   /** Search through the incrementally-built index: probes the FROZEN
     * persisted quantizer (O(C) read, no corpus scan) against the merged
     * base+delta partitions. Same probe/score/rerank core as [[search]]. */
