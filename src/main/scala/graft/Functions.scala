@@ -30,6 +30,7 @@ object Functions {
     treg.createOrReplaceTempFunction("range_search", rangeSearchPlan, "built-in")
     treg.createOrReplaceTempFunction("parent_search", parentSearchPlan, "built-in")
     treg.createOrReplaceTempFunction("graph_search", graphSearchPlan, "built-in")
+    treg.createOrReplaceTempFunction("ivfpq_search", ivfpqSearchPlan, "built-in")
   }
 
   /** Evaluate a TVF's foldable scalar arguments: `name(argNames…)`,
@@ -149,6 +150,23 @@ object Functions {
         asInt("graph_search", "k", k),
         asInt("graph_search", "n_probe", nProbe),
         asInt("graph_search", "seed_k", seedK))
+      .queryExecution.analyzed
+  }
+
+  /** Table-function builder for `ivfpq_search(dir, max_query_id, k,
+    * n_probe)` — the residual-PQ tier (v53) through the parser, its
+    * third serving surface after the Column API and the persisted
+    * artifacts (v55). */
+  private[graft] def ivfpqSearchPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val Seq(dir, maxQ, k, nProbe) =
+      tvfArgs("ivfpq_search", Seq("dir", "max_query_id", "k", "n_probe"), exprs)
+    operators.Pq
+      .searchIvfPq(SparkSession.active, dir.toString,
+        asInt("ivfpq_search", "max_query_id", maxQ),
+        asInt("ivfpq_search", "k", k),
+        asInt("ivfpq_search", "n_probe", nProbe))
       .queryExecution.analyzed
   }
 

@@ -52,5 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parent_search"),
       new ExpressionInfo(Functions.getClass.getName, "parent_search"),
       (exprs: Seq[Expression]) => Functions.parentSearchPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_search"),
+      new ExpressionInfo(Functions.getClass.getName, "graph_search"),
+      (exprs: Seq[Expression]) => Functions.graphSearchPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("ivfpq_search"),
+      new ExpressionInfo(Functions.getClass.getName, "ivfpq_search"),
+      (exprs: Seq[Expression]) => Functions.ivfpqSearchPlan(exprs)))
   }
 }

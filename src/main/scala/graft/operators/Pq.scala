@@ -970,5 +970,17 @@ object Pq extends QModule {
     },
     Some(duckIvfPqSearch(10, 10, 4, RCand)))
 
-  override def all: Seq[Q] = Seq(v12, v13, v17, v49, v53, v54, v55)
+  // ---------------------------------------------------------------- v59
+  /** The IVF+PQ tier through the PARSER — `ivfpq_search(dir, maxQ, k,
+    * nProbe)`, the engine's sixth SQL table function — completing the
+    * tier's surface trio (Column API v53, persisted artifacts v55, SQL
+    * v59) under one shared oracle: all three must hash-match because
+    * they are the same plan. */
+  private val v59 = Q(
+    "v59_sql_ivfpq_search",
+    (s, d) => s.sql(
+      s"SELECT query_id, rnk, doc_id, round(score, 4) AS score FROM ivfpq_search('$d', 10, 10, 4) ORDER BY query_id, rnk"),
+    Some(duckIvfPqSearch(10, 10, 4, RCand)))
+
+  override def all: Seq[Q] = Seq(v12, v13, v17, v49, v53, v54, v55, v59)
 }

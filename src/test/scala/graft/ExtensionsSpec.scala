@@ -86,5 +86,17 @@ class ExtensionsSpec extends SparkSpec {
     val rsRows = GraftInternal.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.SparkSession], rsPlan).count()
     assert(rsRows > 0L, "range_search TVF plan returned no rows on the fixture")
+    // the extension path must inject the SAME table-function set as
+    // Functions.register (graph_search was missing from it until r12)
+    assert(treg.functionExists(FunctionIdentifier("graph_search")), "graph_search not injected")
+    assert(treg.functionExists(FunctionIdentifier("parent_search")), "parent_search not injected")
+    assert(treg.functionExists(FunctionIdentifier("ivfpq_search")), "ivfpq_search not injected")
+    val pqPlan = treg.lookupFunction(
+      FunctionIdentifier("ivfpq_search"),
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(sf0001)),
+        Literal(10), Literal(10), Literal(4)))
+    val pqRows = GraftInternal.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.SparkSession], pqPlan).count()
+    assert(pqRows == 100L, s"ivfpq_search TVF plan returned $pqRows rows, expected 10 x 10")
   }
 }
