@@ -34,17 +34,29 @@ object Bench {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
-      // drain stdout fully BEFORE waitFor: stderr is inherited, so the
-      // only pipe that could deadlock on a full buffer is this one
-      val out = new java.io.BufferedReader(
-        new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-      var ln = out.readLine()
-      while (ln != null) { lines += ln; ln = out.readLine() }
+      // drain stdout on its OWN thread (stderr is inherited, so this is
+      // the only pipe that could deadlock on a full buffer) while the
+      // MAIN thread owns the timeout: a hung child never reaches EOF,
+      // and a blocking readLine here would make waitFor's 45-minute
+      // bound dead code — the whole bench would hang with it
+      val lines = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val drain = new Thread(() => {
+        val out = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var ln = out.readLine()
+          while (ln != null) { lines.add(ln); ln = out.readLine() }
+        } catch { case _: java.io.IOException => () } // stream closed by destroy
+      }, s"benchfork-$mode-drain")
+      drain.setDaemon(true)
+      drain.start()
       val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) { p.destroyForcibly(); sys.error(s"fork $mode timed out") }
+      drain.join(60000)
       if (p.exitValue() != 0) sys.error(s"fork $mode exited ${p.exitValue()}")
-      lines.reverseIterator
+      import scala.jdk.CollectionConverters.ListHasAsScala
+      lines.asScala.toSeq.reverseIterator
         .collectFirst { case l if l.startsWith("BENCHFORK_JSON ") =>
           l.stripPrefix("BENCHFORK_JSON ") }
         .getOrElse(sys.error(s"fork $mode printed no BENCHFORK_JSON line"))

@@ -12,9 +12,12 @@ object Verify {
     // GRAFT_ONLY=v49,v50 restricts the dump to a comma-separated subset —
     // builder-side iteration aid; the driver never sets it, so the
     // per-round gate still covers the full registry.
-    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // prefix match, so both GRAFT_ONLY=v49 and GRAFT_ONLY=v49_filtered_pq
+    // select v49_filtered_pq (exact-set matching silently dumped nothing
+    // for the documented short form)
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -381,7 +381,7 @@ object Ann extends QModule {
       s: SparkSession, path: String,
       delta: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = {
     import s.implicits._
-    val cs = s.read.parquet(s"$path/_centroids")
+    val cs = centroidsFrame(s, path)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     assignWrite(s, path, delta, cs, "append")
   }
@@ -410,9 +410,12 @@ object Ann extends QModule {
     * feed) where a key can re-arrive with a new vector. Each batch's
     * re-arriving ids physically replace their old rows
     * ([[upsertVectors]]'s partition-local reclaim), fresh ids append —
-    * so the artifact converges to last-write-wins per key, and a
-    * replayed batch is a no-op (AnnLifecycleSpec pins stream ≡ one
-    * batch upsert on the served rows). */
+    * so the artifact converges to last-write-wins per key ACROSS
+    * batches, and a replayed batch is a no-op (AnnLifecycleSpec pins
+    * stream ≡ one batch upsert on the served rows). A batch must carry
+    * at most one row per key — the tuple has no sequence column, so an
+    * intra-batch duplicate has no defined winner and [[upsertVectors]]
+    * rejects it loudly; compact the feed per batch upstream. */
   def ingestStreamUpsert(
       s: SparkSession, path: String,
       stream: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): org.apache.spark.sql.streaming.StreamingQuery =
@@ -430,7 +433,7 @@ object Ann extends QModule {
       s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
     import s.implicits._
     val path = buildIncrementalIndex(s, d)
-    val cents = s.read.parquet(s"$path/_centroids")
+    val cents = centroidsFrame(s, path)
     val idx = s.read.parquet(path)
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     val q = emb(s, d)
@@ -501,7 +504,7 @@ object Ann extends QModule {
     val q = emb(s, d)
       .filter($"vec_id" < maxQueryId)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val cents = s.read.parquet(s"$path/_centroids")
+    val cents = centroidsFrame(s, path)
     val cand = scoredOn(s, q, cents, indexFrame(s, path), nProbe, None).drop("prn")
     val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
     BruteForce.rerank(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
@@ -516,7 +519,7 @@ object Ann extends QModule {
     val q = emb(s, d)
       .filter($"vec_id" < maxQueryId)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val cents = s.read.parquet(s"$path/_centroids")
+    val cents = centroidsFrame(s, path)
     BruteForce.rerank(
       scoredOn(s, q, cents, loadIndexAt(s, path, version), nProbe, None).drop("prn"), k)
   }
@@ -646,7 +649,7 @@ object Ann extends QModule {
     * corpus-sized broadcast, no cartesian. */
   def buildGraphAt(s: SparkSession, path: String): Unit = {
     import s.implicits._
-    val cs = s.read.parquet(s"$path/_centroids")
+    val cs = centroidsFrame(s, path)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val bcC = s.sparkContext.broadcast(cs)
     val probes = indexFrame(s, path)
@@ -698,7 +701,7 @@ object Ann extends QModule {
     import s.implicits._
     val q = delta.toDF("id", "vec", "label")
       .select($"id".as("query_id"), $"vec".as("qe"))
-    val cents = s.read.parquet(s"$path/_centroids")
+    val cents = centroidsFrame(s, path)
     val nbr = BruteForce.rerank(
       scoredOn(s, q, cents, indexFrame(s, path), GraphBuildProbe, None).drop("prn"),
       GraphDegree)
@@ -842,7 +845,7 @@ object Ann extends QModule {
       .collect()
     require(sample.nonEmpty, s"recallProbeAt on an empty artifact: $path")
     val q = s.createDataset(sample.toSeq).toDF("query_id", "qe")
-    val cCount = s.read.parquet(s"$path/_centroids").count().toInt
+    val cCount = centroidsFrame(s, path).count().toInt
     val full = math.max(cCount, 1)
     val ladder =
       (Iterator.iterate(1)(_ * 2).takeWhile(_ < full) ++ Iterator(full)).toSeq
@@ -854,7 +857,12 @@ object Ann extends QModule {
         .select($"query_id", $"doc_id")
         .as[(Long, Long)].collect()
         .count(exact.contains).toLong
-    val perDial = ladder.map(dl => dl -> osumAt(dl))
+    // the full rung's overlap is |exact| by construction (same
+    // deterministic search that built the ground truth) — re-running
+    // the ladder's most expensive scan to count a set against itself
+    // would double every monitor tick's dominant cost
+    val perDial = ladder.map(dl =>
+      dl -> (if (dl == full) exact.size.toLong else osumAt(dl)))
     val nq = sample.length
     val trials = k.toLong * nq
     val recommended = perDial
@@ -980,33 +988,55 @@ object Ann extends QModule {
     // tail edges were invisible; a crash mid-swap is recovered by
     // [[recoverGraphServe]] (old renamed back if the new serve never
     // landed).
-    val oldDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_old")
-    fs.delete(oldDir, true)
-    if (fs.exists(serveDir))
-      require(fs.rename(serveDir, oldDir), s"graph compact aside-rename failed: $serveDir")
-    require(fs.rename(tmp, serveDir), s"graph compact rename failed: $tmp -> $serveDir")
-    fs.delete(oldDir, true)
+    // the two renames and any reader's crash-recovery must not
+    // interleave: a reader entering between them would see old-present/
+    // serve-missing and "recover" by renaming old back, and the
+    // compactor's tmp rename would then land INSIDE the resurrected
+    // serve dir (r12 review). The engine is single-JVM (local[N]), so a
+    // JVM lock closes the race; multi-writer deployments keep the
+    // single-compactor discipline the scaladoc documents.
+    graphSwapLock.synchronized {
+      val oldDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_old")
+      fs.delete(oldDir, true)
+      if (fs.exists(serveDir))
+        require(fs.rename(serveDir, oldDir), s"graph compact aside-rename failed: $serveDir")
+      require(fs.rename(tmp, serveDir), s"graph compact rename failed: $tmp -> $serveDir")
+      fs.delete(oldDir, true)
+    }
     consumed.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     // folding drains manifest-referenced edge files — same snapshot rule
     // as every compaction: expire the invalidated manifests, re-manifest
     remanifestAfterRewrite(s, path)
   }
 
-  /** Crash recovery for [[compactGraphAt]]'s aside-swap: an orphaned
-    * `_graph_serve_old` with no live `_graph_serve` means the swap died
-    * between its two renames — the old serve is still the truth (the tmp
-    * fold, if complete, is re-derivable from old + tail); rename it
-    * back. A leftover `_old` NEXT TO a live serve is a completed swap's
-    * debris — delete it. */
-  private def recoverGraphServe(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
-    val serveDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve")
-    val oldDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_old")
-    if (fs.exists(oldDir)) {
-      if (fs.exists(serveDir)) fs.delete(oldDir, true)
-      else require(fs.rename(oldDir, serveDir), s"graph serve crash-recovery rename failed at $path")
+  /** Serializes [[compactGraphAt]]'s two-rename swap against every read
+    * path's [[recoverGraphServe]] — single-JVM engine, JVM lock. */
+  private val graphSwapLock = new Object
+
+  /** Crash recovery for [[compactGraphAt]]'s aside-swap, under
+    * [[graphSwapLock]] so it can only ever observe CRASHED states,
+    * never a live swap mid-flight. No live `_graph_serve`: a COMPLETE
+    * `_tmp` fold (its write finished) rolls FORWARD — rename it in,
+    * matching what the dead compactor was about to do; otherwise an
+    * orphaned `_old` is still the truth — rename it back. A leftover
+    * `_old` NEXT TO a live serve is a completed swap's debris —
+    * delete it. */
+  private def recoverGraphServe(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    graphSwapLock.synchronized {
+      val serveDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve")
+      val oldDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_old")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_tmp")
+      if (!fs.exists(serveDir)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+          require(fs.rename(tmp, serveDir), s"graph serve roll-forward failed at $path")
+          fs.delete(oldDir, true)
+        } else if (fs.exists(oldDir)) {
+          require(fs.rename(oldDir, serveDir), s"graph serve crash-recovery rename failed at $path")
+          fs.delete(tmp, true)
+        }
+      } else if (fs.exists(oldDir)) fs.delete(oldDir, true)
+      ()
     }
-    ()
-  }
 
   /** Thresholded form for ingest paths: fold only once the tail holds
     * more than `maxTailFiles` appended part files (file-count trigger,
@@ -1067,7 +1097,7 @@ object Ann extends QModule {
   def searchArtifact(
       s: SparkSession, q: DataFrame, path: String, k: Int, nProbe: Int,
       maskTombstones: Boolean = true, pred: Option[Column] = None): DataFrame = {
-    val cents = s.read.parquet(s"$path/_centroids")
+    val cents = centroidsFrame(s, path)
     val cand = scoredOn(s, q, cents, indexFrame(s, path), nProbe, pred).drop("prn")
     val live =
       if (maskTombstones) {
@@ -1196,7 +1226,7 @@ object Ann extends QModule {
     if (over.isEmpty)
       return RebalanceReport(imb(before), imb(before), before, before, Nil)
 
-    val centsAll = s.read.parquet(s"$path/_centroids")
+    val centsAll = centroidsFrame(s, path)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val centsMap = scala.collection.mutable.LinkedHashMap(centsAll.toIndexedSeq: _*)
     var nextCid = centsAll.map(_._1).max + 1
@@ -1229,14 +1259,11 @@ object Ann extends QModule {
       centsMap.remove(cid)
       sub.foreach { case (scid, v) => centsMap += scid -> v }
     }
-    // same side-dir + rename swap as repairDrifted: the quantizer sidecar
-    // is never mid-overwrite on disk
+    // same crash-safe swap as repairDrifted ([[swapSidecar]]): a
+    // complete copy of the quantizer exists on disk at every instant
     centsMap.toSeq.toDF("centroid_id", "ce").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids_tmp")
-    val cDir = new org.apache.hadoop.fs.Path(s"$path/_centroids")
-    fs.delete(cDir, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_centroids_tmp"), cDir),
-      s"centroid-sidecar swap failed at $path")
+    swapSidecar(s, path, "_centroids")
     // a split rewrote data files AND the quantizer: any snapshot manifest
     // pinning the old partition files is now stale, and an as-of read
     // against the NEW _centroids over the OLD file set would be silently
@@ -1787,7 +1814,7 @@ object Ann extends QModule {
     val full = indexFrame(s, path)
       .groupBy($"centroid_id".cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("n_full"))
-    val base = s.read.parquet(s"$path/_drift_base")
+    val base = sidecarFrame(s, path, "_drift_base")
       .select($"centroid_id".cast("long").as("centroid_id"), $"n_base")
     val joined = full.join(base, Seq("centroid_id"), "full_outer")
       .na.fill(0, Seq("n_base", "n_full"))
@@ -1824,7 +1851,7 @@ object Ann extends QModule {
     val flagged = frame.collect { case (cid, _, nf, 1) if nf > 0 => (cid, nf) }.toSeq
     if (flagged.isEmpty) return Nil
     val mean = frame.map(_._3).sum.toDouble / frame.count(_._3 > 0)
-    val centsAll = s.read.parquet(s"$path/_centroids")
+    val centsAll = centroidsFrame(s, path)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val centsMap = scala.collection.mutable.LinkedHashMap(centsAll.toIndexedSeq: _*)
     var nextCid = centsAll.map(_._1).max + 1
@@ -1863,18 +1890,17 @@ object Ann extends QModule {
       }
       sub.foreach { case (scid, v) => centsMap += scid -> v }
     }
-    // quantizer swap via side dir + rename, matching the _drift_base swap
-    // below (ADVICE r11: a direct overwrite is non-atomic — a crash
-    // mid-write would leave a corrupt _centroids; with the rename the
-    // sidecar is always either old-complete or new-complete, and a crash
-    // BEFORE the swap leaves the old quantizer valid while the persistent
-    // drift flags re-trigger this repair on the next run)
+    // quantizer swap via [[swapSidecar]] (ADVICE r11 asked for side dir
+    // + rename; the r12 review found delete-then-rename still left a
+    // no-quantizer crash window between the delete and the rename — the
+    // rename-aside protocol closes it: the sidecar is ALWAYS either
+    // old-complete or new-complete on disk, and [[sidecarFrame]] rolls
+    // an interrupted swap forward or back on the next read; a crash
+    // BEFORE the swap leaves the old quantizer valid while the
+    // persistent drift flags re-trigger this repair on the next run)
     centsMap.toSeq.toDF("centroid_id", "ce").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids_tmp")
-    val cDir = new org.apache.hadoop.fs.Path(s"$path/_centroids")
-    fs.delete(cDir, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_centroids_tmp"), cDir),
-      s"centroid-sidecar swap failed at $path")
+    swapSidecar(s, path, "_centroids")
     // advance the training snapshot for the REPAIRED region only:
     // repaired lists and the sub-lists THIS call minted re-base to their
     // current counts (their quantizer was just retrained on the current
@@ -1883,7 +1909,7 @@ object Ann extends QModule {
     // rebalance and still under the flag threshold): sweeping those in
     // would silently mask their accumulated drift (ADVICE r11).
     val repairedCids = flagged.map(_._1).toSet
-    val keptBase = s.read.parquet(s"$path/_drift_base")
+    val keptBase = sidecarFrame(s, path, "_drift_base")
       .select($"centroid_id".cast("long").as("centroid_id"), $"n_base")
       .as[(Long, Long)].collect()
       .filterNot { case (cid, _) => repairedCids.contains(cid) }
@@ -1896,10 +1922,7 @@ object Ann extends QModule {
       .filter { case (cid, _) => rebaseCids.contains(cid) }
     (keptBase ++ rebased).toSeq.sortBy(_._1).toDF("centroid_id", "n_base")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_drift_base_tmp")
-    val bDir = new org.apache.hadoop.fs.Path(s"$path/_drift_base")
-    fs.delete(bDir, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/_drift_base_tmp"), bDir),
-      s"drift-base swap failed at $path")
+    swapSidecar(s, path, "_drift_base")
     remanifestAfterRewrite(s, path)
     flagged.map(_._1)
   }
@@ -2042,7 +2065,7 @@ object Ann extends QModule {
       s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
     import s.implicits._
     val path = buildShardedIndex(s, d)
-    val cents = s.read.parquet(s"$path/_centroids")
+    val cents = centroidsFrame(s, path)
     val idx = s.read.parquet(path)
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     val q = emb(s, d)
@@ -2164,7 +2187,7 @@ object Ann extends QModule {
       k: Int, nProbe: Int, seedK: Int, excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
     val idx = loadIndexAt(s, path, version)
-    val cents = s.read.parquet(s"$path/_centroids")
+    val cents = centroidsFrame(s, path)
     val seeds = BruteForce.rerank(
       scoredOn(s, q, cents, idx, nProbe, None).drop("prn"), seedK)
       .select($"query_id", $"doc_id")
@@ -2219,6 +2242,50 @@ object Ann extends QModule {
     rows((f2 -- f1).toSeq, "added").unionByName(rows((f1 -- f2).toSeq, "removed"))
   }
 
+  /** Crash-safe sidecar swap (quantizer, drift base): the caller has
+    * already written the NEW copy to `<name>_tmp`; the swap renames
+    * live → `<name>_old`, tmp → live, then drops old — at every
+    * instant a COMPLETE copy exists on disk (under live, old, or tmp),
+    * unlike delete-then-rename, whose crash window leaves the artifact
+    * with NO quantizer and no recovery path. [[sidecarFrame]] rolls an
+    * interrupted swap forward or back on the next read. */
+  private def swapSidecar(s: SparkSession, path: String, name: String): Unit = {
+    val (fs, _) = hfs(s, path)
+    val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+    fs.delete(old, true)
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"$name swap: rename-aside failed at $path")
+    require(fs.rename(tmp, live), s"$name swap failed at $path")
+    fs.delete(old, true)
+  }
+
+  /** Read a swap-managed sidecar, recovering an interrupted
+    * [[swapSidecar]] first: a COMPLETE tmp (its write finished — the
+    * swap was interrupted between the two renames) rolls FORWARD;
+    * otherwise a present old rolls BACK. A live sidecar reads straight
+    * through, so non-swap-managed artifacts pay nothing. */
+  private def sidecarFrame(s: SparkSession, path: String, name: String): DataFrame = {
+    val (fs, live) = hfs(s, s"$path/$name")
+    if (!fs.exists(live)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        require(fs.rename(tmp, live), s"$name roll-forward failed at $path")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, live), s"$name roll-back failed at $path")
+        fs.delete(tmp, true)
+      }
+    }
+    s.read.parquet(live.toString)
+  }
+
+  /** The artifact's quantizer sidecar, swap-recovery included. */
+  private[operators] def centroidsFrame(s: SparkSession, path: String): DataFrame =
+    sidecarFrame(s, path, "_centroids")
+
   /** UPSERT — the remaining CRUD verb (v20 adds, v21 deletes): rows
     * whose doc_ids already exist in the artifact are tombstoned and
     * PHYSICALLY reclaimed before the batch is appended — the tombstone
@@ -2233,13 +2300,30 @@ object Ann extends QModule {
       ds: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = {
     import s.implicits._
     val ids = ds.map(_._1).toDF("doc_id")
+    // a batch carrying two rows for one key has no defined winner (the
+    // tuple carries no sequence) — appending both would serve a stale
+    // duplicate forever, so fail LOUDLY before any mutation (the
+    // mergeIndexArtifacts discipline); changelog feeds must compact
+    // per batch upstream, re-arrivals ACROSS batches are the supported
+    // last-write-wins path
+    val dup = ids.groupBy($"doc_id").count().filter($"count" > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch carries duplicate doc_id ${dup.head.getLong(0)} — " +
+        "no defined winner within one batch; compact the batch upstream")
     val existing = indexFrame(s, path)
       .join(broadcast(ids), Seq("doc_id"))
       .select($"doc_id", $"centroid_id")
-    if (!existing.isEmpty) {
+    if (!existing.isEmpty)
       existing.write.mode("append").parquet(s"$path/_tombstones")
+    // reclaim whenever ANY tombstones exist — not just this batch's: a
+    // prior upsert crashed between compactIndexAt's partition swap and
+    // its _tombstones delete leaves stale doc_id-keyed tombstones that
+    // would MASK (and the next compaction physically delete) exactly
+    // the rows this call is about to append — silent data loss on the
+    // retry path. Compacting first clears them; rows already reclaimed
+    // make it a cheap partition-local no-op rewrite.
+    if (tombstonesAt(s, path).limit(1).count() > 0)
       compactIndexAt(s, path)
-    }
     addVectors(s, path, ds)
   }
 

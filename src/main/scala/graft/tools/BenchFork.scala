@@ -26,8 +26,11 @@ object BenchFork {
     val dropped = graft.operators.ColdScan.dropPageCache()
     if (!dropped)
       System.err.println("[benchfork] page-cache drop failed (not root?) — leg runs warm")
+    // default must MATCH Bench's ("4"): with the env unset, a fork
+    // failure would otherwise silently swap a 32-core measurement for
+    // the parent's 4-core in-session fallback in the same JSON field
     val spark = GraftSession.build(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
       Some(sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.75")))
     val json = args(0) match {
       case "float4m" => BenchLegs.float4m(spark)

@@ -372,6 +372,15 @@ class AnnLifecycleSpec extends SparkSpec {
       preFiles.foreach { case (f, m) =>
         assert(postFiles.get(f).contains(m), s"pure-insert upsert touched $f")
       }
+
+      // a batch with two rows for one key has no defined winner — the
+      // upsert must refuse it BEFORE any mutation
+      val countBefore = s2.read.parquet(root).count()
+      intercept[IllegalArgumentException] {
+        Ann.upsertVectors(s2, root, inserts.union(inserts))
+      }
+      assert(s2.read.parquet(root).count() == countBefore,
+        "rejected duplicate batch still mutated the artifact")
     } finally {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -426,6 +435,33 @@ class AnnLifecycleSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(rootS), true)
       fs.delete(new org.apache.hadoop.fs.Path(rootB), true)
     }
+  }
+
+  test("quantizer sidecar: an interrupted swap is recovered on the next read, both directions") {
+    val root = s"/tmp/graft_sidecar_recover_${System.nanoTime()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$root/$n")
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+      val clean = Ann.searchLiveAt(s2, sf0001, root, 10, 5, 4)
+        .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+
+      // crash between rename-aside and tmp-rename, tmp lost: only
+      // _centroids_old remains -> the next read must roll BACK
+      assert(fs.rename(p("_centroids"), p("_centroids_old")))
+      val rolledBack = Ann.searchLiveAt(s2, sf0001, root, 10, 5, 4)
+        .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+      assert(rolledBack == clean, "roll-back recovery changed results")
+      assert(fs.exists(p("_centroids")) && !fs.exists(p("_centroids_old")))
+
+      // crash with a COMPLETE tmp (swap died between its two renames):
+      // the next read must roll FORWARD to the new copy
+      assert(fs.rename(p("_centroids"), p("_centroids_tmp")))
+      val rolledFwd = Ann.searchLiveAt(s2, sf0001, root, 10, 5, 4)
+        .select($"query_id", $"rnk", $"doc_id").as[(Long, Long, Long)].collect().toSet
+      assert(rolledFwd == clean, "roll-forward recovery changed results")
+      assert(fs.exists(p("_centroids")) && !fs.exists(p("_centroids_tmp")))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
   test("unified lifecycle: add -> snapshot -> delete -> compact -> search-as-of, ONE artifact") {
