@@ -2249,17 +2249,24 @@ object Ann extends QModule {
     * unlike delete-then-rename, whose crash window leaves the artifact
     * with NO quantizer and no recovery path. [[sidecarFrame]] rolls an
     * interrupted swap forward or back on the next read. */
-  private def swapSidecar(s: SparkSession, path: String, name: String): Unit = {
-    val (fs, _) = hfs(s, path)
-    val live = new org.apache.hadoop.fs.Path(s"$path/$name")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
-    fs.delete(old, true)
-    if (fs.exists(live))
-      require(fs.rename(live, old), s"$name swap: rename-aside failed at $path")
-    require(fs.rename(tmp, live), s"$name swap failed at $path")
-    fs.delete(old, true)
-  }
+  private def swapSidecar(s: SparkSession, path: String, name: String): Unit =
+    sidecarSwapLock.synchronized {
+      val (fs, _) = hfs(s, path)
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+      fs.delete(old, true)
+      if (fs.exists(live))
+        require(fs.rename(live, old), s"$name swap: rename-aside failed at $path")
+      require(fs.rename(tmp, live), s"$name swap failed at $path")
+      fs.delete(old, true)
+    }
+
+  /** Serializes [[swapSidecar]] against [[sidecarFrame]]'s recovery —
+    * same single-JVM discipline as [[graphSwapLock]]: without it a
+    * reader entering between the swap's two renames would roll the
+    * live swap forward and the writer's own tmp rename would fail. */
+  private val sidecarSwapLock = new Object
 
   /** Read a swap-managed sidecar, recovering an interrupted
     * [[swapSidecar]] first: a COMPLETE tmp (its write finished — the
@@ -2268,15 +2275,17 @@ object Ann extends QModule {
     * through, so non-swap-managed artifacts pay nothing. */
   private def sidecarFrame(s: SparkSession, path: String, name: String): DataFrame = {
     val (fs, live) = hfs(s, s"$path/$name")
-    if (!fs.exists(live)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-        require(fs.rename(tmp, live), s"$name roll-forward failed at $path")
-        fs.delete(old, true)
-      } else if (fs.exists(old)) {
-        require(fs.rename(old, live), s"$name roll-back failed at $path")
-        fs.delete(tmp, true)
+    sidecarSwapLock.synchronized {
+      if (!fs.exists(live)) {
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
+        val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+        if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+          require(fs.rename(tmp, live), s"$name roll-forward failed at $path")
+          fs.delete(old, true)
+        } else if (fs.exists(old)) {
+          require(fs.rename(old, live), s"$name roll-back failed at $path")
+          fs.delete(tmp, true)
+        }
       }
     }
     s.read.parquet(live.toString)
