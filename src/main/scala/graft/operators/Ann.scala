@@ -381,6 +381,11 @@ object Ann extends QModule {
       s: SparkSession, path: String,
       delta: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = {
     import s.implicits._
+    // heal a crashed compaction BEFORE appending: a post-crash append
+    // into a partition the dead swap had already emptied would be
+    // clobbered by the roll-forward's replace — recovering first makes
+    // the ordering impossible (one fs.exists when nothing crashed)
+    recoverCompacting(s, path)
     val cs = centroidsFrame(s, path)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     assignWrite(s, path, delta, cs, "append")
@@ -544,8 +549,39 @@ object Ann extends QModule {
     * artifact equals the pre-compact tombstone-masked search and the
     * version history stays monotone (max+1 numbering survives the
     * expiry). An artifact that never snapshotted pays nothing. */
+  /** Recover a compaction that crashed mid-swap: `${path}_compacting`
+    * holding a COMPLETE survivors write (its `_SUCCESS` exists) is
+    * rolled FORWARD — every partition still inside it replaces its
+    * live counterpart, finishing what the dead run was doing; an
+    * INCOMPLETE side dir (crash during the write) is simply dropped,
+    * the live partitions untouched. Without this, a retry's
+    * `overwrite` of the side dir would destroy the ONLY copy of any
+    * partition whose live dir the crashed swap had already deleted —
+    * permanent loss of every non-tombstoned row in it. Called at the
+    * top of every mutator ([[compactIndexAt]], [[assignWrite]]'s
+    * append path), so no append can land between the crash and the
+    * recovery. */
+  private def recoverCompacting(s: SparkSession, path: String): Unit = {
+    val (fs, _) = hfs(s, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"${path}_compacting")
+    if (fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        fs.listStatus(tmp)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+          .foreach { st =>
+            val dst = new org.apache.hadoop.fs.Path(s"$path/${st.getPath.getName}")
+            fs.delete(dst, true)
+            require(fs.rename(st.getPath, dst),
+              s"compaction roll-forward failed: ${st.getPath} -> $dst")
+          }
+      }
+      fs.delete(tmp, true)
+    }
+  }
+
   def compactIndexAt(s: SparkSession, path: String): Unit = {
     import s.implicits._
+    recoverCompacting(s, path)
     val tomb = tombstonesAt(s, path)
     val affected = tomb.select($"centroid_id").distinct().as[Long].collect().sorted
     if (affected.nonEmpty) {
@@ -1819,9 +1855,15 @@ object Ann extends QModule {
     val joined = full.join(base, Seq("centroid_id"), "full_outer")
       .na.fill(0, Seq("n_base", "n_full"))
     val totals = joined.agg(sum($"n_full").as("tf"), sum($"n_base").as("tb"))
+    // a RETIRED list (base row survives but no current members — e.g.
+    // its cid was split away by rebalance/repair) is not drifted: it
+    // has no serving exposure and no repair action exists for it, so
+    // flagging it would wedge ingestStreamWithRepair in a permanent
+    // fire-repair/no-op loop (repairDrifted only acts on n_full > 0)
     joined.crossJoin(broadcast(totals))
       .select($"centroid_id", $"n_base", $"n_full",
-        driftFlag($"n_base", $"n_full", $"tb", $"tf").as("drifted"))
+        when($"n_full" === 0, lit(0))
+          .otherwise(driftFlag($"n_base", $"n_full", $"tb", $"tf")).as("drifted"))
       .orderBy($"centroid_id")
   }
 
@@ -1991,6 +2033,15 @@ object Ann extends QModule {
     // would destroy the already-moved files, the exact data-loss mode the
     // full-drain precondition alone could not catch (ADVICE r11: a
     // partially drained shard still passes a non-empty check).
+    // marker AND _SUCCESS together: the previous merge COMPLETED but
+    // died between creating _SUCCESS and deleting its marker — clean the
+    // debris and return, instead of running the fresh-merge
+    // preconditions against the drained shards and throwing a
+    // misleading "already drained?" refusal at a merge that succeeded
+    if (fs.exists(marker) && fs.exists(success)) {
+      fs.delete(marker, false)
+      return
+    }
     val resuming = fs.exists(marker) && !fs.exists(success)
     val shardParts = shards.map { sh =>
       sh -> Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$sh/centroid_id=*/part-*")))
@@ -2275,7 +2326,7 @@ object Ann extends QModule {
     * through, so non-swap-managed artifacts pay nothing. */
   private def sidecarFrame(s: SparkSession, path: String, name: String): DataFrame = {
     val (fs, live) = hfs(s, s"$path/$name")
-    sidecarSwapLock.synchronized {
+    def recoverIfMissing(): Unit =
       if (!fs.exists(live)) {
         val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
         val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
@@ -2287,8 +2338,21 @@ object Ann extends QModule {
           fs.delete(tmp, true)
         }
       }
+    sidecarSwapLock.synchronized(recoverIfMissing())
+    try s.read.parquet(live.toString)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        // the live dir vanished between our recovery check and the
+        // read's file listing — a concurrent swap's two-rename window.
+        // Retry WITH the lock held: the swap also holds it, so by the
+        // time we re-list, the swap has completed (or its crash state
+        // is recoverable). Execution-time listing after this point is
+        // the documented single-writer residual.
+        sidecarSwapLock.synchronized {
+          recoverIfMissing()
+          s.read.parquet(live.toString)
+        }
     }
-    s.read.parquet(live.toString)
   }
 
   /** The artifact's quantizer sidecar, swap-recovery included. */
@@ -2308,6 +2372,7 @@ object Ann extends QModule {
   def upsertVectors(s: SparkSession, path: String,
       ds: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = {
     import s.implicits._
+    replayPendingUpsert(s, path)
     val ids = ds.map(_._1).toDF("doc_id")
     // a batch carrying two rows for one key has no defined winner (the
     // tuple carries no sequence) — appending both would serve a stale
@@ -2319,21 +2384,46 @@ object Ann extends QModule {
     require(dup.isEmpty,
       s"upsert batch carries duplicate doc_id ${dup.head.getLong(0)} — " +
         "no defined winner within one batch; compact the batch upstream")
+    // STAGE the batch before any mutation: the verb physically deletes
+    // the old rows before the new ones land, so a crash between the
+    // two would otherwise lose BOTH copies of every updated key with
+    // nothing on disk recording the incomplete upsert. The staged
+    // parquet (its _SUCCESS is the marker) lets the NEXT upsert replay
+    // the batch to convergence — delete-by-id-then-insert is idempotent
+    // under replay, whatever point the crash hit.
+    ds.toDF("doc_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$path/_upsert_pending")
+    applyStagedUpsert(s, path)
+  }
+
+  /** Replay a staged upsert a crashed run left behind (complete stage
+    * only — an incomplete stage means nothing was mutated yet and is
+    * dropped). Runs at every [[upsertVectors]] entry. */
+  private def replayPendingUpsert(s: SparkSession, path: String): Unit = {
+    val (fs, sp) = hfs(s, s"$path/_upsert_pending")
+    if (fs.exists(new org.apache.hadoop.fs.Path(sp, "_SUCCESS"))) applyStagedUpsert(s, path)
+    else if (fs.exists(sp)) fs.delete(sp, true)
+  }
+
+  /** The upsert body, driven entirely from the staged batch so a replay
+    * is the same code path: tombstone existing ids, reclaim (which also
+    * clears a crashed prior attempt's stale tombstones — they would
+    * mask, then physically delete, exactly the rows about to be
+    * appended), append, drop the stage. */
+  private def applyStagedUpsert(s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    val stage = s"$path/_upsert_pending"
+    val batch = s.read.parquet(stage).select($"doc_id", $"embedding", $"label")
     val existing = indexFrame(s, path)
-      .join(broadcast(ids), Seq("doc_id"))
+      .join(broadcast(batch.select($"doc_id")), Seq("doc_id"))
       .select($"doc_id", $"centroid_id")
     if (!existing.isEmpty)
       existing.write.mode("append").parquet(s"$path/_tombstones")
-    // reclaim whenever ANY tombstones exist — not just this batch's: a
-    // prior upsert crashed between compactIndexAt's partition swap and
-    // its _tombstones delete leaves stale doc_id-keyed tombstones that
-    // would MASK (and the next compaction physically delete) exactly
-    // the rows this call is about to append — silent data loss on the
-    // retry path. Compacting first clears them; rows already reclaimed
-    // make it a cheap partition-local no-op rewrite.
     if (tombstonesAt(s, path).limit(1).count() > 0)
       compactIndexAt(s, path)
-    addVectors(s, path, ds)
+    addVectors(s, path, batch.as[(Long, Array[Float], Int)])
+    val (fs, sp) = hfs(s, stage)
+    fs.delete(sp, true)
   }
 
   // ------------------------------------------------------------ alias (v57)
@@ -2491,6 +2581,12 @@ object Ann extends QModule {
     (s, d) => {
       import s.implicits._
       val (aliasDir, blue, green) = aliasScenario(s, d)
+      // reset the FIXTURE's pointer trail each run: the gate re-executes
+      // this query every round, and an append-only audit trail in a
+      // cached fixture would grow (and slow every resolve's glob) without
+      // bound — production aliases keep their trail, fixtures don't
+      val (fs0, ad) = hfs(s, aliasDir)
+      fs0.delete(ad, true)
       setAlias(s, aliasDir, blue)
       val p1 = searchAlias(s, d, aliasDir, maxQueryId = 20, k = 10, nProbe = 4)
         .select(lit(1).as("phase"), $"query_id", $"rnk", $"doc_id")

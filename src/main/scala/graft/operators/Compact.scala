@@ -147,7 +147,20 @@ object Compact extends QModule {
       .collect()
       .sortBy(_._1)
       .map { case (id, v) => (id, packSigns(v)) }
-    rescoreExact(s, d, hammingCandidates(s, d, queries, pool, pred), maxQ, k)
+    // GLOBAL top-pool trim before the rescore (the Pq/Sq RCand
+    // discipline): the per-partition heaps emit up to P×pool rows, and
+    // without this trim the candidate set — and therefore the rescored
+    // top-k — would depend on partitioning and diverge from the
+    // oracle's global `crn <= pool` on any multi-partition corpus.
+    // rerank orders by (neg_ham desc, doc_id) ≡ the oracle's (hd asc,
+    // doc_id), so the boundary is identical.
+    val cand = BruteForce
+      .rerank(
+        hammingCandidates(s, d, queries, pool, pred).withColumnRenamed("neg_ham", "score"),
+        pool)
+      .select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("doc_id"))
+    rescoreExact(s, d, cand, maxQ, k)
   }
 
   /** [[searchBinary]] as DuckDB SQL, parameterized like the engine call

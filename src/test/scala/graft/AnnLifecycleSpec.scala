@@ -464,6 +464,86 @@ class AnnLifecycleSpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("crashed compaction: a completed side dir rolls forward before any mutation") {
+    val root = s"/tmp/graft_compact_recover_${System.nanoTime()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+      val total = s2.read.parquet(root).count()
+      // craft the exact crash state: the swap wrote survivors to the
+      // side dir (complete — _SUCCESS) and deleted the live partition,
+      // then died before the rename
+      val cid = new java.io.File(root).listFiles()
+        .map(_.getName).filter(_.startsWith("centroid_id=")).sorted.head
+      val tmp = new org.apache.hadoop.fs.Path(s"${root}_compacting")
+      fs.mkdirs(tmp)
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$root/$cid"),
+        new org.apache.hadoop.fs.Path(tmp, cid)))
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+      assert(s2.read.parquet(root).count() < total, "crash state must lose the partition")
+
+      // ANY next mutation heals it — an append must not land before the
+      // roll-forward (it would be clobbered by the replace)
+      Ann.addVectors(s2, root, spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter($"vec_id" % Ann.IncrMod === Ann.IncrRem)
+        .select($"vec_id", $"embedding", $"label")
+        .as[(Long, Array[Float], Int)])
+      assert(!fs.exists(tmp), "side dir must be consumed by recovery")
+      val healed = s2.read.parquet(root)
+      assert(healed.filter($"centroid_id" === cid.stripPrefix("centroid_id=").toLong).count() > 0,
+        "rolled-forward partition is empty")
+      assert(healed.select($"doc_id").distinct().count() == healed.count(),
+        "recovery duplicated rows")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("crashed upsert: a staged pending batch replays at the next upsert") {
+    val root = s"/tmp/graft_upsert_replay_${System.nanoTime()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+      def corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+        .as[(Long, Array[Float], Int)]
+      // craft the crash state: a complete staged batch (one reversed
+      // update) whose apply never ran
+      val u = corpus.filter($"id" % 16 === 1).head()
+      s2.createDataset(Seq((u._1, u._2.reverse, u._3)))
+        .toDF("doc_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$root/_upsert_pending")
+
+      // the next upsert must replay the pending batch BEFORE its own
+      Ann.upsertVectors(s2, root,
+        corpus.filter($"id" % Ann.IncrMod === Ann.IncrRem))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_upsert_pending")),
+        "stage must be consumed")
+      val stored = s2.read.parquet(root).filter($"doc_id" === u._1)
+        .select($"embedding").as[Array[Float]].collect()
+      assert(stored.length == 1 && stored.head.sameElements(u._2.reverse),
+        "pending update was not replayed")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("drift monitor: a retired list (base row, no current members) never flags") {
+    val root = s"/tmp/graft_drift_retired_${System.nanoTime()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+      Ann.writeDriftBase(s2, root)
+      // a base row whose cid no longer serves any member — the state a
+      // rebalance/repair split leaves behind; flagging it would wedge
+      // the streaming repair loop in fire-repair/no-op forever
+      s2.createDataset(Seq((999999L, 240L))).toDF("centroid_id", "n_base")
+        .write.mode("append").parquet(s"$root/_drift_base")
+      val retired = Ann.driftFrameAt(s2, root)
+        .filter($"centroid_id" === 999999L)
+        .select($"n_full", $"drifted").as[(Long, Int)].collect()
+      assert(retired.length == 1 && retired.head == ((0L, 0)),
+        s"retired list must read (n_full=0, drifted=0), got ${retired.toSeq}")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("unified lifecycle: add -> snapshot -> delete -> compact -> search-as-of, ONE artifact") {
     // VERDICT r9 next #4: the full production sequence on a single
     // artifact, with time-travel correctness asserted ACROSS the
