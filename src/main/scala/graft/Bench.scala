@@ -54,9 +54,16 @@ object Bench {
       val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) { p.destroyForcibly(); sys.error(s"fork $mode timed out") }
       drain.join(60000)
+      // a still-alive drain means the pipe never reached EOF: fail the
+      // fork explicitly rather than iterate a list the drain thread may
+      // still be appending to (CME risk / missed BENCHFORK_JSON line —
+      // ADVICE r12); the snapshot below additionally holds the list's
+      // own lock so even this read is safe against a racing writer
+      if (drain.isAlive) sys.error(s"fork $mode stdout drain did not finish")
       if (p.exitValue() != 0) sys.error(s"fork $mode exited ${p.exitValue()}")
       import scala.jdk.CollectionConverters.ListHasAsScala
-      lines.asScala.toSeq.reverseIterator
+      val snapshot = lines.synchronized(lines.asScala.toVector)
+      snapshot.reverseIterator
         .collectFirst { case l if l.startsWith("BENCHFORK_JSON ") =>
           l.stripPrefix("BENCHFORK_JSON ") }
         .getOrElse(sys.error(s"fork $mode printed no BENCHFORK_JSON line"))

@@ -549,33 +549,43 @@ object Ann extends QModule {
     * artifact equals the pre-compact tombstone-masked search and the
     * version history stays monotone (max+1 numbering survives the
     * expiry). An artifact that never snapshotted pays nothing. */
-  /** Recover a compaction that crashed mid-swap: `${path}_compacting`
-    * holding a COMPLETE survivors write (its `_SUCCESS` exists) is
-    * rolled FORWARD — every partition still inside it replaces its
-    * live counterpart, finishing what the dead run was doing; an
-    * INCOMPLETE side dir (crash during the write) is simply dropped,
-    * the live partitions untouched. Without this, a retry's
-    * `overwrite` of the side dir would destroy the ONLY copy of any
-    * partition whose live dir the crashed swap had already deleted —
-    * permanent loss of every non-tombstoned row in it. Called at the
-    * top of every mutator ([[compactIndexAt]], [[assignWrite]]'s
-    * append path), so no append can land between the crash and the
-    * recovery. */
+  /** Recover a compaction that crashed mid-swap: a side dir
+    * (`${path}_compacting` — tombstone reclaim — or
+    * `${path}_filecompacting` — small-file coalesce; BOTH share this
+    * one protocol, ADVICE r12) holding a COMPLETE survivors write (its
+    * `_SUCCESS` exists) is rolled FORWARD — every partition still
+    * inside it replaces its live counterpart, finishing what the dead
+    * run was doing; an INCOMPLETE side dir (crash during the write) is
+    * simply dropped, the live partitions untouched. Without this, a
+    * retry's `overwrite` of the side dir would destroy the ONLY copy
+    * of any partition whose live dir the crashed swap had already
+    * deleted — permanent loss of every non-tombstoned row in it.
+    * Called at the top of every mutator ([[compactIndexAt]],
+    * [[compactSmallFilesAt]], [[assignWrite]]'s append path), so no
+    * append can land between the crash and the recovery. A completed
+    * roll-forward re-manifests (ADVICE r12): the replaced files may be
+    * pinned by live snapshot manifests, and leaving those stale until
+    * the next compaction would fail `search-as-of` on missing files in
+    * the interim. */
   private def recoverCompacting(s: SparkSession, path: String): Unit = {
     val (fs, _) = hfs(s, path)
-    val tmp = new org.apache.hadoop.fs.Path(s"${path}_compacting")
-    if (fs.exists(tmp)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-        fs.listStatus(tmp)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
-          .foreach { st =>
-            val dst = new org.apache.hadoop.fs.Path(s"$path/${st.getPath.getName}")
-            fs.delete(dst, true)
-            require(fs.rename(st.getPath, dst),
-              s"compaction roll-forward failed: ${st.getPath} -> $dst")
-          }
+    Seq(s"${path}_compacting", s"${path}_filecompacting").foreach { side =>
+      val tmp = new org.apache.hadoop.fs.Path(side)
+      if (fs.exists(tmp)) {
+        val complete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+        if (complete) {
+          fs.listStatus(tmp)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+            .foreach { st =>
+              val dst = new org.apache.hadoop.fs.Path(s"$path/${st.getPath.getName}")
+              fs.delete(dst, true)
+              require(fs.rename(st.getPath, dst),
+                s"compaction roll-forward failed: ${st.getPath} -> $dst")
+            }
+        }
+        fs.delete(tmp, true)
+        if (complete) remanifestAfterRewrite(s, path)
       }
-      fs.delete(tmp, true)
     }
   }
 
@@ -639,6 +649,10 @@ object Ann extends QModule {
     * the untouched lists' file sets). */
   def compactSmallFilesAt(s: SparkSession, path: String, maxFilesPerList: Int = 4): Unit = {
     import s.implicits._
+    // heal a crashed swap (either side dir) BEFORE re-listing: a retry's
+    // overwrite of `_filecompacting` would otherwise destroy the only
+    // copy of any partition the dead swap had already deleted (ADVICE r12)
+    recoverCompacting(s, path)
     val (fs, root) = hfs(s, path)
     val affected = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
@@ -2037,8 +2051,22 @@ object Ann extends QModule {
     // died between creating _SUCCESS and deleting its marker — clean the
     // debris and return, instead of running the fresh-merge
     // preconditions against the drained shards and throwing a
-    // misleading "already drained?" refusal at a merge that succeeded
+    // misleading "already drained?" refusal at a merge that succeeded.
+    // BUT only when the caller's shards really are the completed merge's
+    // drained inputs (ADVICE r12): a stale marker must not turn a NEW
+    // merge request (fresh shards still holding data) into a silent
+    // success-with-nothing-merged — if any passed shard still holds
+    // part files, this is a new merge, so fail loudly instead
     if (fs.exists(marker) && fs.exists(success)) {
+      val undrained = shards.filter { sh =>
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$sh/centroid_id=*/part-*")))
+          .exists(_.nonEmpty)
+      }
+      require(undrained.isEmpty,
+        s"merge marker + _SUCCESS found at $dest (a previous merge completed but " +
+          s"died before marker cleanup), yet shard(s) ${undrained.mkString(", ")} " +
+          "still hold data — refusing to no-op a NEW merge request; clear the " +
+          "stale _MERGE_STARTED marker or merge into a fresh dest")
       fs.delete(marker, false)
       return
     }

@@ -194,6 +194,49 @@ class AnnLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("crashed small-file compaction: a retry heals (never destroys) and re-manifests") {
+    val root = s"/tmp/graft_filecompact_recover_${System.nanoTime()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+      val v0 = Ann.snapshotIndex(s2, root)
+      val clean = s2.read.parquet(root).select($"doc_id").as[Long].collect().toSet
+      // craft the exact crash state the old code could not survive: the
+      // rewrite wrote one list's coalesced copy (FRESH part names) to the
+      // side dir, completed (_SUCCESS), deleted the live partition, then
+      // died before the rename — the side dir holds the ONLY copy
+      val cid = new java.io.File(root).listFiles()
+        .map(_.getName).filter(_.startsWith("centroid_id=")).sorted.head
+      val cidVal = cid.stripPrefix("centroid_id=").toLong
+      val side = s"${root}_filecompacting"
+      s2.read.parquet(root).filter($"centroid_id" === cidVal)
+        .select($"doc_id", $"label", $"embedding")
+        .coalesce(1).write.parquet(s"$side/$cid")
+      fs.create(new org.apache.hadoop.fs.Path(s"$side/_SUCCESS"), true).close()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$cid"), true)
+      assert(s2.read.parquet(root).select($"doc_id").as[Long].collect().toSet != clean,
+        "crash state must lose the partition")
+
+      // the RETRY must roll forward first — a blind mode(overwrite) of
+      // the side dir here would have destroyed the only copy (ADVICE r12)
+      Ann.compactSmallFilesAt(s2, root)
+
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(side)),
+        "side dir must be consumed by recovery")
+      assert(s2.read.parquet(root).select($"doc_id").as[Long].collect().toSet == clean,
+        "recovery lost or duplicated rows")
+      // the pre-crash manifest pinned the partition's OLD file names,
+      // which the roll-forward replaced: recovery must expire it and
+      // re-snapshot so search-as-of latest never reads a missing file
+      val vs = Ann.snapshotVersions(s2, root)
+      assert(!vs.contains(v0), "stale manifest pinning replaced files must be expired")
+      assert(vs.nonEmpty, "recovery must re-snapshot after the roll-forward")
+      assert(Ann.loadIndexAt(s2, root, vs.last)
+        .select($"doc_id").as[Long].collect().toSet == clean,
+        "search-as-of latest broken after recovery")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("quantizer drift: planted skewed add flags exactly the drifted lists") {
     val root = s"/tmp/graft_drift_${System.nanoTime()}"
     try {

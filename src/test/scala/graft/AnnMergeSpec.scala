@@ -102,6 +102,39 @@ class AnnMergeSpec extends SparkSpec {
     assert(docIds(dest) == before, "refused merge must leave dest untouched")
   }
 
+  test("stale completed marker: drained inputs clean up, fresh shards refuse loudly") {
+    val root = Files.createTempDirectory("graft_merge_stalemark").toString
+    val (shardA, shardB, dest) = (s"$root/a", s"$root/b", s"$root/merged")
+    mkShard(shardA, 0 until 50)
+    mkShard(shardB, 50 until 100)
+    Ann.mergeIndexArtifacts(spark, dest, Seq(shardA, shardB))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dest/_MERGE_STARTED")
+    // recreate the crash: the merge COMPLETED (_SUCCESS exists) but the
+    // JVM died between creating _SUCCESS and deleting its marker
+    fs.create(marker, true).close()
+
+    // a retry with the same (now drained) inputs is the completed
+    // merge's own cleanup: delete the marker, change nothing
+    val before = docIds(dest)
+    Ann.mergeIndexArtifacts(spark, dest, Seq(shardA, shardB))
+    assert(!fs.exists(marker), "stale marker must be cleaned")
+    assert(docIds(dest) == before, "cleanup retry must not touch dest")
+
+    // but a NEW merge request (fresh shards still holding data) under
+    // the same stale marker must not silently no-op (ADVICE r12): the
+    // caller would be told success with nothing merged
+    fs.create(marker, true).close()
+    val shardC = s"$root/c"
+    mkShard(shardC, 100 until 150)
+    val e = intercept[IllegalArgumentException] {
+      Ann.mergeIndexArtifacts(spark, dest, Seq(shardC))
+    }
+    assert(e.getMessage.contains("still hold data"), s"wrong refusal: ${e.getMessage}")
+    assert(docIds(shardC) == (100L until 150L).toSeq, "refusal must leave the shard untouched")
+    assert(docIds(dest) == before, "refusal must leave dest untouched")
+  }
+
   test("missing head-shard quantizer sidecar refuses up front") {
     val root = Files.createTempDirectory("graft_merge_nocents").toString
     val (shardA, shardB, dest) = (s"$root/a", s"$root/b", s"$root/merged")
