@@ -44,6 +44,23 @@ class KernelBenchSpec extends SparkSpec {
       s"nProbe=1 recall pinned at 1.0 — queries are not held out: ${result.annRecallByProbe}")
   }
 
+  test("headlines are min over interleaved passes ∪ same-dial sweep level, passes published") {
+    val r = result
+    // every tier publishes its raw per-pass spread (VERDICT r12 next #1)
+    Seq(r.bfPassSec, r.annPassSec, r.sqPassSec, r.pqPassSec, r.binPassSec)
+      .foreach(p => assert(p.length == 3 && p.forall(_ > 0), s"bad pass set $p"))
+    def ms(sec: Double) = sec * 1000.0 / cfg.nQueries
+    assert(math.abs(r.bfMsPerQuery - ms(r.bfPassSec.min)) < 1e-9)
+    def pinned(headline: Double, passes: Seq[Double], dial: Double): Unit =
+      assert(math.abs(headline - ms(math.min(passes.min, dial))) < 1e-9,
+        s"headline $headline != min(passes=${passes.map(ms)}, dial=${ms(dial)})")
+    pinned(r.annMsPerQuery, r.annPassSec, r.annSweep.find(_.ef == cfg.nProbe).get.searchTimeSec)
+    pinned(r.sqMsPerQuery, r.sqPassSec, r.sqSweep.find(_.ef == cfg.nProbe).get.searchTimeSec)
+    pinned(r.pqMsPerQuery, r.pqPassSec, r.pqSweep.find(_.ef == cfg.nProbe).get.searchTimeSec)
+    pinned(r.binMsPerQuery, r.binPassSec,
+      r.binSweep.find(_.ef == cfg.binRescore).get.searchTimeSec)
+  }
+
   test("kernel bench: ranked metrics against exact ground truth are coherent") {
     // recall@k and precision@k are averages of per-query fractions
     (result.annRecallAtK ++ result.pqRecallAtK ++
