@@ -817,7 +817,7 @@ object Ann extends QModule {
     * assignment side is free — index rows already carry centroid_id);
     * per-src top-[[GraphDegree]] via the bounded-heap rerank. No
     * corpus-sized broadcast, no cartesian. */
-  def buildGraphAt(s: SparkSession, path: String): Unit = {
+  def buildGraphAt(s: SparkSession, path: String): Unit = withWriterLease(s, path) {
     import s.implicits._
     val cs = centroidsFrame(s, path)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -867,7 +867,7 @@ object Ann extends QModule {
     * artifact lets delta–delta neighborships form too. */
   def addToGraphAt(
       s: SparkSession, path: String,
-      delta: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = {
+      delta: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = withWriterLease(s, path) {
     import s.implicits._
     val q = delta.toDF("id", "vec", "label")
       .select($"id".as("query_id"), $"vec".as("qe"))
@@ -1137,7 +1137,7 @@ object Ann extends QModule {
     * exactly the part files that were folded (appends racing the
     * compaction survive as tail). Scores are kept in the serve form so
     * tail merges re-rank against real edge weights. */
-  def compactGraphAt(s: SparkSession, path: String): Unit = {
+  def compactGraphAt(s: SparkSession, path: String): Unit = withWriterLease(s, path) {
     import s.implicits._
     val (fs, _) = hfs(s, path)
     recoverGraphServe(fs, path)
@@ -2286,7 +2286,7 @@ object Ann extends QModule {
     * corpus it ran against. (Compaction invalidates older manifests the
     * same way it rewrites files — production systems expire snapshots at
     * compaction; here the v38 gate never compacts its artifact.) */
-  def snapshotIndex(s: SparkSession, path: String): Int = {
+  def snapshotIndex(s: SparkSession, path: String): Int = withWriterLease(s, path) {
     val (fs, _) = hfs(s, path)
     // the manifest covers the graph sidecar too (VERDICT r10 next #6):
     // `_graph` is append-only exactly like the data files, so without
@@ -2633,12 +2633,140 @@ object Ann extends QModule {
     * referenced by the NEWEST manifest, so manifest deletion never
     * orphans data a remaining version needs. Returns the expired
     * version numbers. */
-  def expireSnapshots(s: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+  def expireSnapshots(s: SparkSession, path: String, keepLast: Int): Seq[Int] = withWriterLease(s, path) {
     val (fs, _) = hfs(s, path)
     val expire = snapshotVersions(s, path).dropRight(keepLast)
     expire.foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$v.txt"), false))
     expire
+  }
+
+  // ---------------------------------------------------------------- fsck
+
+  /** One [[fsck]] invariant: `ok` with a human-readable `detail`
+    * (offending paths / ids, bounded samples). */
+  final case class FsckCheck(check: String, ok: Boolean, detail: String)
+
+  /** Global invariant checker for an index artifact (VERDICT r12 next
+    * #4): the lifecycle verbs each recover their OWN crash states, but
+    * a consumer handed an artifact after a crash had no single verb to
+    * run before trusting it. `fsck` audits every cross-component
+    * invariant the verbs maintain:
+    *
+    *  - structure: partition dirs parse, quantizer sidecar present,
+    *    every list's centroid exists in the quantizer;
+    *  - no recovery debris: side dirs (`_compacting`,
+    *    `_filecompacting`, `_rebalancing`, `_driftrepair`), staged
+    *    upserts, merge markers, sidecar swap temporaries, and stale
+    *    writer leases all mean a crashed verb has recovery to run;
+    *  - snapshots: every live manifest resolves (no pinned file
+    *    missing — the remanifest rule's postcondition);
+    *  - tombstones ⊆ live rows (the compaction contract: tombstones
+    *    are cleared the moment their rows are reclaimed);
+    *  - doc_id uniqueness over the tombstone-masked live set (upsert's
+    *    last-write-wins postcondition);
+    *  - graph sidecar endpoints resolve to live rows.
+    *
+    * Read-only (never mutates, never takes the writer lease), fully
+    * distributed (hash joins / aggregations; driver sees only O(C)
+    * centroids and bounded violation samples) — at 100 TB it costs a
+    * few scans, not driver memory. Returns every check, ok or not;
+    * `fsck(...).forall(_.ok)` is the trust gate. */
+  def fsck(s: SparkSession, path: String): Seq[FsckCheck] = {
+    import s.implicits._
+    val (fs, root) = hfs(s, path)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckCheck]
+    def check(name: String, ok: Boolean, bad: => String, good: String = "ok"): Unit = {
+      out += FsckCheck(name, ok, if (ok) good else bad); ()
+    }
+    if (!fs.exists(root)) {
+      check("artifact_present", ok = false, s"$path does not exist")
+      return out.toSeq
+    }
+    check("artifact_present", ok = true, "", path)
+
+    // ---- structure
+    val partDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+    val badNames = partDirs.map(_.getPath.getName)
+      .filter(_.stripPrefix("centroid_id=").toLongOption.isEmpty)
+    check("partition_layout", badNames.isEmpty,
+      s"unparseable partition dirs: ${badNames.take(5).mkString(", ")}")
+    val hasCents = fs.exists(new org.apache.hadoop.fs.Path(s"$path/_centroids"))
+    check("quantizer_present", hasCents, s"$path/_centroids missing")
+
+    // ---- recovery debris
+    val debris = Seq(
+      s"${path}_compacting", s"${path}_filecompacting",
+      s"${path}_rebalancing", s"${path}_driftrepair",
+      s"$path/_upsert_pending", s"$path/_MERGE_STARTED",
+      s"$path/_centroids_tmp", s"$path/_centroids_old",
+      s"$path/_graph_serve_tmp", s"$path/_graph_serve_old",
+      s"$path/_drift_base_tmp")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    check("no_recovery_debris", debris.isEmpty,
+      s"crashed-verb leftovers (run the owning verb to recover): ${debris.mkString(", ")}")
+    val lock = leaseLock(path)
+    val ttl =
+      try s.conf.get(WriterLeaseTtlConf, DefaultWriterLeaseTtlMs.toString).toLong
+      catch { case _: NumberFormatException => DefaultWriterLeaseTtlMs }
+    val staleLease =
+      try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > ttl
+      catch { case _: java.io.FileNotFoundException => false }
+    check("no_stale_writer_lease", !staleLease,
+      s"$lock is older than ${ttl}ms — its writer crashed mid-verb")
+
+    // ---- snapshots: every live manifest resolves
+    val missingPins = snapshotVersions(s, path).flatMap { v =>
+      manifestFiles(s, path, v)
+        .filterNot(f => fs.exists(new org.apache.hadoop.fs.Path(f)))
+        .take(3).map(f => s"v$v -> $f")
+    }
+    check("manifests_resolve", missingPins.isEmpty,
+      s"manifests pin missing files: ${missingPins.take(5).mkString("; ")}")
+
+    // ---- data-level invariants (need quantizer + at least one list)
+    if (hasCents && partDirs.nonEmpty && badNames.isEmpty) {
+      val live = indexFrame(s, path)
+      val quantizerIds = centroidsFrame(s, path)
+        .select(col("centroid_id")).as[Long].collect().toSet
+      val orphanLists = partDirs
+        .map(_.getPath.getName.stripPrefix("centroid_id=").toLong)
+        .filterNot(quantizerIds).sorted
+      check("lists_have_centroids", orphanLists.isEmpty,
+        s"lists with no quantizer centroid (unreachable by any probe): " +
+          orphanLists.take(5).mkString(", "))
+
+      val tombIds = tombstonesAt(s, path).select(col("doc_id")).distinct()
+      val masked = live.join(tombIds, Seq("doc_id"), "left_anti")
+      val dups = masked.groupBy(col("doc_id")).count()
+        .filter(col("count") > 1).limit(5)
+        .select(col("doc_id")).as[Long].collect().sorted
+      check("doc_id_unique", dups.isEmpty,
+        s"duplicate live doc_ids (crashed upsert/merge?): ${dups.mkString(", ")}")
+
+      val orphanTombs = tombIds
+        .join(live.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .limit(5).as[Long].collect().sorted
+      check("tombstones_reference_live_rows", orphanTombs.isEmpty,
+        s"tombstones for absent doc_ids (compaction crashed after reclaim?): " +
+          orphanTombs.mkString(", "))
+
+      val hasGraph =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graph")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graph_serve"))
+      if (hasGraph) {
+        val ends = graphAt(s, path)
+          .select(explode(array(col("src"), col("dst"))).as("doc_id")).distinct()
+        val dangling = ends
+          .join(live.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .limit(5).as[Long].collect().sorted
+        check("graph_endpoints_resolve", dangling.isEmpty,
+          s"graph edges touch absent doc_ids (deleted without graph " +
+            s"maintenance — rebuild or compact the graph): ${dangling.mkString(", ")}")
+      }
+    }
+    out.toSeq
   }
 
   private def snapPath(s: SparkSession, d: String): String =
@@ -2797,6 +2925,30 @@ object Ann extends QModule {
       FROM (${duckSearch(20, 10, 4, src = "corpus2")})
       ORDER BY query_id, rnk"""))
 
+  // ---------------------------------------------------------------- v60
+  /** [[fsck]] under the oracle gate: the full invariant battery over
+    * the v58 upsert fixture (an artifact that has lived through seed +
+    * mixed insert/update upsert, i.e. staging, tombstoning, compaction
+    * and append) must come back all-ok with exactly the expected check
+    * set — the oracle is the contract table itself, so a check that
+    * starts failing OR silently disappears from the battery
+    * hash-mismatches. */
+  private val v60 = Q(
+    "v60_fsck",
+    (s, d) => {
+      import s.implicits._
+      val path = upsertScenario(s, d)
+      s.createDataset(fsck(s, path).map(c => (c.check, if (c.ok) 1 else 0)))
+        .toDF("invariant", "ok").orderBy($"invariant")
+    },
+    Some("""SELECT * FROM (VALUES
+        ('artifact_present', 1), ('doc_id_unique', 1),
+        ('lists_have_centroids', 1), ('manifests_resolve', 1),
+        ('no_recovery_debris', 1), ('no_stale_writer_lease', 1),
+        ('partition_layout', 1), ('quantizer_present', 1),
+        ('tombstones_reference_live_rows', 1)) AS t(invariant, ok)
+      ORDER BY invariant"""))
+
   // ---------------------------------------------------------------- v56
   /** Snapshot DIFF under the oracle gate: the incremental scan between
     * the v38 artifact's v1 (base) and v2 (base + delta) must surface
@@ -2868,5 +3020,5 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44, v56, v57, v58)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44, v56, v57, v58, v60)
 }

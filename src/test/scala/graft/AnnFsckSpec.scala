@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** [[Ann.fsck]] (VERDICT r12 next #4): the one verb a consumer runs
+  * before trusting an artifact after a crash. Green across the full
+  * lifecycle fixture (every verb leaves every invariant intact); each
+  * hand-crafted corruption flips exactly its own check red.
+  */
+class AnnFsckSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val s2 = {
+    val s = spark.newSession()
+    Functions.register(s)
+    s.conf.set(Ann.IndexRootConf,
+      java.nio.file.Files.createTempDirectory("graft_fsck_root").toString)
+    s
+  }
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select($"vec_id", $"embedding", $"label")
+    .as[(Long, Array[Float], Int)]
+
+  private def failing(root: String): Map[String, String] =
+    Ann.fsck(s2, root).filterNot(_.ok).map(c => c.check -> c.detail).toMap
+
+  test("fsck is green after every lifecycle verb") {
+    val root = s"/tmp/graft_fsck_green_${System.nanoTime()}"
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+      assert(failing(root).isEmpty, s"fresh artifact: ${failing(root)}")
+
+      Ann.addVectors(s2, root, corpus.filter($"vec_id" % Ann.IncrMod === Ann.IncrRem))
+      Ann.snapshotIndex(s2, root)
+      Ann.deleteFromIndexAt(s2, root, col("doc_id") % 50 === 3)
+      Ann.compactIndexAt(s2, root)
+      Ann.buildGraphAt(s2, root)
+      Ann.compactGraphAt(s2, root)
+      Ann.upsertVectors(s2, root,
+        s2.createDataset(corpus.filter($"vec_id" % 50 === 7).collect()
+          .map { case (id, v, l) => (id, v.reverse, l) }.toSeq))
+      Ann.compactSmallFilesAt(s2, root)
+      Ann.snapshotIndex(s2, root)
+      val bad = failing(root)
+      assert(bad.isEmpty, s"post-lifecycle artifact: $bad")
+      val checks = Ann.fsck(s2, root).map(_.check)
+      // the graph check must have actually run on this fixture
+      assert(checks.contains("graph_endpoints_resolve"), s"checks ran: $checks")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("each crafted corruption flips exactly its own check") {
+    val root = s"/tmp/graft_fsck_red_${System.nanoTime()}"
+    def p(rel: String) = new org.apache.hadoop.fs.Path(rel)
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+
+      // 1. recovery debris: a staged upsert nobody replayed
+      fs.mkdirs(p(s"$root/_upsert_pending"))
+      assert(failing(root).keySet == Set("no_recovery_debris"), s"${failing(root)}")
+      fs.delete(p(s"$root/_upsert_pending"), true)
+
+      // 2. stale writer lease = crashed writer
+      val lock = p(s"${root}_writer_lock")
+      fs.create(lock, false).close()
+      assert(failing(root).isEmpty, "a FRESH lease is a live writer, not corruption")
+      fs.setTimes(lock, 1000L, 1000L)
+      assert(failing(root).keySet == Set("no_stale_writer_lease"))
+      fs.delete(lock, false)
+
+      // 3. manifest pinning a missing file
+      val v = Ann.snapshotIndex(s2, root)
+      val pinned = Ann.manifestFiles(s2, root, v).head
+      val aside = p(pinned + ".aside")
+      assert(fs.rename(p(pinned), aside))
+      assert(failing(root).keySet == Set("manifests_resolve"))
+      assert(fs.rename(aside, p(pinned)))
+
+      // 4. duplicate live doc_id (a crashed merge / misused add)
+      val dupId = s2.read.parquet(root).select($"doc_id").as[Long].head()
+      Ann.addVectors(s2, root, corpus.filter($"vec_id" === dupId))
+      assert(failing(root).keySet == Set("doc_id_unique"))
+      Ann.deleteFromIndexAt(s2, root, col("doc_id") === dupId)
+      Ann.compactIndexAt(s2, root) // reclaims both copies, clears tombstones
+      // compaction rewrote pinned files and re-manifested: still green
+      assert(failing(root).isEmpty, s"${failing(root)}")
+
+      // 5. tombstone referencing an absent row
+      Seq((999999999L, 0L)).toDF("doc_id", "centroid_id")
+        .write.mode("append").parquet(s"$root/_tombstones")
+      assert(failing(root).keySet == Set("tombstones_reference_live_rows"))
+      fs.delete(p(s"$root/_tombstones"), true)
+
+      // 6. graph edge to an absent doc
+      Ann.buildGraphAt(s2, root)
+      assert(failing(root).isEmpty, s"${failing(root)}")
+      val src = s2.read.parquet(root).select($"doc_id").as[Long].head()
+      Seq((src, 888888888L, 99.0)).toDF("src", "dst", "score")
+        .write.mode("append").parquet(s"$root/_graph")
+      assert(failing(root).keySet == Set("graph_endpoints_resolve"))
+
+      // 7. a missing artifact is one loud check, not a crash
+      val ghost = Ann.fsck(s2, s"$root-nonexistent")
+      assert(ghost.map(c => (c.check, c.ok)) == Seq(("artifact_present", false)))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+}
