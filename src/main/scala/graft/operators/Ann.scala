@@ -698,15 +698,20 @@ object Ann extends QModule {
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
             .foreach { st =>
               val dst = new org.apache.hadoop.fs.Path(s"$path/${st.getPath.getName}")
+              Faults.point()
               fs.delete(dst, true)
+              Faults.point()
               require(fs.rename(st.getPath, dst),
                 s"compaction roll-forward failed: ${st.getPath} -> $dst")
             }
         }
+        Faults.point()
         fs.delete(tmp, true)
-        if (complete) remanifestAfterRewrite(s, path)
       }
     }
+    // heal stale manifests from ANY crash-after-reclaim state (not just
+    // a pending side dir): no-op unless some manifest pins a missing file
+    remanifestAfterRewrite(s, path)
   }
 
   def compactIndexAt(s: SparkSession, path: String): Unit = withWriterLease(s, path) {
@@ -717,6 +722,7 @@ object Ann extends QModule {
     if (affected.nonEmpty) {
       val (fs, _) = hfs(s, path)
       val tmp = s"${path}_compacting"
+      Faults.point()
       indexFrame(s, path)
         .filter($"centroid_id".isin(affected.toIndexedSeq: _*))
         .join(broadcast(tomb.select($"doc_id").distinct()), Seq("doc_id"), "left_anti")
@@ -725,10 +731,14 @@ object Ann extends QModule {
       affected.foreach { cid =>
         val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
         val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cid")
+        Faults.point()
         fs.delete(dst, true)
+        Faults.point()
         if (fs.exists(src)) fs.rename(src, dst)
       }
+      Faults.point()
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      Faults.point()
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
       remanifestAfterRewrite(s, path)
     }
@@ -738,16 +748,25 @@ object Ann extends QModule {
     * now-missing file are EXPIRED and a fresh snapshot re-manifests the
     * rewritten state, keeping `search-as-of latest` ≡ the live search
     * and the version history monotone. No-op for artifacts that never
-    * snapshotted. */
+    * snapshotted AND for artifacts whose manifests all still resolve —
+    * the conditional is what lets [[recoverCompacting]] call this
+    * unconditionally as a HEAL: a compaction that crashed after its
+    * reclaim but before its re-manifest (found by the fault-point
+    * sweep: the retry sees no tombstones and exits early, so the old
+    * unconditional call was unreachable) leaves stale manifests that
+    * this repairs at the next mutator entry. */
   private def remanifestAfterRewrite(s: SparkSession, path: String): Unit = {
     val (fs, _) = hfs(s, path)
     val versions = snapshotVersions(s, path)
-    if (versions.nonEmpty) {
-      val invalidated = versions.filter(v =>
-        manifestFiles(s, path, v).exists(f => !fs.exists(new org.apache.hadoop.fs.Path(f))))
-      invalidated.foreach(v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$v.txt"), false))
+    val invalidated = versions.filter(v =>
+      manifestFiles(s, path, v).exists(f => !fs.exists(new org.apache.hadoop.fs.Path(f))))
+    if (invalidated.nonEmpty) {
+      invalidated.foreach { v =>
+        Faults.point()
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_snapshots/v$v.txt"), false)
+      }
       snapshotIndex(s, path)
+      ()
     }
   }
 
@@ -781,6 +800,7 @@ object Ann extends QModule {
       .sorted.toSeq
     if (affected.nonEmpty) {
       val tmp = s"${path}_filecompacting"
+      Faults.point()
       indexFrame(s, path)
         .filter($"centroid_id".isin(affected.toIndexedSeq: _*))
         .repartition(affected.length, $"centroid_id")
@@ -789,9 +809,12 @@ object Ann extends QModule {
       affected.foreach { cid =>
         val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
         val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cid")
+        Faults.point()
         fs.delete(dst, true)
+        Faults.point()
         if (fs.exists(src)) fs.rename(src, dst)
       }
+      Faults.point()
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       remanifestAfterRewrite(s, path)
     }
@@ -2209,14 +2232,18 @@ object Ann extends QModule {
       }
       require(fs.exists(new org.apache.hadoop.fs.Path(s"${shards.head}/_centroids")),
         s"merge precondition: head shard ${shards.head} has no _centroids sidecar")
+      Faults.point()
       if (fs.exists(destPath)) fs.delete(destPath, true)
       fs.mkdirs(destPath)
       // marker BEFORE the first rename: its presence (without _SUCCESS)
       // is what tells a retry that dest already holds moved files
+      Faults.point()
       fs.create(marker, true).close()
     }
-    def renameOrDie(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    def renameOrDie(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+      Faults.point()
       require(fs.rename(src, dst), s"merge rename failed: $src -> $dst")
+    }
     // idempotent drain: shard-prefixed dest names are deterministic, and
     // a glob only returns files still IN the shard, so a resume moves
     // exactly the not-yet-moved remainder — fail every rename loudly (a
@@ -2231,7 +2258,9 @@ object Ann extends QModule {
     val destCents = new org.apache.hadoop.fs.Path(destPath, "_centroids")
     if (!fs.exists(destCents))
       renameOrDie(new org.apache.hadoop.fs.Path(s"${shards.head}/_centroids"), destCents)
+    Faults.point()
     fs.create(success, true).close()
+    Faults.point()
     fs.delete(marker, false)
     ()
   }
@@ -2320,9 +2349,11 @@ object Ann extends QModule {
         finally in.close()
       }
     val n = math.max(hwm, snapshotVersions(s, path).lastOption.getOrElse(0)) + 1
+    Faults.point()
     val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$n.txt"), false)
     try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    Faults.point()
     val hw = fs.create(hwmPath, true)
     try hw.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally hw.close()
@@ -2539,6 +2570,7 @@ object Ann extends QModule {
     // parquet (its _SUCCESS is the marker) lets the NEXT upsert replay
     // the batch to convergence — delete-by-id-then-insert is idempotent
     // under replay, whatever point the crash hit.
+    Faults.point()
     ds.toDF("doc_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$path/_upsert_pending")
     applyStagedUpsert(s, path)
@@ -2550,7 +2582,7 @@ object Ann extends QModule {
   private def replayPendingUpsert(s: SparkSession, path: String): Unit = {
     val (fs, sp) = hfs(s, s"$path/_upsert_pending")
     if (fs.exists(new org.apache.hadoop.fs.Path(sp, "_SUCCESS"))) applyStagedUpsert(s, path)
-    else if (fs.exists(sp)) fs.delete(sp, true)
+    else if (fs.exists(sp)) { Faults.point(); fs.delete(sp, true); () }
   }
 
   /** The upsert body, driven entirely from the staged batch so a replay
@@ -2565,12 +2597,15 @@ object Ann extends QModule {
     val existing = indexFrame(s, path)
       .join(broadcast(batch.select($"doc_id")), Seq("doc_id"))
       .select($"doc_id", $"centroid_id")
+    Faults.point()
     if (!existing.isEmpty)
       existing.write.mode("append").parquet(s"$path/_tombstones")
     if (tombstonesAt(s, path).limit(1).count() > 0)
       compactIndexAt(s, path)
+    Faults.point()
     addVectors(s, path, batch.as[(Long, Array[Float], Int)])
     val (fs, sp) = hfs(s, stage)
+    Faults.point()
     fs.delete(sp, true)
   }
 

@@ -1,0 +1,45 @@
+package graft.operators
+
+/** Fault-injection points for crash-safety testing (VERDICT r12 next
+  * #5). Every destructive filesystem boundary inside the index
+  * lifecycle verbs (each `fs.rename` / `fs.delete` / marker create /
+  * side-dir write in upsert, compaction, merge and their recovery
+  * routines) calls [[point]]. Disarmed — the default, and the only
+  * state outside a test JVM — a point is one volatile read. Armed with
+  * `arm(k)`, the (k+1)-th point throws [[InjectedCrash]], simulating a
+  * writer dying between exactly that pair of filesystem operations.
+  *
+  * The sweep harness (AnnCrashSweepSpec) uses this to enumerate EVERY
+  * crash state of a verb mechanically — run with k = 0, 1, 2, … until a
+  * run completes unfired, recover, assert oracle equality + fsck green —
+  * instead of hand-crafting the few states someone thought of. Every
+  * future `point()` added inside a verb is swept for free.
+  *
+  * Driver-only by construction: the lifecycle choreography these verbs
+  * run is driver-side FS metadata motion; no task closure captures this
+  * object.
+  */
+private[graft] object Faults {
+  final class InjectedCrash(at: Int)
+    extends RuntimeException(s"injected crash at fault point $at")
+
+  @volatile private var countdown: Int = -1 // -1 = disarmed
+  private var fired: Int = 0
+
+  /** Arm: the (k+1)-th [[point]] from now throws. */
+  def arm(k: Int): Unit = synchronized { countdown = k; fired = 0 }
+
+  def disarm(): Unit = synchronized { countdown = -1; fired = 0 }
+
+  /** Points hit since the last arm (a fully-completed armed run means
+    * the verb has fewer points than the armed k — the sweep's exit). */
+  def hits: Int = synchronized(fired)
+
+  def point(): Unit =
+    if (countdown >= 0) synchronized {
+      if (countdown >= 0) {
+        fired += 1
+        if (fired > countdown) throw new InjectedCrash(fired)
+      }
+    }
+}

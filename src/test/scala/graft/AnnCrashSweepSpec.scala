@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Faults}
+
+/** Exhaustive fault-point crash sweep (VERDICT r12 next #5): instead of
+  * hand-crafting the crash states someone thought of, enumerate ALL of
+  * them mechanically. Every destructive FS boundary inside upsert,
+  * compaction (both kinds) and merge calls `Faults.point()`; the sweep
+  * arms k = 0, 1, 2, … so each run dies between a different pair of
+  * filesystem operations, then RETRIES the verb (the crash-then-retry
+  * contract every recovery routine implements) and asserts the final
+  * state equals the crash-free oracle AND `Ann.fsck` comes back green.
+  * The sweep ends when an armed run completes without firing — i.e.
+  * every fault point of the verb (including those inside nested verbs
+  * and recovery paths taken by the retry) has been crashed at least
+  * once. Any future `Faults.point()` added to a verb is swept for free.
+  */
+class AnnCrashSweepSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val s2 = {
+    val s = spark.newSession()
+    Functions.register(s)
+    s.conf.set(Ann.IndexRootConf,
+      java.nio.file.Files.createTempDirectory("graft_sweep_root").toString)
+    s
+  }
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  private def rm(p: String): Unit = { fs.delete(new org.apache.hadoop.fs.Path(p), true); () }
+
+  // tiny deterministic corpus (AnnMergeSpec's shape): verbs run in ~1 s,
+  // so the full sweep stays test-suite-sized
+  private val dim = 8
+  private def unit(axis: Int): Array[Float] =
+    Array.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+  private def dvec(id: Long): Array[Float] = {
+    val v = unit((id % 2).toInt)
+    v(2 + (id % 3).toInt) = 0.2f + 0.01f * (id % 5)
+    val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+    v.map(_ / n)
+  }
+  private val cents = Array(0L -> unit(0), 1L -> unit(1))
+  private def rows(ids: Range): Seq[(Long, Array[Float], Int)] =
+    ids.map(i => (i.toLong, dvec(i.toLong), (i % 3)))
+
+  private def mkArtifact(path: String, ids: Range): Unit =
+    Ann.writeIndexArtifact(spark, path, spark.createDataset(rows(ids)), cents)
+
+  /** (doc_id -> first embedding element) of the live tombstone-masked
+    * rows — enough to distinguish updated from stale vectors. */
+  private def state(path: String): Map[Long, Float] = {
+    val tomb = Ann.tombstonesAt(s2, path).select($"doc_id").distinct()
+    s2.read.parquet(path)
+      .join(tomb, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => id -> v.head }.toMap
+  }
+
+  private def assertFsckGreen(path: String, ctx: String): Unit = {
+    val bad = Ann.fsck(s2, path).filterNot(_.ok)
+    assert(bad.isEmpty, s"$ctx: fsck red: ${bad.map(c => c.check -> c.detail)}")
+  }
+
+  /** Sweep one verb: `fixture` builds a fresh artifact set, `verb` is
+    * the mutation under test (idempotent under retry by contract),
+    * `expected` is the crash-free final state of `artifact(root)`.
+    * Returns the number of fault points crashed. */
+  private def sweep(
+      name: String)(fixture: () => String)(verb: String => Unit)(
+      expected: Map[Long, Float], artifact: String => String = identity): Int = {
+    // dry run: verify the crash-free oracle and learn nothing else
+    locally {
+      val root = fixture()
+      verb(root)
+      assert(state(artifact(root)) == expected, s"$name: crash-free run != oracle")
+      assertFsckGreen(artifact(root), s"$name crash-free")
+      rm(root)
+    }
+    var k = 0
+    var done = false
+    while (!done) {
+      assert(k < 200, s"$name: runaway sweep — $k fault points and counting")
+      val root = fixture()
+      Faults.arm(k)
+      val crashed =
+        try { verb(root); false }
+        catch { case _: Faults.InjectedCrash => true }
+      val pointsThisRun = Faults.hits
+      Faults.disarm()
+      if (!crashed) {
+        // k exceeded the verb's point count: every boundary was swept
+        assert(state(artifact(root)) == expected, s"$name: unfired run $k != oracle")
+        done = true
+      } else {
+        // the crash-then-retry contract: the SAME verb, re-invoked,
+        // must converge — whatever boundary the crash hit
+        verb(root)
+        assert(state(artifact(root)) == expected,
+          s"$name: state after crash@$k + retry != oracle (points hit: $pointsThisRun)")
+        assertFsckGreen(artifact(root), s"$name crash@$k + retry")
+      }
+      rm(root)
+      k += 1
+    }
+    info(s"$name: swept ${k - 1} fault points")
+    k - 1
+  }
+
+  test("upsert converges from a crash at every fault point") {
+    var n = 0
+    val fixture = () => {
+      val root = s"/tmp/graft_sweep_upsert_${System.nanoTime()}_$n"
+      n += 1
+      mkArtifact(root, 0 until 60)
+      root
+    }
+    // mixed batch: updates (ids 0-19, re-submitted with a flipped first
+    // element) + inserts (ids 60-79)
+    val batch = (0 until 20).map(i => (i.toLong, dvec(i.toLong).map(-_), 9)) ++
+      rows(60 until 80)
+    val expected = (20 until 60).map(i => i.toLong -> dvec(i.toLong).head).toMap ++
+      (0 until 20).map(i => i.toLong -> -dvec(i.toLong).head).toMap ++
+      (60 until 80).map(i => i.toLong -> dvec(i.toLong).head).toMap
+    val swept = sweep("upsert")(fixture)(root =>
+      Ann.upsertVectors(s2, root, spark.createDataset(batch)))(expected)
+    assert(swept >= 8, s"upsert sweep covered only $swept points — instrumentation lost?")
+  }
+
+  test("tombstone compaction converges from a crash at every fault point") {
+    var n = 0
+    val fixture = () => {
+      val root = s"/tmp/graft_sweep_compact_${System.nanoTime()}_$n"
+      n += 1
+      mkArtifact(root, 0 until 60)
+      Ann.snapshotIndex(s2, root) // so the re-manifest path is exercised
+      Ann.deleteFromIndexAt(s2, root, col("doc_id") % 4 === 1)
+      root
+    }
+    val expected = (0 until 60).filter(_ % 4 != 1)
+      .map(i => i.toLong -> dvec(i.toLong).head).toMap
+    val swept = sweep("compactIndexAt")(fixture)(root =>
+      Ann.compactIndexAt(s2, root))(expected)
+    assert(swept >= 6, s"compaction sweep covered only $swept points")
+  }
+
+  test("small-file compaction converges from a crash at every fault point") {
+    var n = 0
+    val fixture = () => {
+      val root = s"/tmp/graft_sweep_filecompact_${System.nanoTime()}_$n"
+      n += 1
+      mkArtifact(root, 0 until 40)
+      // fragment both lists past the threshold with 5 tiny appends
+      (0 until 5).foreach { b =>
+        Ann.addVectors(s2, root, spark.createDataset(rows(40 + b * 4 until 44 + b * 4)))
+      }
+      Ann.snapshotIndex(s2, root)
+      root
+    }
+    val expected = (0 until 60).map(i => i.toLong -> dvec(i.toLong).head).toMap
+    val swept = sweep("compactSmallFilesAt")(fixture)(root =>
+      Ann.compactSmallFilesAt(s2, root, maxFilesPerList = 3))(expected)
+    assert(swept >= 6, s"file-compaction sweep covered only $swept points")
+  }
+
+  test("shard merge converges from a crash at every fault point") {
+    var n = 0
+    val fixture = () => {
+      val root = s"/tmp/graft_sweep_merge_${System.nanoTime()}_$n"
+      n += 1
+      mkArtifact(s"$root/a", 0 until 30)
+      mkArtifact(s"$root/b", 30 until 60)
+      root
+    }
+    val expected = (0 until 60).map(i => i.toLong -> dvec(i.toLong).head).toMap
+    val swept = sweep("mergeIndexArtifacts")(fixture)(root =>
+      Ann.mergeIndexArtifacts(spark, s"$root/merged", Seq(s"$root/a", s"$root/b")))(
+      expected, artifact = root => s"$root/merged")
+    assert(swept >= 6, s"merge sweep covered only $swept points")
+  }
+}
