@@ -31,6 +31,8 @@ object Functions {
     treg.createOrReplaceTempFunction("parent_search", parentSearchPlan, "built-in")
     treg.createOrReplaceTempFunction("graph_search", graphSearchPlan, "built-in")
     treg.createOrReplaceTempFunction("ivfpq_search", ivfpqSearchPlan, "built-in")
+    treg.createOrReplaceTempFunction("binary_search", binarySearchPlan, "built-in")
+    treg.createOrReplaceTempFunction("ivfsq_search", ivfsqSearchPlan, "built-in")
   }
 
   /** Evaluate a TVF's foldable scalar arguments: `name(argNames…)`,
@@ -167,6 +169,42 @@ object Functions {
         asInt("ivfpq_search", "max_query_id", maxQ),
         asInt("ivfpq_search", "k", k),
         asInt("ivfpq_search", "n_probe", nProbe))
+      .queryExecution.analyzed
+  }
+
+  /** Table-function builder for `binary_search(dir, max_query_id, k,
+    * pool)` — the 1-bit tier (v34) through the parser: Hamming
+    * top-`pool` candidates over packed sign codes, exact top-k rescore
+    * (`pool` is the tier's recall dial, the bench's
+    * `bin_operating_point` knob). Completes the tier's surface pair
+    * with the Column API under the shared v34 oracle. */
+  private[graft] def binarySearchPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val Seq(dir, maxQ, k, pool) =
+      tvfArgs("binary_search", Seq("dir", "max_query_id", "k", "pool"), exprs)
+    operators.Compact
+      .searchBinary(SparkSession.active, dir.toString,
+        asInt("binary_search", "max_query_id", maxQ),
+        asInt("binary_search", "k", k),
+        asInt("binary_search", "pool", pool))
+      .queryExecution.analyzed
+  }
+
+  /** Table-function builder for `ivfsq_search(dir, max_query_id, k,
+    * n_probe)` — the IVF+SQ8 tier (v27) through the parser: probe,
+    * pruned byte-ADC, trim, exact rescore, the same plan the Column
+    * API produces. */
+  private[graft] def ivfsqSearchPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val Seq(dir, maxQ, k, nProbe) =
+      tvfArgs("ivfsq_search", Seq("dir", "max_query_id", "k", "n_probe"), exprs)
+    operators.Sq
+      .searchIvf(SparkSession.active, dir.toString,
+        asInt("ivfsq_search", "max_query_id", maxQ),
+        asInt("ivfsq_search", "k", k),
+        asInt("ivfsq_search", "n_probe", nProbe))
       .queryExecution.analyzed
   }
 

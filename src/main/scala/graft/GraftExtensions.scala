@@ -60,5 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ivfpq_search"),
       new ExpressionInfo(Functions.getClass.getName, "ivfpq_search"),
       (exprs: Seq[Expression]) => Functions.ivfpqSearchPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("binary_search"),
+      new ExpressionInfo(Functions.getClass.getName, "binary_search"),
+      (exprs: Seq[Expression]) => Functions.binarySearchPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("ivfsq_search"),
+      new ExpressionInfo(Functions.getClass.getName, "ivfsq_search"),
+      (exprs: Seq[Expression]) => Functions.ivfsqSearchPlan(exprs)))
   }
 }

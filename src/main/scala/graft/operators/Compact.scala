@@ -137,7 +137,7 @@ object Compact extends QModule {
     * cells (the pool is the tier's recall dial, exactly like the 1M
     * bench's `bin_operating_point`). `pred` (v50) pre-filters the
     * Hamming scan, completing the filtered matrix on the 1-bit tier. */
-  private[operators] def searchBinary(
+  private[graft] def searchBinary(
       s: SparkSession, d: String, maxQ: Int, k: Int, pool: Int,
       pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
@@ -200,6 +200,19 @@ object Compact extends QModule {
   private val v34 = Q(
     "v34_binary_topk",
     (s, d) => searchBinary(s, d, MaxQ, K, BqRescore),
+    Some(duckBinSearch(MaxQ, K, BqRescore)))
+
+  // ---------------------------------------------------------------- v61
+  /** The binary tier through the SQL PARSER — `binary_search(dir, maxQ,
+    * k, pool)` (VERDICT r12 next #7: binary and SQ8 were the two tiers
+    * still missing their TVF surface). Same parameters and oracle as
+    * v34: identical results through both surfaces IS the contract. */
+  private val v61 = Q(
+    "v61_sql_binary_search",
+    (s, d) => s.sql(
+      s"""SELECT query_id, rnk, doc_id
+          FROM binary_search('$d', $MaxQ, $K, $BqRescore)
+          ORDER BY query_id, rnk"""),
     Some(duckBinSearch(MaxQ, K, BqRescore)))
 
   // ---------------------------------------------------------------- v50
@@ -308,5 +321,5 @@ object Compact extends QModule {
         FROM resc)
     SELECT query_id, rnk, doc_id FROM rr WHERE rnk <= $K ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v34, v35, v50, v52)
+  override def all: Seq[Q] = Seq(v34, v35, v50, v52, v61)
 }

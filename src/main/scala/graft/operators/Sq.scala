@@ -575,6 +575,18 @@ object Sq extends QModule {
     },
     Some(duckIvfSqSearch(maxQueryId = 10, k = 10, nProbe = 4)))
 
+  // ---------------------------------------------------------------- v62
+  /** The IVF+SQ8 tier through the SQL PARSER — `ivfsq_search(dir, maxQ,
+    * k, nProbe)` (VERDICT r12 next #7). Same parameters and oracle as
+    * v27: both surfaces are the same plan and must hash-match. */
+  private val v62 = Q(
+    "v62_sql_ivfsq_search",
+    (s, d) => s.sql(
+      s"""SELECT query_id, rnk, doc_id, round(score, 4) AS score
+          FROM ivfsq_search('$d', 10, 10, 4)
+          ORDER BY query_id, rnk"""),
+    Some(duckIvfSqSearch(maxQueryId = 10, k = 10, nProbe = 4)))
+
   // ---------------------------------------------------------------- v48
   /** FILTERED compressed-tier search — the metadata predicate composed
     * with IVF+SQ8 (v48; round 12). At 100 TB the float tier is too big
@@ -600,5 +612,5 @@ object Sq extends QModule {
     Some(duckIvfSqSearch(maxQueryId = 10, k = 10, nProbe = 8,
       predSql = "em.label % 3 = 0")))
 
-  override def all: Seq[Q] = Seq(v23, v26, v27, v48)
+  override def all: Seq[Q] = Seq(v23, v26, v27, v48, v62)
 }

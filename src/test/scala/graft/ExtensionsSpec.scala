@@ -98,5 +98,23 @@ class ExtensionsSpec extends SparkSpec {
     val pqRows = GraftInternal.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.SparkSession], pqPlan).count()
     assert(pqRows == 100L, s"ivfpq_search TVF plan returned $pqRows rows, expected 10 x 10")
+    // the last two tiers to gain a TVF surface (VERDICT r12 next #7):
+    // binary and IVF+SQ8, through the SAME injection path
+    assert(treg.functionExists(FunctionIdentifier("binary_search")), "binary_search not injected")
+    val binPlan = treg.lookupFunction(
+      FunctionIdentifier("binary_search"),
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(sf0001)),
+        Literal(10), Literal(10), Literal(50)))
+    val binRows = GraftInternal.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.SparkSession], binPlan).count()
+    assert(binRows == 100L, s"binary_search TVF plan returned $binRows rows, expected 10 x 10")
+    assert(treg.functionExists(FunctionIdentifier("ivfsq_search")), "ivfsq_search not injected")
+    val sqPlan = treg.lookupFunction(
+      FunctionIdentifier("ivfsq_search"),
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(sf0001)),
+        Literal(10), Literal(10), Literal(4)))
+    val sqRows = GraftInternal.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.SparkSession], sqPlan).count()
+    assert(sqRows == 100L, s"ivfsq_search TVF plan returned $sqRows rows, expected 10 x 10")
   }
 }
