@@ -54,6 +54,11 @@ object TextPipeline extends QModule {
   private def shingleFrameCached(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, s"shingles:$d")(shingleFrame(s, d))
 
+  // bench-truth probe seams (tools.PpjoinProbe stage-splits q79)
+  private[graft] def shingleProbeFrame(s: SparkSession, d: String): DataFrame =
+    shingleFrameCached(s, d)
+  private[graft] def shingleHashProbe(x: Column): Column = shingleHash(x)
+
   private def shingleFrame(s: SparkSession, d: String): DataFrame =
     shingleFrameOf(s, docs(s, d))
 
