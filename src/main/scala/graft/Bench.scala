@@ -133,8 +133,15 @@ object Bench {
     // Keep the line SHORT: the driver parses it from a bounded stdout tail
     // (r2's full-precision line overflowed the buffer -> "parsed": null).
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // a skipped registry self-describes like every other section, and
+    // its total is -1 (the per-query error convention), never a 0.000 a
+    // consumer could mistake for a measured zero-second suite
+    val qs =
+      if (skip.contains("registry")) """{"skipped":true}"""
+      else results.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
+    val total =
+      if (skip.contains("registry")) -1.0
+      else results.collect { case (_, v) if v >= 0 => v }.sum
     // kNN-graph BUILD slope (VERDICT r11 next #5) — runs FIRST among the
     // kernel sections: unlike the 2M/4M float legs (in-JVM corpora,
     // compute-bound), the graph build is shuffle-heavy, so its fork is

@@ -800,11 +800,16 @@ object KernelBench {
     // passes, the sweep self-heals the headline instead of publishing a
     // 9×-wrong number with no flag (r12's bin 107.6 vs same-run 12.3).
     // bf has no sweep; its per-pass spread is published instead.
-    val annSecH = math.min(annSec, annSweep(headIdx).searchTimeSec)
-    val sqSecH = math.min(sqSec, sqSweep(headIdx).searchTimeSec)
-    val pqSecH = math.min(pqSec, pqSweep(headIdx).searchTimeSec)
-    val binSecH = binSweep.find(_.ef == cfg.binRescore)
-      .map(l => math.min(binSec, l.searchTimeSec)).getOrElse(binSec)
+    // exact-dial find, never an index fallback: if the headline nProbe is
+    // not among the sweep levels there is no same-dial measurement to
+    // min with — mixing in a DIFFERENT dial's time would pair one dial's
+    // recall with another's latency
+    def dialMin(raw: Double, sweep: Seq[Report.SweepLevel], dial: Int): Double =
+      sweep.find(_.ef == dial).map(l => math.min(raw, l.searchTimeSec)).getOrElse(raw)
+    val annSecH = dialMin(annSec, annSweep, cfg.nProbe)
+    val sqSecH = dialMin(sqSec, sqSweep, cfg.nProbe)
+    val pqSecH = dialMin(pqSec, pqSweep, cfg.nProbe)
+    val binSecH = dialMin(binSec, binSweep, cfg.binRescore)
 
     Result(
       bfMsPerQuery = bfSec * 1000.0 / cfg.nQueries,

@@ -130,11 +130,12 @@ object Ann extends QModule {
     * — is protected by a `${path}_writer_lock` lease file.
     *
     *  - acquisition is create-exclusive (atomic on HDFS; the local-FS
-    *    test double shares the check-then-create window only between
-    *    in-JVM threads, which the JVM-side map already serializes) — a
-    *    second writer is REFUSED with [[WriterLeaseHeldException]], not
-    *    queued: at 100 TB a blocked mutator holding driver resources is
-    *    worse than a loud retry-later;
+    *    test double's non-atomic check-then-create window is closed by
+    *    a JVM-wide monitor around acquire, so two in-JVM threads can
+    *    never both win) — a second writer is REFUSED with
+    *    [[WriterLeaseHeldException]], not queued: at 100 TB a blocked
+    *    mutator holding driver resources is worse than a loud
+    *    retry-later;
     *  - a lease older than [[WriterLeaseTtlConf]] belongs to a crashed
     *    writer and is taken over; the verb entry-point recovery routines
     *    (recoverCompacting, replayPendingUpsert, merge resume) then heal
@@ -167,7 +168,14 @@ object Ann extends QModule {
   private def leaseLock(path: String) =
     new org.apache.hadoop.fs.Path(s"${path}_writer_lock")
 
-  private def acquireWriterLease(s: SparkSession, path: String): Long = {
+  // JVM-wide monitor over acquire: create(overwrite=false) is atomic on
+  // HDFS but a check-then-create on the local test FS — this monitor
+  // makes the in-JVM race impossible for real (two threads in one
+  // driver), leaving only genuinely-distinct JVMs to the FS's own
+  // create-exclusive semantics
+  private val leaseAcquireLock = new Object
+
+  private def acquireWriterLease(s: SparkSession, path: String): Long = leaseAcquireLock.synchronized {
     val (fs, _) = hfs(s, path)
     val lock = leaseLock(path)
     val ttl =
@@ -175,8 +183,18 @@ object Ann extends QModule {
       catch { case _: NumberFormatException => DefaultWriterLeaseTtlMs }
     try {
       val st = fs.getFileStatus(lock)
-      if (System.currentTimeMillis() - st.getModificationTime > ttl)
-        fs.delete(lock, false) // dead writer: fence it out and take over
+      if (System.currentTimeMillis() - st.getModificationTime > ttl) {
+        // dead writer: fence it out and take over — via atomic RENAME of
+        // the stale lease to a unique name, never a delete. Two racing
+        // takeover attempts both deleting would let BOTH create a fresh
+        // lock (the second delete removing the first winner's lease —
+        // the exact double-writer state the lease exists to prevent);
+        // with rename, exactly one racer's rename succeeds and the
+        // loser falls through to the create below and is refused.
+        val aside = new org.apache.hadoop.fs.Path(
+          s"${path}_writer_lock_expired_${System.nanoTime()}")
+        if (fs.rename(lock, aside)) fs.delete(aside, false)
+      }
     } catch { case _: java.io.FileNotFoundException => () }
     val out =
       try fs.create(lock, false)
@@ -188,13 +206,18 @@ object Ann extends QModule {
               "if the holder crashed")
       }
     // winner-only fence increment: serialized by lock ownership, so
-    // fence values are unique and monotone across takeovers
+    // fence values are unique and monotone across takeovers. An empty
+    // or garbled fence file (a writer died between the truncating
+    // create and the write) reads as the epoch it was, not an
+    // exception — throwing here AFTER creating the lock would wedge
+    // the artifact permanently (the lock leaks, every retry refuses,
+    // and the TTL takeover re-hits the same parse).
     val fencePath = new org.apache.hadoop.fs.Path(s"${path}_writer_fence")
     val prev =
       if (!fs.exists(fencePath)) 0L
       else {
         val in = fs.open(fencePath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption.getOrElse(0L)
         finally in.close()
       }
     val fence = prev + 1
@@ -468,7 +491,7 @@ object Ann extends QModule {
   def writeIndexArtifact(
       s: SparkSession, path: String,
       corpus: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)],
-      cs: Array[(Long, Array[Float])]): Unit = {
+      cs: Array[(Long, Array[Float])]): Unit = withWriterLease(s, path) {
     import s.implicits._
     assignWrite(s, path, corpus, cs, "overwrite")
     cs.toSeq.toDF("centroid_id", "ce").coalesce(1)
@@ -499,7 +522,7 @@ object Ann extends QModule {
       // heal a crashed compaction BEFORE appending: a post-crash append
       // into a partition the dead swap had already emptied would be
       // clobbered by the roll-forward's replace — recovering first makes
-      // the ordering impossible (one fs.exists when nothing crashed)
+      // the ordering impossible (two fs.exists when nothing crashed)
       recoverCompacting(s, path)
       val cs = centroidsFrame(s, path)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -689,6 +712,8 @@ object Ann extends QModule {
     * the interim. */
   private def recoverCompacting(s: SparkSession, path: String): Unit = {
     val (fs, _) = hfs(s, path)
+    var rolledReclaim = false
+    var rolled = false
     Seq(s"${path}_compacting", s"${path}_filecompacting").foreach { side =>
       val tmp = new org.apache.hadoop.fs.Path(side)
       if (fs.exists(tmp)) {
@@ -704,19 +729,35 @@ object Ann extends QModule {
               require(fs.rename(st.getPath, dst),
                 s"compaction roll-forward failed: ${st.getPath} -> $dst")
             }
+          rolled = true
+          // NOT endsWith: "_filecompacting" ends with "_compacting" too
+          if (side == s"${path}_compacting") rolledReclaim = true
         }
         Faults.point()
         fs.delete(tmp, true)
       }
     }
-    // heal stale manifests from ANY crash-after-reclaim state (not just
-    // a pending side dir): no-op unless some manifest pins a missing file
-    remanifestAfterRewrite(s, path)
+    if (rolled) remanifestAfterRewrite(s, path)
+    // a rolled-forward TOMBSTONE reclaim is a compaction the dead writer
+    // never finished: its tombstone set is still on disk (and may have
+    // gained entries since the crash — deleting it wholesale would lose
+    // those). FINISH the verb by re-running the reclaim: idempotent,
+    // applies post-crash tombstones too, empties fully-tombstoned
+    // partitions the roll-forward could not know about, and clears the
+    // set — so fsck's tombstones ⊆ live invariant holds after recovery
+    // from ANY verb, not just a compaction retry. The nested call's own
+    // recoverCompacting finds no side dir, so this cannot recurse.
+    if (rolledReclaim && !tombstonesAt(s, path).isEmpty) compactIndexAt(s, path)
   }
 
   def compactIndexAt(s: SparkSession, path: String): Unit = withWriterLease(s, path) {
     import s.implicits._
     recoverCompacting(s, path)
+    // heal stale manifests from a predecessor that crashed after its
+    // reclaim but before its re-manifest (no side dir left to detect);
+    // kept OFF the hot append path — compaction entry is the right place
+    // to pay a manifest-resolution scan, a per-micro-batch append is not
+    remanifestAfterRewrite(s, path)
     val tomb = tombstonesAt(s, path)
     val affected = tomb.select($"centroid_id").distinct().as[Long].collect().sorted
     if (affected.nonEmpty) {
@@ -792,6 +833,7 @@ object Ann extends QModule {
     // overwrite of `_filecompacting` would otherwise destroy the only
     // copy of any partition the dead swap had already deleted (ADVICE r12)
     recoverCompacting(s, path)
+    remanifestAfterRewrite(s, path) // compactIndexAt's entry-heal rationale
     val (fs, root) = hfs(s, path)
     val affected = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))

@@ -130,12 +130,22 @@ object Pq extends QModule {
       rows.foreach { case (_, v) =>
         if (dim < 0) { dim = v.length; sums = new Array(k * dim); cnts = new Array(k * dim) }
         val codes = encodeVec(v, codesArr)
-        var p = 0
-        while (p < dim) {
-          val cell = idToIdx(codes(p / SubDim)) * dim + p
-          sums(cell) += v(p).toDouble
-          cnts(cell) += 1
-          p += 1
+        // per-SUBVECTOR outer loop: the winning code (and with it the
+        // cell base offset) is constant across a subspace's SubDim
+        // elements — hoisting the map lookup out of the element loop
+        // keeps the hot path at one hash probe per subvector, not one
+        // per element
+        var m = 0
+        while (m < codes.length) {
+          val base = idToIdx(codes(m)) * dim
+          var p = m * SubDim
+          val end = math.min(p + SubDim, dim)
+          while (p < end) {
+            sums(base + p) += v(p).toDouble
+            cnts(base + p) += 1
+            p += 1
+          }
+          m += 1
         }
       }
       if (dim < 0) Iterator.empty

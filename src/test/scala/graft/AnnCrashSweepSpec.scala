@@ -166,6 +166,31 @@ class AnnCrashSweepSpec extends SparkSpec {
     assert(swept >= 6, s"file-compaction sweep covered only $swept points")
   }
 
+  test("a crashed reclaim healed by a NON-compaction verb still finishes the compaction") {
+    // the sweep retries the verb that crashed; this pins the
+    // heterogeneous-heal path (round-13 self-review finding): a
+    // compaction dies mid-swap, and the NEXT verb is a streaming-style
+    // append — recovery must not just roll the swap forward but FINISH
+    // the reclaim (clear the applied tombstones), or fsck's
+    // tombstones ⊆ live gate stays red on a healthy artifact
+    val root = s"/tmp/graft_sweep_heteroheal_${System.nanoTime()}"
+    try {
+      mkArtifact(root, 0 until 60)
+      Ann.deleteFromIndexAt(s2, root, col("doc_id") % 4 === 1)
+      // crash right after the survivors write completed, before the swap
+      Faults.arm(1)
+      intercept[Faults.InjectedCrash] { Ann.compactIndexAt(s2, root) }
+      Faults.disarm()
+      Ann.addVectors(s2, root, spark.createDataset(rows(60 until 70)))
+      assert(Ann.tombstonesAt(s2, root).isEmpty,
+        "recovery via a non-compaction verb left applied tombstones behind")
+      val expected = ((0 until 60).filter(_ % 4 != 1) ++ (60 until 70))
+        .map(i => i.toLong -> dvec(i.toLong).head).toMap
+      assert(state(root) == expected, "heterogeneous heal lost or resurrected rows")
+      assertFsckGreen(root, "non-compaction heal")
+    } finally rm(root)
+  }
+
   test("shard merge converges from a crash at every fault point") {
     var n = 0
     val fixture = () => {
