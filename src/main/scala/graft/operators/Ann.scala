@@ -196,6 +196,9 @@ object Ann extends QModule {
         if (fs.rename(lock, aside)) fs.delete(aside, false)
       }
     } catch { case _: java.io.FileNotFoundException => () }
+    // sweep aside-files a takeover crashed between its rename and delete
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"${path}_writer_lock_expired_*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
     val out =
       try fs.create(lock, false)
       catch {
@@ -1429,6 +1432,140 @@ object Ann extends QModule {
     * dim · iters) on the driver no matter how oversized the list is. */
   val RebalanceTrainSample = 4096
 
+  /** RETIRE a partition instead of deleting it: the split verbs
+    * ([[rebalanceIndex]], [[repairDrifted]] k>1) move the source list
+    * aside to `${path}_retired/centroid_id=<cid>` so that until the
+    * quantizer swap COMMITS the split, a complete copy of every moved
+    * row exists either live or retired — the fault-point sweep showed
+    * the old delete left a crash window where the rows lived only in
+    * sub-lists the (unswapped) quantizer could not reach, and a retry
+    * saw nothing to redo. */
+  private def retirePartition(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, cid: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"${path}_retired")
+    fs.mkdirs(dir)
+    val src = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
+    val dst = new org.apache.hadoop.fs.Path(dir, s"centroid_id=$cid")
+    fs.delete(dst, true) // a stale copy from an earlier recovered crash
+    require(fs.rename(src, dst), s"retire failed: $src -> $dst")
+  }
+
+  /** Recovery for the resharding verbs (split/rebalance/repair) — called
+    * at their entry, inside the lease. The COMMIT point of a split is
+    * the `_centroids` sidecar swap; everything before it must roll BACK
+    * and everything after it must be garbage-collected, keyed entirely
+    * off the settled quantizer state:
+    *
+    *  1. settle an interrupted sidecar swap (complete `_tmp`, live
+    *     missing → roll forward = the dead verb committed; `_old`, live
+    *     missing → roll back), and DELETE a stale uncommitted `_tmp` /
+    *     `_old` when live exists — an orphaned complete `_tmp` could
+    *     otherwise be rolled forward by a later crash, committing a
+    *     quantizer whose data this recovery is about to roll back;
+    *  2. drop the `_rebalancing` / `_driftrepair` side dirs — their
+    *     contents are redundant copies of rows that are live or retired;
+    *  3. for each retired partition: quantizer still CONTAINS its cid →
+    *     the split never committed → restore it (rename back); quantizer
+    *     lacks it → the split committed → drop the old copy;
+    *  4. drop every live partition whose cid the quantizer lacks —
+    *     uncommitted split output whose source rows are live again after
+    *     step 3. (Safe only because every committed verb keeps
+    *     partitions ⊆ quantizer; an artifact mid-initial-build has no
+    *     `_centroids` yet and is skipped.)
+    *
+    * Idempotent at every internal fault point: each step re-derives its
+    * work from what is still on disk. */
+  private def recoverResharding(s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    val (fs, root) = hfs(s, path)
+    if (!fs.exists(root)) return
+    def settle(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+      if (!fs.exists(live)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+          Faults.point()
+          require(fs.rename(tmp, live), s"$name roll-forward failed at $path")
+          fs.delete(old, true)
+        } else if (fs.exists(old)) {
+          Faults.point()
+          require(fs.rename(old, live), s"$name roll-back failed at $path")
+          fs.delete(tmp, true)
+        }
+      } else if (fs.exists(old)) { Faults.point(); fs.delete(old, true); () }
+    }
+    // settle the QUANTIZER swap first — it is the split's commit point,
+    // and every decision below keys off the settled quantizer
+    settle("_centroids")
+    val centsLive = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    val centsTmp = new org.apache.hadoop.fs.Path(s"$path/_centroids_tmp")
+    if (fs.exists(centsLive) && fs.exists(centsTmp)) {
+      // a quantizer staged but never swapped is UNCOMMITTED — delete it
+      // (left around, a later crash could roll it forward and commit a
+      // quantizer whose data this recovery is about to roll back)
+      Faults.point(); fs.delete(centsTmp, true)
+    }
+    Seq(s"${path}_rebalancing", s"${path}_driftrepair").foreach { sd =>
+      val p = new org.apache.hadoop.fs.Path(sd)
+      if (fs.exists(p)) { Faults.point(); fs.delete(p, true) }
+    }
+    if (!fs.exists(centsLive)) return // mid-initial-build: not ours to judge
+    val retiredDir = new org.apache.hadoop.fs.Path(s"${path}_retired")
+    val retired: Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
+      if (!fs.exists(retiredDir)) Seq.empty
+      else fs.listStatus(retiredDir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+        .map(st => st.getPath.getName.stripPrefix("centroid_id=").toLong -> st)
+    val quantizer = s.read.parquet(s"$path/_centroids")
+      .select(col("centroid_id").cast("long")).as[Long].collect().toSet
+    // the retired dir doubles as the commit marker: all retired cids
+    // leave the quantizer together at the swap, so "none still in the
+    // quantizer" ⇔ the split COMMITTED and only its cleanup remains
+    val committed = retired.nonEmpty && !retired.exists(r => quantizer.contains(r._1))
+    // the drift base rides the same transaction: staged BEFORE the
+    // quantizer swap ([[repairDrifted]]'s write order), so a committed
+    // split whose base swap never ran has a complete `_drift_base_tmp`
+    // to roll FORWARD — without this, the retry saw freshly-minted
+    // lists with no base row and re-SPLIT them (found by the sweep:
+    // fingerprint diverged, six mints instead of three)
+    val baseLive = new org.apache.hadoop.fs.Path(s"$path/_drift_base")
+    val baseTmp = new org.apache.hadoop.fs.Path(s"$path/_drift_base_tmp")
+    val baseOld = new org.apache.hadoop.fs.Path(s"$path/_drift_base_old")
+    if (!fs.exists(baseLive)) settle("_drift_base")
+    else {
+      if (fs.exists(baseTmp)) {
+        if (committed && fs.exists(new org.apache.hadoop.fs.Path(baseTmp, "_SUCCESS")))
+          swapSidecar(s, path, "_drift_base")
+        else { Faults.point(); fs.delete(baseTmp, true); () }
+      }
+      // a swap that died between its tmp rename and its old-copy drop
+      if (fs.exists(baseOld)) { Faults.point(); fs.delete(baseOld, true); () }
+    }
+    retired.foreach { case (cid, st) =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
+      if (quantizer.contains(cid)) {
+        // uncommitted: roll BACK — restore the source partition
+        if (!fs.exists(live)) {
+          Faults.point()
+          require(fs.rename(st.getPath, live), s"retired restore failed: $cid")
+        } else { Faults.point(); fs.delete(st.getPath, true) }
+      } else { Faults.point(); fs.delete(st.getPath, true) } // committed: old copy
+    }
+    if (fs.exists(retiredDir)) fs.delete(retiredDir, true)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+      .foreach { st =>
+        st.getPath.getName.stripPrefix("centroid_id=").toLongOption.foreach { cid =>
+          if (!quantizer.contains(cid)) { Faults.point(); fs.delete(st.getPath, true) }
+        }
+      }
+    // a predecessor may have COMMITTED its rewrite then died before its
+    // re-manifest — and its retry early-returns (nothing left to split),
+    // so the verb-end remanifest is unreachable; heal here instead
+    remanifestAfterRewrite(s, path)
+  }
+
   /** REBALANCE the inverted lists that v32's imbalance diagnostic flags
     * (VERDICT r8 next #5): every list whose size exceeds `tau` × the
     * mean is SPLIT into ⌈size/mean⌉ sub-lists — a local spherical
@@ -1448,6 +1585,7 @@ object Ann extends QModule {
       s: SparkSession, path: String,
       tau: Double = 2.0, iters: Int = 5): RebalanceReport = withWriterLease(s, path) {
     import s.implicits._
+    recoverResharding(s, path)
     def sizes(): Map[Long, Long] = s.read.parquet(path)
       .withColumn("centroid_id", col("centroid_id").cast("long"))
       .groupBy($"centroid_id").count()
@@ -1483,19 +1621,32 @@ object Ann extends QModule {
       }
       nextCid += k
       val tmp = s"${path}_rebalancing"
+      Faults.point()
       assignWrite(s, tmp, rows, sub, "overwrite")
       sub.foreach { case (scid, _) =>
         val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$scid")
         val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$scid")
-        if (fs.exists(src)) { fs.delete(dst, true); fs.rename(src, dst) }
+        if (fs.exists(src)) {
+          Faults.point()
+          fs.delete(dst, true)
+          Faults.point()
+          fs.rename(src, dst)
+        }
       }
+      Faults.point()
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid"), true)
+      // RETIRE the source list, never delete it: until the quantizer
+      // swap below commits, a crash must leave every row reachable by a
+      // roll-back (recoverResharding restores retired partitions whose
+      // cid the still-old quantizer contains)
+      Faults.point()
+      retirePartition(fs, path, cid)
       centsMap.remove(cid)
       sub.foreach { case (scid, v) => centsMap += scid -> v }
     }
     // same crash-safe swap as repairDrifted ([[swapSidecar]]): a
     // complete copy of the quantizer exists on disk at every instant
+    Faults.point()
     centsMap.toSeq.toDF("centroid_id", "ce").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids_tmp")
     swapSidecar(s, path, "_centroids")
@@ -1506,6 +1657,9 @@ object Ann extends QModule {
     // (VERDICT r11 next #6: this is the invariant graphRefinedSearchAsOf
     // depends on, now enforced at every centroid rewrite)
     remanifestAfterRewrite(s, path)
+    // the swap committed: the retired source lists are garbage now
+    Faults.point()
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}_retired"), true)
     val after = sizes()
     RebalanceReport(imb(before), imb(after), before, after, over)
   }
@@ -2086,6 +2240,7 @@ object Ann extends QModule {
     * (pre-split) centroid ids. */
   def repairDrifted(s: SparkSession, path: String, iters: Int = 5): Seq[Long] = withWriterLease(s, path) {
     import s.implicits._
+    recoverResharding(s, path)
     val frame = driftFrameAt(s, path)
       .select($"centroid_id", $"n_base", $"n_full", $"drifted")
       .as[(Long, Long, Long, Int)].collect()
@@ -2115,40 +2270,51 @@ object Ann extends QModule {
         val scid = if (k == 1) cid else nextCid + i
         (scid, if (nrm > 0f) v.map(x => x / nrm) else v)
       }
-      if (k > 1) nextCid += k
-      val tmp = s"${path}_driftrepair"
-      assignWrite(s, tmp, rows, sub, "overwrite")
-      sub.foreach { case (scid, _) =>
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$scid")
-        val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$scid")
-        if (fs.exists(src)) { fs.delete(dst, true); fs.rename(src, dst) }
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       if (k > 1) {
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid"), true)
+        nextCid += k
+        val tmp = s"${path}_driftrepair"
+        Faults.point()
+        assignWrite(s, tmp, rows, sub, "overwrite")
+        sub.foreach { case (scid, _) =>
+          val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$scid")
+          val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$scid")
+          if (fs.exists(src)) {
+            Faults.point()
+            fs.delete(dst, true)
+            Faults.point()
+            fs.rename(src, dst)
+          }
+        }
+        Faults.point()
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // retire, never delete — the roll-back source until the
+        // quantizer swap commits ([[retirePartition]]'s rationale)
+        Faults.point()
+        retirePartition(fs, path, cid)
         centsMap.remove(cid)
         minted ++= sub.map(_._1)
       }
+      // k == 1 re-centers IN PLACE, and in-place means NO data motion at
+      // all: the re-encoded rows are bit-identical (same doc_id, label,
+      // embedding, same single list) — only the centroid VECTOR changes,
+      // so the old rewrite bought nothing and carried an in-place
+      // delete-then-rename crash window (found by the fault-point sweep)
       sub.foreach { case (scid, v) => centsMap += scid -> v }
     }
-    // quantizer swap via [[swapSidecar]] (ADVICE r11 asked for side dir
-    // + rename; the r12 review found delete-then-rename still left a
-    // no-quantizer crash window between the delete and the rename — the
-    // rename-aside protocol closes it: the sidecar is ALWAYS either
-    // old-complete or new-complete on disk, and [[sidecarFrame]] rolls
-    // an interrupted swap forward or back on the next read; a crash
-    // BEFORE the swap leaves the old quantizer valid while the
-    // persistent drift flags re-trigger this repair on the next run)
-    centsMap.toSeq.toDF("centroid_id", "ce").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_centroids_tmp")
-    swapSidecar(s, path, "_centroids")
-    // advance the training snapshot for the REPAIRED region only:
-    // repaired lists and the sub-lists THIS call minted re-base to their
-    // current counts (their quantizer was just retrained on the current
-    // universe); every other list keeps its original snapshot row —
-    // including live lists that never had one (e.g. minted by an earlier
-    // rebalance and still under the flag threshold): sweeping those in
-    // would silently mask their accumulated drift (ADVICE r11).
+    // STAGE THE REBASE BEFORE THE COMMIT. The training snapshot advances
+    // for the REPAIRED region only: repaired lists and the sub-lists
+    // THIS call minted re-base to their current counts (their quantizer
+    // was just retrained on the current universe); every other list
+    // keeps its original snapshot row — including live lists that never
+    // had one (e.g. minted by an earlier rebalance and still under the
+    // flag threshold): sweeping those in would silently mask their
+    // accumulated drift (ADVICE r11). The staged `_drift_base_tmp` is
+    // COMPLETE before the quantizer swap, making that swap the single
+    // commit point of the whole repair: a crash between the two swaps
+    // leaves a committed quantizer + a staged base that
+    // [[recoverResharding]] rolls forward — the fault-point sweep caught
+    // the old write-after-commit order leaving minted lists base-less,
+    // which the retry then re-SPLIT (six mints instead of three).
     val repairedCids = flagged.map(_._1).toSet
     val keptBase = sidecarFrame(s, path, "_drift_base")
       .select($"centroid_id".cast("long").as("centroid_id"), $"n_base")
@@ -2161,10 +2327,20 @@ object Ann extends QModule {
       .agg(count(lit(1)).as("n_base"))
       .as[(Long, Long)].collect()
       .filter { case (cid, _) => rebaseCids.contains(cid) }
+    Faults.point()
     (keptBase ++ rebased).toSeq.sortBy(_._1).toDF("centroid_id", "n_base")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_drift_base_tmp")
+    // quantizer swap via [[swapSidecar]] (rename-aside: the sidecar is
+    // ALWAYS either old-complete or new-complete on disk) — THE commit
+    Faults.point()
+    centsMap.toSeq.toDF("centroid_id", "ce").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids_tmp")
+    swapSidecar(s, path, "_centroids")
     swapSidecar(s, path, "_drift_base")
     remanifestAfterRewrite(s, path)
+    // committed and re-based: the retired source lists are garbage now
+    Faults.point()
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}_retired"), true)
     flagged.map(_._1)
   }
 
@@ -2527,11 +2703,17 @@ object Ann extends QModule {
       val live = new org.apache.hadoop.fs.Path(s"$path/$name")
       val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
       val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+      Faults.point()
       fs.delete(old, true)
-      if (fs.exists(live))
+      if (fs.exists(live)) {
+        Faults.point()
         require(fs.rename(live, old), s"$name swap: rename-aside failed at $path")
+      }
+      Faults.point()
       require(fs.rename(tmp, live), s"$name swap failed at $path")
+      Faults.point()
       fs.delete(old, true)
+      ()
     }
 
   /** Serializes [[swapSidecar]] against [[sidecarFrame]]'s recovery —
@@ -2776,11 +2958,14 @@ object Ann extends QModule {
     val debris = Seq(
       s"${path}_compacting", s"${path}_filecompacting",
       s"${path}_rebalancing", s"${path}_driftrepair",
+      s"${path}_retired",
       s"$path/_upsert_pending", s"$path/_MERGE_STARTED",
       s"$path/_centroids_tmp", s"$path/_centroids_old",
       s"$path/_graph_serve_tmp", s"$path/_graph_serve_old",
-      s"$path/_drift_base_tmp")
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      s"$path/_drift_base_tmp", s"$path/_drift_base_old")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p))) ++
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"${path}_writer_lock_expired_*")))
+        .getOrElse(Array.empty).map(_.getPath.toString).toSeq
     check("no_recovery_debris", debris.isEmpty,
       s"crashed-verb leftovers (run the owning verb to recover): ${debris.mkString(", ")}")
     val lock = leaseLock(path)

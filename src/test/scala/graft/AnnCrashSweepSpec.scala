@@ -67,18 +67,24 @@ class AnnCrashSweepSpec extends SparkSpec {
 
   /** Sweep one verb: `fixture` builds a fresh artifact set, `verb` is
     * the mutation under test (idempotent under retry by contract),
-    * `expected` is the crash-free final state of `artifact(root)`.
-    * Returns the number of fault points crashed. */
+    * `expected` is the crash-free final state of `artifact(root)`, and
+    * `fingerprint` captures any extra deterministic final-state facet
+    * (e.g. the post-split quantizer ids) on the crash-free run and is
+    * re-asserted after every crash + retry. Returns the number of
+    * fault points crashed. */
   private def sweep(
       name: String)(fixture: () => String)(verb: String => Unit)(
-      expected: Map[Long, Float], artifact: String => String = identity): Int = {
-    // dry run: verify the crash-free oracle and learn nothing else
-    locally {
+      expected: Map[Long, Float], artifact: String => String = identity,
+      fingerprint: String => Any = _ => ()): Int = {
+    // dry run: verify the crash-free oracle and capture the fingerprint
+    val fp0 = {
       val root = fixture()
       verb(root)
       assert(state(artifact(root)) == expected, s"$name: crash-free run != oracle")
       assertFsckGreen(artifact(root), s"$name crash-free")
+      val fp = fingerprint(artifact(root))
       rm(root)
+      fp
     }
     var k = 0
     var done = false
@@ -101,6 +107,8 @@ class AnnCrashSweepSpec extends SparkSpec {
         verb(root)
         assert(state(artifact(root)) == expected,
           s"$name: state after crash@$k + retry != oracle (points hit: $pointsThisRun)")
+        assert(fingerprint(artifact(root)) == fp0,
+          s"$name: fingerprint after crash@$k + retry diverged from crash-free run")
         assertFsckGreen(artifact(root), s"$name crash@$k + retry")
       }
       rm(root)
@@ -189,6 +197,81 @@ class AnnCrashSweepSpec extends SparkSpec {
       assert(state(root) == expected, "heterogeneous heal lost or resurrected rows")
       assertFsckGreen(root, "non-compaction heal")
     } finally rm(root)
+  }
+
+  // planted-skew helpers for the resharding sweeps (AnnRebalanceSpec's
+  // fixture shape at dim 8)
+  private def near(axis: Int, tilt: Int, w: Float): Array[Float] = {
+    val v = unit(axis)
+    v(tilt) = w
+    val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+    v.map(_ / n)
+  }
+
+  private def quantizerIds(path: String): Seq[Long] =
+    s2.read.parquet(s"$path/_centroids")
+      .select($"centroid_id".cast("long")).as[Long].collect().sorted.toSeq
+
+  test("rebalance converges from a crash at every fault point") {
+    var n = 0
+    val fixture = () => {
+      val root = s"/tmp/graft_sweep_rebalance_${System.nanoTime()}_$n"
+      n += 1
+      // list 0 HOT (120 docs, 3 genuine sub-clusters), lists 1-3 hold 20
+      // each: 120 > tau * mean = 2 * 45
+      val cents = Array.tabulate(4)(c => (c.toLong, unit(c)))
+      val hot = (0 until 120).map(i =>
+        (i.toLong, near(0, 4 + i % 3, 0.35f + 0.01f * (i % 5)), i % 3))
+      val cold = (0 until 60).map(i =>
+        (1000L + i, near(1 + i % 3, 7, 0.2f), i % 3))
+      Ann.writeIndexArtifact(spark, root, spark.createDataset(hot ++ cold), cents)
+      root
+    }
+    val expected = {
+      val hot = (0 until 120).map(i =>
+        i.toLong -> near(0, 4 + i % 3, 0.35f + 0.01f * (i % 5)).head)
+      val cold = (0 until 60).map(i => (1000L + i) -> near(1 + i % 3, 7, 0.2f).head)
+      (hot ++ cold).toMap
+    }
+    val swept = sweep("rebalanceIndex")(fixture)(root =>
+      { Ann.rebalanceIndex(s2, root, tau = 2.0); () })(
+      expected,
+      // the split itself must survive any crash + retry: same minted
+      // quantizer (deterministic sample + k-means), hot list retired
+      fingerprint = quantizerIds)
+    assert(swept >= 8, s"rebalance sweep covered only $swept points")
+  }
+
+  test("drift repair (k>1 split + k=1 recenters) converges from a crash at every fault point") {
+    var n = 0
+    val fixture = () => {
+      val root = s"/tmp/graft_sweep_repair_${System.nanoTime()}_$n"
+      n += 1
+      // 4 balanced lists of 20, then a 150-doc pileup in list 0's
+      // region: list 0 flags with k = ceil(170/57.5) = 3 (true split),
+      // lists 1-3 flag with k = 1 (in-place recenters)
+      val cents = Array.tabulate(4)(c => (c.toLong, unit(c)))
+      val base = (0 until 4).flatMap(c =>
+        (0 until 20).map(i => (c * 1000L + i, near(c, 4 + i % 3, 0.25f), i % 3)))
+      Ann.writeIndexArtifact(spark, root, spark.createDataset(base), cents)
+      Ann.writeDriftBase(spark, root)
+      Ann.snapshotIndex(s2, root) // the re-manifest path must be exercised
+      Ann.addVectors(s2, root, spark.createDataset(
+        (0 until 150).map(i =>
+          (10000L + i, near(0, 4 + i % 3, 0.35f + 0.01f * (i % 5)), i % 3))))
+      root
+    }
+    val expected = {
+      val base = (0 until 4).flatMap(c =>
+        (0 until 20).map(i => (c * 1000L + i) -> near(c, 4 + i % 3, 0.25f).head))
+      val piled = (0 until 150).map(i =>
+        (10000L + i) -> near(0, 4 + i % 3, 0.35f + 0.01f * (i % 5)).head)
+      (base ++ piled).toMap
+    }
+    val swept = sweep("repairDrifted")(fixture)(root =>
+      { Ann.repairDrifted(s2, root); () })(
+      expected, fingerprint = quantizerIds)
+    assert(swept >= 10, s"repair sweep covered only $swept points")
   }
 
   test("shard merge converges from a crash at every fault point") {
