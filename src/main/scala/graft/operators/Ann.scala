@@ -193,7 +193,22 @@ object Ann extends QModule {
         // loser falls through to the create below and is refused.
         val aside = new org.apache.hadoop.fs.Path(
           s"${path}_writer_lock_expired_${System.nanoTime()}")
-        if (fs.rename(lock, aside)) fs.delete(aside, false)
+        if (fs.rename(lock, aside)) {
+          // RE-VERIFY on the aside copy we now own exclusively: the
+          // staleness decision above was made from an earlier stat, and
+          // a cross-JVM racer may have completed its own takeover in
+          // between — in which case what we just renamed aside is that
+          // racer's FRESH lease, which must go back, not be deleted
+          // (r13 review: the stat-then-rename TOCTOU)
+          val still = System.currentTimeMillis() -
+            fs.getFileStatus(aside).getModificationTime > ttl
+          if (still) fs.delete(aside, false)
+          else if (!fs.rename(aside, lock))
+            // the victim's slot was re-filled while we held its lease
+            // aside — leave the aside copy for the debris sweep and
+            // refuse below rather than risk a third interleaving
+            ()
+        }
       }
     } catch { case _: java.io.FileNotFoundException => () }
     // sweep aside-files a takeover crashed between its rename and delete
@@ -209,24 +224,29 @@ object Ann extends QModule {
               "if the holder crashed")
       }
     // winner-only fence increment: serialized by lock ownership, so
-    // fence values are unique and monotone across takeovers. An empty
-    // or garbled fence file (a writer died between the truncating
-    // create and the write) reads as the epoch it was, not an
-    // exception — throwing here AFTER creating the lock would wedge
-    // the artifact permanently (the lock leaks, every retry refuses,
-    // and the TTL takeover re-hits the same parse).
+    // fence values are unique and monotone across takeovers. The update
+    // is tmp-write + rename — a truncating in-place write could crash
+    // into an EMPTY fence file, and tolerating that as 0 would restart
+    // the counter and alias a historic fence (r13 review: a zombie
+    // holding the aliased fence could then delete the current holder's
+    // lease). Read rule mirrors the write's crash states: live value,
+    // else the staged tmp (crash between delete and rename), else 0.
     val fencePath = new org.apache.hadoop.fs.Path(s"${path}_writer_fence")
-    val prev =
-      if (!fs.exists(fencePath)) 0L
+    val fenceTmp = new org.apache.hadoop.fs.Path(s"${path}_writer_fence_tmp")
+    def readFence(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(fencePath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption.getOrElse(0L)
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption
         finally in.close()
       }
+    val prev = readFence(fencePath).orElse(readFence(fenceTmp)).getOrElse(0L)
     val fence = prev + 1
-    val fo = fs.create(fencePath, true)
+    val fo = fs.create(fenceTmp, true)
     try fo.write(fence.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally fo.close()
+    fs.delete(fencePath, false)
+    require(fs.rename(fenceTmp, fencePath), s"fence update failed at $fencePath")
     try out.write(
       s"fence=$fence\npid=${ProcessHandle.current().pid()}\nts=${System.currentTimeMillis()}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -715,6 +735,13 @@ object Ann extends QModule {
     * the interim. */
   private def recoverCompacting(s: SparkSession, path: String): Unit = {
     val (fs, _) = hfs(s, path)
+    // heal a crashed SPLIT first (one fs.exists when nothing crashed):
+    // every mutator funnels through here, so no append/delete/compact
+    // can act on a half-resharded artifact — an interleaved addVectors
+    // assigning rows against a stale quantizer would otherwise recreate
+    // a live partition whose only rollback copy sits retired, and the
+    // split's own retry would then delete that copy (r13 review)
+    recoverResharding(s, path)
     var rolledReclaim = false
     var rolled = false
     Seq(s"${path}_compacting", s"${path}_filecompacting").foreach { side =>
@@ -740,7 +767,18 @@ object Ann extends QModule {
         fs.delete(tmp, true)
       }
     }
-    if (rolled) remanifestAfterRewrite(s, path)
+    // the `_remanifest_pending` marker (written by the compaction verbs
+    // before their swap, cleared after their remanifest) makes the
+    // crash-after-reclaim-before-remanifest state detectable by ONE
+    // fs.exists from every mutator — the r12 review moved the heal off
+    // the hot append path wholesale, which left a streaming-ingest-only
+    // artifact's search-as-of broken indefinitely (r13 review); the
+    // marker restores the any-mutator heal at O(1) hot-path cost
+    val remanPending = new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending")
+    if (rolled || fs.exists(remanPending)) {
+      remanifestAfterRewrite(s, path)
+      fs.delete(remanPending, false)
+    }
     // a rolled-forward TOMBSTONE reclaim is a compaction the dead writer
     // never finished: its tombstone set is still on disk (and may have
     // gained entries since the crash — deleting it wholesale would lose
@@ -756,11 +794,6 @@ object Ann extends QModule {
   def compactIndexAt(s: SparkSession, path: String): Unit = withWriterLease(s, path) {
     import s.implicits._
     recoverCompacting(s, path)
-    // heal stale manifests from a predecessor that crashed after its
-    // reclaim but before its re-manifest (no side dir left to detect);
-    // kept OFF the hot append path — compaction entry is the right place
-    // to pay a manifest-resolution scan, a per-micro-batch append is not
-    remanifestAfterRewrite(s, path)
     val tomb = tombstonesAt(s, path)
     val affected = tomb.select($"centroid_id").distinct().as[Long].collect().sorted
     if (affected.nonEmpty) {
@@ -772,6 +805,11 @@ object Ann extends QModule {
         .join(broadcast(tomb.select($"doc_id").distinct()), Seq("doc_id"), "left_anti")
         .select($"doc_id", $"label", $"embedding", $"centroid_id")
         .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+      // marker BEFORE the first destructive op: a crash anywhere between
+      // here and the remanifest below leaves it for recoverCompacting's
+      // O(1) any-mutator heal
+      Faults.point()
+      fs.create(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), true).close()
       affected.foreach { cid =>
         val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
         val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cid")
@@ -785,6 +823,8 @@ object Ann extends QModule {
       Faults.point()
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
       remanifestAfterRewrite(s, path)
+      Faults.point()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), false)
     }
   }
 
@@ -836,7 +876,6 @@ object Ann extends QModule {
     // overwrite of `_filecompacting` would otherwise destroy the only
     // copy of any partition the dead swap had already deleted (ADVICE r12)
     recoverCompacting(s, path)
-    remanifestAfterRewrite(s, path) // compactIndexAt's entry-heal rationale
     val (fs, root) = hfs(s, path)
     val affected = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
@@ -851,6 +890,9 @@ object Ann extends QModule {
         .repartition(affected.length, $"centroid_id")
         .select($"doc_id", $"label", $"embedding", $"centroid_id")
         .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+      // compactIndexAt's marker rationale: O(1) any-mutator heal window
+      Faults.point()
+      fs.create(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), true).close()
       affected.foreach { cid =>
         val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
         val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cid")
@@ -862,6 +904,8 @@ object Ann extends QModule {
       Faults.point()
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       remanifestAfterRewrite(s, path)
+      Faults.point()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), false)
     }
   }
 
@@ -1479,6 +1523,17 @@ object Ann extends QModule {
     import s.implicits._
     val (fs, root) = hfs(s, path)
     if (!fs.exists(root)) return
+    // the `_reshard_pending` marker (created before a split's first
+    // mutation, deleted after its last cleanup) is the cheap authority:
+    // one fs.exists on every mutator's entry when nothing crashed. It
+    // also makes this recovery reachable from EVERY mutator (via
+    // [[recoverCompacting]]) — the round-13 review showed that healing
+    // only at the resharding verbs' own entry let an interleaved
+    // addVectors assign rows against the stale quantizer and RECREATE a
+    // live partition whose only rollback copy sat retired, which the
+    // eventual retry's recovery then deleted as a duplicate.
+    val marker = new org.apache.hadoop.fs.Path(s"${path}_reshard_pending")
+    if (!fs.exists(marker)) return
     def settle(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$name")
       val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_tmp")
@@ -1496,15 +1551,20 @@ object Ann extends QModule {
       } else if (fs.exists(old)) { Faults.point(); fs.delete(old, true); () }
     }
     // settle the QUANTIZER swap first — it is the split's commit point,
-    // and every decision below keys off the settled quantizer
-    settle("_centroids")
+    // and every decision below keys off the settled quantizer. Under
+    // sidecarSwapLock: settle shares rename targets with sidecarFrame's
+    // own read-path recovery, and an unlocked race would make the
+    // loser's require() throw on a healthy artifact (r13 review)
     val centsLive = new org.apache.hadoop.fs.Path(s"$path/_centroids")
     val centsTmp = new org.apache.hadoop.fs.Path(s"$path/_centroids_tmp")
-    if (fs.exists(centsLive) && fs.exists(centsTmp)) {
-      // a quantizer staged but never swapped is UNCOMMITTED — delete it
-      // (left around, a later crash could roll it forward and commit a
-      // quantizer whose data this recovery is about to roll back)
-      Faults.point(); fs.delete(centsTmp, true)
+    sidecarSwapLock.synchronized {
+      settle("_centroids")
+      if (fs.exists(centsLive) && fs.exists(centsTmp)) {
+        // a quantizer staged but never swapped is UNCOMMITTED — delete it
+        // (left around, a later crash could roll it forward and commit a
+        // quantizer whose data this recovery is about to roll back)
+        Faults.point(); fs.delete(centsTmp, true); ()
+      }
     }
     Seq(s"${path}_rebalancing", s"${path}_driftrepair").foreach { sd =>
       val p = new org.apache.hadoop.fs.Path(sd)
@@ -1532,15 +1592,17 @@ object Ann extends QModule {
     val baseLive = new org.apache.hadoop.fs.Path(s"$path/_drift_base")
     val baseTmp = new org.apache.hadoop.fs.Path(s"$path/_drift_base_tmp")
     val baseOld = new org.apache.hadoop.fs.Path(s"$path/_drift_base_old")
-    if (!fs.exists(baseLive)) settle("_drift_base")
-    else {
-      if (fs.exists(baseTmp)) {
-        if (committed && fs.exists(new org.apache.hadoop.fs.Path(baseTmp, "_SUCCESS")))
-          swapSidecar(s, path, "_drift_base")
-        else { Faults.point(); fs.delete(baseTmp, true); () }
+    sidecarSwapLock.synchronized {
+      if (!fs.exists(baseLive)) settle("_drift_base")
+      else {
+        if (fs.exists(baseTmp)) {
+          if (committed && fs.exists(new org.apache.hadoop.fs.Path(baseTmp, "_SUCCESS")))
+            swapSidecar(s, path, "_drift_base")
+          else { Faults.point(); fs.delete(baseTmp, true); () }
+        }
+        // a swap that died between its tmp rename and its old-copy drop
+        if (fs.exists(baseOld)) { Faults.point(); fs.delete(baseOld, true); () }
       }
-      // a swap that died between its tmp rename and its old-copy drop
-      if (fs.exists(baseOld)) { Faults.point(); fs.delete(baseOld, true); () }
     }
     retired.foreach { case (cid, st) =>
       val live = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
@@ -1564,6 +1626,9 @@ object Ann extends QModule {
     // re-manifest — and its retry early-returns (nothing left to split),
     // so the verb-end remanifest is unreachable; heal here instead
     remanifestAfterRewrite(s, path)
+    Faults.point()
+    fs.delete(marker, false)
+    ()
   }
 
   /** REBALANCE the inverted lists that v32's imbalance diagnostic flags
@@ -1585,7 +1650,17 @@ object Ann extends QModule {
       s: SparkSession, path: String,
       tau: Double = 2.0, iters: Int = 5): RebalanceReport = withWriterLease(s, path) {
     import s.implicits._
-    recoverResharding(s, path)
+    // heal BOTH worlds' crash debris (recoverCompacting chains to
+    // recoverResharding) — splitting over a half-reclaimed artifact
+    // would snapshot the stale state and strand the crashed compaction's
+    // side dir under a cid the new quantizer no longer has (r13 review)
+    recoverCompacting(s, path)
+    // APPLY pending tombstones before any split: tombstones key on
+    // (doc, centroid_id), and moving the rows to minted sub-list ids
+    // would let the next compaction "apply" them against a partition
+    // that no longer exists, then clear the set — resurrecting the
+    // deleted docs (r13 review)
+    if (!tombstonesAt(s, path).isEmpty) compactIndexAt(s, path)
     def sizes(): Map[Long, Long] = s.read.parquet(path)
       .withColumn("centroid_id", col("centroid_id").cast("long"))
       .groupBy($"centroid_id").count()
@@ -1604,6 +1679,11 @@ object Ann extends QModule {
     val centsMap = scala.collection.mutable.LinkedHashMap(centsAll.toIndexedSeq: _*)
     var nextCid = centsAll.map(_._1).max + 1
     val (fs, _) = hfs(s, path)
+    // intent marker: from here to the post-commit cleanup, every mutator
+    // entry can see (one fs.exists) that a split is mid-flight and run
+    // [[recoverResharding]] before acting
+    Faults.point()
+    fs.create(new org.apache.hadoop.fs.Path(s"${path}_reshard_pending"), true).close()
     over.foreach { cid =>
       val k = math.max(2, math.ceil(before(cid) / mean).toInt)
       val rows = s.read.parquet(path)
@@ -1660,6 +1740,8 @@ object Ann extends QModule {
     // the swap committed: the retired source lists are garbage now
     Faults.point()
     fs.delete(new org.apache.hadoop.fs.Path(s"${path}_retired"), true)
+    Faults.point()
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}_reshard_pending"), false)
     val after = sizes()
     RebalanceReport(imb(before), imb(after), before, after, over)
   }
@@ -2240,7 +2322,10 @@ object Ann extends QModule {
     * (pre-split) centroid ids. */
   def repairDrifted(s: SparkSession, path: String, iters: Int = 5): Seq[Long] = withWriterLease(s, path) {
     import s.implicits._
-    recoverResharding(s, path)
+    // rebalanceIndex's entry rationale: heal both worlds, then apply
+    // pending tombstones before any row changes centroid_id
+    recoverCompacting(s, path)
+    if (!tombstonesAt(s, path).isEmpty) compactIndexAt(s, path)
     val frame = driftFrameAt(s, path)
       .select($"centroid_id", $"n_base", $"n_full", $"drifted")
       .as[(Long, Long, Long, Int)].collect()
@@ -2253,6 +2338,9 @@ object Ann extends QModule {
     var nextCid = centsAll.map(_._1).max + 1
     val minted = scala.collection.mutable.ArrayBuffer.empty[Long]
     val (fs, _) = hfs(s, path)
+    // rebalanceIndex's intent-marker rationale
+    Faults.point()
+    fs.create(new org.apache.hadoop.fs.Path(s"${path}_reshard_pending"), true).close()
     flagged.foreach { case (cid, nFull) =>
       val k = math.max(1, math.ceil(nFull / mean).toInt)
       val rows = indexFrame(s, path)
@@ -2341,6 +2429,8 @@ object Ann extends QModule {
     // committed and re-based: the retired source lists are garbage now
     Faults.point()
     fs.delete(new org.apache.hadoop.fs.Path(s"${path}_retired"), true)
+    Faults.point()
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}_reshard_pending"), false)
     flagged.map(_._1)
   }
 
@@ -2958,8 +3048,9 @@ object Ann extends QModule {
     val debris = Seq(
       s"${path}_compacting", s"${path}_filecompacting",
       s"${path}_rebalancing", s"${path}_driftrepair",
-      s"${path}_retired",
+      s"${path}_retired", s"${path}_reshard_pending",
       s"$path/_upsert_pending", s"$path/_MERGE_STARTED",
+      s"$path/_remanifest_pending",
       s"$path/_centroids_tmp", s"$path/_centroids_old",
       s"$path/_graph_serve_tmp", s"$path/_graph_serve_old",
       s"$path/_drift_base_tmp", s"$path/_drift_base_old")

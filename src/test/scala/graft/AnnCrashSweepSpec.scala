@@ -242,6 +242,87 @@ class AnnCrashSweepSpec extends SparkSpec {
     assert(swept >= 8, s"rebalance sweep covered only $swept points")
   }
 
+  test("a crashed split survives an INTERLEAVED append before its retry (heterogeneous sweep)") {
+    // the r13 review's data-loss scenario: rebalance crashes mid-split,
+    // and the next verb is NOT the retry but an addVectors — which
+    // assigns against whatever quantizer is live and may recreate a
+    // partition whose only rollback copy sits retired. The
+    // `_reshard_pending` marker routes every mutator entry through
+    // recoverResharding first, so the append always acts on a healed
+    // artifact. Swept at EVERY fault point of the split.
+    var n = 0
+    def fixture(): String = {
+      val root = s"/tmp/graft_sweep_hetero_${System.nanoTime()}_$n"
+      n += 1
+      val cents = Array.tabulate(4)(c => (c.toLong, unit(c)))
+      val hot = (0 until 120).map(i =>
+        (i.toLong, near(0, 4 + i % 3, 0.35f + 0.01f * (i % 5)), i % 3))
+      val cold = (0 until 60).map(i =>
+        (1000L + i, near(1 + i % 3, 7, 0.2f), i % 3))
+      Ann.writeIndexArtifact(spark, root, spark.createDataset(hot ++ cold), cents)
+      root
+    }
+    val delta = (0 until 10).map(i =>
+      (5000L + i, near(0, 4 + i % 3, 0.33f), i % 3))
+    val expectedDocs: Map[Long, Float] =
+      ((0 until 120).map(i => i.toLong -> near(0, 4 + i % 3, 0.35f + 0.01f * (i % 5)).head) ++
+        (0 until 60).map(i => (1000L + i) -> near(1 + i % 3, 7, 0.2f).head) ++
+        delta.map { case (id, v, _) => id -> v.head }).toMap
+    var k = 0
+    var done = false
+    while (!done) {
+      assert(k < 200, "runaway heterogeneous sweep")
+      val root = fixture()
+      Faults.arm(k)
+      val crashed =
+        try { Ann.rebalanceIndex(s2, root, tau = 2.0); false }
+        catch { case _: Faults.InjectedCrash => true }
+      Faults.disarm()
+      // the interleaved foreign mutator, then the retry
+      Ann.addVectors(s2, root, spark.createDataset(delta))
+      if (crashed) Ann.rebalanceIndex(s2, root, tau = 2.0)
+      assert(state(root) == expectedDocs,
+        s"hetero crash@$k: rows lost/duplicated/stale after append + retry")
+      assertFsckGreen(root, s"hetero crash@$k")
+      rm(root)
+      if (!crashed) done = true
+      k += 1
+    }
+    info(s"heterogeneous sweep: ${k - 1} fault points with an interleaved append")
+  }
+
+  test("pending tombstones survive a split: deleted docs never resurrect") {
+    // r13 review: tombstones key on (doc, centroid_id); a split moving
+    // rows to minted sub-lists while the tombstone still names the old
+    // cid would let the next compaction 'apply' nothing, clear the set,
+    // and resurrect the deleted docs. The verbs now apply pending
+    // tombstones BEFORE any row changes centroid_id.
+    val root = s"/tmp/graft_sweep_tombsplit_${System.nanoTime()}"
+    try {
+      val cents = Array.tabulate(4)(c => (c.toLong, unit(c)))
+      val hot = (0 until 120).map(i =>
+        (i.toLong, near(0, 4 + i % 3, 0.35f + 0.01f * (i % 5)), i % 3))
+      val cold = (0 until 60).map(i =>
+        (1000L + i, near(1 + i % 3, 7, 0.2f), i % 3))
+      Ann.writeIndexArtifact(spark, root, spark.createDataset(hot ++ cold), cents)
+      // delete a third of the hot list, then split it with the
+      // tombstones still pending
+      Ann.deleteFromIndexAt(s2, root, col("doc_id") < 120 && col("doc_id") % 3 === 1)
+      val r = Ann.rebalanceIndex(s2, root, tau = 2.0)
+      assert(r.splitLists.nonEmpty,
+        s"fixture failed to trigger a split: sizes=${r.listSizesBefore}")
+      val deleted = (0 until 120).filter(_ % 3 == 1).map(_.toLong).toSet
+      def liveDocs() = state(root).keySet
+      assert(liveDocs().intersect(deleted).isEmpty,
+        "deleted docs still served after the split")
+      // a later compaction must not resurrect them either
+      Ann.compactIndexAt(s2, root)
+      assert(liveDocs().intersect(deleted).isEmpty,
+        "deleted docs resurrected by the post-split compaction")
+      assertFsckGreen(root, "tombstones-then-split")
+    } finally rm(root)
+  }
+
   test("drift repair (k>1 split + k=1 recenters) converges from a crash at every fault point") {
     var n = 0
     val fixture = () => {
