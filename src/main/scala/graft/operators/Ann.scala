@@ -199,9 +199,17 @@ object Ann extends QModule {
           // a cross-JVM racer may have completed its own takeover in
           // between — in which case what we just renamed aside is that
           // racer's FRESH lease, which must go back, not be deleted
-          // (r13 review: the stat-then-rename TOCTOU)
-          val still = System.currentTimeMillis() -
-            fs.getFileStatus(aside).getModificationTime > ttl
+          // (r13 review: the stat-then-rename TOCTOU). If the aside
+          // itself vanished (a concurrent sweep), REFUSE rather than
+          // race the create below.
+          val still =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(aside).getModificationTime > ttl
+            catch {
+              case _: java.io.FileNotFoundException =>
+                throw new WriterLeaseHeldException(
+                  s"takeover of $lock interfered with by a concurrent acquirer — retry")
+            }
           if (still) fs.delete(aside, false)
           else if (!fs.rename(aside, lock))
             // the victim's slot was re-filled while we held its lease
@@ -211,9 +219,14 @@ object Ann extends QModule {
         }
       }
     } catch { case _: java.io.FileNotFoundException => () }
-    // sweep aside-files a takeover crashed between its rename and delete
+    // sweep aside-files a takeover crashed between its rename and delete —
+    // but only ones PAST THE TTL: a young aside may be a concurrent
+    // takeover's in-flight re-verify copy of a fresh lease (r13 third
+    // review: deleting it destroys the victim's lease record mid-verb)
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"${path}_writer_lock_expired_*")))
-      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
+      .getOrElse(Array.empty)
+      .filter(st => System.currentTimeMillis() - st.getModificationTime > ttl)
+      .foreach(st => fs.delete(st.getPath, false))
     val out =
       try fs.create(lock, false)
       catch {
@@ -630,6 +643,10 @@ object Ann extends QModule {
     // landing inside another writer's compaction window would be swept
     // away unapplied when that compaction clears `_tombstones`
     withWriterLease(s, path) {
+      // heal first: a tombstone keyed on a half-resharded artifact's
+      // minted cid would be orphaned by the split's rollback and then
+      // cleared-without-reclaim by the next compaction (r13 third review)
+      recoverCompacting(s, path)
       indexFrame(s, path).filter(pred)
         .select(col("doc_id"), col("centroid_id"))
         .write.mode("append").parquet(s"$path/_tombstones")
@@ -749,6 +766,12 @@ object Ann extends QModule {
       if (fs.exists(tmp)) {
         val complete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
         if (complete) {
+          // the ORIGINAL crash may predate the verb's own marker (a
+          // crash between the survivors write and the marker create),
+          // and this recovery can itself die mid-remanifest — mark
+          // before the first destructive rename so the heal survives
+          // any nesting of crashes (r13 third review)
+          fs.create(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), true).close()
           fs.listStatus(tmp)
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
             .foreach { st =>
@@ -1585,10 +1608,17 @@ object Ann extends QModule {
     val committed = retired.nonEmpty && !retired.exists(r => quantizer.contains(r._1))
     // the drift base rides the same transaction: staged BEFORE the
     // quantizer swap ([[repairDrifted]]'s write order), so a committed
-    // split whose base swap never ran has a complete `_drift_base_tmp`
-    // to roll FORWARD — without this, the retry saw freshly-minted
-    // lists with no base row and re-SPLIT them (found by the sweep:
-    // fingerprint diverged, six mints instead of three)
+    // MINTING split whose base swap never ran has a complete
+    // `_drift_base_tmp` to roll FORWARD — without this, the retry saw
+    // freshly-minted lists with no base row and re-SPLIT them (found by
+    // the sweep: fingerprint diverged, six mints instead of three).
+    // Commitment is detectable only when something was retired; a
+    // RECENTER-ONLY repair (all k=1, nothing retired, list ids
+    // unchanged) crashing between its two swaps instead deletes the
+    // staged base as uncommitted and CONVERGES BY RE-REPAIR: the stale
+    // base keeps the lists flagged, and k=1 recenters are idempotent
+    // (same members, same deterministic means) — pinned by the
+    // recenter-only sweep.
     val baseLive = new org.apache.hadoop.fs.Path(s"$path/_drift_base")
     val baseTmp = new org.apache.hadoop.fs.Path(s"$path/_drift_base_tmp")
     val baseOld = new org.apache.hadoop.fs.Path(s"$path/_drift_base_old")
@@ -2542,6 +2572,17 @@ object Ann extends QModule {
         s"merge precondition: head shard ${shards.head} has no _centroids sidecar")
       Faults.point()
       if (fs.exists(destPath)) fs.delete(destPath, true)
+      // clearing dest must also clear its SIBLING crash debris: a stale
+      // `_reshard_pending` + `_retired` pair from a split that crashed
+      // on the pre-merge artifact would otherwise drive the first
+      // post-merge mutator's recovery to restore pre-merge partitions
+      // into the freshly merged artifact (r13 third review)
+      // (the `_writer_fence` counter deliberately survives: a fresh
+      // artifact inheriting the old monotone counter keeps fence values
+      // unique across the artifact's whole path history)
+      Seq("_compacting", "_filecompacting", "_rebalancing", "_driftrepair",
+        "_retired", "_reshard_pending")
+        .foreach(sfx => fs.delete(new org.apache.hadoop.fs.Path(s"$dest$sfx"), true))
       fs.mkdirs(destPath)
       // marker BEFORE the first rename: its presence (without _SUCCESS)
       // is what tells a retry that dest already holds moved files
@@ -2865,6 +2906,13 @@ object Ann extends QModule {
   def upsertVectors(s: SparkSession, path: String,
       ds: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = withWriterLease(s, path) {
     import s.implicits._
+    // heal BEFORE reading state: `existing` below keys tombstones on the
+    // live rows' centroid_ids — computed against a half-resharded
+    // artifact they would name minted sub-list cids that the split's
+    // rollback then erases, and the nested compaction would clear the
+    // set without reclaiming (r13 third review: the one write path that
+    // only healed its own staged batches)
+    recoverCompacting(s, path)
     replayPendingUpsert(s, path)
     val ids = ds.map(_._1).toDF("doc_id")
     // a batch carrying two rows for one key has no defined winner (the

@@ -250,9 +250,24 @@ class AnnCrashSweepSpec extends SparkSpec {
     // `_reshard_pending` marker routes every mutator entry through
     // recoverResharding first, so the append always acts on a healed
     // artifact. Swept at EVERY fault point of the split.
+    val delta = (0 until 10).map(i =>
+      (5000L + i, near(0, 4 + i % 3, 0.33f), i % 3))
+    heteroSweep(
+      "append",
+      root => Ann.addVectors(s2, root, spark.createDataset(delta)),
+      baseHeads ++ delta.map { case (id, v, _) => id -> v.head })
+  }
+
+  /** Shared driver for the heterogeneous sweeps: crash the split at
+    * every fault point, interleave `foreign` (a DIFFERENT mutator), then
+    * retry the split and assert the final doc state + green fsck. The
+    * quantizer fingerprint is deliberately NOT compared: the interleaved
+    * mutation legitimately changes what the retry trains on. */
+  private def heteroSweep(
+      name: String, foreign: String => Unit, expected: Map[Long, Float]): Unit = {
     var n = 0
     def fixture(): String = {
-      val root = s"/tmp/graft_sweep_hetero_${System.nanoTime()}_$n"
+      val root = s"/tmp/graft_sweep_hetero_${name}_${System.nanoTime()}_$n"
       n += 1
       val cents = Array.tabulate(4)(c => (c.toLong, unit(c)))
       val hot = (0 until 120).map(i =>
@@ -262,33 +277,91 @@ class AnnCrashSweepSpec extends SparkSpec {
       Ann.writeIndexArtifact(spark, root, spark.createDataset(hot ++ cold), cents)
       root
     }
-    val delta = (0 until 10).map(i =>
-      (5000L + i, near(0, 4 + i % 3, 0.33f), i % 3))
-    val expectedDocs: Map[Long, Float] =
-      ((0 until 120).map(i => i.toLong -> near(0, 4 + i % 3, 0.35f + 0.01f * (i % 5)).head) ++
-        (0 until 60).map(i => (1000L + i) -> near(1 + i % 3, 7, 0.2f).head) ++
-        delta.map { case (id, v, _) => id -> v.head }).toMap
     var k = 0
     var done = false
     while (!done) {
-      assert(k < 200, "runaway heterogeneous sweep")
+      assert(k < 200, s"runaway $name heterogeneous sweep")
       val root = fixture()
       Faults.arm(k)
       val crashed =
         try { Ann.rebalanceIndex(s2, root, tau = 2.0); false }
         catch { case _: Faults.InjectedCrash => true }
       Faults.disarm()
-      // the interleaved foreign mutator, then the retry
-      Ann.addVectors(s2, root, spark.createDataset(delta))
+      foreign(root)
       if (crashed) Ann.rebalanceIndex(s2, root, tau = 2.0)
-      assert(state(root) == expectedDocs,
-        s"hetero crash@$k: rows lost/duplicated/stale after append + retry")
-      assertFsckGreen(root, s"hetero crash@$k")
+      assert(state(root) == expected,
+        s"$name hetero crash@$k: rows lost/duplicated/stale/resurrected")
+      assertFsckGreen(root, s"$name hetero crash@$k")
       rm(root)
       if (!crashed) done = true
       k += 1
     }
-    info(s"heterogeneous sweep: ${k - 1} fault points with an interleaved append")
+    info(s"$name heterogeneous sweep: ${k - 1} fault points")
+  }
+
+  private def baseHeads: Map[Long, Float] =
+    ((0 until 120).map(i => i.toLong -> near(0, 4 + i % 3, 0.35f + 0.01f * (i % 5)).head) ++
+      (0 until 60).map(i => (1000L + i) -> near(1 + i % 3, 7, 0.2f).head)).toMap
+
+  test("a crashed split survives an interleaved DELETE before its retry") {
+    // r13 third review: deleteFromIndexAt was the one mutator with no
+    // recovery at entry — its tombstones could key on minted cids of an
+    // uncommitted split, which the rollback erased and the next
+    // compaction then cleared-without-reclaiming (resurrection)
+    val deleted = (0 until 120).filter(_ % 5 == 2).map(_.toLong).toSet
+    heteroSweep(
+      "delete",
+      root => Ann.deleteFromIndexAt(s2, root,
+        col("doc_id") < 120 && col("doc_id") % 5 === 2),
+      baseHeads -- deleted)
+  }
+
+  test("a crashed split survives an interleaved UPSERT before its retry") {
+    // r13 third review: upsertVectors computed `existing` (the tombstone
+    // source) before any resharding recovery ran
+    val batch = (0 until 10).map(i => (i.toLong, near(0, 4 + i % 3, 0.5f), 7)) ++
+      (0 until 10).map(i => (7000L + i, near(0, 5, 0.3f), 7))
+    heteroSweep(
+      "upsert",
+      root => Ann.upsertVectors(s2, root, spark.createDataset(batch)),
+      baseHeads ++ batch.map { case (id, v, _) => id -> v.head })
+  }
+
+  test("recenter-only drift repair (all k=1, nothing retired) converges at every fault point") {
+    // the staged-base roll-forward keys commitment off the retired dir;
+    // a recenter-only repair retires nothing, so a crash between its two
+    // sidecar swaps deletes the staged base as uncommitted — this sweep
+    // pins the documented convergence-by-re-repair (stale base keeps the
+    // lists flagged; k=1 recenters are idempotent)
+    var n = 0
+    def fixture(): String = {
+      val root = s"/tmp/graft_sweep_recenter_${System.nanoTime()}_$n"
+      n += 1
+      val cents = Array.tabulate(4)(c => (c.toLong, unit(c)))
+      // tiny list 0 (10) among big lists (500 each): a 10-doc pileup
+      // flags ONLY list 0 (the big lists' share moves < 5 per mille) and
+      // k = ceil(20 / 380) = 1 — recenter, no mint
+      val base = (0 until 10).map(i => (i.toLong, near(0, 4 + i % 3, 0.25f), i % 3)) ++
+        (0 until 3).flatMap(c => (0 until 500).map(i =>
+          ((c + 1) * 10000L + i, near(c + 1, 4 + i % 3, 0.25f), i % 3)))
+      Ann.writeIndexArtifact(spark, root, spark.createDataset(base), cents)
+      Ann.writeDriftBase(spark, root)
+      Ann.addVectors(s2, root, spark.createDataset(
+        (0 until 10).map(i => (90000L + i, near(0, 4 + i % 3, 0.35f), i % 3))))
+      root
+    }
+    val expected =
+      ((0 until 10).map(i => i.toLong -> near(0, 4 + i % 3, 0.25f).head) ++
+        (0 until 3).flatMap(c => (0 until 500).map(i =>
+          ((c + 1) * 10000L + i) -> near(c + 1, 4 + i % 3, 0.25f).head)) ++
+        (0 until 10).map(i => (90000L + i) -> near(0, 4 + i % 3, 0.35f).head)).toMap
+    val swept = sweep("repairDrifted-recenterOnly")(fixture)(root => {
+      val repaired = Ann.repairDrifted(s2, root)
+      assert(repaired == Seq(0L) || repaired.isEmpty,
+        s"fixture drifted more than list 0: $repaired")
+      ()
+    })(expected, fingerprint = quantizerIds)
+    assert(swept >= 8, s"recenter-only sweep covered only $swept points")
   }
 
   test("pending tombstones survive a split: deleted docs never resurrect") {
