@@ -3243,6 +3243,74 @@ object Ann extends QModule {
     (s"$base/serving", s"$base/blue", s"$base/green")
   }
 
+  /** [[fsck]] for an ALIAS directory — the one artifact type the data
+    * fsck skips: pointer mechanics rather than data invariants. Checks
+    * the dir exists, at least one versioned pointer is present, every
+    * pointer file is readable and names a non-empty target, the
+    * CURRENT pointer's target artifact exists on disk, and no
+    * `_ALIAS_tmp_*` write leftovers linger (readers never match them,
+    * but they are crashed-cutover debris a consumer should know
+    * about). Read-only; same report shape as [[fsck]]. */
+  def fsckAlias(s: SparkSession, aliasDir: String): Seq[FsckCheck] = {
+    val (fs, dir) = hfs(s, aliasDir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckCheck]
+    def check(name: String, ok: Boolean, bad: => String, good: String = "ok"): Unit = {
+      out += FsckCheck(name, ok, if (ok) good else bad); ()
+    }
+    if (!fs.exists(dir)) {
+      check("alias_present", ok = false, s"$aliasDir does not exist")
+      return out.toSeq
+    }
+    check("alias_present", ok = true, "", aliasDir)
+    val vs = aliasVersions(s, aliasDir)
+    check("pointer_present", vs.nonEmpty, s"no _ALIAS_v* pointer under $aliasDir")
+    if (vs.nonEmpty) {
+      val unreadable = vs.filter { v =>
+        try {
+          val in = fs.open(new org.apache.hadoop.fs.Path(s"$aliasDir/_ALIAS_v$v"))
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.isEmpty
+          finally in.close()
+        } catch { case _: java.io.IOException => true }
+      }
+      check("pointers_readable", unreadable.isEmpty,
+        s"unreadable/empty pointer version(s): ${unreadable.mkString(", ")}")
+      if (unreadable.isEmpty) {
+        val target = resolveAlias(s, aliasDir)
+        check("pointer_target_exists",
+          fs.exists(new org.apache.hadoop.fs.Path(target)),
+          s"current pointer v${vs.last} names missing artifact $target", target)
+      }
+    }
+    val tmps = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$aliasDir/_ALIAS_tmp_*")))
+      .getOrElse(Array.empty).map(_.getPath.getName)
+    check("no_tmp_debris", tmps.isEmpty,
+      s"crashed-cutover leftovers: ${tmps.take(5).mkString(", ")}")
+    out.toSeq
+  }
+
+  // ---------------------------------------------------------------- v63
+  /** [[fsckAlias]] under the oracle gate, over the v57 blue-green
+    * fixture after its two cutovers — the contract-table oracle
+    * discipline of v60: a failing or vanishing check hash-mismatches. */
+  private val v63 = Q(
+    "v63_fsck_alias",
+    (s, d) => {
+      import s.implicits._
+      val (aliasDir, blue, green) = aliasScenario(s, d)
+      val (fs0, ad) = hfs(s, aliasDir)
+      fs0.delete(ad, true) // v57's fixture-reset rationale
+      setAlias(s, aliasDir, blue)
+      setAlias(s, aliasDir, green)
+      s.createDataset(fsckAlias(s, aliasDir).map(c => (c.check, if (c.ok) 1 else 0)))
+        .toDF("invariant", "ok").orderBy($"invariant")
+    },
+    Some("""SELECT * FROM (VALUES
+        ('alias_present', 1), ('no_tmp_debris', 1),
+        ('pointer_present', 1), ('pointer_target_exists', 1),
+        ('pointers_readable', 1)) AS t(invariant, ok)
+      ORDER BY invariant"""))
+
   // ---------------------------------------------------------------- v57
   /** Blue-green ALIAS cutover under the oracle gate: phase 1 serves
     * through the alias pointed at the base-only artifact, the cutover
@@ -3421,5 +3489,5 @@ object Ann extends QModule {
     Some(s"""WITH $duckCentAssign
       SELECT query_id, rnk, doc_id FROM (${duckSearch(20, 10, 4)}) ORDER BY query_id, rnk"""))
 
-  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44, v56, v57, v58, v60)
+  override def all: Seq[Q] = Seq(v08, v09, v10, v15, v19, v20, v21, v32, v36, v37, v38, v40, v42, v44, v56, v57, v58, v60, v63)
 }

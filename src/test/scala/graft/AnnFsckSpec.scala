@@ -55,6 +55,42 @@ class AnnFsckSpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("alias fsck: green on a served alias, red per pointer corruption") {
+    val alias = s"/tmp/graft_fsck_alias_${System.nanoTime()}"
+    val target = s"/tmp/graft_fsck_aliastarget_${System.nanoTime()}"
+    def failingA(): Map[String, String] =
+      Ann.fsckAlias(s2, alias).filterNot(_.ok).map(c => c.check -> c.detail).toMap
+    try {
+      Ann.seedBaseIndex(s2, sf0001, target)
+      // a missing alias dir is one loud check, not a crash
+      val ghost = Ann.fsckAlias(s2, alias)
+      assert(ghost.map(c => (c.check, c.ok)) == Seq(("alias_present", false)))
+
+      Ann.setAlias(s2, alias, target)
+      Ann.setAlias(s2, alias, target) // a second cutover extends the trail
+      assert(failingA().isEmpty, s"served alias: ${failingA()}")
+
+      // crashed-cutover tmp leftover
+      fs.create(new org.apache.hadoop.fs.Path(s"$alias/_ALIAS_tmp_123"), false).close()
+      assert(failingA().keySet == Set("no_tmp_debris"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$alias/_ALIAS_tmp_123"), false)
+
+      // current pointer naming a missing artifact
+      Ann.setAlias(s2, alias, s"$target-gone")
+      assert(failingA().keySet == Set("pointer_target_exists"))
+      Ann.setAlias(s2, alias, target) // cutover back heals
+      assert(failingA().isEmpty)
+
+      // an empty pointer file is unreadable, not silently resolved
+      val v = Ann.aliasVersions(s2, alias).last + 1
+      fs.create(new org.apache.hadoop.fs.Path(s"$alias/_ALIAS_v$v"), false).close()
+      assert(failingA().keySet == Set("pointers_readable"))
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(alias), true)
+      fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    }
+  }
+
   test("each crafted corruption flips exactly its own check") {
     val root = s"/tmp/graft_fsck_red_${System.nanoTime()}"
     def p(rel: String) = new org.apache.hadoop.fs.Path(rel)
