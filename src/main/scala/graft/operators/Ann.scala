@@ -118,11 +118,56 @@ object Ann extends QModule {
     * decides whether to retry, not this layer. */
   final class WriterLeaseHeldException(msg: String) extends RuntimeException(msg)
 
+  /** Thrown MID-VERB when this writer discovers it no longer owns its
+    * lease (heartbeat found the lock gone or carrying a different
+    * fence): the verb must abort rather than keep renaming/deleting
+    * alongside whoever fenced us out. */
+  final class WriterLeaseLostException(msg: String) extends RuntimeException(msg)
+
+  /** Live handle on one acquired lease: the fence we wrote, plus the
+    * heartbeat's verdict. `lost` flips when the heartbeat finds the
+    * lock missing or re-fenced — checked at every destructive FS
+    * boundary via [[leaseCheckpoint]]. */
+  private final class LeaseState(val path: String, val fence: Long) {
+    @volatile var lost: Boolean = false
+    @volatile var beat: java.util.concurrent.ScheduledFuture[_] = null
+    var depth: Int = 1
+  }
+
   // per-thread re-entrancy: verbs COMPOSE (upsert → compact → add on the
   // same artifact, ingestStream batches → addVectors), and the outermost
   // verb's lease must cover the whole composition, not deadlock on it
-  private val heldLeases = ThreadLocal.withInitial[scala.collection.mutable.Map[String, Int]](
-    () => scala.collection.mutable.Map.empty[String, Int])
+  private val heldLeases = ThreadLocal.withInitial[scala.collection.mutable.Map[String, LeaseState]](
+    () => scala.collection.mutable.Map.empty[String, LeaseState])
+
+  // one daemon timer drives every lease's heartbeat — beats are tiny
+  // (one stat + one small read + one setTimes), so a single thread
+  // serves any realistic number of concurrent verbs
+  private lazy val leaseBeater = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-writer-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
+
+  /** Abort the current verb if any lease this thread holds was lost
+    * (VERDICT r13 wrong #2 / ADVICE r13): called from [[Faults.point]],
+    * i.e. at every destructive FS boundary every mutator verb already
+    * instruments — so a fenced-out zombie stops within ONE filesystem
+    * operation of losing its lease instead of running its remaining
+    * rename/delete choreography against the new writer's. */
+  private[operators] def leaseCheckpoint(): Unit = {
+    val held = heldLeases.get()
+    if (held.nonEmpty) held.valuesIterator.find(_.lost).foreach { st =>
+      throw new WriterLeaseLostException(
+        s"writer lease on ${st.path} (fence=${st.fence}) was lost mid-verb — " +
+          "another writer fenced us out (heartbeat found the lock gone or " +
+          "re-fenced); aborting before the next destructive operation")
+    }
+  }
 
   /** Run `body` as the artifact's SINGLE writer (VERDICT r12 wrong #3 /
     * next #3): every mutator verb's rename/delete choreography — and the
@@ -150,20 +195,33 @@ object Ann extends QModule {
     */
   def withWriterLease[T](s: SparkSession, path: String)(body: => T): T = {
     val held = heldLeases.get()
-    if (held.contains(path)) {
-      held(path) += 1
-      try body
-      finally { held(path) -= 1; if (held(path) == 0) { held.remove(path); () } }
-    } else {
-      val fence = acquireWriterLease(s, path)
-      held(path) = 1
-      try body
-      finally {
-        held.remove(path)
-        releaseWriterLease(s, path, fence)
-      }
+    held.get(path) match {
+      case Some(st) =>
+        st.depth += 1
+        try body
+        finally { st.depth -= 1; () }
+      case None =>
+        val st = acquireWriterLease(s, path)
+        held(path) = st
+        try body
+        finally {
+          held.remove(path)
+          releaseWriterLease(s, path, st)
+        }
     }
   }
+
+  /** Acquire the same leases on several artifacts, nested outermost-
+    * first. Callers pass a DETERMINISTIC order (sorted) so concurrent
+    * multi-artifact verbs contend predictably — though with refusal
+    * (never blocking) as the contention behavior, no ordering can
+    * deadlock; sorting just makes the loser's refusal land at the
+    * first common artifact. */
+  private def withWriterLeases[T](s: SparkSession, paths: Seq[String])(body: => T): T =
+    paths match {
+      case Seq() => body
+      case p +: rest => withWriterLease(s, p)(withWriterLeases(s, rest)(body))
+    }
 
   private def leaseLock(path: String) =
     new org.apache.hadoop.fs.Path(s"${path}_writer_lock")
@@ -175,7 +233,44 @@ object Ann extends QModule {
   // create-exclusive semantics
   private val leaseAcquireLock = new Object
 
-  private def acquireWriterLease(s: SparkSession, path: String): Long = leaseAcquireLock.synchronized {
+  /** Create the lock file ATOMICALLY-exclusively. On HDFS-like stores
+    * `create(overwrite = false)` is itself atomic; on the LOCAL
+    * filesystem it is a check-then-create (Hadoop's RawLocalFileSystem
+    * opens with CREATE, not CREATE_NEW), whose race window the in-JVM
+    * monitor hides from same-process threads but NOT from two real
+    * JVMs — so local paths go through NIO `Files.createFile` (O_EXCL,
+    * kernel-atomic). The cross-JVM race spec (AnnLeaseRaceSpec) rides
+    * on exactly this guarantee. */
+  private def createLockExclusive(
+      fs: org.apache.hadoop.fs.FileSystem, lock: org.apache.hadoop.fs.Path): Unit = {
+    val uri = lock.toUri
+    val scheme = Option(uri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val jp = java.nio.file.Paths.get(uri.getPath)
+      if (jp.getParent != null) java.nio.file.Files.createDirectories(jp.getParent)
+      try { java.nio.file.Files.createFile(jp); () }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new WriterLeaseHeldException(
+            s"another writer holds $lock (${e.getMessage}) — refusing concurrent " +
+              s"mutation; retry after it releases, or raise $WriterLeaseTtlConf " +
+              "if the holder crashed")
+      }
+    } else {
+      val out =
+        try fs.create(lock, false)
+        catch {
+          case e: java.io.IOException =>
+            throw new WriterLeaseHeldException(
+              s"another writer holds $lock (${e.getMessage}) — refusing concurrent " +
+                s"mutation; retry after it releases, or raise $WriterLeaseTtlConf " +
+                "if the holder crashed")
+        }
+      out.close()
+    }
+  }
+
+  private def acquireWriterLease(s: SparkSession, path: String): LeaseState = leaseAcquireLock.synchronized {
     val (fs, _) = hfs(s, path)
     val lock = leaseLock(path)
     val ttl =
@@ -216,7 +311,18 @@ object Ann extends QModule {
             // aside — leave the aside copy for the debris sweep and
             // refuse below rather than risk a third interleaving
             ()
-        }
+        } else
+          // rename lost: either a concurrent takeover renamed the stale
+          // lock first, or the holder released it between our stat and
+          // the rename. Falling through to the create would RACE the
+          // takeover winner's own create on a lock that is momentarily
+          // absent (it sits renamed-aside) — with a non-atomic local
+          // create, BOTH could win, the exact double-writer state the
+          // lease exists to prevent (r14 cross-JVM race review). Refuse;
+          // the caller retries and the settled state decides.
+          throw new WriterLeaseHeldException(
+            s"stale-lease takeover of $lock lost a race with a concurrent " +
+              "acquirer — retry after the winner settles")
       }
     } catch { case _: java.io.FileNotFoundException => () }
     // sweep aside-files a takeover crashed between its rename and delete —
@@ -227,54 +333,95 @@ object Ann extends QModule {
       .getOrElse(Array.empty)
       .filter(st => System.currentTimeMillis() - st.getModificationTime > ttl)
       .foreach(st => fs.delete(st.getPath, false))
-    val out =
-      try fs.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new WriterLeaseHeldException(
-            s"another writer holds $lock (${e.getMessage}) — refusing concurrent " +
-              s"mutation; retry after it releases, or raise $WriterLeaseTtlConf " +
-              "if the holder crashed")
-      }
-    // winner-only fence increment: serialized by lock ownership, so
-    // fence values are unique and monotone across takeovers. The update
-    // is tmp-write + rename — a truncating in-place write could crash
-    // into an EMPTY fence file, and tolerating that as 0 would restart
-    // the counter and alias a historic fence (r13 review: a zombie
-    // holding the aliased fence could then delete the current holder's
-    // lease). Read rule mirrors the write's crash states: live value,
-    // else the staged tmp (crash between delete and rename), else 0.
-    val fencePath = new org.apache.hadoop.fs.Path(s"${path}_writer_fence")
-    val fenceTmp = new org.apache.hadoop.fs.Path(s"${path}_writer_fence_tmp")
-    def readFence(p: org.apache.hadoop.fs.Path): Option[Long] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption
-        finally in.close()
-      }
-    val prev = readFence(fencePath).orElse(readFence(fenceTmp)).getOrElse(0L)
-    val fence = prev + 1
-    val fo = fs.create(fenceTmp, true)
-    try fo.write(fence.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally fo.close()
-    fs.delete(fencePath, false)
-    require(fs.rename(fenceTmp, fencePath), s"fence update failed at $fencePath")
-    try out.write(
-      s"fence=$fence\npid=${ProcessHandle.current().pid()}\nts=${System.currentTimeMillis()}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fence
+    createLockExclusive(fs, lock)
+    // EVERYTHING past the create is cleanup-guarded (ADVICE r13 low #3):
+    // a failure between winning the lock and finishing its content would
+    // otherwise leave an EMPTY lock nobody can release (release matches
+    // on a fence line) — blocking every writer for a full TTL. On any
+    // throw: delete the just-created lock, then rethrow.
+    try {
+      // winner-only fence increment: serialized by lock ownership, so
+      // fence values are unique and monotone across takeovers. The update
+      // is tmp-write + rename — a truncating in-place write could crash
+      // into an EMPTY fence file, and tolerating that as 0 would restart
+      // the counter and alias a historic fence (r13 review: a zombie
+      // holding the aliased fence could then delete the current holder's
+      // lease). Read rule mirrors the write's crash states: live value,
+      // else the staged tmp (crash between delete and rename), else 0.
+      val fencePath = new org.apache.hadoop.fs.Path(s"${path}_writer_fence")
+      val fenceTmp = new org.apache.hadoop.fs.Path(s"${path}_writer_fence_tmp")
+      def readFence(p: org.apache.hadoop.fs.Path): Option[Long] =
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption
+          finally in.close()
+        }
+      val prev = readFence(fencePath).orElse(readFence(fenceTmp)).getOrElse(0L)
+      val fence = prev + 1
+      val fo = fs.create(fenceTmp, true)
+      try fo.write(fence.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally fo.close()
+      fs.delete(fencePath, false)
+      require(fs.rename(fenceTmp, fencePath), s"fence update failed at $fencePath")
+      val out = fs.create(lock, true) // overwrite our OWN exclusively-created file
+      try out.write(
+        s"fence=$fence\npid=${ProcessHandle.current().pid()}\nts=${System.currentTimeMillis()}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      startHeartbeat(s, path, ttl, new LeaseState(path, fence))
+    } catch {
+      case t: Throwable =>
+        try fs.delete(lock, false) catch { case _: Throwable => () }
+        throw t
+    }
   }
 
-  private def releaseWriterLease(s: SparkSession, path: String, fence: Long): Unit = {
+  /** HEARTBEAT the lease mtime while the verb runs (VERDICT r13 wrong
+    * #2 / next #2): without it, a verb legitimately running past the
+    * TTL — at 100 TB, any compaction/merge/rebalance — is
+    * indistinguishable from a crashed writer and gets taken over WHILE
+    * ALIVE. Every ttl/3 the beater re-reads the lock; if it still
+    * carries OUR fence, one `setTimes` refreshes the staleness clock
+    * (takeover now fires only when beats have STOPPED for a TTL — i.e.
+    * the holder is genuinely dead or wedged); if the lock is gone or
+    * re-fenced, we were taken over anyway (TTL misconfigured, FS
+    * partition) — the beat flips `lost`, and [[leaseCheckpoint]]
+    * (wired into every destructive boundary via [[Faults.point]])
+    * aborts the zombie verb within ONE filesystem operation. */
+  private def startHeartbeat(
+      s: SparkSession, path: String, ttl: Long, st: LeaseState): LeaseState = {
+    val period = math.max(ttl / 3, 50L)
+    val (fs, _) = hfs(s, path)
+    val lock = leaseLock(path)
+    val task: Runnable = () =>
+      try {
+        val in = fs.open(lock)
+        val mine =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            .linesIterator.exists(_ == s"fence=${st.fence}")
+          finally in.close()
+        if (mine) fs.setTimes(lock, System.currentTimeMillis(), -1)
+        else { st.lost = true; Option(st.beat).foreach(_.cancel(false)) }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          st.lost = true; Option(st.beat).foreach(_.cancel(false))
+        case _: Throwable => () // transient FS error: keep beating, TTL decides
+      }
+    st.beat = leaseBeater.scheduleAtFixedRate(
+      task, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    st
+  }
+
+  private def releaseWriterLease(s: SparkSession, path: String, st: LeaseState): Unit = {
+    Option(st.beat).foreach(_.cancel(false))
     val (fs, _) = hfs(s, path)
     val lock = leaseLock(path)
     try {
       val in = fs.open(lock)
       val mine =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          .linesIterator.exists(_ == s"fence=$fence")
+          .linesIterator.exists(_ == s"fence=${st.fence}")
         finally in.close()
       if (mine) { fs.delete(lock, false); () }
     } catch { case _: java.io.FileNotFoundException => () }
@@ -2517,8 +2664,16 @@ object Ann extends QModule {
     * quantizer sidecar moves from the first shard; shards are drained
     * (faiss `merge_into` semantics). */
   def mergeIndexArtifacts(s: SparkSession, dest: String, shards: Seq[String]): Unit = withWriterLease(s, dest) {
-    val (fs, destPath) = hfs(s, dest)
     require(shards.nonEmpty, "merge requires at least one shard")
+    // lease EVERY shard too, not just dest (ADVICE r13 medium #2): the
+    // drain renames part files OUT of each shard and moves the head
+    // shard's quantizer — racing a leased mutator on a shard
+    // (compactIndexAt mid-swap, addVectors append) with both sides
+    // holding a valid lease risks lost or duplicated rows. Sorted
+    // order; contention REFUSES (never blocks), so no deadlock is
+    // possible whatever order concurrent verbs use.
+    withWriterLeases(s, shards.distinct.sorted) {
+    val (fs, destPath) = hfs(s, dest)
     val marker = new org.apache.hadoop.fs.Path(destPath, "_MERGE_STARTED")
     val success = new org.apache.hadoop.fs.Path(destPath, "_SUCCESS")
     // A marker without _SUCCESS means a previous merge CRASHED mid-drain:
@@ -2612,6 +2767,7 @@ object Ann extends QModule {
     Faults.point()
     fs.delete(marker, false)
     ()
+    }
   }
 
   /** Two-shard build-if-absent for the v37 gate: the corpus splits by
@@ -3118,13 +3274,108 @@ object Ann extends QModule {
       s"$lock is older than ${ttl}ms — its writer crashed mid-verb")
 
     // ---- snapshots: every live manifest resolves
-    val missingPins = snapshotVersions(s, path).flatMap { v =>
+    val liveVersions = snapshotVersions(s, path)
+    val missingPins = liveVersions.flatMap { v =>
       manifestFiles(s, path, v)
         .filterNot(f => fs.exists(new org.apache.hadoop.fs.Path(f)))
         .take(3).map(f => s"v$v -> $f")
     }
     check("manifests_resolve", missingPins.isEmpty,
       s"manifests pin missing files: ${missingPins.take(5).mkString("; ")}")
+    // ---- `_hwm` coherence (VERDICT r13 next #7): the high-water mark is
+    // what keeps version numbering monotone across total snapshot expiry
+    // — an hwm BELOW a live manifest version would let the next snapshot
+    // re-issue a live number (overwrite=false makes that a loud failure,
+    // but the artifact is already incoherent), and an unparseable hwm
+    // means a crashed/corrupt write the snapshot verb would misread as 0
+    if (liveVersions.nonEmpty ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm"))) {
+      val hwmP = new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm")
+      val hwm: Either[String, Int] =
+        if (!fs.exists(hwmP)) Right(0)
+        else
+          try {
+            val in = fs.open(hwmP)
+            val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            raw.toIntOption.toRight(s"unparseable _hwm content: '${raw.take(40)}'")
+          } catch { case e: Exception => Left(s"unreadable _hwm: ${e.getMessage}") }
+      hwm match {
+        case Left(bad) => check("hwm_monotone", ok = false, bad)
+        case Right(h) =>
+          val maxLive = liveVersions.lastOption.getOrElse(0)
+          check("hwm_monotone", h >= maxLive,
+            s"_hwm=$h below live manifest version v$maxLive — " +
+              "the next snapshot could re-issue a live version number")
+      }
+    }
+    // ---- `_recall_log` parseability (VERDICT r13 next #7): the quality
+    // time series the serving loop reads back (latestRecommendedProbeAt)
+    // — a corrupt sidecar would crash the consumer at serve time, so the
+    // trust gate reads it here: parquet parses and carries the columns
+    // the consumers key on
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_recall_log"))) {
+      val parse: Either[String, Unit] =
+        try {
+          val df = s.read.parquet(s"$path/_recall_log")
+          val need = Set("batch_id", "serving_probe", "est", "recommended_probe")
+          val miss = need -- df.columns.toSet
+          if (miss.nonEmpty) Left(s"_recall_log missing columns: ${miss.mkString(", ")}")
+          else {
+            // schema inference reads ONE footer — a corrupt file beside
+            // valid ones would pass it. The log is sidecar-sized (one
+            // row per probe batch), so decoding every file is cheap.
+            df.count()
+            Right(())
+          }
+        } catch { case e: Exception =>
+          Left(s"_recall_log unreadable as parquet: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+        }
+      check("recall_log_parses", parse.isRight, parse.left.getOrElse(""))
+    }
+    // ---- writer-fence / lease coherence (VERDICT r13 next #7): the
+    // fence counter must parse (an unparseable fence would be read as 0
+    // and restart numbering — aliasing a historic fence, the exact state
+    // the tmp-write+rename discipline exists to prevent), and it must be
+    // ≥ every fence recorded in any lease file (live or renamed-aside
+    // debris): a lease carrying a fence ABOVE the counter means the
+    // counter was rolled back or clobbered, and the release-only-my-fence
+    // rule is no longer trustworthy
+    locally {
+      val fenceP = new org.apache.hadoop.fs.Path(s"${path}_writer_fence")
+      def readSmall(p: org.apache.hadoop.fs.Path): Option[String] =
+        try {
+          val in = fs.open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        } catch { case _: Exception => None }
+      val counter: Either[String, Long] =
+        if (!fs.exists(fenceP)) Right(0L)
+        else readSmall(fenceP) match {
+          case None => Left("fence counter unreadable")
+          case Some(raw) =>
+            raw.trim.toLongOption.toRight(s"unparseable fence counter: '${raw.trim.take(40)}'")
+        }
+      val leaseFiles = (Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"${path}_writer_lock_expired_*")))
+        .getOrElse(Array.empty).map(_.getPath).toSeq ++
+        (if (fs.exists(leaseLock(path))) Seq(leaseLock(path)) else Seq.empty))
+      val leaseFences = leaseFiles.flatMap { p =>
+        readSmall(p).toSeq.flatMap(_.linesIterator
+          .filter(_.startsWith("fence="))
+          .flatMap(_.stripPrefix("fence=").trim.toLongOption))
+          .map(f => p.getName -> f)
+      }
+      counter match {
+        case Left(bad) => check("fence_coherent", ok = false, bad)
+        case Right(c) =>
+          val above = leaseFences.filter(_._2 > c)
+          check("fence_coherent", above.isEmpty,
+            s"lease fence(s) above the counter ($c): " +
+              above.take(3).map { case (n, f) => s"$n=$f" }.mkString(", ") +
+              " — the fence counter was rolled back or clobbered")
+      }
+    }
 
     // ---- data-level invariants (need quantizer + at least one list)
     if (hasCents && partDirs.nonEmpty && badNames.isEmpty) {
@@ -3407,14 +3658,24 @@ object Ann extends QModule {
     (s, d) => {
       import s.implicits._
       val path = upsertScenario(s, d)
+      // exercise the r14 trust-gate extensions on the gated fixture:
+      // a snapshot (writes _hwm) and a probe-log append make the
+      // hwm-monotonicity and recall-log-parse checks RUN here — both
+      // idempotent-enough per Verify run (a fresh version / one more
+      // log row never changes any check's verdict)
+      snapshotIndex(s, path)
+      writeRecallLogAt(s, path, 0L,
+        RecallProbe(10, 5, 4, 45L, 0.9, 0.8, 0.95, 4, Seq(4 -> 45L)))
       s.createDataset(fsck(s, path).map(c => (c.check, if (c.ok) 1 else 0)))
         .toDF("invariant", "ok").orderBy($"invariant")
     },
     Some("""SELECT * FROM (VALUES
         ('artifact_present', 1), ('doc_id_unique', 1),
+        ('fence_coherent', 1), ('hwm_monotone', 1),
         ('lists_have_centroids', 1), ('manifests_resolve', 1),
         ('no_recovery_debris', 1), ('no_stale_writer_lease', 1),
         ('partition_layout', 1), ('quantizer_present', 1),
+        ('recall_log_parses', 1),
         ('tombstones_reference_live_rows', 1)) AS t(invariant, ok)
       ORDER BY invariant"""))
 

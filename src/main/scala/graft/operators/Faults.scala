@@ -35,11 +35,19 @@ private[graft] object Faults {
     * the verb has fewer points than the armed k — the sweep's exit). */
   def hits: Int = synchronized(fired)
 
-  def point(): Unit =
+  def point(): Unit = {
+    // zombie-writer checkpoint (VERDICT r13 wrong #2): the same
+    // destructive-boundary instrumentation doubles as the lease-loss
+    // abort seam — a writer whose heartbeat discovered it was fenced
+    // out stops HERE, before its next rename/delete, instead of
+    // interleaving with the new writer's choreography. One ThreadLocal
+    // map read when the thread holds no lease.
+    Ann.leaseCheckpoint()
     if (countdown >= 0) synchronized {
       if (countdown >= 0) {
         fired += 1
         if (fired > countdown) throw new InjectedCrash(fired)
       }
     }
+  }
 }

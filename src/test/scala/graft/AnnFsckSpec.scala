@@ -91,6 +91,82 @@ class AnnFsckSpec extends SparkSpec {
     }
   }
 
+  test("r14 gates: hwm monotonicity, recall-log parse, fence/lease coherence") {
+    // VERDICT r13 next #7 — the three cross-component invariants fsck
+    // did not yet read: version numbering's high-water mark, the recall
+    // time series the serving loop replays, and the fencing counter the
+    // release-only-my-fence rule trusts
+    val root = s"/tmp/graft_fsck_r14_${System.nanoTime()}"
+    def p(rel: String) = new org.apache.hadoop.fs.Path(rel)
+    def write(rel: String, content: String): Unit = {
+      val out = fs.create(p(rel), true)
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    try {
+      Ann.seedBaseIndex(s2, sf0001, root)
+      // never-snapshotted, never-probed artifact: the hwm / recall-log
+      // checks don't apply (no false reds on a minimal artifact); the
+      // fence check always runs (fence absent = counter 0, coherent)
+      val checks0 = Ann.fsck(s2, root).map(_.check)
+      assert(!checks0.contains("hwm_monotone") && !checks0.contains("recall_log_parses"),
+        s"checks on a bare artifact: $checks0")
+      assert(checks0.contains("fence_coherent"))
+      assert(failing(root).isEmpty)
+
+      // real lifecycle state: snapshot (writes _hwm), probe log, a verb
+      // (advances the fence) — all three checks run and come back green
+      val v = Ann.snapshotIndex(s2, root)
+      Ann.writeRecallLogAt(s2, root, 1L,
+        Ann.RecallProbe(10, 5, 4, 45L, 0.9, 0.8, 0.95, 4, Seq(2 -> 40L, 4 -> 45L)))
+      val checks1 = Ann.fsck(s2, root).map(_.check)
+      assert(checks1.contains("hwm_monotone") && checks1.contains("recall_log_parses"),
+        s"checks after lifecycle: $checks1")
+      assert(failing(root).isEmpty, s"${failing(root)}")
+
+      // hwm rolled back below a live manifest version
+      write(s"$root/_snapshots/_hwm", "0")
+      assert(failing(root).keySet == Set("hwm_monotone"), s"${failing(root)}")
+      // unparseable hwm
+      write(s"$root/_snapshots/_hwm", "not-a-number")
+      assert(failing(root).keySet == Set("hwm_monotone"), s"${failing(root)}")
+      write(s"$root/_snapshots/_hwm", v.toString) // heal
+
+      // recall log that does not parse as parquet
+      write(s"$root/_recall_log/part-corrupt.parquet", "garbage bytes")
+      assert(failing(root).keySet == Set("recall_log_parses"), s"${failing(root)}")
+      fs.delete(p(s"$root/_recall_log"), true)
+      // recall log parquet missing the columns consumers key on
+      import spark.implicits._
+      Seq((1L, "x")).toDF("batch_id", "wrong")
+        .write.mode("overwrite").parquet(s"$root/_recall_log")
+      assert(failing(root).keySet == Set("recall_log_parses"), s"${failing(root)}")
+      fs.delete(p(s"$root/_recall_log"), true)
+
+      // unparseable fence counter (would be read as 0 → fence aliasing)
+      val fenceBak = {
+        val in = fs.open(p(s"${root}_writer_fence"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      write(s"${root}_writer_fence", "garbage")
+      assert(failing(root).keySet == Set("fence_coherent"), s"${failing(root)}")
+      write(s"${root}_writer_fence", fenceBak)
+      assert(failing(root).isEmpty, s"${failing(root)}")
+      // a lease (fresh, so not stale-flagged) carrying a fence ABOVE the
+      // counter: the counter was rolled back or clobbered
+      write(s"${root}_writer_lock", "fence=999999\npid=0\nts=0\n")
+      assert(failing(root).keySet == Set("fence_coherent"), s"${failing(root)}")
+      fs.delete(p(s"${root}_writer_lock"), false)
+      // same signal from renamed-aside takeover debris — but debris is
+      // ALSO flagged by no_recovery_debris, and a stale-mtime aside is
+      // exactly what a crashed takeover leaves
+      write(s"${root}_writer_lock_expired_1", "fence=999999\npid=0\nts=0\n")
+      assert(failing(root).keySet == Set("fence_coherent", "no_recovery_debris"),
+        s"${failing(root)}")
+      fs.delete(p(s"${root}_writer_lock_expired_1"), false)
+      assert(failing(root).isEmpty, s"${failing(root)}")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("each crafted corruption flips exactly its own check") {
     val root = s"/tmp/graft_fsck_red_${System.nanoTime()}"
     def p(rel: String) = new org.apache.hadoop.fs.Path(rel)

