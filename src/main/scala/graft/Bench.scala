@@ -106,9 +106,13 @@ object Bench {
     val benchSeqToday =
       try {
         val f = Paths.get(s"/tmp/graft_bench_seq_${java.time.LocalDate.now()}")
-        val n = (if (Files.exists(f)) Files.readString(f).trim.toInt else 0) + 1
-        Files.writeString(f, n.toString)
-        n
+        val prior = if (Files.exists(f)) Files.readString(f).trim.toInt else 0
+        // only a FULL bench consumes a host-day sequence number: a
+        // skip-gated validation run costs a fraction of the load the
+        // stamp exists to account for, and counting it would make the
+        // driver's real artifact look later-in-day than it is
+        if (skip.isEmpty) { Files.writeString(f, (prior + 1).toString); prior + 1 }
+        else prior + 1 // what a full bench started NOW would stamp
       } catch { case _: Throwable => -1 }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // host-state canary BEFORE each timed section (VERDICT r13 next #4):

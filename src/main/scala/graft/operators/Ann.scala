@@ -801,9 +801,64 @@ object Ann extends QModule {
 
   /** The artifact's live data scan at `path` (doc_id, label, embedding,
     * centroid_id) — [[loadIndex]] without the build-if-absent tie to the
-    * registry corpus. */
-  def indexFrame(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path).withColumn("centroid_id", col("centroid_id").cast("long"))
+    * registry corpus.
+    *
+    * CRASH-WINDOW FALLBACK (VERDICT r13 next #6 — reader correctness AT
+    * the crash state, not just after recovery): the rewrite verbs move
+    * whole partition dirs with rename choreography, and two of their
+    * windows used to make a concurrent reader TORN rather than
+    * old-or-new:
+    *
+    *  - compaction's swap (`delete(live) → rename(side, live)`): between
+    *    the two, the partition's surviving rows exist ONLY in the
+    *    `_compacting`/`_filecompacting` side dir;
+    *  - a split's retire (`rename(live, _retired/...)` BEFORE the
+    *    quantizer-swap commit): until the swap, the source list's rows
+    *    exist ONLY in `_retired`, yet the still-live old quantizer
+    *    probes their cid.
+    *
+    * So: when (and only when) one of those debris dirs exists, partition
+    * dirs present in it but MISSING from the live set are unioned into
+    * the scan under their original centroid_id. Probe-based readers then
+    * serve exactly one world at every crash state: before a split's
+    * commit the old quantizer reaches the retired source (and never the
+    * minted lists it doesn't know); after the commit the new quantizer
+    * reaches the minted lists (and never the retired source's stale
+    * cid); mid-compaction the masked view is invariant by construction
+    * (survivors = masked originals, tombstones cleared only after the
+    * swap completes). Steady-state cost: three `fs.exists` per
+    * DataFrame construction, zero when no verb has crashed — the
+    * listings run only while debris exists. */
+  def indexFrame(s: SparkSession, path: String): DataFrame = {
+    val (fs, root) = hfs(s, path)
+    def cidDirs(dir: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+        .flatMap(st => st.getPath.getName.stripPrefix("centroid_id=").toLongOption
+          .map(_ -> st.getPath.toString))
+    val debris = Seq(s"${path}_retired", s"${path}_compacting", s"${path}_filecompacting")
+      .map(new org.apache.hadoop.fs.Path(_)).filter(fs.exists)
+    if (debris.isEmpty)
+      s.read.parquet(path).withColumn("centroid_id", col("centroid_id").cast("long"))
+    else {
+      val live = cidDirs(root).map(_._1).toSet
+      val missing = debris.flatMap(cidDirs).filter { case (cid, _) => !live.contains(cid) }
+        .groupBy(_._1).map { case (cid, dirs) => cid -> dirs.head._2 }.toSeq.sortBy(_._1)
+      def fallback(cid: Long, dir: String): DataFrame =
+        s.read.parquet(dir).withColumn("centroid_id", lit(cid))
+      if (live.isEmpty && missing.nonEmpty)
+        // every list sits in debris (a total-split crash window): build
+        // the frame from the fallbacks alone — the live dir has no data
+        // file to infer a schema from
+        missing.map { case (cid, dir) => fallback(cid, dir) }.reduce(_ unionByName _)
+      else
+        missing.foldLeft(
+          s.read.parquet(path).withColumn("centroid_id", col("centroid_id").cast("long"))) {
+          case (f, (cid, dir)) => f.unionByName(fallback(cid, dir))
+        }
+    }
+  }
 
   /** The artifact's tombstone set — empty frame when none recorded. */
   def tombstones(s: SparkSession, d: String): DataFrame =
@@ -2854,14 +2909,22 @@ object Ann extends QModule {
         finally in.close()
       }
     val n = math.max(hwm, snapshotVersions(s, path).lastOption.getOrElse(0)) + 1
-    Faults.point()
-    val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$n.txt"), false)
-    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // hwm BEFORE the manifest (r14 sweep finding, via the new fsck
+    // hwm_monotone gate): written after, a crash between the two left
+    // `_hwm` lagging a live version — recoverable only through the
+    // max(hwm, live) numbering rule, i.e. unverifiable from disk. Written
+    // first, `hwm >= max live version` is a true invariant at EVERY
+    // crash state; the cost is a harmless numbering gap when the crash
+    // lands between the two writes (the reserved version is never
+    // issued again — consumers enumerate snapshotVersions, never guess).
     Faults.point()
     val hw = fs.create(hwmPath, true)
     try hw.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally hw.close()
+    Faults.point()
+    val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$n.txt"), false)
+    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     n
   }
 

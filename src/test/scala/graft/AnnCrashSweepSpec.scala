@@ -65,6 +65,91 @@ class AnnCrashSweepSpec extends SparkSpec {
     assert(bad.isEmpty, s"$ctx: fsck red: ${bad.map(c => c.check -> c.detail)}")
   }
 
+  // ----------------------------------------- reader contract AT the crash
+
+  /** Probe-path serve snapshot (doc_id -> score for one fixed query)
+    * through the REAL serving plan — quantizer probe → scored candidates
+    * → tombstone mask → rerank (the searchLiveAt/searchArtifact core) —
+    * with every list probed and k over the corpus size, so the map IS
+    * the served universe plus the exact vector each doc is served with
+    * (the fixtures flip vectors on update, so score changes pin version
+    * identity). */
+  private def serveState(path: String): Map[Long, Double] = {
+    import s2.implicits._
+    val qv = Array.fill(dim)((1.0 / math.sqrt(dim)).toFloat)
+    val q = Seq((9000000L, qv)).toDF("query_id", "qe")
+    Ann.searchArtifact(s2, q, path, k = 4000, nProbe = 64)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+  }
+
+  /** Same snapshot through the graph-refined serving path. */
+  private def graphServeState(path: String): Map[Long, Double] = {
+    import s2.implicits._
+    val qv = Array.fill(dim)((1.0 / math.sqrt(dim)).toFloat)
+    val q = Seq((9000000L, qv)).toDF("query_id", "qe")
+    Ann.graphRefinedSearchAt(s2, q, path, k = 4000, nProbe = 64, seedK = 4000)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+  }
+
+  /** What a CONCURRENT READER may serve at a crash state (VERDICT r13
+    * next #6) — per-verb, the strongest claim the verb's choreography
+    * supports:
+    *
+    *  - [[ServeIdentical]]: the masked view is INVARIANT across the verb
+    *    (compactions: survivors ≡ masked originals, tombstones cleared
+    *    only after the swap) — every crash state serves exactly it;
+    *  - [[ServeOldOrNew]]: one commit point (the quantizer swap): every
+    *    crash state serves the complete pre-verb or complete post-verb
+    *    world, never a mixture;
+    *  - [[ServePerDoc]]: verbs whose commit is per-doc-atomic (append:
+    *    each doc absent→new; upsert: old→absent→new, the composed
+    *    delete+insert's sub-commits): UNTOUCHED docs are served
+    *    bit-identically at every state; a touched doc is served at its
+    *    old version, its new version, or (allowAbsent) not at all —
+    *    never both versions, never a torn vector;
+    *  - [[ServeSkip]]: construction verbs whose dest is not a serving
+    *    surface until they return (merge; serving cutover is the alias
+    *    verb's job, pinned by v57).
+    */
+  private sealed trait ReaderContract
+  private case object ServeIdentical extends ReaderContract
+  private case object ServeOldOrNew extends ReaderContract
+  private case class ServePerDoc(touched: Set[Long], allowAbsent: Boolean)
+    extends ReaderContract
+  private case object ServeSkip extends ReaderContract
+
+  private def checkServe(
+      ctx: String, serve: Map[Long, Double],
+      old: Map[Long, Double], nw: Map[Long, Double], c: ReaderContract): Unit = c match {
+    case ServeSkip => ()
+    case ServeIdentical =>
+      assert(serve == nw,
+        s"$ctx: reader torn — serve diverged from the invariant masked view " +
+          s"(missing=${(nw.keySet -- serve.keySet).take(5)}, " +
+          s"extra=${(serve.keySet -- nw.keySet).take(5)})")
+    case ServeOldOrNew =>
+      assert(serve == old || serve == nw,
+        s"$ctx: reader torn — serve is neither the old nor the new world " +
+          s"(vsOld missing=${(old.keySet -- serve.keySet).take(5)} " +
+          s"extra=${(serve.keySet -- old.keySet).take(5)}; " +
+          s"vsNew missing=${(nw.keySet -- serve.keySet).take(5)} " +
+          s"extra=${(serve.keySet -- nw.keySet).take(5)})")
+    case ServePerDoc(touched, allowAbsent) =>
+      (old.keySet ++ nw.keySet ++ serve.keySet).foreach { id =>
+        if (!touched(id))
+          assert(serve.get(id) == old.get(id),
+            s"$ctx: reader torn — UNTOUCHED doc $id served ${serve.get(id)} " +
+              s"instead of ${old.get(id)}")
+        else {
+          val allowed: Set[Option[Double]] =
+            Set(old.get(id), nw.get(id)) ++ (if (allowAbsent) Set(None) else Set.empty)
+          assert(allowed.contains(serve.get(id)),
+            s"$ctx: reader torn — touched doc $id served ${serve.get(id)}, " +
+              s"allowed ${allowed}")
+        }
+      }
+  }
+
   /** Sweep one verb: `fixture` builds a fresh artifact set, `verb` is
     * the mutation under test (idempotent under retry by contract),
     * `expected` is the crash-free final state of `artifact(root)`, and
@@ -75,16 +160,30 @@ class AnnCrashSweepSpec extends SparkSpec {
   private def sweep(
       name: String)(fixture: () => String)(verb: String => Unit)(
       expected: Map[Long, Float], artifact: String => String = identity,
-      fingerprint: String => Any = _ => ()): Int = {
-    // dry run: verify the crash-free oracle and capture the fingerprint
-    val fp0 = {
+      fingerprint: String => Any = _ => (),
+      reader: ReaderContract = ServeOldOrNew,
+      graphReader: Boolean = false): Int = {
+    // dry run: verify the crash-free oracle, capture the fingerprint AND
+    // the reader contract's two worlds (pre-verb / post-verb serve)
+    val (fp0, serveOld, serveNew, gOld, gNew) = {
       val root = fixture()
+      val so = if (reader == ServeSkip) Map.empty[Long, Double]
+        else serveState(artifact(root))
+      val go = if (graphReader) graphServeState(artifact(root))
+        else Map.empty[Long, Double]
       verb(root)
       assert(state(artifact(root)) == expected, s"$name: crash-free run != oracle")
       assertFsckGreen(artifact(root), s"$name crash-free")
+      val sn = if (reader == ServeSkip) Map.empty[Long, Double]
+        else serveState(artifact(root))
+      val gn = if (graphReader) graphServeState(artifact(root))
+        else Map.empty[Long, Double]
+      if (reader == ServeIdentical)
+        assert(so == sn, s"$name: ServeIdentical contract mis-declared — " +
+          "the crash-free verb itself changed the masked serve")
       val fp = fingerprint(artifact(root))
       rm(root)
-      fp
+      (fp, so, sn, go, gn)
     }
     var k = 0
     var done = false
@@ -102,6 +201,18 @@ class AnnCrashSweepSpec extends SparkSpec {
         assert(state(artifact(root)) == expected, s"$name: unfired run $k != oracle")
         done = true
       } else {
+        // READER AT THE CRASH STATE (VERDICT r13 next #6), BEFORE any
+        // retry runs: a concurrent reader must serve per the verb's
+        // declared contract — old or new, never torn — and fsck must
+        // complete (report, not crash) on the wounded artifact
+        if (reader != ServeSkip) {
+          checkServe(s"$name crash@$k (pre-retry reader)",
+            serveState(artifact(root)), serveOld, serveNew, reader)
+          if (graphReader)
+            checkServe(s"$name crash@$k (pre-retry graph reader)",
+              graphServeState(artifact(root)), gOld, gNew, reader)
+          Ann.fsck(s2, artifact(root)) // must not throw at any crash state
+        }
         // the crash-then-retry contract: the SAME verb, re-invoked,
         // must converge — whatever boundary the crash hit
         verb(root)
@@ -124,6 +235,10 @@ class AnnCrashSweepSpec extends SparkSpec {
       val root = s"/tmp/graft_sweep_upsert_${System.nanoTime()}_$n"
       n += 1
       mkArtifact(root, 0 until 60)
+      // graph sidecar so the graph-refined reader runs at every crash
+      // state too (VERDICT r13 next #6 names it): endpoints are doc_ids,
+      // all of which stay alive through the upsert (updates keep ids)
+      Ann.buildGraphAt(s2, root)
       root
     }
     // mixed batch: updates (ids 0-19, re-submitted with a flipped first
@@ -133,8 +248,15 @@ class AnnCrashSweepSpec extends SparkSpec {
     val expected = (20 until 60).map(i => i.toLong -> dvec(i.toLong).head).toMap ++
       (0 until 20).map(i => i.toLong -> -dvec(i.toLong).head).toMap ++
       (60 until 80).map(i => i.toLong -> dvec(i.toLong).head).toMap
+    // reader contract: upsert IS the composed delete+insert — an
+    // untouched doc is served identically at every crash state; a batch
+    // doc serves its old version, its new version, or (between the
+    // delete sub-commit and the insert sub-commit) is absent — never
+    // both versions, never a torn vector
+    val touched = ((0 until 20) ++ (60 until 80)).map(_.toLong).toSet
     val swept = sweep("upsert")(fixture)(root =>
-      Ann.upsertVectors(s2, root, spark.createDataset(batch)))(expected)
+      Ann.upsertVectors(s2, root, spark.createDataset(batch)))(expected,
+      reader = ServePerDoc(touched, allowAbsent = true), graphReader = true)
     assert(swept >= 8, s"upsert sweep covered only $swept points — instrumentation lost?")
   }
 
@@ -150,8 +272,11 @@ class AnnCrashSweepSpec extends SparkSpec {
     }
     val expected = (0 until 60).filter(_ % 4 != 1)
       .map(i => i.toLong -> dvec(i.toLong).head).toMap
+    // reader contract: compaction never changes the masked view — the
+    // survivors it swaps in ARE the masked originals, and tombstones are
+    // cleared only after every swap completed
     val swept = sweep("compactIndexAt")(fixture)(root =>
-      Ann.compactIndexAt(s2, root))(expected)
+      Ann.compactIndexAt(s2, root))(expected, reader = ServeIdentical)
     assert(swept >= 6, s"compaction sweep covered only $swept points")
   }
 
@@ -170,7 +295,8 @@ class AnnCrashSweepSpec extends SparkSpec {
     }
     val expected = (0 until 60).map(i => i.toLong -> dvec(i.toLong).head).toMap
     val swept = sweep("compactSmallFilesAt")(fixture)(root =>
-      Ann.compactSmallFilesAt(s2, root, maxFilesPerList = 3))(expected)
+      Ann.compactSmallFilesAt(s2, root, maxFilesPerList = 3))(expected,
+      reader = ServeIdentical)
     assert(swept >= 6, s"file-compaction sweep covered only $swept points")
   }
 
@@ -277,6 +403,16 @@ class AnnCrashSweepSpec extends SparkSpec {
       Ann.writeIndexArtifact(spark, root, spark.createDataset(hot ++ cold), cents)
       root
     }
+    // the split's two worlds for the pre-foreign reader check: the
+    // fixture is deterministic, so one extra crash-free run pins them
+    val (splitOld, splitNew) = {
+      val root = fixture()
+      val so = serveState(root)
+      Ann.rebalanceIndex(s2, root, tau = 2.0)
+      val sn = serveState(root)
+      rm(root)
+      (so, sn)
+    }
     var k = 0
     var done = false
     while (!done) {
@@ -287,6 +423,13 @@ class AnnCrashSweepSpec extends SparkSpec {
         try { Ann.rebalanceIndex(s2, root, tau = 2.0); false }
         catch { case _: Faults.InjectedCrash => true }
       Faults.disarm()
+      // a reader landing BETWEEN the crash and the foreign verb serves
+      // one complete world (VERDICT r13 next #6), and fsck completes
+      if (crashed) {
+        checkServe(s"$name hetero crash@$k (pre-foreign reader)",
+          serveState(root), splitOld, splitNew, ServeOldOrNew)
+        Ann.fsck(s2, root)
+      }
       foreign(root)
       if (crashed) Ann.rebalanceIndex(s2, root, tau = 2.0)
       assert(state(root) == expected,
@@ -438,9 +581,12 @@ class AnnCrashSweepSpec extends SparkSpec {
       root
     }
     val expected = (0 until 60).map(i => i.toLong -> dvec(i.toLong).head).toMap
+    // ServeSkip: merge is a CONSTRUCTION verb — dest is not a serving
+    // surface until the verb returns (production serving rides the alias
+    // cutover, pinned old-or-new by v57); shards are drained by contract
     val swept = sweep("mergeIndexArtifacts")(fixture)(root =>
       Ann.mergeIndexArtifacts(spark, s"$root/merged", Seq(s"$root/a", s"$root/b")))(
-      expected, artifact = root => s"$root/merged")
+      expected, artifact = root => s"$root/merged", reader = ServeSkip)
     assert(swept >= 6, s"merge sweep covered only $swept points")
   }
 }
