@@ -44,10 +44,21 @@ object BenchLegs {
   private def ladderRung(spark: SparkSession, n: Int): String = {
     spark.catalog.clearCache()
     val canary = KernelBench.canaryMs()
+    val canaryScan = KernelBench.canaryScanMs()
+    // the BINARY dial scales with n (r14, from the first 4M ladder run:
+    // pool 3000 read recall 0.74 at 4M vs 0.98 at 1M): Hamming pre-rank
+    // quality at a fixed 48-byte code degrades as the corpus grows, and
+    // the tier's declared dial is exactly "recall is bought with exact
+    // rescore depth" — holding R/n constant holds recall while the
+    // rescore cost stays linear in n, the 100 TB slope claim this rung
+    // exists to measure. The scaled pool is published beside the recall.
+    val scale = math.max(1, n / KernelBench.Default.n)
     val cfg = KernelBench.Default.copy(
-      n = n, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0)
+      n = n, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0,
+      binRescore = KernelBench.Default.binRescore * scale,
+      binSweepPools = KernelBench.Default.binSweepPools.map(_ * scale))
     val r = KernelBench.run(spark, cfg)
-    s"""{"n":${cfg.n},"dim":${cfg.dim},"canary_ms":${f3(canary)},"ms_per_query":${f3(r.bfMsPerQuery)},"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)}}"""
+    s"""{"n":${cfg.n},"dim":${cfg.dim},"canary_ms":${f3(canary)},"canary_scan_ms":${f3(canaryScan)},"ms_per_query":${f3(r.bfMsPerQuery)},"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_pool":${cfg.binRescore}}"""
   }
 
   /** 4M FULL-LADDER rung (VERDICT r13 next #5 — was float-only): the
@@ -106,6 +117,7 @@ object BenchLegs {
   def graphSlope(spark: SparkSession): String =
     try {
       val canary = KernelBench.canaryMs()
+      val canaryScan = KernelBench.canaryScanMs()
       // UNTIMED warm-up build first: in the full bench the ADC scan
       // kernel is C2-compiled long before the graph section (the PQ
       // searches share it); a graph-only fresh JVM would bill rung 1
@@ -139,7 +151,7 @@ object BenchLegs {
       val points = secs.map { case (n, ps) =>
         s""""$n":{"sec":${f3(ps.min)},"pass_sec":[${ps.map(f3).mkString(",")}]}"""
       }.mkString("{", ",", "}")
-      s"""{"canary_ms":${f3(canary)},"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
+      s"""{"canary_ms":${f3(canary)},"canary_scan_ms":${f3(canaryScan)},"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] graph_build_slope failed (non-fatal): ${e.getMessage}")

@@ -159,6 +159,56 @@ object KernelBench {
     math.min(pass(), math.min(pass(), pass()))
   }
 
+  @volatile private var canaryScanSink = 0.0
+
+  /** PARALLEL-SCAN canary: 16 threads each streaming a freshly-allocated
+    * resident 96 MB float slab (1.5 GB total — the 1M corpus size),
+    * min-of-3 wall times after an untimed warm-up pass. Complements
+    * [[canaryMs]]: the documented host-day pollution hits
+    * multi-threaded large-array scan THROUGHPUT (the 4M float leg's
+    * 53 → 188 ms/query class) while small resident kernels stay clean —
+    * a single-threaded canary can read flat across a day whose scan
+    * numbers moved 3×. This one exercises the polluted kernels'
+    * resource (aggregate bandwidth under thread parallelism, over
+    * freshly first-touched pages — the allocation-state component
+    * rides along deliberately), so the ratio of a section's
+    * canary_scan_ms to a clean-day reference approximates the
+    * inflation of that section's scan-bound numbers. The slabs are
+    * allocated per call and dropped after it: a persistent 1.5 GB
+    * static would permanently shrink the bench JVM's tuned storage
+    * budget, which is itself a measured slowdown mode. */
+  def canaryScanMs(): Double = {
+    val slabs: Array[Array[Float]] = Array.tabulate(16) { t =>
+      val a = new Array[Float](24 * 1024 * 1024) // 96 MB
+      var state = 0x9E3779B97F4A7C15L ^ (t.toLong << 32)
+      var i = 0
+      while (i < a.length) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        a(i) = ((state >>> 40).toInt & 0xFFFF) / 65536.0f - 0.5f
+        i += 1
+      }
+      a
+    }
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      val acc = new java.util.concurrent.atomic.DoubleAdder
+      val threads = slabs.map { slab =>
+        val t = new Thread(() => {
+          var s = 0.0f
+          var i = 0
+          while (i < slab.length) { s += slab(i) * slab(i); i += 1 }
+          acc.add(s.toDouble)
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      canaryScanSink = acc.sum() // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    pass() // untimed warm-up
+    math.min(pass(), math.min(pass(), pass()))
+  }
+
   private[graft] def raw(cfg: Cfg, seed: Long): Array[Float] = {
     val a = new Array[Float](cfg.dim)
     var state = seed * 6364136223846793005L + 1442695040888963407L
