@@ -25,6 +25,7 @@ case class TopKAgg(
     scoreExpr: Expression,
     idExpr: Expression,
     k: Int,
+    dedupIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKAgg.Heap] {
@@ -37,7 +38,7 @@ case class TopKAgg(
     StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
+  override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k, dedupIds)
 
   override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
     val s = scoreExpr.eval(input)
@@ -71,7 +72,7 @@ case class TopKAgg(
   override def deserialize(bytes: Array[Byte]): TopKAgg.Heap = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val heap = new TopKAgg.Heap(k)
+    val heap = new TopKAgg.Heap(k, dedupIds)
     var j = 0
     while (j < n) { heap.offer(in.readDouble(), in.readLong()); j += 1 }
     heap
@@ -88,20 +89,44 @@ case class TopKAgg(
 object TopKAgg {
 
   /** Bounded worst-first heap: head = eviction candidate (lowest score,
-    * then HIGHEST id). Same ordering contract as the BruteForce kernel. */
-  final class Heap(k: Int) {
+    * then HIGHEST id). Same ordering contract as the BruteForce kernel.
+    *
+    * `dedupIds` (r14): each id appears AT MOST ONCE in the heap, kept at
+    * its best score — the serving-path variant for candidate sets that
+    * can carry the same doc twice with identical vectors (a crash-window
+    * reader's debris-union mid-split; see Ann.indexFrame). OFF by
+    * default: the SQL-surfaced `collect_top_k` ranks duplicate ids as
+    * distinct rows, and the DuckDB oracles replay exactly that. */
+  final class Heap(k: Int, dedupIds: Boolean = false) {
     require(k > 0, s"Heap capacity must be positive, got $k")
     private val ord: Ordering[(Double, Long)] =
       Ordering.by { case (s, i) => (-s, i) }
     private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    // id -> its score in the heap (dedupIds mode only)
+    private val members =
+      if (dedupIds) scala.collection.mutable.HashMap.empty[Long, Double] else null
 
     def offer(score: Double, id: Long): Unit =
-      if (pq.size < k) pq.enqueue((score, id))
-      else {
+      if (dedupIds && members.contains(id)) {
+        val prev = members(id)
+        if (score > prev) {
+          // upgrade in place: O(k) rebuild, and only on the rare
+          // duplicate-with-better-score path
+          val keep = pq.toArray.filterNot { case (_, i) => i == id }
+          pq.clear()
+          keep.foreach(pq.enqueue(_))
+          pq.enqueue((score, id))
+          members(id) = score
+        }
+      } else if (pq.size < k) {
+        pq.enqueue((score, id))
+        if (dedupIds) members(id) = score
+      } else {
         val (ws, wi) = pq.head
         if (score > ws || (score == ws && id < wi)) {
           pq.dequeue()
           pq.enqueue((score, id))
+          if (dedupIds) { members.remove(wi); members(id) = score; () }
         }
       }
 
@@ -136,6 +161,16 @@ object TopKAgg {
   def collectTopK(score: Column, id: Column, k: Int): Column = {
     import org.apache.spark.sql.GraftInternal
     val e = TopKAgg(GraftInternal.expression(score), GraftInternal.expression(id), k)
+    GraftInternal.column(e.toAggregateExpression())
+  }
+
+  /** [[collectTopK]] with per-id dedup (best score wins): the serving
+    * variant — a doc is ranked once however many identical candidate
+    * rows a crash-window union produced. */
+  def collectTopKDistinct(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftInternal
+    val e = TopKAgg(
+      GraftInternal.expression(score), GraftInternal.expression(id), k, dedupIds = true)
     GraftInternal.column(e.toAggregateExpression())
   }
 }

@@ -131,7 +131,11 @@ object Ann extends QModule {
   private final class LeaseState(val path: String, val fence: Long) {
     @volatile var lost: Boolean = false
     @volatile var beat: java.util.concurrent.ScheduledFuture[_] = null
-    var depth: Int = 1
+    // consecutive lock-file-missing beats: ONE is not loss — a
+    // concurrent takeover attempt's rename-aside / re-verify /
+    // rename-BACK window legitimately hides the lock for an instant
+    // (r14 review #4); a SECOND consecutive miss (≥ ttl/3 later) is
+    var missing: Int = 0 // only touched by the single beater thread
   }
 
   // per-thread re-entrancy: verbs COMPOSE (upsert → compact → add on the
@@ -196,10 +200,10 @@ object Ann extends QModule {
   def withWriterLease[T](s: SparkSession, path: String)(body: => T): T = {
     val held = heldLeases.get()
     held.get(path) match {
-      case Some(st) =>
-        st.depth += 1
-        try body
-        finally { st.depth -= 1; () }
+      case Some(_) =>
+        // re-entrant: the OUTERMOST frame (the one that put the entry in
+        // the map) alone removes it and releases — nothing to count
+        body
       case None =>
         val st = acquireWriterLease(s, path)
         held(path) = st
@@ -243,10 +247,17 @@ object Ann extends QModule {
     * on exactly this guarantee. */
   private def createLockExclusive(
       fs: org.apache.hadoop.fs.FileSystem, lock: org.apache.hadoop.fs.Path): Unit = {
-    val uri = lock.toUri
-    val scheme = Option(uri.getScheme).getOrElse("file")
-    if (scheme == "file") {
-      val jp = java.nio.file.Paths.get(uri.getPath)
+    // key the local-vs-remote decision off the RESOLVED FileSystem, not
+    // the raw path URI (r14 review #1): a scheme-less path on a cluster
+    // whose fs.defaultFS is HDFS resolves to HDFS in hfs(), but its URI
+    // scheme is null — keying off the URI would O_EXCL a stray LOCAL
+    // file while the real HDFS lock got created with overwrite=true
+    // below, i.e. NO exclusivity at all on the deployment that needs it
+    // most
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val jp = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
       if (jp.getParent != null) java.nio.file.Files.createDirectories(jp.getParent)
       try { java.nio.file.Files.createFile(jp); () }
       catch {
@@ -401,11 +412,19 @@ object Ann extends QModule {
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             .linesIterator.exists(_ == s"fence=${st.fence}")
           finally in.close()
+        st.missing = 0
         if (mine) fs.setTimes(lock, System.currentTimeMillis(), -1)
+        // a DIFFERENT fence is definitive: another writer holds the slot
         else { st.lost = true; Option(st.beat).foreach(_.cancel(false)) }
       } catch {
         case _: java.io.FileNotFoundException =>
-          st.lost = true; Option(st.beat).foreach(_.cancel(false))
+          // one miss may be a takeover attempt's rename-aside window
+          // that re-verifies the lease FRESH and renames it back (r14
+          // review #4: declaring loss on the first miss would abort a
+          // healthy holder); two consecutive misses — a full beat
+          // period apart — mean the lock is genuinely gone
+          st.missing += 1
+          if (st.missing >= 2) { st.lost = true; Option(st.beat).foreach(_.cancel(false)) }
         case _: Throwable => () // transient FS error: keep beating, TTL decides
       }
     st.beat = leaseBeater.scheduleAtFixedRate(
@@ -1684,7 +1703,12 @@ object Ann extends QModule {
         val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
         scored.join(broadcast(tomb), Seq("doc_id"), "left_anti")
       } else scored
-    BruteForce.rerank(live, k)
+    // rerankDistinct, not rerank (r14 review #2): the rescore above JOINS
+    // candidates against the FULL live scan by doc_id — at a mid-split
+    // crash state indexFrame's debris-union hands the same doc twice
+    // (retired source + minted list, identical vectors), and the plain
+    // heap would serve it at two ranks, dropping a true k-th neighbor
+    BruteForce.rerankDistinct(live, k)
   }
 
   // -------------------------------------------- index lifecycle: rebalance
@@ -2900,15 +2924,7 @@ object Ann extends QModule {
     // sidecar remembers the last issued version across total expiry.
     // overwrite=false on the manifest makes any residual collision fail
     // loudly instead of silently.
-    val hwmPath = new org.apache.hadoop.fs.Path(snapDir, "_hwm")
-    val hwm =
-      if (!fs.exists(hwmPath)) 0
-      else {
-        val in = fs.open(hwmPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      }
-    val n = math.max(hwm, snapshotVersions(s, path).lastOption.getOrElse(0)) + 1
+    val n = math.max(readHwm(fs, path), snapshotVersions(s, path).lastOption.getOrElse(0)) + 1
     // hwm BEFORE the manifest (r14 sweep finding, via the new fsck
     // hwm_monotone gate): written after, a crash between the two left
     // `_hwm` lagging a live version — recoverable only through the
@@ -2917,15 +2933,43 @@ object Ann extends QModule {
     // crash state; the cost is a harmless numbering gap when the crash
     // lands between the two writes (the reserved version is never
     // issued again — consumers enumerate snapshotVersions, never guess).
+    // tmp-write + rename, the fence counter's discipline (r14 review
+    // #3): an in-place truncating create could crash into an EMPTY
+    // `_hwm` — [[readHwm]]'s read rule mirrors every crash state of
+    // this write order (live, else staged tmp, else 0).
+    val hwmPath = new org.apache.hadoop.fs.Path(snapDir, "_hwm")
+    val hwmTmp = new org.apache.hadoop.fs.Path(snapDir, "_hwm_tmp")
     Faults.point()
-    val hw = fs.create(hwmPath, true)
+    val hw = fs.create(hwmTmp, true)
     try hw.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally hw.close()
+    Faults.point()
+    fs.delete(hwmPath, false)
+    require(fs.rename(hwmTmp, hwmPath), s"hwm update failed at $hwmPath")
     Faults.point()
     val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$n.txt"), false)
     try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     n
+  }
+
+  /** The snapshot version high-water mark: live `_hwm`, else the staged
+    * `_hwm_tmp` (a writer crashed between its delete and rename), else
+    * 0. Unparseable content also reads 0 here — the max(hwm, live
+    * versions) numbering rule keeps the verb converging, while fsck's
+    * `hwm_monotone` gate reports the corruption loudly. */
+  private def readHwm(fs: org.apache.hadoop.fs.FileSystem, path: String): Int = {
+    def rd(p: org.apache.hadoop.fs.Path): Option[Int] =
+      if (!fs.exists(p)) None
+      else
+        try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toIntOption
+          finally in.close()
+        } catch { case _: Exception => None }
+    rd(new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm"))
+      .orElse(rd(new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm_tmp")))
+      .getOrElse(0)
   }
 
   /** The live (unexpired) snapshot versions of an artifact, ascending. */
@@ -3353,16 +3397,29 @@ object Ann extends QModule {
     // means a crashed/corrupt write the snapshot verb would misread as 0
     if (liveVersions.nonEmpty ||
         fs.exists(new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm"))) {
-      val hwmP = new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm")
-      val hwm: Either[String, Int] =
-        if (!fs.exists(hwmP)) Right(0)
+      // read rule mirrors snapshotIndex's tmp-write + rename: live
+      // `_hwm`, else the staged `_hwm_tmp` (a writer crashed between
+      // delete and rename) — but a PRESENT-yet-unparseable live file is
+      // corruption, not a crash state the write order produces
+      def rdRaw(p: org.apache.hadoop.fs.Path): Option[String] =
+        if (!fs.exists(p)) None
         else
           try {
-            val in = fs.open(hwmP)
-            val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-            raw.toIntOption.toRight(s"unparseable _hwm content: '${raw.take(40)}'")
-          } catch { case e: Exception => Left(s"unreadable _hwm: ${e.getMessage}") }
+            val in = fs.open(p)
+            try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+            finally in.close()
+          } catch { case e: Exception => Some(s"<unreadable: ${e.getMessage}>") }
+      val hwmP = new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm")
+      val hwmT = new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm_tmp")
+      val hwm: Either[String, Int] = rdRaw(hwmP) match {
+        case Some(raw) =>
+          raw.toIntOption.toRight(s"unparseable _hwm content: '${raw.take(40)}'")
+        case None => rdRaw(hwmT) match {
+          case Some(raw) =>
+            raw.toIntOption.toRight(s"unparseable staged _hwm_tmp: '${raw.take(40)}'")
+          case None => Right(0)
+        }
+      }
       hwm match {
         case Left(bad) => check("hwm_monotone", ok = false, bad)
         case Right(h) =>

@@ -1,6 +1,6 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import graft.GraftSession
 import graft.operators.Ann
@@ -12,36 +12,48 @@ import graft.operators.Ann
   * kernel-atomic O_EXCL arbitration) had no test. Two of these children
   * race `Ann.withWriterLease` on a shared sequence of artifact paths,
   * gated round-by-round by `go_<i>` marker files the parent spec drops;
-  * each prints one `LEASERACE_RESULT <i> WIN|HELD` line per round. The
+  * each writes one `res_<i>_<id>` file (`WIN` or `HELD`) per round. The
   * parent asserts exactly one winner per round — across both the plain
   * create race (no prior lock) and the stale-lease takeover race (the
   * parent pre-plants a backdated lock).
   *
-  * Args: `<dir> <iters> <ttlMs>`. The hold inside the lease (600 ms) is
-  * what turns near-simultaneous attempts into a real mutual-exclusion
-  * test: the loser's attempt lands while the winner still holds.
+  * Mutual exclusion is made STRUCTURAL rather than timing-dependent
+  * (r14 review #5): the winner HOLDS the lease until the peer's `HELD`
+  * result file exists (up to a 10 s safety timeout), so the loser's
+  * attempt always lands while the winner still holds — no scheduling
+  * hiccup can turn the round into two sequential wins.
+  *
+  * Args: `<dir> <iters> <ttlMs> <myId> <peerId>`.
   */
 object LeaseRace {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val iters = args(1).toInt
-    val ttlMs = args(2)
+    val Array(dir, itersS, ttlMs, myId, peerId) = args.take(5)
+    val iters = itersS.toInt
     val spark = GraftSession.build("2")
     spark.conf.set(Ann.WriterLeaseTtlConf, ttlMs)
     // warm the whole lease code path (JIT + Hadoop FS init) on a private
     // artifact BEFORE signalling ready, so round 0's two attempts land
     // microseconds apart instead of a JIT-pause apart
-    Ann.withWriterLease(spark, s"$dir/warm_${ProcessHandle.current().pid()}") { () }
-    println("LEASERACE_READY")
+    Ann.withWriterLease(spark, s"$dir/warm_$myId") { () }
+    Files.writeString(Paths.get(dir, s"ready_$myId"), "1",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     (0 until iters).foreach { i =>
       val go = Paths.get(dir, s"go_$i")
       while (!Files.exists(go)) Thread.sleep(2)
+      val peerRes = Paths.get(dir, s"res_${i}_$peerId")
       val outcome =
-        try Ann.withWriterLease(spark, s"$dir/art_$i") { Thread.sleep(600); "WIN" }
-        catch { case _: Ann.WriterLeaseHeldException => "HELD" }
-      println(s"LEASERACE_RESULT $i $outcome")
+        try Ann.withWriterLease(spark, s"$dir/art_$i") {
+          // structural hold: stay the single writer until the peer's
+          // refusal is on record (or it died — the parent will see the
+          // missing result)
+          val t0 = System.currentTimeMillis()
+          while (!Files.exists(peerRes) && System.currentTimeMillis() - t0 < 10000)
+            Thread.sleep(5)
+          "WIN"
+        } catch { case _: Ann.WriterLeaseHeldException => "HELD" }
+      Files.writeString(Paths.get(dir, s"res_${i}_$myId"), outcome,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
-    println("LEASERACE_DONE")
     spark.stop()
   }
 }

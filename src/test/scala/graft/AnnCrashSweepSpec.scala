@@ -74,12 +74,22 @@ class AnnCrashSweepSpec extends SparkSpec {
     * the served universe plus the exact vector each doc is served with
     * (the fixtures flip vectors on update, so score changes pin version
     * identity). */
+  /** A served (doc_id -> score) map that FAILS LOUDLY on duplicate
+    * ranks: collect().toMap would silently merge a doc served at two
+    * ranks (r14 review #2 — exactly the torn state the probes exist to
+    * catch). */
+  private def servedMap(rows: Array[(Long, Double)], ctx: String): Map[Long, Double] = {
+    val dups = rows.groupBy(_._1).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"$ctx: docs served at MULTIPLE ranks: ${dups.take(5)}")
+    rows.toMap
+  }
+
   private def serveState(path: String): Map[Long, Double] = {
     import s2.implicits._
     val qv = Array.fill(dim)((1.0 / math.sqrt(dim)).toFloat)
     val q = Seq((9000000L, qv)).toDF("query_id", "qe")
-    Ann.searchArtifact(s2, q, path, k = 4000, nProbe = 64)
-      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    servedMap(Ann.searchArtifact(s2, q, path, k = 4000, nProbe = 64)
+      .select($"doc_id", $"score").as[(Long, Double)].collect(), s"serve($path)")
   }
 
   /** Same snapshot through the graph-refined serving path. */
@@ -87,8 +97,8 @@ class AnnCrashSweepSpec extends SparkSpec {
     import s2.implicits._
     val qv = Array.fill(dim)((1.0 / math.sqrt(dim)).toFloat)
     val q = Seq((9000000L, qv)).toDF("query_id", "qe")
-    Ann.graphRefinedSearchAt(s2, q, path, k = 4000, nProbe = 64, seedK = 4000)
-      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    servedMap(Ann.graphRefinedSearchAt(s2, q, path, k = 4000, nProbe = 64, seedK = 4000)
+      .select($"doc_id", $"score").as[(Long, Double)].collect(), s"graphServe($path)")
   }
 
   /** What a CONCURRENT READER may serve at a crash state (VERDICT r13
@@ -351,6 +361,13 @@ class AnnCrashSweepSpec extends SparkSpec {
       val cold = (0 until 60).map(i =>
         (1000L + i, near(1 + i % 3, 7, 0.2f), i % 3))
       Ann.writeIndexArtifact(spark, root, spark.createDataset(hot ++ cold), cents)
+      // graph sidecar: the graph-refined reader joins candidates against
+      // the FULL live scan by doc_id — at a mid-split crash state the
+      // debris-union hands it the same doc twice (retired source +
+      // minted list), the exact duplicate-serve the r14 review found;
+      // running it at every fault point of the SPLIT pins the
+      // rerankDistinct fix (serveState fails loudly on duplicate ranks)
+      Ann.buildGraphAt(s2, root)
       root
     }
     val expected = {
@@ -364,7 +381,8 @@ class AnnCrashSweepSpec extends SparkSpec {
       expected,
       // the split itself must survive any crash + retry: same minted
       // quantizer (deterministic sample + k-means), hot list retired
-      fingerprint = quantizerIds)
+      fingerprint = quantizerIds,
+      graphReader = true)
     assert(swept >= 8, s"rebalance sweep covered only $swept points")
   }
 

@@ -9,13 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** CROSS-JVM writer-lease race (VERDICT r13 next #3): the in-process
   * monitor serializes same-JVM racers, so every prior lease test
-  * exercised the FS-level protocol alone never — two real JVMs racing
-  * `fs`-level create-exclusive and TTL takeover had no coverage, and
-  * the local filesystem's non-atomic check-then-create (hidden by the
-  * monitor in-JVM) is exactly where a double-acquire would hide. The
-  * acquire path now uses kernel-atomic NIO `createFile` (O_EXCL) for
-  * local paths; this spec forks two REAL JVMs ([[tools.LeaseRace]])
-  * and races them round-by-round:
+  * exercised the FS-level protocol with the race window hidden — two
+  * real JVMs racing create-exclusive and TTL takeover had no coverage,
+  * and the local filesystem's non-atomic check-then-create is exactly
+  * where a double-acquire would hide. The acquire path now uses
+  * kernel-atomic NIO `createFile` (O_EXCL) when the RESOLVED FileSystem
+  * is local; this spec forks two REAL JVMs ([[tools.LeaseRace]]) and
+  * races them round-by-round:
   *
   *  - even rounds: plain acquire race (no prior lock) — the atomic
   *    create is the arbiter;
@@ -25,14 +25,16 @@ import org.scalatest.funsuite.AnyFunSuite
   *    to create against a momentarily-absent lock).
   *
   * Exactly one JVM must win each round; the loser gets
-  * WriterLeaseHeldException (printed as HELD). A 600 ms in-lease hold
-  * makes near-simultaneous attempts a true mutual-exclusion test.
+  * WriterLeaseHeldException (recorded as HELD). Mutual exclusion is
+  * STRUCTURAL, not timing-based: the winner holds its lease until the
+  * peer's HELD result is on disk, so no scheduling hiccup can turn a
+  * round into two sequential wins.
   */
 class AnnLeaseRaceSpec extends AnyFunSuite {
 
   private val Iters = 6
 
-  private def fork(dir: String, out: java.io.File): Process = {
+  private def fork(dir: String, myId: String, peerId: String, out: java.io.File): Process = {
     import scala.jdk.CollectionConverters._
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     // inherit the test JVM's flags (--add-opens etc.) but cap the heap:
@@ -41,7 +43,7 @@ class AnnLeaseRaceSpec extends AnyFunSuite {
       .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")).toSeq :+ "-Xmx3g"
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"),
-        "graft.tools.LeaseRace", dir, Iters.toString, "60000")
+        "graft.tools.LeaseRace", dir, Iters.toString, "60000", myId, peerId)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectOutput(out)
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
@@ -52,7 +54,7 @@ class AnnLeaseRaceSpec extends AnyFunSuite {
     val t0 = System.currentTimeMillis()
     while (!cond) {
       assert(System.currentTimeMillis() - t0 < timeoutMs, s"timed out waiting for $what")
-      Thread.sleep(20)
+      Thread.sleep(10)
     }
   }
 
@@ -69,38 +71,30 @@ class AnnLeaseRaceSpec extends AnyFunSuite {
     }
     val outA = new java.io.File(dir, "a.out")
     val outB = new java.io.File(dir, "b.out")
-    val pa = fork(dir, outA)
-    val pb = fork(dir, outB)
+    val pa = fork(dir, "a", "b", outA)
+    val pb = fork(dir, "b", "a", outB)
     try {
-      def ready(f: java.io.File) =
-        f.exists() && Files.readString(f.toPath).contains("LEASERACE_READY")
-      await(ready(outA) && ready(outB), 180000, "both children READY")
+      await(Files.exists(Paths.get(dir, "ready_a")) &&
+        Files.exists(Paths.get(dir, "ready_b")), 180000, "both children READY")
       (0 until Iters).foreach { i =>
         Files.createFile(Paths.get(dir, s"go_$i"))
-        // hold is 600 ms; give the round time to fully settle before the
-        // next one so releases never bleed across rounds
-        Thread.sleep(900)
+        // round barrier: both results on disk before the next round, so
+        // releases can never bleed across rounds
+        await(Files.exists(Paths.get(dir, s"res_${i}_a")) &&
+          Files.exists(Paths.get(dir, s"res_${i}_b")), 60000, s"round $i results")
       }
-      assert(pa.waitFor(120, TimeUnit.SECONDS), "child A did not exit")
-      assert(pb.waitFor(120, TimeUnit.SECONDS), "child B did not exit")
+      assert(pa.waitFor(60, TimeUnit.SECONDS), "child A did not exit")
+      assert(pb.waitFor(60, TimeUnit.SECONDS), "child B did not exit")
       assert(pa.exitValue() == 0, s"child A exited ${pa.exitValue()}")
       assert(pb.exitValue() == 0, s"child B exited ${pb.exitValue()}")
-      def results(f: java.io.File): Map[Int, String] =
-        Files.readString(f.toPath).linesIterator.collect {
-          case l if l.startsWith("LEASERACE_RESULT ") =>
-            val parts = l.split(" ")
-            parts(1).toInt -> parts(2)
-        }.toMap
-      val ra = results(outA)
-      val rb = results(outB)
       (0 until Iters).foreach { i =>
-        val pair = Seq(ra.get(i), rb.get(i)).flatten
-        assert(pair.length == 2, s"round $i: missing result ($ra / $rb)")
+        val ra = Files.readString(Paths.get(dir, s"res_${i}_a")).trim
+        val rb = Files.readString(Paths.get(dir, s"res_${i}_b")).trim
         val kind = if (i % 2 == 1) "takeover" else "acquire"
-        assert(pair.count(_ == "WIN") == 1,
-          s"round $i ($kind): expected exactly one winner, got A=${ra(i)} B=${rb(i)}")
-        assert(pair.count(_ == "HELD") == 1,
-          s"round $i ($kind): expected exactly one refusal, got A=${ra(i)} B=${rb(i)}")
+        assert(Seq(ra, rb).count(_ == "WIN") == 1,
+          s"round $i ($kind): expected exactly one winner, got A=$ra B=$rb")
+        assert(Seq(ra, rb).count(_ == "HELD") == 1,
+          s"round $i ($kind): expected exactly one refusal, got A=$ra B=$rb")
         // after the round settles, the winner has released: no lock left
         assert(!Files.exists(Paths.get(dir, s"art_${i}_writer_lock")),
           s"round $i: winner did not release its lease")
