@@ -361,13 +361,10 @@ object Ann extends QModule {
       // else the staged tmp (crash between delete and rename), else 0.
       val fencePath = new org.apache.hadoop.fs.Path(s"${path}_writer_fence")
       val fenceTmp = new org.apache.hadoop.fs.Path(s"${path}_writer_fence_tmp")
+      // same read rule + IO-error policy as [[readHwm]], via the shared
+      // [[readSmallText]] primitive (r14 second review #6)
       def readFence(p: org.apache.hadoop.fs.Path): Option[Long] =
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption
-          finally in.close()
-        }
+        readSmallText(fs, p).flatMap(_.trim.toLongOption)
       val prev = readFence(fencePath).orElse(readFence(fenceTmp)).getOrElse(0L)
       val fence = prev + 1
       val fo = fs.create(fenceTmp, true)
@@ -425,7 +422,14 @@ object Ann extends QModule {
           // period apart — mean the lock is genuinely gone
           st.missing += 1
           if (st.missing >= 2) { st.lost = true; Option(st.beat).foreach(_.cancel(false)) }
-        case _: Throwable => () // transient FS error: keep beating, TTL decides
+        case _: Throwable =>
+          // transient FS error: keep beating, TTL decides. Also NOT a
+          // confirmed miss — without the reset, two aside-window misses
+          // HOURS apart (transient errors between them preserving the
+          // count) would still abort a healthy holder, the exact
+          // non-consecutive accumulation the two-miss rule exists to
+          // prevent (r14 second review #2)
+          st.missing = 0
       }
     st.beat = leaseBeater.scheduleAtFixedRate(
       task, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -2945,6 +2949,11 @@ object Ann extends QModule {
     finally hw.close()
     Faults.point()
     fs.delete(hwmPath, false)
+    // fault point INSIDE the delete→rename window (r14 second review
+    // #3): this is the crash state readHwm's `_hwm_tmp` fallback exists
+    // for — without a point here the sweep could never reach it and a
+    // fallback regression would ship green
+    Faults.point()
     require(fs.rename(hwmTmp, hwmPath), s"hwm update failed at $hwmPath")
     Faults.point()
     val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$n.txt"), false)
@@ -2953,20 +2962,33 @@ object Ann extends QModule {
     n
   }
 
+  /** Small sidecar text read shared by the fence and hwm counters: None
+    * when the file is absent (including vanishing between exists and
+    * open — the tmp-write+rename crash window), PROPAGATES every other
+    * IO error. Swallowing them is how a transient FS error silently
+    * reads a counter as 0 and re-issues historic numbers (r14 second
+    * review #1) — the verb must fail loudly instead. */
+  private def readSmallText(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else
+      try {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+
   /** The snapshot version high-water mark: live `_hwm`, else the staged
     * `_hwm_tmp` (a writer crashed between its delete and rename), else
-    * 0. Unparseable content also reads 0 here — the max(hwm, live
-    * versions) numbering rule keeps the verb converging, while fsck's
-    * `hwm_monotone` gate reports the corruption loudly. */
+    * 0. UNPARSEABLE content reads 0 here — the max(hwm, live versions)
+    * numbering rule keeps the verb converging while fsck's
+    * `hwm_monotone` gate reports the corruption loudly — but IO errors
+    * PROPAGATE (via [[readSmallText]]): reading a healthy counter as 0
+    * on a connection reset would silently re-issue historic version
+    * numbers after total snapshot expiry. */
   private def readHwm(fs: org.apache.hadoop.fs.FileSystem, path: String): Int = {
     def rd(p: org.apache.hadoop.fs.Path): Option[Int] =
-      if (!fs.exists(p)) None
-      else
-        try {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toIntOption
-          finally in.close()
-        } catch { case _: Exception => None }
+      readSmallText(fs, p).flatMap(_.trim.toIntOption)
     rd(new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm"))
       .orElse(rd(new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm_tmp")))
       .getOrElse(0)
@@ -3401,22 +3423,27 @@ object Ann extends QModule {
       // `_hwm`, else the staged `_hwm_tmp` (a writer crashed between
       // delete and rename) — but a PRESENT-yet-unparseable live file is
       // corruption, not a crash state the write order produces
-      def rdRaw(p: org.apache.hadoop.fs.Path): Option[String] =
+      // None = absent; Left = unreadable (IO error, reported as such —
+      // not smuggled through the content string as if it were parsed,
+      // r14 second review #5); Right = content
+      def rdRaw(p: org.apache.hadoop.fs.Path): Option[Either[String, String]] =
         if (!fs.exists(p)) None
         else
           try {
             val in = fs.open(p)
-            try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+            try Some(Right(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim))
             finally in.close()
-          } catch { case e: Exception => Some(s"<unreadable: ${e.getMessage}>") }
+          } catch { case e: Exception => Some(Left(Option(e.getMessage).getOrElse(e.getClass.getName))) }
       val hwmP = new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm")
       val hwmT = new org.apache.hadoop.fs.Path(s"$path/_snapshots/_hwm_tmp")
       val hwm: Either[String, Int] = rdRaw(hwmP) match {
-        case Some(raw) =>
+        case Some(Right(raw)) =>
           raw.toIntOption.toRight(s"unparseable _hwm content: '${raw.take(40)}'")
+        case Some(Left(err)) => Left(s"unreadable _hwm: $err")
         case None => rdRaw(hwmT) match {
-          case Some(raw) =>
+          case Some(Right(raw)) =>
             raw.toIntOption.toRight(s"unparseable staged _hwm_tmp: '${raw.take(40)}'")
+          case Some(Left(err)) => Left(s"unreadable _hwm_tmp: $err")
           case None => Right(0)
         }
       }

@@ -43,13 +43,23 @@ object LeaseRace {
       val peerRes = Paths.get(dir, s"res_${i}_$peerId")
       val outcome =
         try Ann.withWriterLease(spark, s"$dir/art_$i") {
-          // structural hold: stay the single writer until the peer's
-          // refusal is on record (or it died — the parent will see the
-          // missing result)
-          val t0 = System.currentTimeMillis()
-          while (!Files.exists(peerRes) && System.currentTimeMillis() - t0 < 10000)
-            Thread.sleep(5)
-          "WIN"
+          // a peer result ALREADY on disk saying WIN means the peer won,
+          // released, and we acquired afterwards — the round was
+          // sequential, not contended. Recording it as WIN would fail
+          // the exactly-one-winner assert on a round where mutual
+          // exclusion was never violated (r14 second review #4: the 10 s
+          // safety timeout below re-introduced exactly that flake).
+          if (Files.exists(peerRes) &&
+              Files.readString(peerRes).trim == "WIN") "LATE"
+          else {
+            // structural hold: stay the single writer until the peer's
+            // refusal is on record (or it died — the parent will see
+            // the missing result)
+            val t0 = System.currentTimeMillis()
+            while (!Files.exists(peerRes) && System.currentTimeMillis() - t0 < 10000)
+              Thread.sleep(5)
+            "WIN"
+          }
         } catch { case _: Ann.WriterLeaseHeldException => "HELD" }
       Files.writeString(Paths.get(dir, s"res_${i}_$myId"), outcome,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
