@@ -209,7 +209,8 @@ object Bench {
             row.getAs[Double]("speedup_vs_bf"))}""")
           .mkString("{", ",", "}")
         def passes(ts: Seq[Double]): String = ts.map(f3).mkString("[", ",", "]")
-        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},"canary_ms":${f3(kernelCanary)},"canary_scan_ms":${f3(kernelCanaryScan)},"latency_stat":"min_over_same_dial_passes","page_cache_dropped":$kernelCacheDropped,"pass_sec":{"bf":${passes(r.bfPassSec)},"ivf":${passes(r.annPassSec)},"sq":${passes(r.sqPassSec)},"pq":${passes(r.pqPassSec)},"bin":${passes(r.binPassSec)}},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_operating_point":{"pool":${r.binOpPool},"target":${KernelBench.BinOpTarget},"tune_recall_10":${f4(r.binOpTuneRecall)},"heldout_recall_10":${f4(r.binOpHoldRecall)},"ms_per_query":${f3(r.binOpMsPerQuery)}},"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
+        val medians = s""""ms_per_query_median":{"bf":${f3(r.bfMsPerQueryMedian)},"ivf":${f3(r.annMsPerQueryMedian)},"sq":${f3(r.sqMsPerQueryMedian)},"pq":${f3(r.pqMsPerQueryMedian)},"bin":${f3(r.binMsPerQueryMedian)}}"""
+        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},${KernelBench.canaryFieldsJson(kernelCanary, kernelCanaryScan)},"latency_stat":"min_over_same_dial_passes",$medians,"page_cache_dropped":$kernelCacheDropped,"pass_sec":{"bf":${passes(r.bfPassSec)},"ivf":${passes(r.annPassSec)},"sq":${passes(r.sqPassSec)},"pq":${passes(r.pqPassSec)},"bin":${passes(r.binPassSec)}},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_operating_point":{"pool":${r.binOpPool},"target":${KernelBench.BinOpTarget},"tune_recall_10":${f4(r.binOpTuneRecall)},"heldout_recall_10":${f4(r.binOpHoldRecall)},"ms_per_query":${f3(r.binOpMsPerQuery)}},"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
       } catch {
         case e: Throwable =>
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -258,7 +259,7 @@ object Bench {
         val tiers = c.tiers.map { t =>
           s""""${t.name}":{"mb_disk":${f1(t.bytesDisk / 1e6)},"mb_read":${f1(t.bytesRead.min / 1e6)},"ms_per_query":${f3(t.passSec.min * 1000.0 / cfgC.nQueries)},"pass_sec":[${t.passSec.map(f3).mkString(",")}]}"""
         }.mkString(",")
-        s"""{"n":${cfgC.n},"dim":${cfgC.dim},"canary_ms":${f3(coldCanary)},"canary_scan_ms":${f3(coldCanaryScan)},"page_cache_dropped":${c.pageCacheDropped},$tiers}"""
+        s"""{"n":${cfgC.n},"dim":${cfgC.dim},${KernelBench.canaryFieldsJson(coldCanary, coldCanaryScan)},"page_cache_dropped":${c.pageCacheDropped},$tiers}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] kernel_cold_scan failed (non-fatal): ${e.getMessage}")
@@ -268,7 +269,10 @@ object Bench {
     // serialize errors only now — the kernel benchmark above may add one
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","bench_seq_today":$benchSeqToday,"registry_canary_ms":${f3(registryCanary)},"registry_canary_scan_ms":${f3(registryCanaryScan)},"queries":$qs,"kernel_1m_384":$kernel,"kernel_cold_scan":$cold,"kernel_2m_384":$kernel2m,"kernel_4m_384":$kernel4m,"graph_build_slope":$graphSlope,"errors":$errJson,"sf":"$sfDir"}"""
+      {
+        val (regR1, regR2) = KernelBench.canaryRatios(registryCanary, registryCanaryScan)
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","bench_seq_today":$benchSeqToday,"canary_reference":${KernelBench.canaryReferenceJson},"registry_canary_ms":${f3(registryCanary)},"registry_canary_scan_ms":${f3(registryCanaryScan)},"registry_canary_ratio":${f3(regR1)},"registry_canary_scan_ratio":${f3(regR2)},"queries":$qs,"kernel_1m_384":$kernel,"kernel_cold_scan":$cold,"kernel_2m_384":$kernel2m,"kernel_4m_384":$kernel4m,"graph_build_slope":$graphSlope,"errors":$errJson,"sf":"$sfDir"}"""
+      }
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop() // stop BEFORE printing so no further logging can push the
     println(line) // JSON line out of the driver's bounded stdout tail

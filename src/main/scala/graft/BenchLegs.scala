@@ -58,7 +58,7 @@ object BenchLegs {
       binRescore = KernelBench.Default.binRescore * scale,
       binSweepPools = KernelBench.Default.binSweepPools.map(_ * scale))
     val r = KernelBench.run(spark, cfg)
-    s"""{"n":${cfg.n},"dim":${cfg.dim},"canary_ms":${f3(canary)},"canary_scan_ms":${f3(canaryScan)},"ms_per_query":${f3(r.bfMsPerQuery)},"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_pool":${cfg.binRescore}}"""
+    s"""{"n":${cfg.n},"dim":${cfg.dim},${KernelBench.canaryFieldsJson(canary, canaryScan)},"ms_per_query":${f3(r.bfMsPerQuery)},"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_pool":${cfg.binRescore}}"""
   }
 
   /** 4M FULL-LADDER rung (VERDICT r13 next #5 — was float-only): the
@@ -151,7 +151,7 @@ object BenchLegs {
       val points = secs.map { case (n, ps) =>
         s""""$n":{"sec":${f3(ps.min)},"pass_sec":[${ps.map(f3).mkString(",")}]}"""
       }.mkString("{", ",", "}")
-      s"""{"canary_ms":${f3(canary)},"canary_scan_ms":${f3(canaryScan)},"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
+      s"""{${KernelBench.canaryFieldsJson(canary, canaryScan)},"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] graph_build_slope failed (non-fatal): ${e.getMessage}")

@@ -209,6 +209,81 @@ object KernelBench {
     math.min(pass(), math.min(pass(), pass()))
   }
 
+  /** Clean-day canary REFERENCE, committed at
+    * `fixtures/canary_reference.json` (override the path with
+    * `GRAFT_CANARY_REF`; point it at a missing file to disable).
+    * Established 2026-08-16 — the first idle host-day after the
+    * documented 2026-08-15 pollution — as the min over repeated
+    * standalone `tools/Canary` passes before any bench ran. With a
+    * committed reference, every section's canary becomes a RATIO a
+    * consumer reads directly from the artifact: `canary_ratio` ≈ the
+    * host-state inflation on that section's compute-bound numbers,
+    * `canary_scan_ratio` on its parallel-scan-bound ones (the 4M-float
+    * class). Returns (single_ms, scan_ms, date). */
+  lazy val canaryReference: Option[(Double, Double, String)] = {
+    // GRAFT_CANARY_REF, when set, is authoritative (tests disable the
+    // reference by pointing it at a missing file). Otherwise try the
+    // working directory, then the repo root derived from the class
+    // files' location — forked bench legs inherit the sbt cwd, but the
+    // class-relative path holds even if a child JVM is started elsewhere
+    val candidates: Seq[java.io.File] = sys.env.get("GRAFT_CANARY_REF") match {
+      case Some(p) => Seq(new java.io.File(p))
+      case None =>
+        Seq(Some(new java.io.File("fixtures/canary_reference.json")),
+          scala.util.Try {
+            val classes = new java.io.File(
+              getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+            // target/scala-2.13/classes → repo root
+            new java.io.File(
+              classes.getParentFile.getParentFile.getParentFile,
+              "fixtures/canary_reference.json")
+          }.toOption).flatten
+    }
+    val fOpt = candidates.find(_.isFile)
+    if (fOpt.isEmpty) None
+    else {
+      val f = fOpt.get
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def num(key: String): Option[Double] =
+        ("\"" + key + "\"\\s*:\\s*([0-9.]+)").r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+      def str(key: String): Option[String] =
+        ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
+      for {
+        s <- num("single_ms") if s > 0
+        sc <- num("scan_ms") if sc > 0
+      } yield (s, sc, str("date").getOrElse(""))
+    }
+  }
+
+  /** (canary_ratio, canary_scan_ratio) of a section's measured canaries
+    * against the committed clean-day reference; (-1, -1) when no
+    * reference is available or the section skipped its canaries. */
+  def canaryRatios(singleMs: Double, scanMs: Double): (Double, Double) =
+    canaryReference match {
+      case Some((s, sc, _)) if singleMs > 0 && scanMs > 0 => (singleMs / s, scanMs / sc)
+      case _ => (-1.0, -1.0)
+    }
+
+  /** One section's full canary JSON block (measurements + ratios). */
+  def canaryFieldsJson(singleMs: Double, scanMs: Double): String = {
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val (r1, r2) = canaryRatios(singleMs, scanMs)
+    s""""canary_ms":${f3(singleMs)},"canary_scan_ms":${f3(scanMs)},""" +
+      s""""canary_ratio":${f3(r1)},"canary_scan_ratio":${f3(r2)}"""
+  }
+
+  /** Top-level `canary_reference` JSON value: the committed clean-day
+    * reference the per-section ratios divide by, or `null` when none is
+    * present (ratios then stamp -1). */
+  def canaryReferenceJson: String = canaryReference match {
+    case Some((s, sc, d)) =>
+      def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      s"""{"single_ms":${f3(s)},"scan_ms":${f3(sc)},"date":"$d"}"""
+    case None => "null"
+  }
+
   private[graft] def raw(cfg: Cfg, seed: Long): Array[Float] = {
     val a = new Array[Float](cfg.dim)
     var state = seed * 6364136223846793005L + 1442695040888963407L
@@ -342,7 +417,18 @@ object KernelBench {
       annPassSec: Seq[Double],
       sqPassSec: Seq[Double],
       pqPassSec: Seq[Double],
-      binPassSec: Seq[Double])
+      binPassSec: Seq[Double],
+      // MEDIAN ms/query over the SAME same-dial measurement set each
+      // min headline is taken over (ADVICE r13 #4: a best-of-min
+      // headline is favorable selection across differently-conditioned
+      // windows — publish the central tendency beside it so a consumer
+      // gets both the host-noise-immune floor and the typical pass,
+      // without re-deriving either from pass_sec)
+      bfMsPerQueryMedian: Double,
+      annMsPerQueryMedian: Double,
+      sqMsPerQueryMedian: Double,
+      pqMsPerQueryMedian: Double,
+      binMsPerQueryMedian: Double)
 
   /** Report K grids, trimmed to the run's k (the reference's
     * {1,5,10,20,50,100} / {1,5,10}, `utils.py:70-86`). */
@@ -955,6 +1041,13 @@ object KernelBench {
     // recall with another's latency
     def dialMin(raw: Double, sweep: Seq[Report.SweepLevel], dial: Int): Double =
       sweep.find(_.ef == dial).map(l => math.min(raw, l.searchTimeSec)).getOrElse(raw)
+    // MEDIAN over the identical same-dial sample set (ADVICE r13 #4):
+    // published beside the min so the artifact carries both statistics
+    def dialMedian(raw: Seq[Double], sweep: Seq[Report.SweepLevel], dial: Int): Double = {
+      val xs = (raw ++ sweep.find(_.ef == dial).map(_.searchTimeSec)).sorted
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2
+    }
     val annSecH = dialMin(annSec, annSweep, cfg.nProbe)
     val sqSecH = dialMin(sqSec, sqSweep, cfg.nProbe)
     val pqSecH = dialMin(pqSec, pqSweep, cfg.nProbe)
@@ -1017,7 +1110,17 @@ object KernelBench {
       annPassSec = annTimes.toSeq,
       sqPassSec = sqTimes.toSeq,
       pqPassSec = pqTimes.toSeq,
-      binPassSec = binTimes.toSeq)
+      binPassSec = binTimes.toSeq,
+      bfMsPerQueryMedian =
+        dialMedian(bfTimes.toSeq, Nil, 0) * 1000.0 / cfg.nQueries,
+      annMsPerQueryMedian =
+        dialMedian(annTimes.toSeq, annSweep, cfg.nProbe) * 1000.0 / cfg.nQueries,
+      sqMsPerQueryMedian =
+        dialMedian(sqTimes.toSeq, sqSweep, cfg.nProbe) * 1000.0 / cfg.nQueries,
+      pqMsPerQueryMedian =
+        dialMedian(pqTimes.toSeq, pqSweep, cfg.nProbe) * 1000.0 / cfg.nQueries,
+      binMsPerQueryMedian =
+        dialMedian(binTimes.toSeq, binSweep, cfg.binRescore) * 1000.0 / cfg.nQueries)
   }
 
   /** Close the report loop at bench scale: write one reference-shaped

@@ -81,6 +81,55 @@ class KernelBenchSpec extends SparkSpec {
       s"graph headline ${r.graphMsPerQuery} above its sweep-level pass")
   }
 
+  test("median ms/query published beside each min headline, over the same sample set") {
+    // ADVICE r13 #4: the min headline is a best-of across
+    // differently-conditioned windows — the artifact also carries the
+    // median of the IDENTICAL same-dial sample set, so both statistics
+    // are auditable without re-deriving from pass_sec
+    val r = result
+    def ms(sec: Double) = sec * 1000.0 / cfg.nQueries
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    // bf: the interleaved passes only (no sweep exists for bf)
+    assert(math.abs(r.bfMsPerQueryMedian - ms(med(r.bfPassSec))) < 1e-9)
+    // the others: passes ∪ the same-dial sweep level — the min's set
+    def pinned(median: Double, headlineMin: Double,
+        passes: Seq[Double], sweep: Seq[sources.Report.SweepLevel], dial: Int): Unit = {
+      val samples = passes ++ sweep.find(_.ef == dial).map(_.searchTimeSec)
+      assert(math.abs(median - ms(med(samples))) < 1e-9,
+        s"median $median != median of same-dial samples ${samples.map(ms)}")
+      assert(median >= headlineMin - 1e-9,
+        s"median $median below the min headline $headlineMin")
+    }
+    pinned(r.annMsPerQueryMedian, r.annMsPerQuery, r.annPassSec, r.annSweep, cfg.nProbe)
+    pinned(r.sqMsPerQueryMedian, r.sqMsPerQuery, r.sqPassSec, r.sqSweep, cfg.nProbe)
+    pinned(r.pqMsPerQueryMedian, r.pqMsPerQuery, r.pqPassSec, r.pqSweep, cfg.nProbe)
+    pinned(r.binMsPerQueryMedian, r.binMsPerQuery, r.binPassSec, r.binSweep, cfg.binRescore)
+  }
+
+  test("clean-day canary reference: committed file parses, ratios divide by it") {
+    // the committed fixtures/canary_reference.json turns each section's
+    // canary into an in-artifact host-state RATIO (r14: the clean-day
+    // reference the r13 canaries had to defer)
+    val ref = KernelBench.canaryReference
+    assert(ref.nonEmpty, "fixtures/canary_reference.json missing or unparseable")
+    val (s, sc, date) = ref.get
+    assert(s > 0 && sc > 0 && date.nonEmpty)
+    // single-thread kernel is the slower of the two by construction
+    assert(s > sc, s"reference shape wrong: single $s <= scan $sc")
+    val (r1, r2) = KernelBench.canaryRatios(2 * s, 3 * sc)
+    assert(math.abs(r1 - 2.0) < 1e-9 && math.abs(r2 - 3.0) < 1e-9)
+    // skipped sections (-1 canaries) must not publish a ratio
+    assert(KernelBench.canaryRatios(-1.0, -1.0) == (-1.0, -1.0))
+    // the JSON block carries all four fields
+    val js = KernelBench.canaryFieldsJson(s, sc)
+    assert(js.contains("\"canary_ratio\":1.000") &&
+      js.contains("\"canary_scan_ratio\":1.000"), js)
+    assert(KernelBench.canaryReferenceJson.contains("\"date\""))
+  }
+
   test("host-state canary: fixed-cost, deterministic workload, sane magnitude") {
     // every bench section publishes canary_ms measured immediately before
     // its timed window (VERDICT r13 next #4) — the reference kernel must
