@@ -883,6 +883,53 @@ object Ann extends QModule {
     }
   }
 
+  /** Bounded re-plan retry for LIVE reads racing a running mutator
+    * (round 14, found by AnnLiveConcurrencySpec): a DataFrame's file
+    * listing happens at plan time, so a verb's rename/delete landing
+    * between that listing and a task's read surfaces as
+    * FAILED_READ_FILE / FileNotFoundException — an availability gap,
+    * not a correctness one (every read that COMPLETES serves the
+    * debris-union masked view, old-or-new-never-torn, which the crash
+    * sweep and the live spec pin). Wrap the ACTION (collect/count/
+    * write) in this: on the race it re-runs `body`, whose fresh plan
+    * re-lists the now-consistent file set. In production the collision
+    * window is the microseconds a single partition spends mid-rename —
+    * one retry clears it; `attempts` bounds the pathological case and
+    * the final failure rethrows loudly. The snapshot / alias surfaces
+    * (searchAtPath, alias cutover — v57/v58) stay the fully isolated
+    * serving path: immutable file sets, no retry needed. A `body`
+    * whose plan was built OUTSIDE the call retries against the same
+    * stale listing and cannot converge — build the frame inside. */
+  def withLiveReadRetry[T](attempts: Int = 5)(body: => T): T = {
+    def isListingRace(e: Throwable): Boolean = {
+      var c: Throwable = e
+      var depth = 0
+      while (c != null && depth < 12) {
+        val msg = Option(c.getMessage).getOrElse("")
+        // FAILED_READ_FILE / FILE_NOT_EXIST: a task opened a path the
+        // plan listed before a verb renamed it away. PATH_NOT_FOUND:
+        // the ANALYSIS itself raced — the debris-union's exists-check
+        // saw a recovery dir that the verb swept before the read
+        // planned against it. Both re-plan clean.
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          msg.contains("FAILED_READ_FILE") || msg.contains("FILE_NOT_EXIST") ||
+          msg.contains("PATH_NOT_FOUND"))
+          return true
+        c = if (c.getCause eq c) null else c.getCause
+        depth += 1
+      }
+      false
+    }
+    var left = math.max(1, attempts)
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if isListingRace(e) && left > 1 => left -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The artifact's tombstone set — empty frame when none recorded. */
   def tombstones(s: SparkSession, d: String): DataFrame =
     tombstonesAt(s, buildIndex(s, d))

@@ -26,6 +26,19 @@ private[graft] object Faults {
   @volatile private var countdown: Int = -1 // -1 = disarmed
   private var fired: Int = 0
 
+  // LIVE-CONCURRENCY throttle (round 14): armed by tests that race a
+  // real reader against a RUNNING verb — each destructive boundary
+  // sleeps `slowPointMs`, widening the inter-operation windows a
+  // concurrent reader can land in from microseconds to something a
+  // Spark job reliably hits. Disarmed (0, the only state outside a
+  // test JVM): one volatile read. Sleeps on the MUTATOR thread only —
+  // serving paths carry no fault points.
+  @volatile private var slowPointMs: Long = 0
+
+  def slow(ms: Long): Unit = slowPointMs = ms
+
+  def fast(): Unit = slowPointMs = 0
+
   /** Arm: the (k+1)-th [[point]] from now throws. */
   def arm(k: Int): Unit = synchronized { countdown = k; fired = 0 }
 
@@ -43,6 +56,8 @@ private[graft] object Faults {
     // interleaving with the new writer's choreography. One ThreadLocal
     // map read when the thread holds no lease.
     Ann.leaseCheckpoint()
+    val s = slowPointMs
+    if (s > 0) Thread.sleep(s)
     if (countdown >= 0) synchronized {
       if (countdown >= 0) {
         fired += 1
