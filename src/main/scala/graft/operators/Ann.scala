@@ -1548,6 +1548,13 @@ object Ann extends QModule {
     import s.implicits._
     val (fs, _) = hfs(s, path)
     recoverGraphServe(fs, path)
+    // heal a PRIOR graph compaction that crashed between its swap/drain
+    // and its remanifest (round-14 graph-verb sweep: the retry below
+    // early-returns on a drained tail, so without this the stale
+    // manifests — still pinning the drained edge files — were
+    // unreachable from this verb forever; the data-verb mutators heal
+    // via the same marker inside recoverCompacting)
+    healPendingRemanifest(s, path)
     val consumed = graphTailFiles(s, path)
     // nothing to fold: either already compacted (tail drained) or the
     // artifact has no graph sidecar at all — a NO-OP either way, never
@@ -1558,6 +1565,13 @@ object Ann extends QModule {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_tmp")
     folded.select($"src", $"rnk", $"dst", $"score")
       .write.mode("overwrite").parquet(tmp.toString)
+    // marker BEFORE the first destructive op (compactIndexAt's
+    // discipline): the swap moves manifest-referenced `_graph_serve`
+    // files and the drain deletes manifest-referenced `_graph` files —
+    // a crash anywhere between here and the remanifest leaves the O(1)
+    // any-mutator heal marker
+    Faults.point()
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), true).close()
     // swap by rename-ASIDE, not delete-then-rename (ADVICE r11): a
     // concurrent reader between the two renames sees at worst a missing
     // serve dir for one FS op (it still has the un-deleted tail), never
@@ -1574,16 +1588,40 @@ object Ann extends QModule {
     // single-compactor discipline the scaladoc documents.
     graphSwapLock.synchronized {
       val oldDir = new org.apache.hadoop.fs.Path(s"$path/_graph_serve_old")
+      Faults.point()
       fs.delete(oldDir, true)
-      if (fs.exists(serveDir))
+      if (fs.exists(serveDir)) {
+        Faults.point()
         require(fs.rename(serveDir, oldDir), s"graph compact aside-rename failed: $serveDir")
+      }
+      Faults.point()
       require(fs.rename(tmp, serveDir), s"graph compact rename failed: $tmp -> $serveDir")
+      Faults.point()
       fs.delete(oldDir, true)
     }
-    consumed.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    consumed.foreach { f =>
+      Faults.point()
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
     // folding drains manifest-referenced edge files — same snapshot rule
     // as every compaction: expire the invalidated manifests, re-manifest
     remanifestAfterRewrite(s, path)
+    Faults.point()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), false)
+  }
+
+  /** O(1) heal for the crash-after-rewrite-before-remanifest window:
+    * the `_remanifest_pending` marker (created by every rewrite verb
+    * before its first destructive op, cleared after its remanifest)
+    * still on disk means some rewrite died inside that window — expire
+    * the invalidated manifests and re-manifest now. */
+  private def healPendingRemanifest(s: SparkSession, path: String): Unit = {
+    val (fs, _) = hfs(s, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending")
+    if (fs.exists(p)) {
+      remanifestAfterRewrite(s, path)
+      fs.delete(p, false)
+    }
   }
 
   /** Serializes [[compactGraphAt]]'s two-rename swap against every read

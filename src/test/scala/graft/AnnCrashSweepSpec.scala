@@ -386,6 +386,42 @@ class AnnCrashSweepSpec extends SparkSpec {
     assert(swept >= 8, s"rebalance sweep covered only $swept points")
   }
 
+  test("graph compaction converges from a crash at every fault point") {
+    // round 14: compactGraphAt's aside-swap, tail drain and remanifest
+    // were the one mutator choreography with NO fault points — its
+    // recovery (recoverGraphServe roll-forward/roll-back + the
+    // _remanifest_pending heal this sweep forced into the verb) was
+    // never crash-tested. The fixture carries a serve dir, a live tail
+    // AND a manifest pinning both, so every window (swap tears, drain
+    // half-done, remanifest skipped) is observable; the fold is
+    // semantics-preserving (graphServing already folds the tail at read
+    // time), so BOTH readers are invariant at every crash state.
+    var n = 0
+    val fixture = () => {
+      val root = s"/tmp/graft_sweep_graphcompact_${System.nanoTime()}_$n"
+      n += 1
+      mkArtifact(root, 0 until 60)
+      Ann.buildGraphAt(s2, root)
+      Ann.compactGraphAt(s2, root) // first fold: _graph_serve exists
+      Ann.addVectors(s2, root, spark.createDataset(rows(60 until 70)))
+      Ann.addToGraphAt(s2, root, spark.createDataset(rows(60 until 70)))
+      Ann.snapshotIndex(s2, root) // manifest pins serve + tail files
+      root
+    }
+    val expected = (0 until 70).map(i => i.toLong -> dvec(i.toLong).head).toMap
+    def adjacency(root: String): Set[(Long, Long, Long)] = {
+      import s2.implicits._
+      Ann.graphAt(s2, root)
+        .select($"src".cast("long"), $"rnk".cast("long"), $"dst".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val swept = sweep("compactGraphAt")(fixture)(root =>
+      Ann.compactGraphAt(s2, root))(expected,
+      fingerprint = adjacency,
+      reader = ServeIdentical, graphReader = true)
+    assert(swept >= 8, s"graph-compaction sweep covered only $swept points")
+  }
+
   test("a crashed split survives an INTERLEAVED append before its retry (heterogeneous sweep)") {
     // the r13 review's data-loss scenario: rebalance crashes mid-split,
     // and the next verb is NOT the retry but an addVectors — which

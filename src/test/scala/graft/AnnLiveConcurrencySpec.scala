@@ -199,6 +199,78 @@ class AnnLiveConcurrencySpec extends SparkSpec {
     info(s"upsert: $mids mid-verb observations over $rounds rounds, none torn")
   }
 
+  /** Same observation through the graph-refined serving path. */
+  private def graphServeState(path: String): Map[Long, Double] = {
+    import s2.implicits._
+    serveCalls += 1
+    val rows = Ann.withLiveReadRetry() {
+      serveAttempts += 1
+      val qv = Array.fill(dim)((1.0 / math.sqrt(dim)).toFloat)
+      val q = Seq((9000000L, qv)).toDF("query_id", "qe")
+      Ann.graphRefinedSearchAt(s2, q, path, k = 4000, nProbe = 64, seedK = 4000)
+        .select($"doc_id", $"score").as[(Long, Double)].collect()
+    }
+    val dups = rows.groupBy(_._1).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"live graph serve($path): docs at MULTIPLE ranks: ${dups.take(5)}")
+    rows.toMap
+  }
+
+  /** [[race]] with the graph-refined reader instead. */
+  private def raceGraph(
+      root: String, slowMs: Long)(verb: => Unit): (Seq[Map[Long, Double]], Int) = {
+    Faults.slow(slowMs)
+    try {
+      @volatile var err: Throwable = null
+      val t = new Thread(() => try verb catch { case e: Throwable => err = e })
+      val obs = scala.collection.mutable.ArrayBuffer[Map[Long, Double]]()
+      var mid = 0
+      t.start()
+      while (t.isAlive) {
+        val o = graphServeState(root)
+        obs += o
+        if (t.isAlive) mid += 1
+      }
+      t.join()
+      if (err != null) throw err
+      (obs.toSeq, mid)
+    } finally Faults.fast()
+  }
+
+  test("live graph compaction: the graph-refined reader is invariant across the fold") {
+    // the fold is semantics-preserving (graphServing folds the tail at
+    // read time already) — every live observation through the
+    // graph-refined path must be bit-identical, with the reader's own
+    // recoverGraphServe racing the verb's aside-swap under the JVM lock
+    var mids = 0
+    var rounds = 0
+    while (mids < NeedMid && rounds < MaxRounds) {
+      val root = s"/tmp/graft_live_graphcompact_${System.nanoTime()}"
+      try {
+        mkArtifact(root, 0 until 60)
+        Ann.buildGraphAt(s2, root)
+        Ann.compactGraphAt(s2, root)
+        Ann.addVectors(s2, root, spark.createDataset(rows(60 until 70)))
+        Ann.addToGraphAt(s2, root, spark.createDataset(rows(60 until 70)))
+        Ann.snapshotIndex(s2, root)
+        val invariant = graphServeState(root)
+        val (obs, mid) = raceGraph(root, 40) { Ann.compactGraphAt(s2, root) }
+        obs.zipWithIndex.foreach { case (o, i) =>
+          assert(o == invariant,
+            s"round $rounds obs $i: graph-refined reader torn during graph compaction — " +
+              s"missing=${(invariant.keySet -- o.keySet).take(5)}, " +
+              s"extra=${(o.keySet -- invariant.keySet).take(5)}")
+        }
+        assertFsckGreen(root, s"round $rounds post-graph-compaction")
+        mids += mid
+        rounds += 1
+      } finally rm(root)
+    }
+    assert(mids >= NeedMid,
+      s"only $mids strictly-mid-verb observations over $rounds rounds")
+    info(s"graph compaction: $mids mid-verb observations over $rounds rounds, all invariant; " +
+      s"listing races healed so far: ${serveAttempts - serveCalls}")
+  }
+
   // planted-skew fixture (the rebalance sweep's shape at dim 8)
   private def near(axis: Int, tilt: Int, w: Float): Array[Float] = {
     val v = unit(axis)
