@@ -1247,9 +1247,37 @@ object Ann extends QModule {
     val scored = probes.join(nbrs, Seq("centroid_id"))
       .filter($"query_id" =!= $"doc_id")
       .select($"query_id", $"doc_id", Functions.vecDot($"qe", $"ne").as("score"))
+    // A REBUILD over an artifact that already carries a graph is a
+    // rewrite (round 14): the overwrite below replaces manifest-pinned
+    // `_graph` part files, and a previously-folded `_graph_serve` holds
+    // the OLD adjacency — leaving it would fold stale edges (docs since
+    // compacted away, neighbors since crowded out) into every future
+    // read. Same discipline as the other rewrite verbs: heal marker
+    // before the first destructive op, drop the folded serve dir under
+    // the swap lock, re-manifest, clear the marker. A crash between the
+    // overwrite and the serve drop serves a fold of stale ∪ fresh edges
+    // until the retry — a quality wart, not a tear (every edge is a
+    // real exactly-rescored pair; refinement never loses recall vs its
+    // seeds), and the marker keeps the manifest heal reachable from any
+    // mutator.
+    val (fs, _) = hfs(s, path)
+    healPendingRemanifest(s, path)
+    Faults.point()
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), true).close()
     BruteForce.rerank(scored, GraphDegree)
       .select($"query_id".as("src"), $"doc_id".as("dst"), $"score")
       .write.mode("overwrite").parquet(s"$path/_graph")
+    graphSwapLock.synchronized {
+      Faults.point()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_graph_serve_old"), true)
+      Faults.point()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_graph_serve_tmp"), true)
+      Faults.point()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_graph_serve"), true)
+    }
+    remanifestAfterRewrite(s, path)
+    Faults.point()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), false)
   }
 
   /** INCREMENTAL graph maintenance (VERDICT r9 next #2) — the O(|delta|)

@@ -409,17 +409,72 @@ class AnnCrashSweepSpec extends SparkSpec {
       root
     }
     val expected = (0 until 70).map(i => i.toLong -> dvec(i.toLong).head).toMap
-    def adjacency(root: String): Set[(Long, Long, Long)] = {
-      import s2.implicits._
-      Ann.graphAt(s2, root)
-        .select($"src".cast("long"), $"rnk".cast("long"), $"dst".cast("long"))
-        .as[(Long, Long, Long)].collect().toSet
-    }
     val swept = sweep("compactGraphAt")(fixture)(root =>
       Ann.compactGraphAt(s2, root))(expected,
       fingerprint = adjacency,
       reader = ServeIdentical, graphReader = true)
     assert(swept >= 8, s"graph-compaction sweep covered only $swept points")
+  }
+
+  /** Full serving adjacency as a set — the graph verbs' fingerprint. */
+  private def adjacency(root: String): Set[(Long, Long, Long)] = {
+    import s2.implicits._
+    Ann.graphAt(s2, root)
+      .select($"src".cast("long"), $"rnk".cast("long"), $"dst".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("graph REBUILD over an existing graph converges from a crash at every fault point") {
+    // round 14: buildGraphAt over an artifact already carrying a graph
+    // is a REWRITE — the overwrite replaces manifest-pinned _graph
+    // files and the folded _graph_serve holds the old adjacency. Before
+    // the fix it left stale manifests (no remanifest) and folded stale
+    // serve edges into every future read. The graph reader is NOT
+    // pinned at crash states (a mid-rebuild fold of stale ∪ fresh edges
+    // is an allowed quality wart, not a tear); the probe reader must be
+    // untouched, the POST-RETRY adjacency must equal the crash-free
+    // rebuild's, and fsck must come back green (the manifest heal).
+    var n = 0
+    val fixture = () => {
+      val root = s"/tmp/graft_sweep_graphrebuild_${System.nanoTime()}_$n"
+      n += 1
+      mkArtifact(root, 0 until 60)
+      Ann.buildGraphAt(s2, root)
+      Ann.compactGraphAt(s2, root) // folded serve holds the pre-rebuild adjacency
+      Ann.addVectors(s2, root, spark.createDataset(rows(60 until 70)))
+      Ann.snapshotIndex(s2, root) // manifest pins the pre-rebuild edge files
+      root
+    }
+    val expected = (0 until 70).map(i => i.toLong -> dvec(i.toLong).head).toMap
+    val swept = sweep("buildGraphAt rebuild")(fixture)(root =>
+      Ann.buildGraphAt(s2, root))(expected,
+      fingerprint = adjacency,
+      reader = ServeIdentical, graphReader = false)
+    assert(swept >= 4, s"graph-rebuild sweep covered only $swept points")
+  }
+
+  test("bulk graph rebuild REPLACES the folded adjacency — no stale serve edges") {
+    // semantic pin for the non-crash path: after compaction folded the
+    // old adjacency into _graph_serve, a rebuild must serve exactly
+    // what a fresh build over the same docs serves — the old fold must
+    // not linger in the union
+    val root = s"/tmp/graft_graphrebuild_sem_${System.nanoTime()}"
+    val fresh = s"/tmp/graft_graphrebuild_ref_${System.nanoTime()}"
+    try {
+      mkArtifact(root, 0 until 60)
+      Ann.buildGraphAt(s2, root)
+      Ann.compactGraphAt(s2, root)
+      Ann.addVectors(s2, root, spark.createDataset(rows(60 until 70)))
+      Ann.snapshotIndex(s2, root)
+      Ann.buildGraphAt(s2, root) // the rebuild under test
+      // reference: same docs, built once, never compacted
+      mkArtifact(fresh, 0 until 60)
+      Ann.addVectors(s2, fresh, spark.createDataset(rows(60 until 70)))
+      Ann.buildGraphAt(s2, fresh)
+      assert(adjacency(root) == adjacency(fresh),
+        "rebuild did not replace the folded adjacency")
+      assertFsckGreen(root, "post-rebuild")
+    } finally { rm(root); rm(fresh) }
   }
 
   test("a crashed split survives an INTERLEAVED append before its retry (heterogeneous sweep)") {
