@@ -901,25 +901,6 @@ object Ann extends QModule {
     * whose plan was built OUTSIDE the call retries against the same
     * stale listing and cannot converge — build the frame inside. */
   def withLiveReadRetry[T](attempts: Int = 5)(body: => T): T = {
-    def isListingRace(e: Throwable): Boolean = {
-      var c: Throwable = e
-      var depth = 0
-      while (c != null && depth < 12) {
-        val msg = Option(c.getMessage).getOrElse("")
-        // FAILED_READ_FILE / FILE_NOT_EXIST: a task opened a path the
-        // plan listed before a verb renamed it away. PATH_NOT_FOUND:
-        // the ANALYSIS itself raced — the debris-union's exists-check
-        // saw a recovery dir that the verb swept before the read
-        // planned against it. Both re-plan clean.
-        if (c.isInstanceOf[java.io.FileNotFoundException] ||
-          msg.contains("FAILED_READ_FILE") || msg.contains("FILE_NOT_EXIST") ||
-          msg.contains("PATH_NOT_FOUND"))
-          return true
-        c = if (c.getCause eq c) null else c.getCause
-        depth += 1
-      }
-      false
-    }
     var left = math.max(1, attempts)
     while (true) {
       try return body
@@ -928,6 +909,27 @@ object Ann extends QModule {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Is `e` (anywhere in its cause chain) the live-read listing race?
+    * FAILED_READ_FILE / FILE_NOT_EXIST: a task opened a path the plan
+    * listed before a verb renamed it away. PATH_NOT_FOUND: the ANALYSIS
+    * itself raced — the debris-union's exists-check saw a recovery dir
+    * that the verb swept before the read planned against it. All
+    * re-plan clean. */
+  private[graft] def isListingRace(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 12) {
+      val msg = Option(c.getMessage).getOrElse("")
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+        msg.contains("FAILED_READ_FILE") || msg.contains("FILE_NOT_EXIST") ||
+        msg.contains("PATH_NOT_FOUND"))
+        return true
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
   }
 
   /** The artifact's tombstone set — empty frame when none recorded. */
@@ -3637,45 +3639,73 @@ object Ann extends QModule {
       }
     }
 
-    // ---- data-level invariants (need quantizer + at least one list)
+    // ---- data-level invariants (need quantizer + at least one list).
+    // These are the checks that SCAN live frames, so against an
+    // artifact under live mutation they can hit the listing race
+    // (plan listed a file a verb then renamed away). fsck must stay
+    // TOTAL for an operator pointing it at a live system: the block
+    // retries under a fresh plan, and a persistent race reports each
+    // check as red-with-raced-detail instead of throwing — an honest
+    // "could not certify while racing a writer", never a crash and
+    // never a silently-partial report (round 14).
     if (hasCents && partDirs.nonEmpty && badNames.isEmpty) {
-      val live = indexFrame(s, path)
-      val quantizerIds = centroidsFrame(s, path)
-        .select(col("centroid_id")).as[Long].collect().toSet
-      val orphanLists = partDirs
-        .map(_.getPath.getName.stripPrefix("centroid_id=").toLong)
-        .filterNot(quantizerIds).sorted
-      check("lists_have_centroids", orphanLists.isEmpty,
-        s"lists with no quantizer centroid (unreachable by any probe): " +
-          orphanLists.take(5).mkString(", "))
-
-      val tombIds = tombstonesAt(s, path).select(col("doc_id")).distinct()
-      val masked = live.join(tombIds, Seq("doc_id"), "left_anti")
-      val dups = masked.groupBy(col("doc_id")).count()
-        .filter(col("count") > 1).limit(5)
-        .select(col("doc_id")).as[Long].collect().sorted
-      check("doc_id_unique", dups.isEmpty,
-        s"duplicate live doc_ids (crashed upsert/merge?): ${dups.mkString(", ")}")
-
-      val orphanTombs = tombIds
-        .join(live.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .limit(5).as[Long].collect().sorted
-      check("tombstones_reference_live_rows", orphanTombs.isEmpty,
-        s"tombstones for absent doc_ids (compaction crashed after reclaim?): " +
-          orphanTombs.mkString(", "))
-
       val hasGraph =
         fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graph")) ||
           fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graph_serve"))
-      if (hasGraph) {
-        val ends = graphAt(s, path)
-          .select(explode(array(col("src"), col("dst"))).as("doc_id")).distinct()
-        val dangling = ends
-          .join(live.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .limit(5).as[Long].collect().sorted
-        check("graph_endpoints_resolve", dangling.isEmpty,
-          s"graph edges touch absent doc_ids (deleted without graph " +
-            s"maintenance — rebuild or compact the graph): ${dangling.mkString(", ")}")
+      val dataCheckNames =
+        Seq("lists_have_centroids", "doc_id_unique", "tombstones_reference_live_rows") ++
+          (if (hasGraph) Seq("graph_endpoints_resolve") else Seq.empty)
+      val dataChecks: Either[Throwable, Seq[FsckCheck]] =
+        try Right(withLiveReadRetry(3) {
+          val acc = scala.collection.mutable.ArrayBuffer.empty[FsckCheck]
+          def dcheck(name: String, ok: Boolean, bad: => String): Unit = {
+            acc += FsckCheck(name, ok, if (ok) "ok" else bad); ()
+          }
+          val live = indexFrame(s, path)
+          val quantizerIds = centroidsFrame(s, path)
+            .select(col("centroid_id")).as[Long].collect().toSet
+          val orphanLists = partDirs
+            .map(_.getPath.getName.stripPrefix("centroid_id=").toLong)
+            .filterNot(quantizerIds).sorted
+          dcheck("lists_have_centroids", orphanLists.isEmpty,
+            s"lists with no quantizer centroid (unreachable by any probe): " +
+              orphanLists.take(5).mkString(", "))
+
+          val tombIds = tombstonesAt(s, path).select(col("doc_id")).distinct()
+          val masked = live.join(tombIds, Seq("doc_id"), "left_anti")
+          val dups = masked.groupBy(col("doc_id")).count()
+            .filter(col("count") > 1).limit(5)
+            .select(col("doc_id")).as[Long].collect().sorted
+          dcheck("doc_id_unique", dups.isEmpty,
+            s"duplicate live doc_ids (crashed upsert/merge?): ${dups.mkString(", ")}")
+
+          val orphanTombs = tombIds
+            .join(live.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .limit(5).as[Long].collect().sorted
+          dcheck("tombstones_reference_live_rows", orphanTombs.isEmpty,
+            s"tombstones for absent doc_ids (compaction crashed after reclaim?): " +
+              orphanTombs.mkString(", "))
+
+          if (hasGraph) {
+            val ends = graphAt(s, path)
+              .select(explode(array(col("src"), col("dst"))).as("doc_id")).distinct()
+            val dangling = ends
+              .join(live.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .limit(5).as[Long].collect().sorted
+            dcheck("graph_endpoints_resolve", dangling.isEmpty,
+              s"graph edges touch absent doc_ids (deleted without graph " +
+                s"maintenance — rebuild or compact the graph): ${dangling.mkString(", ")}")
+          }
+          acc.toSeq
+        })
+        catch { case e: Throwable if isListingRace(e) => Left(e) }
+      dataChecks match {
+        case Right(cs) => out ++= cs
+        case Left(e) =>
+          dataCheckNames.foreach(n => check(n, ok = false,
+            "raced a live writer (file listing changed mid-scan after " +
+              "retries) — not certifiable while a verb runs; re-run, or " +
+              s"quiesce writers for a definitive verdict [${e.getClass.getSimpleName}]"))
       }
     }
     out.toSeq

@@ -271,6 +271,59 @@ class AnnLiveConcurrencySpec extends SparkSpec {
       s"listing races healed so far: ${serveAttempts - serveCalls}")
   }
 
+  test("fsck is TOTAL under live mutation: always returns a report, never throws") {
+    // an operator points fsck at a LIVE system — while a compaction's
+    // swap churns the very files fsck scans, every call must return a
+    // report (red entries mid-verb are honest state: debris present, a
+    // racing scan reported as not-certifiable), never throw. Quiesced
+    // again, fsck must certify green.
+    var rounds = 0
+    var liveReports = 0
+    while (liveReports < NeedMid && rounds < MaxRounds) {
+      val root = s"/tmp/graft_live_fsck_${System.nanoTime()}"
+      try {
+        mkArtifact(root, 0 until 60)
+        Ann.buildGraphAt(s2, root)
+        Ann.snapshotIndex(s2, root)
+        Ann.deleteFromIndexAt(s2, root, col("doc_id") % 4 === 1)
+        // fsck (many scans) outlives a lightly-slowed verb — widen the
+        // verb so each STARTED-while-alive fsck call overlaps a
+        // still-mutating choreography for hundreds of ms (the
+        // finished-while-alive criterion the serve probes use is
+        // unreachable here: one fsck outlasts the whole verb)
+        Faults.slow(150)
+        try {
+          @volatile var err: Throwable = null
+          val t = new Thread(() =>
+            try Ann.compactIndexAt(s2, root) catch { case e: Throwable => err = e })
+          t.start()
+          while (t.isAlive) {
+            liveReports += 1 // loop entry implies the verb is mid-flight
+            val report = Ann.fsck(s2, root) // must not throw
+            assert(report.nonEmpty && report.head.check == "artifact_present",
+              s"round $rounds: fsck returned a malformed report: $report")
+          }
+          t.join()
+          if (err != null) throw err
+        } finally Faults.fast()
+        // quiesced: the compaction reclaimed deleted docs the graph
+        // still references — exactly the state graph_endpoints_resolve
+        // exists to catch, and the ONLY red allowed
+        val bad = Ann.fsck(s2, root).filterNot(_.ok).map(_.check)
+        assert(bad == Seq("graph_endpoints_resolve"),
+          s"round $rounds quiesced: unexpected fsck state: $bad")
+        // the check's documented remedy is a rebuild; after it the
+        // artifact certifies fully green
+        Ann.buildGraphAt(s2, root)
+        assertFsckGreen(root, s"round $rounds post-rebuild")
+        rounds += 1
+      } finally rm(root)
+    }
+    assert(liveReports >= NeedMid,
+      s"only $liveReports live-started fsck reports over $rounds rounds")
+    info(s"fsck: $liveReports mid-verb reports over $rounds rounds, all total")
+  }
+
   // planted-skew fixture (the rebalance sweep's shape at dim 8)
   private def near(axis: Int, tilt: Int, w: Float): Array[Float] = {
     val v = unit(axis)
