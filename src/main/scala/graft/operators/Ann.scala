@@ -851,7 +851,22 @@ object Ann extends QModule {
     * (survivors = masked originals, tombstones cleared only after the
     * swap completes). Steady-state cost: three `fs.exists` per
     * DataFrame construction, zero when no verb has crashed — the
-    * listings run only while debris exists. */
+    * listings run only while debris exists.
+    *
+    * LIVE-TIMING residual (round 14, found by AnnLiveConcurrencySpec):
+    * the checks above run at CONSTRUCTION, but Spark's file listing
+    * runs later — a whole-dir rename landing between the two left a
+    * compaction reader silently missing the swapped partition. The
+    * compactions no longer move partition dirs at all (add-before-
+    * remove file swap + rerankDistinct — the dir always holds at least
+    * the survivor set, and file-level races are loud FAILED_READ_FILE
+    * heals via [[withLiveReadRetry]]). The SPLIT's retire keeps the
+    * whole-dir rename (its rollback-copy semantics need it), so a
+    * reader whose construction straddles exactly that rename still has
+    * a ~ms silent window; closing it needs construction-time FILE
+    * PINNING (explicit leaf-file lists under one consistent view —
+    * manifest-style), the named follow-up. The live spec's
+    * old-or-new contract is the tripwire for it. */
   def indexFrame(s: SparkSession, path: String): DataFrame = {
     val (fs, root) = hfs(s, path)
     def cidDirs(dir: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
@@ -953,7 +968,11 @@ object Ann extends QModule {
       s: SparkSession, d: String, maxQueryId: Int, k: Int, nProbe: Int): DataFrame = {
     val cand = scoredCandidates(s, d, maxQueryId, nProbe).drop("prn")
     val tomb = tombstones(s, d).select(col("doc_id")).distinct()
-    BruteForce.rerank(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
+    // rerankDistinct (round 14): during a live compaction's
+    // add-before-remove swap a partition briefly holds a survivor in
+    // BOTH its old and its minted file (identical vectors, identical
+    // scores) — one rank each doc, never two
+    BruteForce.rerankDistinct(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
   }
 
   /** Tombstone-masked search over an arbitrary artifact: the
@@ -969,7 +988,8 @@ object Ann extends QModule {
     val cents = centroidsFrame(s, path)
     val cand = scoredOn(s, q, cents, indexFrame(s, path), nProbe, None).drop("prn")
     val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
-    BruteForce.rerank(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
+    // rerankDistinct: see [[searchLive]] (mid-swap duplicate masking)
+    BruteForce.rerankDistinct(cand.join(broadcast(tomb), Seq("doc_id"), "left_anti"), k)
   }
 
   /** Time-travel search over an arbitrary artifact: the probe/score/
@@ -1024,6 +1044,88 @@ object Ann extends QModule {
     * pinned by live snapshot manifests, and leaving those stale until
     * the next compaction would fail `search-as-of` on missing files in
     * the interim. */
+  /** ADD-BEFORE-REMOVE file-granular partition swap (round 14 — forced
+    * by AnnLiveConcurrencySpec catching a silently-torn live read): the
+    * old `delete(dst dir) → rename(side dir, dst dir)` swap has a
+    * window where the PARTITION DIR ITSELF is absent, and a concurrent
+    * reader whose listing lands inside it serves a world missing that
+    * partition's every doc — silently, because an unlisted directory is
+    * not an error. This swap never removes the directory: (1) a
+    * `_MINTED` manifest (tmp-write + rename, regenerated from the side
+    * listing if a crash predates it) fixes the minted live name of
+    * every side file — names keep the `part-` prefix so the snapshot
+    * manifest globs still cover them, plus a run-unique infix so they
+    * can never collide with live files; (2) every side file is renamed
+    * INTO the live partition (skip-if-present — retry-idempotent); (3)
+    * every file NOT in the minted set is deleted. A reader now sees
+    * old-only, old+minted (each survivor twice with identical vectors —
+    * one rank via the serving paths' rerankDistinct), or minted-only —
+    * always at least the full survivor set; a file-level race is a loud
+    * FAILED_READ_FILE healed by [[withLiveReadRetry]], never a silent
+    * hole. Fully-rewritten-away partitions (no side output) are the
+    * caller's concern. */
+  private def addFirstSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, side: String): Unit = {
+    val sideP = new org.apache.hadoop.fs.Path(side)
+    val mintedP = new org.apache.hadoop.fs.Path(sideP, "_MINTED")
+    // (partition dir, side file name, minted live name)
+    val minted: Seq[(String, String, String)] =
+      if (fs.exists(mintedP)) {
+        val in = fs.open(mintedP)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.linesIterator.filter(_.nonEmpty).map { l =>
+          val f = l.split('\t')
+          require(f.length == 3, s"corrupt _MINTED line in $side: '$l'")
+          (f(0), f(1), f(2))
+        }.toSeq
+      } else {
+        val runId = java.lang.Long.toHexString(System.nanoTime())
+        val entries = fs.listStatus(sideP)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+          .sortBy(_.getPath.getName)
+          .flatMap { d =>
+            fs.listStatus(d.getPath)
+              .filter(_.getPath.getName.startsWith("part-"))
+              .sortBy(_.getPath.getName)
+              .map(f => (d.getPath.getName, f.getPath.getName,
+                s"part-r$runId-${f.getPath.getName.stripPrefix("part-")}"))
+          }.toSeq
+        val tmpP = new org.apache.hadoop.fs.Path(sideP, "_MINTED_tmp")
+        Faults.point()
+        val out = fs.create(tmpP, true)
+        try out.write(entries.map { case (d, sn, dn) => s"$d\t$sn\t$dn" }
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        Faults.point()
+        require(fs.rename(tmpP, mintedP), s"minted-manifest rename failed in $side")
+        entries
+      }
+    // step 1: ADD every minted file into its live partition (idempotent)
+    minted.foreach { case (d, srcName, dstName) =>
+      val dstFile = new org.apache.hadoop.fs.Path(s"$path/$d/$dstName")
+      if (!fs.exists(dstFile)) {
+        val srcFile = new org.apache.hadoop.fs.Path(s"$side/$d/$srcName")
+        fs.mkdirs(dstFile.getParent)
+        Faults.point()
+        require(fs.rename(srcFile, dstFile),
+          s"add-first swap rename failed: $srcFile -> $dstFile")
+      }
+    }
+    // step 2: REMOVE every non-minted file from the touched partitions
+    minted.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (d, entries) =>
+      val keep = entries.map(_._3).toSet
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$d"))
+        .filter(st => st.isFile && !keep.contains(st.getPath.getName))
+        .sortBy(_.getPath.getName)
+        .foreach { st =>
+          Faults.point()
+          fs.delete(st.getPath, false)
+        }
+    }
+  }
+
   private def recoverCompacting(s: SparkSession, path: String): Unit = {
     val (fs, _) = hfs(s, path)
     // heal a crashed SPLIT first (one fs.exists when nothing crashed):
@@ -1046,16 +1148,10 @@ object Ann extends QModule {
           // before the first destructive rename so the heal survives
           // any nesting of crashes (r13 third review)
           fs.create(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), true).close()
-          fs.listStatus(tmp)
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
-            .foreach { st =>
-              val dst = new org.apache.hadoop.fs.Path(s"$path/${st.getPath.getName}")
-              Faults.point()
-              fs.delete(dst, true)
-              Faults.point()
-              require(fs.rename(st.getPath, dst),
-                s"compaction roll-forward failed: ${st.getPath} -> $dst")
-            }
+          // add-before-remove, like the verb itself: live readers keep a
+          // complete (possibly briefly duplicated, rerankDistinct-masked)
+          // view through the roll-forward too
+          addFirstSwap(fs, path, side)
           rolled = true
           // NOT endsWith: "_filecompacting" ends with "_compacting" too
           if (side == s"${path}_compacting") rolledReclaim = true
@@ -1107,14 +1203,19 @@ object Ann extends QModule {
       // O(1) any-mutator heal
       Faults.point()
       fs.create(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), true).close()
+      // FULLY-tombstoned lists produce no side output — the partition
+      // ends (its every row is masked, so readers lose nothing; a
+      // file-level race against the delete is loud, never silent)
       affected.foreach { cid =>
-        val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
         val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cid")
-        Faults.point()
-        fs.delete(dst, true)
-        Faults.point()
-        if (fs.exists(src)) fs.rename(src, dst)
+        if (!fs.exists(src)) {
+          Faults.point()
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid"), true)
+        }
       }
+      // ADD-BEFORE-REMOVE swap (round 14): the partition dir never
+      // vanishes, so a live reader's listing can never silently miss it
+      addFirstSwap(fs, path, tmp)
       Faults.point()
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       Faults.point()
@@ -1190,14 +1291,9 @@ object Ann extends QModule {
       // compactIndexAt's marker rationale: O(1) any-mutator heal window
       Faults.point()
       fs.create(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), true).close()
-      affected.foreach { cid =>
-        val dst = new org.apache.hadoop.fs.Path(s"$path/centroid_id=$cid")
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cid")
-        Faults.point()
-        fs.delete(dst, true)
-        Faults.point()
-        if (fs.exists(src)) fs.rename(src, dst)
-      }
+      // ADD-BEFORE-REMOVE swap (round 14): every affected list has side
+      // output (a re-bin-pack of its own rows), so no partition ends
+      addFirstSwap(fs, path, tmp)
       Faults.point()
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       remanifestAfterRewrite(s, path)
@@ -1749,7 +1845,8 @@ object Ann extends QModule {
         val tomb = tombstonesAt(s, path).select(col("doc_id")).distinct()
         cand.join(broadcast(tomb), Seq("doc_id"), "left_anti")
       } else cand
-    BruteForce.rerank(live, k)
+    // rerankDistinct: see [[searchLive]] (mid-swap duplicate masking)
+    BruteForce.rerankDistinct(live, k)
   }
 
   /** Persist the session quantizer as the registry artifact's
