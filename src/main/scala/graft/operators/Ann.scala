@@ -853,20 +853,23 @@ object Ann extends QModule {
     * DataFrame construction, zero when no verb has crashed — the
     * listings run only while debris exists.
     *
-    * LIVE-TIMING residual (round 14, found by AnnLiveConcurrencySpec):
-    * the checks above run at CONSTRUCTION, but Spark's file listing
-    * runs later — a whole-dir rename landing between the two left a
-    * compaction reader silently missing the swapped partition. The
-    * compactions no longer move partition dirs at all (add-before-
-    * remove file swap + rerankDistinct — the dir always holds at least
-    * the survivor set, and file-level races are loud FAILED_READ_FILE
-    * heals via [[withLiveReadRetry]]). The SPLIT's retire keeps the
-    * whole-dir rename (its rollback-copy semantics need it), so a
-    * reader whose construction straddles exactly that rename still has
-    * a ~ms silent window; closing it needs construction-time FILE
-    * PINNING (explicit leaf-file lists under one consistent view —
-    * manifest-style), the named follow-up. The live spec's
-    * old-or-new contract is the tripwire for it. */
+    * LIVE-TIMING (round 14, found by AnnLiveConcurrencySpec): the
+    * debris checks used to run BEFORE Spark's file listing — a
+    * whole-dir rename landing between the two left a reader silently
+    * missing the moved partition (an unlisted directory is not an
+    * error). Two structural closures: (1) the compactions no longer
+    * move partition dirs at all (add-before-remove file swap +
+    * rerankDistinct — the dir always holds at least the survivor set);
+    * (2) for the verbs that DO move dirs (the split's retire, whose
+    * rollback-copy semantics need the whole-dir rename), the body below
+    * is LIST-THEN-CHECK: the leaf-file listing is materialized first
+    * (`inputFiles` binds the relation's InMemoryFileIndex) and the
+    * debris state is read after — a rename that could have hollowed the
+    * listing must have changed debris BEFORE the check (fingerprinted
+    * at cid granularity), forcing a re-plan; a rename landing after the
+    * check hits already-listed paths, the loud FAILED_READ_FILE that
+    * [[withLiveReadRetry]] heals. Silent-loss requires the impossible
+    * order (listing hollowed by a rename that postdates the check). */
   def indexFrame(s: SparkSession, path: String): DataFrame = {
     val (fs, root) = hfs(s, path)
     def cidDirs(dir: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
@@ -875,13 +878,31 @@ object Ann extends QModule {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
         .flatMap(st => st.getPath.getName.stripPrefix("centroid_id=").toLongOption
           .map(_ -> st.getPath.toString))
-    val debris = Seq(s"${path}_retired", s"${path}_compacting", s"${path}_filecompacting")
-      .map(new org.apache.hadoop.fs.Path(_)).filter(fs.exists)
-    if (debris.isEmpty)
+    val debrisRoots = Seq(s"${path}_retired", s"${path}_compacting", s"${path}_filecompacting")
+      .map(new org.apache.hadoop.fs.Path(_))
+    def debrisNow(): Seq[org.apache.hadoop.fs.Path] = debrisRoots.filter(fs.exists)
+    // LIST-THEN-CHECK (round 14 — closes the last silent window): the
+    // leaf-file listing is MATERIALIZED first (`inputFiles` binds the
+    // relation's InMemoryFileIndex), and only then is the debris state
+    // read. A whole-dir rename that could have hollowed that listing
+    // must have CREATED (or changed) debris before the check — which
+    // forces a re-plan against the settled state; a rename landing
+    // after the check hits already-listed file paths, which is the
+    // LOUD FAILED_READ_FILE that [[withLiveReadRetry]] heals. The old
+    // check-then-list order had a ~ms window where a retire's rename
+    // slid between the two and the reader silently lost the partition.
+    // fingerprint at CID granularity: the debris DIRS persist for a
+    // whole verb, but individual partitions move in and out of them — a
+    // set-of-dirs compare would miss a second retire into an
+    // already-existing `_retired`
+    def fingerprint(ds: Seq[org.apache.hadoop.fs.Path]): Map[String, Set[Long]] =
+      (ds.map(d => d.toString -> cidDirs(d).map(_._1).toSet) :+
+        (root.toString -> cidDirs(root).map(_._1).toSet)).toMap
+    def plain(): DataFrame =
       s.read.parquet(path).withColumn("centroid_id", col("centroid_id").cast("long"))
-    else {
+    def buildUnion(before: Seq[org.apache.hadoop.fs.Path]): DataFrame = {
       val live = cidDirs(root).map(_._1).toSet
-      val missing = debris.flatMap(cidDirs).filter { case (cid, _) => !live.contains(cid) }
+      val missing = before.flatMap(cidDirs).filter { case (cid, _) => !live.contains(cid) }
         .groupBy(_._1).map { case (cid, dirs) => cid -> dirs.head._2 }.toSeq.sortBy(_._1)
       def fallback(cid: Long, dir: String): DataFrame =
         s.read.parquet(dir).withColumn("centroid_id", lit(cid))
@@ -891,11 +912,30 @@ object Ann extends QModule {
         // file to infer a schema from
         missing.map { case (cid, dir) => fallback(cid, dir) }.reduce(_ unionByName _)
       else
-        missing.foldLeft(
-          s.read.parquet(path).withColumn("centroid_id", col("centroid_id").cast("long"))) {
-          case (f, (cid, dir)) => f.unionByName(fallback(cid, dir))
-        }
+        missing.foldLeft(plain()) { case (ff, (cid, dir)) => ff.unionByName(fallback(cid, dir)) }
     }
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      val before = debrisNow()
+      if (before.isEmpty) {
+        val base = plain()
+        base.inputFiles // bind the listing BEFORE reading the debris state
+        if (debrisNow().isEmpty) return base
+        // debris appeared mid-construction — re-plan on the union path
+      } else {
+        val fpBefore = fingerprint(before)
+        val f = buildUnion(before)
+        f.inputFiles // bind every listing BEFORE re-reading the debris state
+        if (fingerprint(debrisNow()) == fpBefore) return f
+        // a verb moved partitions mid-construction — re-plan
+      }
+    }
+    // a verb thrashed the debris state on every attempt: serve a final
+    // best-effort union — any file its listings lose to a still-running
+    // rename fails LOUDLY at read (never silently)
+    val ds = debrisNow()
+    if (ds.isEmpty) plain() else buildUnion(ds)
   }
 
   /** Bounded re-plan retry for LIVE reads racing a running mutator
