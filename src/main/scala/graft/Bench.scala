@@ -1,6 +1,82 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Incremental, kill-surviving writer for the bench artifact (VERDICT
+  * r14 wrong #1: the round's one hard failure was `rc: 124, parsed:
+  * null` — the old harness printed/wrote the JSON line only after ALL
+  * sections, so the driver's wall-clock kill during the final leg lost
+  * every completed measurement).
+  *
+  * Contract: the artifact is a single JSON object whose top-level
+  * fields are fixed at construction, in order. After EVERY completed
+  * section the full line is re-serialized and atomically replaces
+  * `bench_result.json` (tmp-write + ATOMIC_MOVE), so a kill at any
+  * point leaves the last consistent artifact on disk. A JVM shutdown
+  * hook ([[installShutdownHook]]) additionally stamps every
+  * still-pending section `{"killed":true}`, flips the top-level
+  * `"killed"` field to true, rewrites the file, and PRINTS the line —
+  * the driver's bounded-stdout-tail parse then succeeds even on
+  * rc 124. SIGKILL (no hooks) still finds the incrementally-written
+  * file. BenchSpec pins both paths (in-JVM and a real SIGTERM against
+  * [[tools.BenchKillProbe]]).
+  */
+final class BenchEmitter(
+    outPath: Path, initial: Seq[(String, String)], sectionKeys: Set[String]) {
+  private val Pending = """{"pending":true}"""
+  private val fields = scala.collection.mutable.LinkedHashMap[String, String](initial: _*)
+  require(sectionKeys.subsetOf(fields.keySet), "sectionKeys must be declared fields")
+  sectionKeys.foreach(k => fields(k) = Pending)
+  require(fields.contains("killed"), "emitter needs a top-level killed field")
+  private val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def set(key: String, json: String): Unit = synchronized {
+    require(fields.contains(key), s"unknown bench field: $key")
+    fields(key) = json
+    writeFile()
+  }
+
+  def line(): String = synchronized {
+    fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+  }
+
+  private def writeFile(): Unit = {
+    val tmp = outPath.resolveSibling(outPath.getFileName.toString + ".tmp")
+    Files.writeString(tmp, line() + "\n")
+    Files.move(tmp, outPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Normal completion: silence the kill hook, persist, return the line
+    * for the caller to print (after spark.stop(), so no further logging
+    * can push it out of the driver's bounded stdout tail). */
+  def finish(): String = synchronized {
+    finished.set(true)
+    writeFile()
+    line()
+  }
+
+  def installShutdownHook(): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => onKill(), "bench-emitter-kill"))
+
+  /** The kill path, package-visible so BenchSpec can drive it without a
+    * subprocess: stamp pending sections, persist, print. Idempotent and
+    * silent after [[finish]]. */
+  private[graft] def onKill(): Unit = {
+    if (finished.compareAndSet(false, true)) {
+      val l = synchronized {
+        fields.keys.toSeq.filter(sectionKeys).foreach { k =>
+          if (fields(k) == Pending) fields(k) = """{"killed":true}"""
+        }
+        fields("killed") = "true"
+        writeFile()
+        line()
+      }
+      println(l)
+    }
+  }
+}
 
 /** Benchmark harness (SURVEY A6): times every registry query at the given
   * SF dir and emits ONE JSON line `{"metric":"total","value":…,"queries":…}`.
@@ -8,10 +84,30 @@ import java.nio.file.{Files, Paths}
   * Failure contract (VERDICT r1, wrong #4): a failing query is NOT
   * swallowed — it is recorded with a negative time, listed under "errors",
   * and flips the process exit code to 1, so a regression can't be silently
-  * timed as a success. The JSON line is also written to bench_result.json
-  * (cwd) because sbt's logger may prefix stdout.
+  * timed as a success.
+  *
+  * Delivery contract (VERDICT r14 wrong #1): the artifact must survive
+  * the DRIVER's wall clock. Three structural defenses:
+  *  - [[BenchEmitter]] rewrites `bench_result.json` after every section
+  *    and a SIGTERM hook prints the line with `{"killed":true}` stamps;
+  *  - the BASELINE-comparable core (registry + kernel_1m) runs FIRST —
+  *    the graph-slope leg's old run-first rationale (fork sees a
+  *    near-idle host) is served by the per-section canaries now;
+  *  - an internal budget (`GRAFT_BENCH_BUDGET_S`, default 2400 s):
+  *    after the core, each diagnostic leg checks remaining budget
+  *    before launching and stamps `{"skipped":"budget"}` when short, so
+  *    a degraded day still publishes the headlines within budget.
   */
 object Bench {
+
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
 
   /** Run one scale leg in a FRESH JVM via [[tools.BenchFork]] and return
     * its JSON body. The child inherits this JVM's full argument list
@@ -21,8 +117,11 @@ object Bench {
     * `BENCHFORK_JSON` line; stderr passes through. On any failure the
     * in-session `fallback` runs instead, stamped
     * `"suspect_session_age":true` so a JSON consumer can tell a clean
-    * fresh-JVM point from a heap-aged one (VERDICT r11 next #2). */
-  private def forked(mode: String, fallback: () => String): String =
+    * fresh-JVM point from a heap-aged one (VERDICT r11 next #2).
+    * `timeoutS` bounds the child's wall clock — sized to the REMAINING
+    * internal budget, not the old fixed 45 min, so one hung leg can no
+    * longer eat every later section's slot (r14 wrong #1). */
+  private def forked(mode: String, timeoutS: Long, fallback: () => String): String =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
@@ -37,8 +136,8 @@ object Bench {
       // drain stdout on its OWN thread (stderr is inherited, so this is
       // the only pipe that could deadlock on a full buffer) while the
       // MAIN thread owns the timeout: a hung child never reaches EOF,
-      // and a blocking readLine here would make waitFor's 45-minute
-      // bound dead code — the whole bench would hang with it
+      // and a blocking readLine here would make waitFor's bound dead
+      // code — the whole bench would hang with it
       val lines = java.util.Collections.synchronizedList(
         new java.util.ArrayList[String]())
       val drain = new Thread(() => {
@@ -51,8 +150,8 @@ object Bench {
       }, s"benchfork-$mode-drain")
       drain.setDaemon(true)
       drain.start()
-      val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { p.destroyForcibly(); sys.error(s"fork $mode timed out") }
+      val done = p.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); sys.error(s"fork $mode timed out after ${timeoutS}s") }
       drain.join(60000)
       // a still-alive drain means the pipe never reached EOF: fail the
       // fork explicitly rather than iterate a list the drain thread may
@@ -76,8 +175,17 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Internal wall-clock budget (VERDICT r14 next #2), sized to the
+    // driver's observed window. The BASELINE-comparable core (registry
+    // + kernel_1m) always runs; each diagnostic leg checks remaining
+    // budget against its clean-day estimate before launching.
+    val budgetS = sys.env.get("GRAFT_BENCH_BUDGET_S").flatMap(_.toDoubleOption)
+      .getOrElse(2400.0)
+    def remainingS: Double = budgetS - elapsedS
     // Section filter for BUILDER-SIDE validation runs (VERDICT r12 next
     // #2: one FULL bench per host-day for publication — targeted
     // re-validation must not burn the day's budget):
@@ -87,8 +195,67 @@ object Bench {
     val skip = sys.env.get("GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    def unlessSkipped(name: String)(body: => String): String =
-      if (skip.contains(name)) """{"skipped":true}""" else body
+    // Host-state self-description (VERDICT r12 wrong #2): back-to-back
+    // FULL benches accumulate host-day slowdown that fresh JVMs and
+    // drop_caches do NOT remove. The artifact records which run of the
+    // host-day it is — 1 is the day's reference run.
+    val benchSeqToday =
+      try {
+        val f = Paths.get(s"/tmp/graft_bench_seq_${java.time.LocalDate.now()}")
+        val prior = if (Files.exists(f)) Files.readString(f).trim.toInt else 0
+        // only a FULL bench consumes a host-day sequence number: a
+        // skip-gated validation run costs a fraction of the load the
+        // stamp exists to account for
+        if (skip.isEmpty) { Files.writeString(f, (prior + 1).toString); prior + 1 }
+        else prior + 1 // what a full bench started NOW would stamp
+      } catch { case _: Throwable => -1 }
+
+    // ---- artifact skeleton: every top-level field declared up front,
+    // sections incrementally filled (VERDICT r14 next #1)
+    val sections = Seq("queries", "kernel_1m_384", "kernel_cold_scan",
+      "graph_build_slope", "kernel_2m_384", "kernel_4m_384")
+    val emitter = new BenchEmitter(
+      Paths.get("bench_result.json"),
+      Seq(
+        "metric" -> "\"total\"",
+        "value" -> "-1.000",
+        "unit" -> "\"sec\"",
+        "killed" -> "false",
+        "bench_seq_today" -> benchSeqToday.toString,
+        "budget_s" -> f3(budgetS),
+        "canary_reference" -> KernelBench.canaryReferenceJson,
+        "registry_canaries" -> "null",
+        "queries" -> "null",
+        "kernel_1m_384" -> "null",
+        "kernel_cold_scan" -> "null",
+        "graph_build_slope" -> "null",
+        "kernel_2m_384" -> "null",
+        "kernel_4m_384" -> "null",
+        "errors" -> "{}",
+        "sf" -> jstr(sfDir)),
+      sections.toSet)
+    emitter.installShutdownHook()
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def publishErrors(): Unit = emitter.set("errors",
+      errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}"))
+
+    def skipped(name: String): Boolean = skip.contains(name)
+    def runSection(field: String, skipKey: String)(body: => String): Unit =
+      emitter.set(field,
+        if (skipped(skipKey)) """{"skipped":true}"""
+        else body)
+    // Diagnostic legs only — the core never budget-skips. Estimates are
+    // clean-day wall-clock with headroom; a leg whose estimate exceeds
+    // the remaining budget self-describes instead of risking the kill
+    // that lost r14's whole artifact.
+    def budgetGated(field: String, skipKey: String, estS: Double)(body: => String): Unit =
+      runSection(field, skipKey) {
+        if (remainingS < estS)
+          s"""{"skipped":"budget","estimated_s":${f3(estS)},"remaining_s":${f3(remainingS)}}"""
+        else body
+      }
+
     // fraction 0.75 (not the 0.6 default): the bench is the one entry
     // point that holds multi-GB block caches while building more of
     // them — see GraftSession.build's sizing note
@@ -97,34 +264,13 @@ object Bench {
     // Warm-up: JVM/codegen/scheduler start-up must not be billed to the
     // first timed query (it was inflating it ~10×).
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    // Host-state self-description (VERDICT r12 wrong #2): back-to-back
-    // FULL benches accumulate host-day slowdown that fresh JVMs and
-    // drop_caches do NOT remove (measured: the day's third run read the
-    // 1M graph rung 1.8× its first-run value, recalls identical). The
-    // artifact records which run of the host-day it is, so a consumer
-    // can weigh it — 1 is the day's reference run.
-    val benchSeqToday =
-      try {
-        val f = Paths.get(s"/tmp/graft_bench_seq_${java.time.LocalDate.now()}")
-        val prior = if (Files.exists(f)) Files.readString(f).trim.toInt else 0
-        // only a FULL bench consumes a host-day sequence number: a
-        // skip-gated validation run costs a fraction of the load the
-        // stamp exists to account for, and counting it would make the
-        // driver's real artifact look later-in-day than it is
-        if (skip.isEmpty) { Files.writeString(f, (prior + 1).toString); prior + 1 }
-        else prior + 1 // what a full bench started NOW would stamp
-      } catch { case _: Throwable => -1 }
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // host-state canary BEFORE each timed section (VERDICT r13 next #4):
-    // bench_seq_today flags a polluted host-day; per-section canary_ms
-    // lets a consumer NORMALIZE it from the artifact alone
-    val registryCanary =
-      if (skip.contains("registry")) -1.0 else KernelBench.canaryMs()
-    val registryCanaryScan =
-      if (skip.contains("registry")) -1.0 else KernelBench.canaryScanMs()
-    val results =
-      if (skip.contains("registry")) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    // ---- CORE section 1: the registry suite, canary-bracketed
+    // (VERDICT r14 next #4: start+end triples so a consumer can see
+    // mid-section pollution arrival)
+    runSection("queries", "registry") {
+      val start = KernelBench.canaryTriple()
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -136,53 +282,30 @@ object Bench {
             name -> -1.0
         }
       }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    // Keep the line SHORT: the driver parses it from a bounded stdout tail
-    // (r2's full-precision line overflowed the buffer -> "parsed": null).
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // a skipped registry self-describes like every other section, and
-    // its total is -1 (the per-query error convention), never a 0.000 a
-    // consumer could mistake for a measured zero-second suite
-    val qs =
-      if (skip.contains("registry")) """{"skipped":true}"""
-      else results.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
-    val total =
-      if (skip.contains("registry")) -1.0
-      else results.collect { case (_, v) if v >= 0 => v }.sum
-    // kNN-graph BUILD slope (VERDICT r11 next #5) — runs FIRST among the
-    // kernel sections: unlike the 2M/4M float legs (in-JVM corpora,
-    // compute-bound), the graph build is shuffle-heavy, so its fork is
-    // sensitive to how much page cache the HOST has left — and the
-    // parent's 1M-section residents (31g heap) are exactly what squeezed
-    // it when this leg ran last (measured 250k 10.6 / 1M 51.1 in-bench
-    // vs 5.4 / 38.9 standalone, even with the fork's own drop_caches).
-    // Before the parent has allocated anything big, the fork sees a
-    // near-idle host.
-    spark.catalog.clearCache()
-    System.gc()
-    val graphSlope = unlessSkipped("graphslope")(forked("graphslope", () => {
-      spark.catalog.clearCache(); System.gc()
-      BenchLegs.graphSlope(spark)
-    }))
-    // Headline: brute-force search at the reference's own scale (1M × 384,
-    // 100 queries, top-100) for a like-for-like BASELINE.md comparison.
-    val kernel = unlessSkipped("kernel") {
+      val end = KernelBench.canaryTriple()
+      emitter.set("registry_canaries", s"{${KernelBench.canaryBracketJson(start, end)}}")
+      emitter.set("value",
+        f3(results.collect { case (_, v) if v >= 0 => v }.sum))
+      publishErrors()
+      // Keep the line SHORT: the driver parses it from a bounded stdout
+      // tail (r2's full-precision line overflowed the buffer).
+      results.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
+    }
+
+    // ---- CORE section 2: the 1M×384 kernel ladder — the like-for-like
+    // BASELINE.md comparison. Runs immediately after the registry
+    // (VERDICT r14 next #2: core first; the graph-slope leg's old
+    // run-first slot is served by its canary bracket now).
+    runSection("kernel_1m_384", "kernel") {
       try {
         spark.catalog.clearCache() // drop query-suite caches before the 1.5 GB corpus
         System.gc()
-        // the in-session 1M section was the last bench leg with NO
-        // host-state hygiene or self-description (VERDICT r12 wrong #1:
-        // its bin headline read 9× wrong after the registry suite's
-        // churn, with nothing in the JSON saying so). Start it the way
-        // BenchFork starts every fork: sync + drop the page cache, and
-        // stamp whether that worked.
+        // start the section the way BenchFork starts every fork: sync +
+        // drop the page cache, and stamp whether that worked (VERDICT
+        // r12 wrong #1: the old in-session 1M section read its bin
+        // headline 9× wrong after the registry churn, silently)
         val kernelCacheDropped = operators.ColdScan.dropPageCache()
-        val kernelCanary = KernelBench.canaryMs()
-        val kernelCanaryScan = KernelBench.canaryScanMs()
+        val start = KernelBench.canaryTriple()
         val r = KernelBench.run(spark)
         val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
         // held-out queries (r6 advice): recall varies with nProbe; the
@@ -208,72 +331,71 @@ object Bench {
           .map(row => s""""${row.getAs[String]("method")}":${f3(
             row.getAs[Double]("speedup_vs_bf"))}""")
           .mkString("{", ",", "}")
+        val end = KernelBench.canaryTriple()
         def passes(ts: Seq[Double]): String = ts.map(f3).mkString("[", ",", "]")
         val medians = s""""ms_per_query_median":{"bf":${f3(r.bfMsPerQueryMedian)},"ivf":${f3(r.annMsPerQueryMedian)},"sq":${f3(r.sqMsPerQueryMedian)},"pq":${f3(r.pqMsPerQueryMedian)},"bin":${f3(r.binMsPerQueryMedian)}}"""
-        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},${KernelBench.canaryFieldsJson(kernelCanary, kernelCanaryScan)},"latency_stat":"min_over_same_dial_passes",$medians,"page_cache_dropped":$kernelCacheDropped,"pass_sec":{"bf":${passes(r.bfPassSec)},"ivf":${passes(r.annPassSec)},"sq":${passes(r.sqPassSec)},"pq":${passes(r.pqPassSec)},"bin":${passes(r.binPassSec)}},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_operating_point":{"pool":${r.binOpPool},"target":${KernelBench.BinOpTarget},"tune_recall_10":${f4(r.binOpTuneRecall)},"heldout_recall_10":${f4(r.binOpHoldRecall)},"ms_per_query":${f3(r.binOpMsPerQuery)}},"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
+        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},${KernelBench.canaryBracketJson(start, end)},"latency_stat":"min_over_same_dial_passes",$medians,"page_cache_dropped":$kernelCacheDropped,"pass_sec":{"bf":${passes(r.bfPassSec)},"ivf":${passes(r.annPassSec)},"sq":${passes(r.sqPassSec)},"pq":${passes(r.pqPassSec)},"bin":${passes(r.binPassSec)}},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_operating_point":{"pool":${r.binOpPool},"target":${KernelBench.BinOpTarget},"tune_recall_10":${f4(r.binOpTuneRecall)},"heldout_recall_10":${f4(r.binOpHoldRecall)},"ms_per_query":${f3(r.binOpMsPerQuery)}},"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
       } catch {
         case e: Throwable =>
           errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          publishErrors()
           "null"
       }
     }
-    // Scale rungs (VERDICT r9 next #8 / r8 next #8) — each runs in a
-    // FRESH FORKED JVM (VERDICT r11 next #2): multi-GB float-scan
-    // throughput decays with JVM session age on this host (measured 4M
-    // bf 40 ms/query fresh -> ~150 late-session, residency verified,
-    // GC/THP/unpersist ruled out — STATUS r10 #8), so two rounds of
-    // published 2M/4M points measured heap age, not scaling. The parent
-    // blocks idle while each fork runs (the bench-truth keep-host-idle
-    // rule); on fork failure the leg runs in-session with a
-    // machine-readable "suspect_session_age":true stamp. Leg bodies and
-    // heap gates live in BenchLegs; failures stay non-fatal (diagnostic
-    // legs, exit code untouched).
-    // free the parent's 1M-section residents before the forks launch —
-    // a blocked-idle parent should also be as memory-quiet as possible
+
+    // ---- diagnostic legs, budget-gated in priority order. COLD-SCAN
+    // first (VERDICT r14 next #7: it was the kill's casualty and the
+    // bytes-per-doc IO story has no r14 data point), then the
+    // graph-slope adjudication leg, then the 2M/4M scale rungs. The
+    // forked legs (VERDICT r11 next #2) each run in a FRESH JVM with
+    // the parent blocked idle; fork timeout is the remaining budget.
     spark.catalog.clearCache()
     System.gc()
-    val kernel4m = unlessSkipped("float4m")(forked("float4m", () => {
-      spark.catalog.clearCache(); System.gc()
-      BenchLegs.float4m(spark)
-    }))
-    val kernel2m = unlessSkipped("full2m")(forked("full2m", () => {
-      spark.catalog.clearCache(); System.gc()
-      BenchLegs.full2m(spark)
-    }))
-    // COLD-SCAN leg (VERDICT r9 next #1): the compression ladder's
-    // bytes-per-doc claim measured IO-bound — each tier's packed
-    // artifact re-read from parquet per pass, page cache dropped before
-    // every pass, bytes-read (syscall-level) + ms/query per tier.
-    // Failure is inline-reported, non-fatal (diagnostic leg).
-    val cold = unlessSkipped("cold") {
+
+    budgetGated("kernel_cold_scan", "cold", estS = 300.0) {
       try {
         spark.catalog.clearCache()
-        val coldCanary = KernelBench.canaryMs()
-        val coldCanaryScan = KernelBench.canaryScanMs()
+        val start = KernelBench.canaryTriple()
         val cfgC = KernelBench.Default
         // root carries an encode-cfg fingerprint so a changed cfg can
         // never reuse stale artifacts behind _COLD_READY (ADVICE r10)
         val rootC = operators.ColdScan.artifactRoot("/tmp/graft_coldscan", cfgC)
         val c = operators.ColdScan.run(spark, cfgC, rootC, passes = 3)
+        val end = KernelBench.canaryTriple()
         def f1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
         val tiers = c.tiers.map { t =>
           s""""${t.name}":{"mb_disk":${f1(t.bytesDisk / 1e6)},"mb_read":${f1(t.bytesRead.min / 1e6)},"ms_per_query":${f3(t.passSec.min * 1000.0 / cfgC.nQueries)},"pass_sec":[${t.passSec.map(f3).mkString(",")}]}"""
         }.mkString(",")
-        s"""{"n":${cfgC.n},"dim":${cfgC.dim},${KernelBench.canaryFieldsJson(coldCanary, coldCanaryScan)},"page_cache_dropped":${c.pageCacheDropped},$tiers}"""
+        s"""{"n":${cfgC.n},"dim":${cfgC.dim},${KernelBench.canaryBracketJson(start, end)},"page_cache_dropped":${c.pageCacheDropped},$tiers}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] kernel_cold_scan failed (non-fatal): ${e.getMessage}")
           s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
     }
-    // serialize errors only now — the kernel benchmark above may add one
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val line =
-      {
-        val (regR1, regR2) = KernelBench.canaryRatios(registryCanary, registryCanaryScan)
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","bench_seq_today":$benchSeqToday,"canary_reference":${KernelBench.canaryReferenceJson},"registry_canary_ms":${f3(registryCanary)},"registry_canary_scan_ms":${f3(registryCanaryScan)},"registry_canary_ratio":${f3(regR1)},"registry_canary_scan_ratio":${f3(regR2)},"queries":$qs,"kernel_1m_384":$kernel,"kernel_cold_scan":$cold,"kernel_2m_384":$kernel2m,"kernel_4m_384":$kernel4m,"graph_build_slope":$graphSlope,"errors":$errJson,"sf":"$sfDir"}"""
-      }
-    Files.writeString(Paths.get("bench_result.json"), line + "\n")
+
+    def forkTimeoutS: Long = math.max(120L, remainingS.toLong + 120L)
+    budgetGated("graph_build_slope", "graphslope", estS = 600.0) {
+      forked("graphslope", forkTimeoutS, () => {
+        spark.catalog.clearCache(); System.gc()
+        BenchLegs.graphSlope(spark)
+      })
+    }
+    budgetGated("kernel_2m_384", "full2m", estS = 360.0) {
+      forked("full2m", forkTimeoutS, () => {
+        spark.catalog.clearCache(); System.gc()
+        BenchLegs.full2m(spark)
+      })
+    }
+    budgetGated("kernel_4m_384", "float4m", estS = 600.0) {
+      forked("float4m", forkTimeoutS, () => {
+        spark.catalog.clearCache(); System.gc()
+        BenchLegs.float4m(spark)
+      })
+    }
+
+    publishErrors()
+    val line = emitter.finish()
     spark.stop() // stop BEFORE printing so no further logging can push the
     println(line) // JSON line out of the driver's bounded stdout tail
     if (errors.nonEmpty) sys.exit(1)

@@ -43,8 +43,7 @@ object BenchLegs {
     * sections — the in-artifact normalizer for a polluted host-day. */
   private def ladderRung(spark: SparkSession, n: Int): String = {
     spark.catalog.clearCache()
-    val canary = KernelBench.canaryMs()
-    val canaryScan = KernelBench.canaryScanMs()
+    val canaryStart = KernelBench.canaryTriple()
     // the BINARY dial scales with n (r14, from the first 4M ladder run:
     // pool 3000 read recall 0.74 at 4M vs 0.98 at 1M): Hamming pre-rank
     // quality at a fixed 48-byte code degrades as the corpus grows, and
@@ -58,7 +57,8 @@ object BenchLegs {
       binRescore = KernelBench.Default.binRescore * scale,
       binSweepPools = KernelBench.Default.binSweepPools.map(_ * scale))
     val r = KernelBench.run(spark, cfg)
-    s"""{"n":${cfg.n},"dim":${cfg.dim},${KernelBench.canaryFieldsJson(canary, canaryScan)},"ms_per_query":${f3(r.bfMsPerQuery)},"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_pool":${cfg.binRescore}}"""
+    val canaryEnd = KernelBench.canaryTriple()
+    s"""{"n":${cfg.n},"dim":${cfg.dim},${KernelBench.canaryBracketJson(canaryStart, canaryEnd)},"ms_per_query":${f3(r.bfMsPerQuery)},"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_pool":${cfg.binRescore}}"""
   }
 
   /** 4M FULL-LADDER rung (VERDICT r13 next #5 — was float-only): the
@@ -116,8 +116,7 @@ object BenchLegs {
     * kernel change re-measures itself. */
   def graphSlope(spark: SparkSession): String =
     try {
-      val canary = KernelBench.canaryMs()
-      val canaryScan = KernelBench.canaryScanMs()
+      val canaryStart = KernelBench.canaryTriple()
       // UNTIMED warm-up build first: in the full bench the ADC scan
       // kernel is C2-compiled long before the graph section (the PQ
       // searches share it); a graph-only fresh JVM would bill rung 1
@@ -151,7 +150,8 @@ object BenchLegs {
       val points = secs.map { case (n, ps) =>
         s""""$n":{"sec":${f3(ps.min)},"pass_sec":[${ps.map(f3).mkString(",")}]}"""
       }.mkString("{", ",", "}")
-      s"""{${KernelBench.canaryFieldsJson(canary, canaryScan)},"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
+      val canaryEnd = KernelBench.canaryTriple()
+      s"""{${KernelBench.canaryBracketJson(canaryStart, canaryEnd)},"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] graph_build_slope failed (non-fatal): ${e.getMessage}")

@@ -209,6 +209,124 @@ object KernelBench {
     math.min(pass(), math.min(pass(), pass()))
   }
 
+  @volatile private var canaryShuffleSink = 0L
+
+  /** SHUFFLE canary (VERDICT r14 next #4): r14 proved BOTH existing
+    * canaries blind to the pollution class that moved the graph/PQ
+    * builds 2.5-3.3× — multi-GB SHUFFLE-heavy Spark jobs slowed while
+    * the resident compute kernel and the parallel scan read clean
+    * (graph-slope section stamped canary ratios 1.03/1.01 around a
+    * 243 s pass whose clean value is ~40 s). This third canary
+    * exercises what a Spark shuffle actually does, at fixed row count
+    * with FRESH allocations every call: 8 threads each generate 2M
+    * keys (16 MB, fresh), hash-scatter them into 32 fresh bucket
+    * arrays (the map-side partition), stream the buckets to a fresh
+    * temp file WITHOUT fsync (shuffle writes land in page cache; the
+    * writeback stall is part of the signal), read them back, and sort
+    * each bucket (the reduce-side merge). Min-of-3 after an untimed
+    * warm-up, like the other two. Total per pass: ~130 MB generated,
+    * ~130 MB written + read through the page cache, 256 sub-sorts —
+    * small enough to run per section, allocation-fresh enough to feel
+    * the page-allocation/writeback pressure the resident kernels are
+    * immune to. */
+  def canaryShuffleMs(): Double = {
+    val nThreads = 8
+    val rows = 1 << 21 // 2M keys = 16 MB per thread
+    val nBuckets = 32
+    val cap = (rows / nBuckets) * 2 // hash skew headroom
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      val acc = new java.util.concurrent.atomic.LongAdder
+      val threads = (0 until nThreads).map { t =>
+        val th = new Thread(() => {
+          // map side: fresh key array + fresh bucket arrays, hash-scatter
+          val keys = new Array[Long](rows)
+          var state = 0x9E3779B97F4A7C15L ^ (t.toLong << 17)
+          var i = 0
+          while (i < rows) {
+            state = state * 6364136223846793005L + 1442695040888963407L
+            keys(i) = state
+            i += 1
+          }
+          val buckets = Array.fill(nBuckets)(new Array[Long](cap))
+          val counts = new Array[Int](nBuckets)
+          i = 0
+          while (i < rows) {
+            val k = keys(i)
+            val b = java.lang.Long.hashCode(k * 0xff51afd7ed558ccdL) & (nBuckets - 1)
+            val c = counts(b)
+            if (c < cap) { buckets(b)(c) = k; counts(b) = c + 1 }
+            i += 1
+          }
+          // spill: stream the buckets through the page cache (no fsync —
+          // Spark shuffle writes don't; writeback stalls ARE the signal)
+          val f = java.io.File.createTempFile(s"graft_canary_shuffle_$t", ".bin")
+          try {
+            val ch = new java.io.FileOutputStream(f).getChannel
+            try {
+              val bb = java.nio.ByteBuffer.allocate(1 << 20)
+              var b = 0
+              while (b < nBuckets) {
+                var j = 0
+                val n = counts(b)
+                while (j < n) {
+                  if (bb.remaining() < 8) { bb.flip(); ch.write(bb); bb.clear() }
+                  bb.putLong(buckets(b)(j))
+                  j += 1
+                }
+                b += 1
+              }
+              bb.flip(); ch.write(bb)
+            } finally ch.close()
+            // reduce side: read back fresh, sort each bucket region
+            val total = counts.sum
+            val back = new Array[Long](total)
+            val in = new java.io.FileInputStream(f).getChannel
+            try {
+              val bb = java.nio.ByteBuffer.allocate(1 << 20)
+              var off = 0
+              var read = in.read(bb)
+              while (read > 0) {
+                bb.flip()
+                while (bb.remaining() >= 8) { back(off) = bb.getLong; off += 1 }
+                bb.compact()
+                read = in.read(bb)
+              }
+            } finally in.close()
+            var off = 0
+            var b = 0
+            var chk = 0L
+            while (b < nBuckets) {
+              java.util.Arrays.sort(back, off, off + counts(b))
+              chk ^= back(off) // min of the sorted bucket
+              off += counts(b)
+              b += 1
+            }
+            acc.add(chk)
+          } finally { f.delete(); () }
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      canaryShuffleSink = acc.sum() // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    pass() // untimed warm-up
+    math.min(pass(), math.min(pass(), pass()))
+  }
+
+  /** One section's three host-state reference kernels, measured
+    * back-to-back: resident compute ([[canaryMs]]), parallel fresh-slab
+    * scan ([[canaryScanMs]]), shuffle-shaped scatter/spill/sort
+    * ([[canaryShuffleMs]]). Sections measure a triple at START and END
+    * of their timed window (r14 proved pollution arrives MID-section:
+    * kernel_1m stamped a clean 1.022 start canary around bin passes
+    * spreading 5.25 → 116.7 s). */
+  final case class CanaryTriple(singleMs: Double, scanMs: Double, shuffleMs: Double)
+
+  def canaryTriple(): CanaryTriple =
+    CanaryTriple(canaryMs(), canaryScanMs(), canaryShuffleMs())
+
   /** Clean-day canary REFERENCE, committed at
     * `fixtures/canary_reference.json` (override the path with
     * `GRAFT_CANARY_REF`; point it at a missing file to disable).
@@ -220,7 +338,17 @@ object KernelBench {
     * host-state inflation on that section's compute-bound numbers,
     * `canary_scan_ratio` on its parallel-scan-bound ones (the 4M-float
     * class). Returns (single_ms, scan_ms, date). */
-  lazy val canaryReference: Option[(Double, Double, String)] = {
+  lazy val canaryReference: Option[(Double, Double, String)] =
+    canaryReferenceFull.map { case (s, sc, _, d) => (s, sc, d) }
+
+  /** `shuffle_ms` from the same committed reference — Option'd
+    * separately because the shuffle canary landed a round after the
+    * first two (a reference file without it disables only the shuffle
+    * ratio, never the other two). */
+  lazy val canaryShuffleReference: Option[Double] =
+    canaryReferenceFull.flatMap(_._3)
+
+  private lazy val canaryReferenceFull: Option[(Double, Double, Option[Double], String)] = {
     // GRAFT_CANARY_REF, when set, is authoritative (tests disable the
     // reference by pointing it at a missing file). Otherwise try the
     // working directory, then the repo root derived from the class
@@ -253,7 +381,7 @@ object KernelBench {
       for {
         s <- num("single_ms") if s > 0
         sc <- num("scan_ms") if sc > 0
-      } yield (s, sc, str("date").getOrElse(""))
+      } yield (s, sc, num("shuffle_ms").filter(_ > 0), str("date").getOrElse(""))
     }
   }
 
@@ -266,6 +394,15 @@ object KernelBench {
       case _ => (-1.0, -1.0)
     }
 
+  /** Shuffle canary's ratio against the committed reference; -1 when
+    * the reference predates the shuffle canary or the section skipped
+    * its canaries. */
+  def canaryShuffleRatio(shuffleMs: Double): Double =
+    canaryShuffleReference match {
+      case Some(ref) if shuffleMs > 0 => shuffleMs / ref
+      case _ => -1.0
+    }
+
   /** One section's full canary JSON block (measurements + ratios). */
   def canaryFieldsJson(singleMs: Double, scanMs: Double): String = {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -274,13 +411,31 @@ object KernelBench {
       s""""canary_ratio":${f3(r1)},"canary_scan_ratio":${f3(r2)}"""
   }
 
+  /** One section's START+END canary bracket (VERDICT r14 next #4): the
+    * full triple measured before AND after the timed window, each with
+    * its ratio against the committed reference. End fields carry the
+    * `canary_end_` prefix so a consumer brackets mid-section pollution
+    * arrival (r14: a clean start stamp around bin passes that spread
+    * 5.25 → 116.7 s). */
+  def canaryBracketJson(start: CanaryTriple, end: CanaryTriple): String = {
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def one(stem: String, t: CanaryTriple): String = {
+      val (r1, r2) = canaryRatios(t.singleMs, t.scanMs)
+      val r3 = canaryShuffleRatio(t.shuffleMs)
+      s""""${stem}_ms":${f3(t.singleMs)},"${stem}_scan_ms":${f3(t.scanMs)},"${stem}_shuffle_ms":${f3(t.shuffleMs)},""" +
+        s""""${stem}_ratio":${f3(r1)},"${stem}_scan_ratio":${f3(r2)},"${stem}_shuffle_ratio":${f3(r3)}"""
+    }
+    one("canary", start) + "," + one("canary_end", end)
+  }
+
   /** Top-level `canary_reference` JSON value: the committed clean-day
     * reference the per-section ratios divide by, or `null` when none is
     * present (ratios then stamp -1). */
-  def canaryReferenceJson: String = canaryReference match {
-    case Some((s, sc, d)) =>
+  def canaryReferenceJson: String = canaryReferenceFull match {
+    case Some((s, sc, sh, d)) =>
       def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      s"""{"single_ms":${f3(s)},"scan_ms":${f3(sc)},"date":"$d"}"""
+      val shuffle = sh.map(v => s""","shuffle_ms":${f3(v)}""").getOrElse("")
+      s"""{"single_ms":${f3(s)},"scan_ms":${f3(sc)}$shuffle,"date":"$d"}"""
     case None => "null"
   }
 

@@ -16,7 +16,8 @@ object Canary {
     (1 to n).foreach { i =>
       val single = graft.KernelBench.canaryMs()
       val scan = graft.KernelBench.canaryScanMs()
-      println(f"canary pass $i: single=$single%.1f ms scan=$scan%.1f ms")
+      val shuffle = graft.KernelBench.canaryShuffleMs()
+      println(f"canary pass $i: single=$single%.1f ms scan=$scan%.1f ms shuffle=$shuffle%.1f ms")
     }
   }
 }

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench artifact's DELIVERY contract (VERDICT r14 wrong #1:
+  * the engine was 147/147 green and the round still failed because the
+  * artifact itself — written only after ALL sections — died with the
+  * driver's wall-clock kill). Three layers:
+  *
+  *  - [[BenchEmitter]] unit: every set() leaves a parseable, complete
+  *    artifact on disk; pending sections self-describe;
+  *  - the kill path in-JVM: onKill stamps `{"killed":true}` and the
+  *    artifact still parses;
+  *  - the kill path FOR REAL: a subprocess running the same emitter +
+  *    shutdown hook ([[tools.BenchKillProbe]]) is SIGTERM'd
+  *    mid-section and must leave a parseable on-disk artifact AND
+  *    print the JSON line to stdout (the driver's bounded-tail parse
+  *    channel).
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parse(s: String): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(s)
+
+  private def tmpJson(): Path = {
+    val f = Files.createTempFile("graft_bench_spec", ".json")
+    Files.delete(f)
+    f
+  }
+
+  private def emitter(out: Path): BenchEmitter =
+    new BenchEmitter(out,
+      Seq("metric" -> "\"total\"", "value" -> "-1.000", "killed" -> "false",
+        "s1" -> "null", "s2" -> "null", "errors" -> "{}"),
+      Set("s1", "s2"))
+
+  test("incremental write: every set() leaves a complete parseable artifact on disk") {
+    val out = tmpJson()
+    val em = emitter(out)
+    // sections start pending, not null — a consumer of a mid-run file
+    // can tell "not reached" from "returned null"
+    em.set("metric", "\"total\"")
+    val afterFirst = parse(Files.readString(out))
+    assert(afterFirst.get("s1").get("pending").asBoolean, afterFirst.toString)
+    assert(afterFirst.get("s2").get("pending").asBoolean)
+    assert(!afterFirst.get("killed").asBoolean)
+    em.set("s1", """{"ms":12.5}""")
+    val afterS1 = parse(Files.readString(out))
+    assert(afterS1.get("s1").get("ms").asDouble == 12.5)
+    assert(afterS1.get("s2").get("pending").asBoolean)
+    // field order is construction order (the artifact shape is stable
+    // across partial states)
+    val keys = {
+      val it = afterS1.fieldNames()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    assert(keys == Seq("metric", "value", "killed", "s1", "s2", "errors"), keys)
+    Files.deleteIfExists(out)
+  }
+
+  test("kill path: onKill stamps pending sections killed:true, keeps completed data, parses") {
+    val out = tmpJson()
+    val em = emitter(out)
+    em.set("s1", """{"ms":3.0}""")
+    em.onKill() // what the SIGTERM shutdown hook runs
+    val j = parse(Files.readString(out))
+    assert(j.get("killed").asBoolean, j.toString)
+    assert(j.get("s1").get("ms").asDouble == 3.0, "completed section lost by the kill stamp")
+    assert(j.get("s2").get("killed").asBoolean, "pending section not stamped killed")
+    // line() returns the same artifact the file holds
+    assert(parse(em.line()) == j)
+    Files.deleteIfExists(out)
+  }
+
+  test("finish() silences the kill hook; onKill after finish never overstamps") {
+    val out = tmpJson()
+    val em = emitter(out)
+    em.set("s1", """{"ms":1.0}""")
+    em.set("s2", """{"ms":2.0}""")
+    val line = em.finish()
+    em.onKill() // the hook still fires on normal exit — must be a no-op
+    val j = parse(Files.readString(out))
+    assert(!j.get("killed").asBoolean, "finished artifact stamped killed by the exit hook")
+    assert(parse(line) == j)
+    Files.deleteIfExists(out)
+  }
+
+  test("unknown field and undeclared section are loud") {
+    val out = tmpJson()
+    val em = emitter(out)
+    intercept[IllegalArgumentException](em.set("nope", "1"))
+    intercept[IllegalArgumentException](
+      new BenchEmitter(out, Seq("killed" -> "false"), Set("ghost")))
+    Files.deleteIfExists(out)
+  }
+
+  test("SIGTERM mid-section: the on-disk artifact parses and the line reaches stdout") {
+    // the r14 failure mode, reproduced for real: a subprocess running
+    // the SAME emitter + shutdown hook Bench installs is killed between
+    // sections; rc != 0 must no longer mean parsed: null
+    val out = tmpJson()
+    // stdout goes to a FILE, not a pipe: Process.destroy() closes the
+    // parent's pipe ends, which would lose exactly the shutdown-hook
+    // line this test exists to assert on
+    val stdoutFile = Files.createTempFile("graft_bench_spec_stdout", ".log")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cmd = java.util.Arrays.asList(javaBin, "-cp",
+      System.getProperty("java.class.path"),
+      "graft.tools.BenchKillProbe", out.toString)
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectOutput(stdoutFile.toFile)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val p = pb.start()
+    try {
+      // wait for section one to complete (the probe prints a sync line)
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!Files.readString(stdoutFile).contains("SECTION_ONE_DONE")) {
+        assert(p.isAlive, "probe exited before section one")
+        assert(System.nanoTime() < deadline, "probe never completed section one")
+        Thread.sleep(50)
+      }
+      p.destroy() // SIGTERM — the driver's `timeout` sends exactly this
+      assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), "probe ignored SIGTERM")
+      // the shutdown hook printed the artifact line to stdout
+      val rest = Files.readString(stdoutFile).linesIterator.toSeq
+      val jsonLines = rest.filter(_.startsWith("{"))
+      assert(jsonLines.nonEmpty, s"no JSON line on stdout after SIGTERM; got: $rest")
+      val printed = parse(jsonLines.last)
+      assert(printed.get("killed").asBoolean)
+      // the on-disk artifact parses and self-describes
+      val onDisk = parse(Files.readString(out))
+      assert(onDisk.get("section_one").get("value").asDouble == 1.0,
+        "completed section lost")
+      assert(onDisk.get("section_two").get("killed").asBoolean,
+        "mid-flight section not stamped")
+      assert(onDisk.get("killed").asBoolean)
+      assert(printed == onDisk, "stdout line and on-disk artifact diverge")
+    } finally {
+      p.destroyForcibly()
+      Files.deleteIfExists(stdoutFile)
+      Files.deleteIfExists(out)
+      ()
+    }
+  }
+}

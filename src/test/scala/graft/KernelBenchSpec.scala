@@ -144,6 +144,51 @@ class KernelBenchSpec extends SparkSpec {
       s"canary not repeatable: $a vs $b ms")
   }
 
+  test("shuffle canary: positive, per-section-cheap, repeatable within an order of magnitude") {
+    // the third canary (VERDICT r14 next #4): r14 proved the first two
+    // blind to the pollution class that moved shuffle-heavy legs 3×
+    // (graph-slope stamped 1.03/1.01 ratios around a 243 s pass). This
+    // one allocates fresh, spills through the page cache, and sorts —
+    // the resources a Spark shuffle actually exercises.
+    val a = KernelBench.canaryShuffleMs()
+    val b = KernelBench.canaryShuffleMs()
+    assert(a > 0 && b > 0)
+    assert(a < 30000, s"shuffle canary too slow for per-section use: $a ms")
+    assert(math.max(a, b) / math.min(a, b) < 10.0,
+      s"shuffle canary not repeatable: $a vs $b ms")
+  }
+
+  test("canary bracket: start+end triples with all six fields each, ratios vs reference") {
+    // every bench section publishes a START and an END triple (r14:
+    // pollution arrives MID-section, so a start-only stamp can read
+    // clean around a 20× pass spread)
+    val ref = KernelBench.canaryReference.get
+    val shuffleRef = KernelBench.canaryShuffleReference
+    assert(shuffleRef.nonEmpty && shuffleRef.get > 0,
+      "committed reference lacks shuffle_ms — the r15 shuffle canary is uncalibrated")
+    val start = KernelBench.CanaryTriple(ref._1, ref._2, shuffleRef.get)
+    val end = KernelBench.CanaryTriple(2 * ref._1, 2 * ref._2, 2 * shuffleRef.get)
+    val js = s"{${KernelBench.canaryBracketJson(start, end)}}"
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+    Seq("canary_ms", "canary_scan_ms", "canary_shuffle_ms",
+      "canary_ratio", "canary_scan_ratio", "canary_shuffle_ratio",
+      "canary_end_ms", "canary_end_scan_ms", "canary_end_shuffle_ms",
+      "canary_end_ratio", "canary_end_scan_ratio", "canary_end_shuffle_ratio")
+      .foreach(f => assert(node.has(f), s"bracket missing $f in $js"))
+    // a start triple equal to the reference reads ratio 1, the doubled
+    // end triple reads 2 — the bracket is the in-artifact normalizer
+    assert(math.abs(node.get("canary_ratio").asDouble - 1.0) < 1e-3)
+    assert(math.abs(node.get("canary_shuffle_ratio").asDouble - 1.0) < 1e-3)
+    assert(math.abs(node.get("canary_end_ratio").asDouble - 2.0) < 1e-3)
+    assert(math.abs(node.get("canary_end_shuffle_ratio").asDouble - 2.0) < 1e-3)
+    // skipped sections (-1 canaries) must not publish a shuffle ratio
+    assert(KernelBench.canaryShuffleRatio(-1.0) == -1.0)
+    // the committed reference exports shuffle_ms in the top-level
+    // canary_reference block too
+    assert(KernelBench.canaryReferenceJson.contains("\"shuffle_ms\""),
+      KernelBench.canaryReferenceJson)
+  }
+
   test("kernel bench: ranked metrics against exact ground truth are coherent") {
     // recall@k and precision@k are averages of per-query fractions
     (result.annRecallAtK ++ result.pqRecallAtK ++
