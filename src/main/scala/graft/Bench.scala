@@ -40,6 +40,34 @@ final class BenchEmitter(
     fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
   }
 
+  // ---- compact summary line (round 15): the DRIVER parses the bench
+  // from a ~2000-char stdout tail, and the full line outgrew it rounds
+  // ago — BENCH_r4..r14 all carry `parsed: null` even on rc 0 (only r3,
+  // whose line was still short, ever parsed). The full line keeps every
+  // detail (and bench_result.json holds it on disk); stdout ENDS with
+  // this compact headline line, small enough that the tail's last line
+  // always parses.
+  private val compact = scala.collection.mutable.LinkedHashMap[String, String]()
+
+  /** Add a headline scalar to the compact summary line. */
+  def setCompact(key: String, json: String): Unit = synchronized {
+    compact(key) = json
+    ()
+  }
+
+  /** The ≤1900-char trailer: top-level scalars mirrored from the full
+    * artifact plus the headline fields sections registered. */
+  def compactLine(): String = synchronized {
+    val mirrored = Seq("metric", "value", "unit", "killed", "bench_seq_today")
+      .flatMap(k => fields.get(k).map(v => s""""$k":$v"""))
+    val hs = compact.map { case (k, v) => s""""$k":$v""" }
+    val l = (mirrored ++ hs ++ Seq(""""detail":"bench_result.json""""))
+      .mkString("{", ",", "}")
+    // the whole point is fitting the driver's tail — never exceed it
+    require(l.length <= 1900, s"compact bench line grew past the driver tail: ${l.length} chars")
+    l
+  }
+
   private def writeFile(): Unit = {
     val tmp = outPath.resolveSibling(outPath.getFileName.toString + ".tmp")
     Files.writeString(tmp, line() + "\n")
@@ -65,15 +93,21 @@ final class BenchEmitter(
     * silent after [[finish]]. */
   private[graft] def onKill(): Unit = {
     if (finished.compareAndSet(false, true)) {
-      val l = synchronized {
+      val (l, c) = synchronized {
         fields.keys.toSeq.filter(sectionKeys).foreach { k =>
           if (fields(k) == Pending) fields(k) = """{"killed":true}"""
         }
         fields("killed") = "true"
         writeFile()
-        line()
+        // the hook must never die half-printed: an overgrown trailer
+        // (loud in tests via compactLine's require) degrades to a
+        // minimal-but-parseable one here
+        val trailer = scala.util.Try(compactLine()).getOrElse(
+          """{"metric":"total","killed":true,"detail":"bench_result.json"}""")
+        (line(), trailer)
       }
       println(l)
+      println(c) // LAST: the line the driver's bounded tail parses
     }
   }
 }
@@ -237,19 +271,37 @@ object Bench {
     emitter.installShutdownHook()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def publishErrors(): Unit = emitter.set("errors",
-      errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}"))
+    def publishErrors(): Unit = {
+      emitter.set("errors",
+        errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}"))
+      emitter.setCompact("n_err", errors.size.toString)
+    }
+
+    // scalar extraction from a completed section's JSON body — the
+    // forked legs compute their numbers in a child JVM, so the compact
+    // trailer picks its headlines back out of the JSON text
+    def pick(json: String, key: String): Option[String] =
+      ("\"" + java.util.regex.Pattern.quote(key) + "\":(-?[0-9.]+)").r
+        .findFirstMatchIn(json).map(_.group(1))
+    def compactFrom(json: String, legPrefix: String, keys: (String, String)*): Unit =
+      if (json.contains("\"skipped\"")) emitter.setCompact(legPrefix, "\"skip\"")
+      else if (json.contains("\"killed\"") || json.contains("\"error\""))
+        emitter.setCompact(legPrefix, "\"err\"")
+      else keys.foreach { case (from, to) =>
+        pick(json, from).foreach(v => emitter.setCompact(s"$legPrefix$to", v))
+      }
 
     def skipped(name: String): Boolean = skip.contains(name)
-    def runSection(field: String, skipKey: String)(body: => String): Unit =
-      emitter.set(field,
-        if (skipped(skipKey)) """{"skipped":true}"""
-        else body)
+    def runSection(field: String, skipKey: String)(body: => String): String = {
+      val json = if (skipped(skipKey)) """{"skipped":true}""" else body
+      emitter.set(field, json)
+      json
+    }
     // Diagnostic legs only — the core never budget-skips. Estimates are
     // clean-day wall-clock with headroom; a leg whose estimate exceeds
     // the remaining budget self-describes instead of risking the kill
     // that lost r14's whole artifact.
-    def budgetGated(field: String, skipKey: String, estS: Double)(body: => String): Unit =
+    def budgetGated(field: String, skipKey: String, estS: Double)(body: => String): String =
       runSection(field, skipKey) {
         if (remainingS < estS)
           s"""{"skipped":"budget","estimated_s":${f3(estS)},"remaining_s":${f3(remainingS)}}"""
@@ -284,6 +336,9 @@ object Bench {
       }
       val end = KernelBench.canaryTriple()
       emitter.set("registry_canaries", s"{${KernelBench.canaryBracketJson(start, end)}}")
+      emitter.setCompact("reg_can_r", f3(KernelBench.canaryRatios(start.singleMs, start.scanMs)._1))
+      emitter.setCompact("reg_can_sh_r", f3(KernelBench.canaryShuffleRatio(start.shuffleMs)))
+      emitter.setCompact("reg_can_end_sh_r", f3(KernelBench.canaryShuffleRatio(end.shuffleMs)))
       emitter.set("value",
         f3(results.collect { case (_, v) if v >= 0 => v }.sum))
       publishErrors()
@@ -332,6 +387,22 @@ object Bench {
             row.getAs[Double]("speedup_vs_bf"))}""")
           .mkString("{", ",", "}")
         val end = KernelBench.canaryTriple()
+        // compact-trailer headlines: the BASELINE-comparable scalars the
+        // driver's 2000-char tail can actually hold
+        val f4c = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+        Seq(
+          "bf_ms" -> f3(r.bfMsPerQuery), "bf_base_ms" -> "699.43",
+          "ivf_ms" -> f3(r.annMsPerQuery), "ivf_r" -> f4c(r.annRecallVsExact),
+          "sq_ms" -> f3(r.sqMsPerQuery), "sq_r" -> f4c(r.sqRecallVsExact),
+          "pq_ms" -> f3(r.pqMsPerQuery), "pq_r" -> f4c(r.pqRecallVsExact),
+          "bin_ms" -> f3(r.binMsPerQuery), "bin_op_ms" -> f3(r.binOpMsPerQuery),
+          "bin_op_r10" -> f4c(r.binOpHoldRecall),
+          "g_ms" -> f3(r.graphMsPerQuery), "g_build_s" -> f3(r.graphBuildSec),
+          "ivf_build_s" -> f3(r.annBuildSec), "pq_build_s" -> f3(r.pqBuildSec),
+          "k1m_can_r" -> f3(KernelBench.canaryRatios(start.singleMs, start.scanMs)._1),
+          "k1m_can_sh_r" -> f3(KernelBench.canaryShuffleRatio(start.shuffleMs)),
+          "k1m_can_end_sh_r" -> f3(KernelBench.canaryShuffleRatio(end.shuffleMs))
+        ).foreach { case (k, v) => emitter.setCompact(k, v) }
         def passes(ts: Seq[Double]): String = ts.map(f3).mkString("[", ",", "]")
         val medians = s""""ms_per_query_median":{"bf":${f3(r.bfMsPerQueryMedian)},"ivf":${f3(r.annMsPerQueryMedian)},"sq":${f3(r.sqMsPerQueryMedian)},"pq":${f3(r.pqMsPerQueryMedian)},"bin":${f3(r.binMsPerQueryMedian)}}"""
         s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},${KernelBench.canaryBracketJson(start, end)},"latency_stat":"min_over_same_dial_passes",$medians,"page_cache_dropped":$kernelCacheDropped,"pass_sec":{"bf":${passes(r.bfPassSec)},"ivf":${passes(r.annPassSec)},"sq":${passes(r.sqPassSec)},"pq":${passes(r.pqPassSec)},"bin":${passes(r.binPassSec)}},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_operating_point":{"pool":${r.binOpPool},"target":${KernelBench.BinOpTarget},"tune_recall_10":${f4(r.binOpTuneRecall)},"heldout_recall_10":${f4(r.binOpHoldRecall)},"ms_per_query":${f3(r.binOpMsPerQuery)}},"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
@@ -352,7 +423,7 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
 
-    budgetGated("kernel_cold_scan", "cold", estS = 300.0) {
+    val coldJson = budgetGated("kernel_cold_scan", "cold", estS = 300.0) {
       try {
         spark.catalog.clearCache()
         val start = KernelBench.canaryTriple()
@@ -362,6 +433,12 @@ object Bench {
         val rootC = operators.ColdScan.artifactRoot("/tmp/graft_coldscan", cfgC)
         val c = operators.ColdScan.run(spark, cfgC, rootC, passes = 3)
         val end = KernelBench.canaryTriple()
+        c.tiers.foreach { t =>
+          emitter.setCompact(s"cold_${t.name}_ms",
+            f3(t.passSec.min * 1000.0 / cfgC.nQueries))
+        }
+        emitter.setCompact("cold_can_end_sh_r",
+          f3(KernelBench.canaryShuffleRatio(end.shuffleMs)))
         def f1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
         val tiers = c.tiers.map { t =>
           s""""${t.name}":{"mb_disk":${f1(t.bytesDisk / 1e6)},"mb_read":${f1(t.bytesRead.min / 1e6)},"ms_per_query":${f3(t.passSec.min * 1000.0 / cfgC.nQueries)},"pass_sec":[${t.passSec.map(f3).mkString(",")}]}"""
@@ -374,30 +451,44 @@ object Bench {
       }
     }
 
+    // cold section registers its compacts inline; the skip path here
+    if (coldJson.contains("\"skipped\"")) emitter.setCompact("cold", "\"skip\"")
+
     def forkTimeoutS: Long = math.max(120L, remainingS.toLong + 120L)
-    budgetGated("graph_build_slope", "graphslope", estS = 600.0) {
+    val slopeJson = budgetGated("graph_build_slope", "graphslope", estS = 600.0) {
       forked("graphslope", forkTimeoutS, () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.graphSlope(spark)
       })
     }
-    budgetGated("kernel_2m_384", "full2m", estS = 360.0) {
+    compactFrom(slopeJson, "slope",
+      "slope_loglog" -> "_loglog",
+      "canary_shuffle_ratio" -> "_can_sh_r", "canary_end_shuffle_ratio" -> "_can_end_sh_r")
+    val json2m = budgetGated("kernel_2m_384", "full2m", estS = 360.0) {
       forked("full2m", forkTimeoutS, () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.full2m(spark)
       })
     }
-    budgetGated("kernel_4m_384", "float4m", estS = 600.0) {
+    compactFrom(json2m, "m2",
+      "ms_per_query" -> "_bf_ms", "ann_ms_per_query" -> "_ivf_ms",
+      "pq_ms_per_query" -> "_pq_ms")
+    val json4m = budgetGated("kernel_4m_384", "float4m", estS = 600.0) {
       forked("float4m", forkTimeoutS, () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.float4m(spark)
       })
     }
+    compactFrom(json4m, "m4",
+      "ms_per_query" -> "_bf_ms", "ann_ms_per_query" -> "_ivf_ms",
+      "pq_ms_per_query" -> "_pq_ms")
 
     publishErrors()
     val line = emitter.finish()
+    val trailer = emitter.compactLine()
     spark.stop() // stop BEFORE printing so no further logging can push the
-    println(line) // JSON line out of the driver's bounded stdout tail
+    println(line) // JSON lines out of the driver's bounded stdout tail
+    println(trailer) // LAST LINE: small enough that the tail's parse succeeds
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -915,7 +915,7 @@ object Ann extends QModule {
         missing.foldLeft(plain()) { case (ff, (cid, dir)) => ff.unionByName(fallback(cid, dir)) }
     }
     var attempts = 0
-    while (attempts < 3) {
+    while (attempts < 4) {
       attempts += 1
       val before = debrisNow()
       if (before.isEmpty) {
@@ -931,11 +931,17 @@ object Ann extends QModule {
         // a verb moved partitions mid-construction — re-plan
       }
     }
-    // a verb thrashed the debris state on every attempt: serve a final
-    // best-effort union — any file its listings lose to a still-running
-    // rename fails LOUDLY at read (never silently)
-    val ds = debrisNow()
-    if (ds.isEmpty) plain() else buildUnion(ds)
+    // a verb thrashed the debris state on EVERY attempt: fail LOUDLY
+    // (ADVICE r14 #3 — the old final best-effort union ran with no
+    // fingerprint check, so a retire's whole-dir rename landing between
+    // the debris listing and plain()'s file listing could still hide a
+    // partition silently). This is an operator-visible liveness
+    // failure, deliberately NOT a listing race withLiveReadRetry heals:
+    // four fingerprint flips in the microseconds of planning means
+    // something is wrong enough that a human should look.
+    throw new IllegalStateException(
+      s"indexFrame: debris state at $path changed on every planning attempt " +
+        "(live verb thrashing); refusing to serve an unchecked union")
   }
 
   /** Bounded re-plan retry for LIVE reads racing a running mutator
@@ -957,10 +963,23 @@ object Ann extends QModule {
     * stale listing and cannot converge — build the frame inside. */
   def withLiveReadRetry[T](attempts: Int = 5)(body: => T): T = {
     var left = math.max(1, attempts)
+    var lastMissing: String = null
     while (true) {
       try return body
       catch {
-        case e: Throwable if isListingRace(e) && left > 1 => left -= 1
+        case e: Throwable if isListingRace(e) && left > 1 =>
+          // the SAME path absent on consecutive re-plans is not a
+          // transient rename race (a fresh plan re-lists the live state,
+          // so a renamed-away file cannot recur in it) but a genuinely
+          // missing file — external deletion, manifest bug. Rethrow
+          // loudly instead of converging on silently partial results
+          // (ADVICE r14 #2).
+          val missing = listingRaceKey(e)
+          if (missing != null && missing == lastMissing)
+            throw new IllegalStateException(
+              s"file persistently missing across live-read re-plans: $missing", e)
+          lastMissing = missing
+          left -= 1
       }
     }
     throw new IllegalStateException("unreachable")
@@ -985,6 +1004,27 @@ object Ann extends QModule {
       depth += 1
     }
     false
+  }
+
+  /** The missing path a listing-race exception names (for
+    * [[withLiveReadRetry]]'s persistent-missing check), or null when
+    * none is extractable from the cause chain. */
+  private[graft] def listingRaceKey(e: Throwable): String = {
+    val pathRe = "(file:/[^\\s'\",)\\]]+|/[^\\s'\",)\\]]*\\.parquet[^\\s'\",)\\]]*)".r
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 12) {
+      val msg = Option(c.getMessage).getOrElse("")
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+        msg.contains("FAILED_READ_FILE") || msg.contains("FILE_NOT_EXIST") ||
+        msg.contains("PATH_NOT_FOUND"))
+        // strip the sentence-final period Spark's prose wraps the path in
+        return pathRe.findFirstIn(msg).map(_.stripSuffix("."))
+          .getOrElse(if (msg.nonEmpty) msg else null)
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    null
   }
 
   /** The artifact's tombstone set — empty frame when none recorded. */
@@ -1042,7 +1082,14 @@ object Ann extends QModule {
       .filter($"vec_id" < maxQueryId)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     val cents = centroidsFrame(s, path)
-    BruteForce.rerank(
+    // rerankDistinct, not rerank (ADVICE r14 #1): a manifest written
+    // while a crashed add-first swap was still unhealed pins BOTH the
+    // old and the minted copy of each survivor — identical vectors,
+    // identical scores. The heal now runs before any re-manifest
+    // (healPendingRemanifest → recoverCompacting), so such manifests
+    // should no longer be written; this is the belt-and-braces that
+    // keeps the one-rank contract on any that exist.
+    BruteForce.rerankDistinct(
       scoredOn(s, q, cents, loadIndexAt(s, path, version), nProbe, None).drop("prn"), k)
   }
 
@@ -1104,7 +1151,7 @@ object Ann extends QModule {
     * FAILED_READ_FILE healed by [[withLiveReadRetry]], never a silent
     * hole. Fully-rewritten-away partitions (no side output) are the
     * caller's concern. */
-  private def addFirstSwap(
+  private[graft] def addFirstSwap(
       fs: org.apache.hadoop.fs.FileSystem, path: String, side: String): Unit = {
     val sideP = new org.apache.hadoop.fs.Path(side)
     val mintedP = new org.apache.hadoop.fs.Path(sideP, "_MINTED")
@@ -1145,8 +1192,17 @@ object Ann extends QModule {
     // step 1: ADD every minted file into its live partition (idempotent)
     minted.foreach { case (d, srcName, dstName) =>
       val dstFile = new org.apache.hadoop.fs.Path(s"$path/$d/$dstName")
-      if (!fs.exists(dstFile)) {
-        val srcFile = new org.apache.hadoop.fs.Path(s"$side/$d/$srcName")
+      val srcFile = new org.apache.hadoop.fs.Path(s"$side/$d/$srcName")
+      if (fs.exists(dstFile)) {
+        // dst-exists is the retry-idempotent 'already renamed' ONLY when
+        // the source is gone; src still present means the minted name
+        // COLLIDED with an existing live file (nanoTime runId + part
+        // UUID reuse) and skipping would silently keep a stale file as
+        // the survivor — fail loudly instead (ADVICE r14 #4)
+        require(!fs.exists(srcFile),
+          s"minted-name collision in add-first swap: $dstFile already exists " +
+            s"while $srcFile is still waiting to move")
+      } else {
         fs.mkdirs(dstFile.getParent)
         Faults.point()
         require(fs.rename(srcFile, dstFile),
@@ -1208,7 +1264,8 @@ object Ann extends QModule {
     // artifact's search-as-of broken indefinitely (r13 review); the
     // marker restores the any-mutator heal at O(1) hot-path cost
     val remanPending = new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending")
-    if (rolled || fs.exists(remanPending)) {
+    val hadMarker = fs.exists(remanPending)
+    if (rolled || hadMarker) {
       remanifestAfterRewrite(s, path)
       fs.delete(remanPending, false)
     }
@@ -1220,8 +1277,19 @@ object Ann extends QModule {
     // partitions the roll-forward could not know about, and clears the
     // set — so fsck's tombstones ⊆ live invariant holds after recovery
     // from ANY verb, not just a compaction retry. The nested call's own
-    // recoverCompacting finds no side dir, so this cannot recurse.
-    if (rolledReclaim && !tombstonesAt(s, path).isEmpty) compactIndexAt(s, path)
+    // recoverCompacting finds no side dir and no marker, so this cannot
+    // recurse. `hadMarker` too, not just `rolledReclaim` (r15, found by
+    // the graph-verb heal mini-sweep at a fault point the heteroheal
+    // test never reached): a compaction that crashed AFTER deleting its
+    // side dir but BEFORE clearing `_tombstones` leaves APPLIED
+    // tombstones with nothing to roll — only the marker betrays it, and
+    // leaving the set behind is a red `tombstones_reference_live_rows`
+    // until someone happens to run a compaction. The false-positive
+    // cost (another rewrite verb's marker + genuinely-pending
+    // tombstones) is one early reclaim — semantically invisible by the
+    // compaction contract, idempotent.
+    if ((rolledReclaim || hadMarker) && !tombstonesAt(s, path).isEmpty)
+      compactIndexAt(s, path)
   }
 
   def compactIndexAt(s: SparkSession, path: String): Unit = withWriterLease(s, path) {
@@ -1364,6 +1432,16 @@ object Ann extends QModule {
     * corpus-sized broadcast, no cartesian. */
   def buildGraphAt(s: SparkSession, path: String): Unit = withWriterLease(s, path) {
     import s.implicits._
+    // heal-at-entry, the data mutators' uniform discipline (ADVICE r14
+    // #1): the graph verbs used to run only the marker-gated manifest
+    // heal, which could RE-MANIFEST an artifact whose compaction crashed
+    // mid-addFirstSwap — the fresh snapshot then pinned BOTH the old and
+    // the minted copy of every survivor. recoverCompacting rolls the
+    // swap forward (and finishes the reclaim) BEFORE this verb plans
+    // against the file set or writes any manifest. Must run before the
+    // probes/nbrs frames below bind their file listings, or the heal's
+    // renames would fail this verb's own read.
+    recoverCompacting(s, path)
     val cs = centroidsFrame(s, path)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val bcC = s.sparkContext.broadcast(cs)
@@ -1394,12 +1472,14 @@ object Ann extends QModule {
     // before the first destructive op, drop the folded serve dir under
     // the swap lock, re-manifest, clear the marker. A crash between the
     // overwrite and the serve drop serves a fold of stale ∪ fresh edges
-    // until the retry — a quality wart, not a tear (every edge is a
-    // real exactly-rescored pair; refinement never loses recall vs its
-    // seeds), and the marker keeps the manifest heal reachable from any
-    // mutator.
+    // until the retry — a quality wart, not a tear, now a PINNED
+    // CONTRACT (AnnCrashSweepSpec "mid-rebuild graph fold"): every
+    // served edge is a real exactly-rescored pair, and the fold's
+    // per-src ranks DOMINATE the fresh adjacency's (top-d over a
+    // superset never ranks worse) — so refinement seeded by the fold
+    // never loses recall vs refinement seeded by the fresh graph. The
+    // marker keeps the manifest heal reachable from any mutator.
     val (fs, _) = hfs(s, path)
-    healPendingRemanifest(s, path)
     Faults.point()
     fs.create(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), true).close()
     BruteForce.rerank(scored, GraphDegree)
@@ -1442,6 +1522,10 @@ object Ann extends QModule {
       s: SparkSession, path: String,
       delta: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)]): Unit = withWriterLease(s, path) {
     import s.implicits._
+    // heal-at-entry like every mutator (ADVICE r14 #1): probing a
+    // mid-swap duplicated index would link the delta against files the
+    // roll-forward is about to delete
+    recoverCompacting(s, path)
     val q = delta.toDF("id", "vec", "label")
       .select($"id".as("query_id"), $"vec".as("qe"))
     val cents = centroidsFrame(s, path)
@@ -1714,13 +1798,15 @@ object Ann extends QModule {
     import s.implicits._
     val (fs, _) = hfs(s, path)
     recoverGraphServe(fs, path)
-    // heal a PRIOR graph compaction that crashed between its swap/drain
-    // and its remanifest (round-14 graph-verb sweep: the retry below
-    // early-returns on a drained tail, so without this the stale
-    // manifests — still pinning the drained edge files — were
-    // unreachable from this verb forever; the data-verb mutators heal
-    // via the same marker inside recoverCompacting)
-    healPendingRemanifest(s, path)
+    // heal-at-entry (ADVICE r14 #1, and the round-14 graph-verb sweep:
+    // the retry below early-returns on a drained tail, so without a
+    // heal here the stale manifests — still pinning the drained edge
+    // files — were unreachable from this verb forever). Full
+    // recoverCompacting, not the old marker-only manifest heal: a
+    // compaction that crashed mid-addFirstSwap must have its swap
+    // rolled FORWARD before anything re-manifests, or the fresh
+    // snapshot pins both the old and the minted copy of each survivor.
+    recoverCompacting(s, path)
     val consumed = graphTailFiles(s, path)
     // nothing to fold: either already compacted (tail drained) or the
     // artifact has no graph sidecar at all — a NO-OP either way, never
@@ -1774,20 +1860,6 @@ object Ann extends QModule {
     remanifestAfterRewrite(s, path)
     Faults.point()
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending"), false)
-  }
-
-  /** O(1) heal for the crash-after-rewrite-before-remanifest window:
-    * the `_remanifest_pending` marker (created by every rewrite verb
-    * before its first destructive op, cleared after its remanifest)
-    * still on disk means some rewrite died inside that window — expire
-    * the invalidated manifests and re-manifest now. */
-  private def healPendingRemanifest(s: SparkSession, path: String): Unit = {
-    val (fs, _) = hfs(s, path)
-    val p = new org.apache.hadoop.fs.Path(s"$path/_remanifest_pending")
-    if (fs.exists(p)) {
-      remanifestAfterRewrite(s, path)
-      fs.delete(p, false)
-    }
   }
 
   /** Serializes [[compactGraphAt]]'s two-rename swap against every read
@@ -3814,7 +3886,9 @@ object Ann extends QModule {
             .filter(col("count") > 1).limit(5)
             .select(col("doc_id")).as[Long].collect().sorted
           dcheck("doc_id_unique", dups.isEmpty,
-            s"duplicate live doc_ids (crashed upsert/merge?): ${dups.mkString(", ")}")
+            s"duplicate live doc_ids (crashed upsert/merge, or a compaction's " +
+              s"add-first swap crashed mid-flight — run any mutator to heal): " +
+              dups.mkString(", "))
 
           val orphanTombs = tombIds
             .join(live.select(col("doc_id")), Seq("doc_id"), "left_anti")

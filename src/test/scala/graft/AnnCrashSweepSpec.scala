@@ -335,6 +335,76 @@ class AnnCrashSweepSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("a GRAPH verb over a crashed compaction heals the swap BEFORE re-manifesting") {
+    // ADVICE r14 #1: the graph verbs healed via the lightweight
+    // marker-only healPendingRemanifest, which re-manifested WITHOUT
+    // rolling a crashed add-first swap forward — the fresh snapshot
+    // then pinned BOTH the old and the minted copy of every survivor,
+    // and the snapshot serving path returned each duplicated doc at two
+    // ranks. Mini-sweep: at EVERY crash state of compactIndexAt, the
+    // first post-crash touch is buildGraphAt (a graph verb, not a data
+    // mutator); after it, the live state must be healed (no duplicate
+    // doc_ids, reclaim finished) and the newest snapshot must hold each
+    // doc exactly once.
+    def dupDocs(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.groupBy($"doc_id").count().filter($"count" > 1)
+        .select($"doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSeq.sorted
+    val expected = (0 until 60).filter(_ % 4 != 1)
+      .map(i => i.toLong -> dvec(i.toLong).head).toMap
+    var k = 0
+    var done = false
+    var sawDuplicatedCrashState = false
+    while (!done) {
+      assert(k < 200, "runaway graph-heal sweep")
+      val root = s"/tmp/graft_graphheal_${System.nanoTime()}_$k"
+      try {
+        mkArtifact(root, 0 until 60)
+        Ann.snapshotIndex(s2, root) // so stale manifests exist to expire
+        Ann.deleteFromIndexAt(s2, root, col("doc_id") % 4 === 1)
+        Faults.arm(k)
+        val crashed =
+          try { Ann.compactIndexAt(s2, root); false }
+          catch { case _: Faults.InjectedCrash => true }
+        Faults.disarm()
+        if (!crashed) done = true
+        else {
+          if (dupDocs(s2.read.parquet(root)).nonEmpty) sawDuplicatedCrashState = true
+          // did the crash leave anything for the heal to roll? (a crash
+          // BEFORE the survivors write leaves only pending tombstones —
+          // a healthy state the graph verb rightly does not reclaim)
+          val rollable =
+            fs.exists(new org.apache.hadoop.fs.Path(
+              s"${root}_compacting/_SUCCESS")) ||
+              fs.exists(new org.apache.hadoop.fs.Path(s"$root/_remanifest_pending"))
+          // the graph verb is the FIRST thing to touch the wound
+          Ann.buildGraphAt(s2, root)
+          assert(dupDocs(s2.read.parquet(root)).isEmpty,
+            s"crash@$k: graph verb left the live state duplicated (swap not rolled)")
+          if (rollable)
+            assert(Ann.tombstonesAt(s2, root).isEmpty,
+              s"crash@$k: graph verb's heal rolled the swap but left the reclaim unfinished")
+          assert(state(root) == expected, s"crash@$k: healed state != oracle")
+          // (a crash INSIDE the dead verb's remanifest can legitimately
+          // leave zero manifests — all expired, the fresh one never
+          // written; time-travel history is a casualty of that crash,
+          // not of the heal — so the dup pin applies to whatever
+          // newest manifest exists)
+          Ann.snapshotVersions(s2, root).lastOption.foreach { latest =>
+            assert(dupDocs(Ann.loadIndexAt(s2, root, latest)).isEmpty,
+              s"crash@$k: newest snapshot pins a doc twice (re-manifested before the roll)")
+          }
+          assertFsckGreen(root, s"graph-verb heal crash@$k")
+        }
+      } finally rm(root)
+      k += 1
+    }
+    // the sweep must have exercised the state the ADVICE names (old +
+    // minted copies both live) — if no k produces it, the pin is vacuous
+    assert(sawDuplicatedCrashState,
+      "no crash state had a duplicated survivor — the mid-swap window moved?")
+  }
+
   // planted-skew helpers for the resharding sweeps (AnnRebalanceSpec's
   // fixture shape at dim 8)
   private def near(axis: Int, tilt: Int, w: Float): Array[Float] = {
@@ -475,6 +545,93 @@ class AnnCrashSweepSpec extends SparkSpec {
         "rebuild did not replace the folded adjacency")
       assertFsckGreen(root, "post-rebuild")
     } finally { rm(root); rm(fresh) }
+  }
+
+  test("mid-rebuild graph fold: every served edge is real; the fold rank-dominates the fresh adjacency") {
+    // VERDICT r14 next #6 — the documented quality wart, now a PINNED
+    // CONTRACT: a reader during buildGraphAt-as-rewrite (fresh `_graph`
+    // written, folded `_graph_serve` not yet dropped) serves a fold of
+    // stale ∪ fresh candidate edges. The contract this pins:
+    //  (a) every served edge is REAL — both ends live docs, src ≠ dst,
+    //      at most one rank per (src, dst);
+    //  (b) old-edges-acceptable with a FLOOR: per src, the fold's
+    //      rank-wise edge scores (deterministic exact dots, recomputed
+    //      here) DOMINATE the completed rebuild's — top-d over a
+    //      superset of candidates can never rank worse than top-d over
+    //      the fresh subset, so refinement seeded by the fold never
+    //      loses recall vs refinement seeded by the fresh graph.
+    // (On an artifact whose docs changed since the fold, a stale dst
+    // may be compacted away — the refined search's rescore join drops
+    // it; HERE docs are invariant across the rebuild, so liveness is
+    // assertable exactly.)
+    val root = s"/tmp/graft_graphfold_${System.nanoTime()}"
+    def graphParts(): Set[String] = {
+      val g = new org.apache.hadoop.fs.Path(s"$root/_graph")
+      if (!fs.exists(g)) Set.empty
+      else fs.listStatus(g).map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+    }
+    try {
+      mkArtifact(root, 0 until 60)
+      Ann.buildGraphAt(s2, root)
+      Ann.compactGraphAt(s2, root) // folded serve = the pre-rebuild adjacency
+      Ann.addVectors(s2, root, spark.createDataset(rows(60 until 70)))
+      Ann.snapshotIndex(s2, root)
+      val emb = s2.read.parquet(root)
+        .select($"doc_id", $"embedding").as[(Long, Array[Float])]
+        .collect().toMap
+      def dot(a: Long, b: Long): Double =
+        emb(a).zip(emb(b)).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val staleParts = graphParts()
+      // walk the rebuild's fault points to the wart state: fresh _graph
+      // landed (part files differ), folded _graph_serve still present
+      var k = 0
+      var atWart = false
+      while (!atWart) {
+        assert(k < 100, "no wart state found — did the rebuild choreography change?")
+        Faults.arm(k)
+        val crashed =
+          try { Ann.buildGraphAt(s2, root); false }
+          catch { case _: Faults.InjectedCrash => true }
+        Faults.disarm()
+        assert(crashed, s"rebuild completed at k=$k before any wart state appeared")
+        atWart = graphParts().nonEmpty && graphParts() != staleParts &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/_graph_serve/_SUCCESS"))
+        if (!atWart) {
+          // undo partial damage deterministically: retry to completion,
+          // then re-establish the folded pre-rebuild serve for the next k
+          Ann.buildGraphAt(s2, root)
+          Ann.compactGraphAt(s2, root)
+          k += 1
+        }
+      }
+      val foldServed = adjacency(root) // the wart-state read
+      // (a) every edge real, one rank per (src, dst)
+      foldServed.groupBy(e => (e._1, e._3)).foreach { case (sd, es) =>
+        assert(es.size == 1, s"edge $sd served at ${es.size} ranks in the fold")
+      }
+      foldServed.foreach { case (src, _, dst) =>
+        assert(emb.contains(src) && emb.contains(dst) && src != dst,
+          s"fold served a non-live or self edge ($src -> $dst)")
+      }
+      // (b) rank dominance vs the COMPLETED rebuild (the retry finishes
+      // the crashed verb; existing sweeps pin retry == crash-free)
+      Ann.buildGraphAt(s2, root)
+      val freshServed = adjacency(root)
+      val foldBySrc = foldServed.groupBy(_._1).view
+        .mapValues(_.toSeq.map(e => dot(e._1, e._3)).sorted.reverse).toMap
+      val freshBySrc = freshServed.groupBy(_._1).view
+        .mapValues(_.toSeq.map(e => dot(e._1, e._3)).sorted.reverse).toMap
+      freshBySrc.foreach { case (src, fScores) =>
+        val wScores = foldBySrc.getOrElse(src,
+          fail(s"src $src present in the fresh adjacency but absent from the fold"))
+        fScores.zip(wScores).zipWithIndex.foreach { case ((f, w), rnk) =>
+          assert(w >= f - 1e-9,
+            s"fold ranks WORSE than fresh at src=$src rnk=$rnk: $w < $f — " +
+              "the fold lost a candidate the fresh build has")
+        }
+      }
+      assertFsckGreen(root, "post-retry after the wart observation")
+    } finally rm(root)
   }
 
   test("a crashed split survives an INTERLEAVED append before its retry (heterogeneous sweep)") {

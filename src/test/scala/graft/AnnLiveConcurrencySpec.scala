@@ -121,7 +121,14 @@ class AnnLiveConcurrencySpec extends SparkSpec {
     } finally Faults.fast()
   }
 
-  private val MaxRounds = 8
+  // every test exits its round loop as soon as NeedMid strict-overlap
+  // observations accumulated, so MaxRounds only bounds the UNLUCKY tail
+  // — at 8 the graph-compaction variant measured ~2% flake (a round
+  // yields 0 mids when the verb finishes inside the reader's first
+  // observation; r15 reproduced "only 2 over 8 rounds" twice on an idle
+  // host). 24 keeps green runs exactly as cheap and pushes the
+  // all-rounds-unlucky tail below noise.
+  private val MaxRounds = 24
   private val NeedMid = 3
 
   test("live compaction: every concurrent observation serves the invariant masked view") {
@@ -330,6 +337,83 @@ class AnnLiveConcurrencySpec extends SparkSpec {
     v(tilt) = w
     val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
     v.map(_ / n)
+  }
+
+  test("withLiveReadRetry: a persistently-missing file fails loudly, transient races heal") {
+    // ADVICE r14 #2: isListingRace treated ANY FileNotFoundException as
+    // a transient rename race, so a file that is GENUINELY gone
+    // (external deletion, manifest bug) yielded silently partial
+    // results after the bounded retries. A fresh re-plan re-lists the
+    // live state, so a renamed-away file cannot recur in it — the SAME
+    // path missing on consecutive attempts must rethrow.
+    def fnf(p: String) = new java.io.FileNotFoundException(
+      s"File file:$p does not exist")
+    // transient: two DIFFERENT files race in sequence, third attempt wins
+    var calls = 0
+    val healed = Ann.withLiveReadRetry(attempts = 5) {
+      calls += 1
+      if (calls == 1) throw fnf("/idx/centroid_id=0/part-a.parquet")
+      if (calls == 2) throw fnf("/idx/centroid_id=1/part-b.parquet")
+      42
+    }
+    assert(healed == 42 && calls == 3)
+    // persistent: the SAME file missing twice in a row is not a race
+    calls = 0
+    val e = intercept[IllegalStateException] {
+      Ann.withLiveReadRetry(attempts = 5) {
+        calls += 1
+        throw fnf("/idx/centroid_id=0/part-gone.parquet")
+      }
+    }
+    assert(e.getMessage.contains("persistently missing"), e.getMessage)
+    assert(e.getMessage.contains("part-gone.parquet"), e.getMessage)
+    assert(calls == 2, s"persistent-missing must fail on the SECOND sighting, not $calls")
+    // non-race exceptions pass straight through
+    intercept[IllegalArgumentException] {
+      Ann.withLiveReadRetry(attempts = 5) {
+        throw new IllegalArgumentException("not a listing race")
+      }
+    }
+    // the key extractor reads the path out of Spark's wrapped form too
+    val wrapped = new RuntimeException(
+      "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while reading file " +
+        "file:/idx/centroid_id=2/part-c.parquet. It is possible the underlying files have been updated.")
+    assert(Ann.listingRaceKey(wrapped) == "file:/idx/centroid_id=2/part-c.parquet",
+      Ann.listingRaceKey(wrapped))
+    assert(Ann.listingRaceKey(new IllegalArgumentException("no race here")) == null)
+  }
+
+  test("add-first swap: a minted-name collision fails loudly instead of keeping a stale file") {
+    // ADVICE r14 #4: step 1's skip-if-present made 'already renamed'
+    // (retry idempotence) indistinguishable from a minted live name
+    // colliding with an existing file — the collision silently kept the
+    // stale file as the survivor. dst-exists is only idempotent when
+    // the SOURCE is gone.
+    val root = s"/tmp/graft_mintcollide_${System.nanoTime()}"
+    val side = s"${root}_compacting"
+    val hfs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def write(p: String, body: String): Unit = {
+      val out = hfs.create(new org.apache.hadoop.fs.Path(p), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    try {
+      // live partition already holds the MINTED name; side still holds src
+      write(s"$root/centroid_id=0/part-r1-x.parquet", "stale")
+      write(s"$side/centroid_id=0/part-x.parquet", "fresh")
+      write(s"$side/_MINTED", "centroid_id=0\tpart-x.parquet\tpart-r1-x.parquet")
+      val e = intercept[IllegalArgumentException] {
+        Ann.addFirstSwap(hfs, root, side)
+      }
+      assert(e.getMessage.contains("minted-name collision"), e.getMessage)
+      // retry idempotence is untouched: with the src gone, dst-exists is
+      // the completed rename and the swap proceeds
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$side/centroid_id=0/part-x.parquet"), false)
+      Ann.addFirstSwap(hfs, root, side) // must not throw
+    } finally {
+      hfs.delete(new org.apache.hadoop.fs.Path(root), true)
+      hfs.delete(new org.apache.hadoop.fs.Path(side), true)
+      ()
+    }
   }
 
   test("live rebalance: every concurrent observation is complete-old or complete-new") {

@@ -91,6 +91,29 @@ class BenchSpec extends AnyFunSuite {
     Files.deleteIfExists(out)
   }
 
+  test("compact trailer: mirrors top-level scalars, carries headlines, fits the driver tail") {
+    // BENCH_r4..r14 all have parsed:null even on rc 0 — the driver
+    // parses the LAST line of a ~2000-char stdout tail and the full
+    // artifact line outgrew it rounds ago. The trailer is the line that
+    // actually parses.
+    val out = tmpJson()
+    val em = emitter(out)
+    em.set("value", "12.345")
+    em.setCompact("bf_ms", "18.783")
+    em.setCompact("ivf_r", "0.9995")
+    val t = parse(em.compactLine())
+    assert(t.get("metric").asText == "total")
+    assert(t.get("value").asDouble == 12.345)
+    assert(!t.get("killed").asBoolean)
+    assert(t.get("bf_ms").asDouble == 18.783)
+    assert(t.get("detail").asText == "bench_result.json")
+    assert(em.compactLine().length <= 1900)
+    // overgrowth is loud, never a silently unparseable tail
+    (1 to 200).foreach(i => em.setCompact(s"pad_$i", "1.234567"))
+    intercept[IllegalArgumentException](em.compactLine())
+    Files.deleteIfExists(out)
+  }
+
   test("unknown field and undeclared section are loud") {
     val out = tmpJson()
     val em = emitter(out)
@@ -128,11 +151,18 @@ class BenchSpec extends AnyFunSuite {
       }
       p.destroy() // SIGTERM — the driver's `timeout` sends exactly this
       assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), "probe ignored SIGTERM")
-      // the shutdown hook printed the artifact line to stdout
+      // the shutdown hook printed the artifact line AND the compact
+      // trailer to stdout — the trailer LAST, because the driver parses
+      // a ~2000-char stdout tail whose final line must be a whole JSON
+      // object (the full line outgrew that tail rounds ago)
       val rest = Files.readString(stdoutFile).linesIterator.toSeq
       val jsonLines = rest.filter(_.startsWith("{"))
-      assert(jsonLines.nonEmpty, s"no JSON line on stdout after SIGTERM; got: $rest")
-      val printed = parse(jsonLines.last)
+      assert(jsonLines.length >= 2, s"expected full line + compact trailer; got: $rest")
+      val trailer = parse(jsonLines.last)
+      assert(trailer.get("killed").asBoolean)
+      assert(jsonLines.last.length <= 1900,
+        s"compact trailer too long for the driver tail: ${jsonLines.last.length}")
+      val printed = parse(jsonLines(jsonLines.length - 2))
       assert(printed.get("killed").asBoolean)
       // the on-disk artifact parses and self-describes
       val onDisk = parse(Files.readString(out))
