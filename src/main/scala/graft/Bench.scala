@@ -154,14 +154,33 @@ object Bench {
     * fresh-JVM point from a heap-aged one (VERDICT r11 next #2).
     * `timeoutS` bounds the child's wall clock — sized to the REMAINING
     * internal budget, not the old fixed 45 min, so one hung leg can no
-    * longer eat every later section's slot (r14 wrong #1). */
-  private def forked(mode: String, timeoutS: Long, fallback: () => String): String =
+    * longer eat every later section's slot (r14 wrong #1).
+    *
+    * `heapGb` RIGHT-SIZES the child's heap instead of inheriting the
+    * parent's 31g (round 15, measured on this host): supplying fresh
+    * pages to a guest JVM collapses as its resident set grows —
+    * pre-touching 8g took 4 s (2 GB/s), 24g 32 s, 31g 105 s (0.3 GB/s)
+    * — so allocation-heavy legs inside a 31g JVM read 3-18× slow on a
+    * degraded host-day while the same work in a small JVM stays clean
+    * (q79 at sf0.1, same host, same minute: 77.7 s warm in 31g vs
+    * 7.6 s in 8g). The scale rungs NEED the big heap (resident
+    * corpora); the registry and 1M sections do not, and right-sizing
+    * them removes the exposure entirely. */
+  private def forked(
+      mode: String, timeoutS: Long, heapGb: Option[Int],
+      fallback: () => String): String =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
-      val jvmArgs = java.lang.management.ManagementFactory
+      val inherited = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val jvmArgs = heapGb match {
+        case Some(g) =>
+          inherited.filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) :+
+            s"-Xmx${g}g"
+        case None => inherited
+      }
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.tools.BenchFork", mode)
       val pb = new ProcessBuilder(cmd.asJava)
@@ -258,7 +277,7 @@ object Bench {
         "bench_seq_today" -> benchSeqToday.toString,
         "budget_s" -> f3(budgetS),
         "canary_reference" -> KernelBench.canaryReferenceJson,
-        "registry_canaries" -> "null",
+        "registry_meta" -> "null",
         "queries" -> "null",
         "kernel_1m_384" -> "null",
         "kernel_cold_scan" -> "null",
@@ -317,102 +336,79 @@ object Bench {
     // first timed query (it was inflating it ~10×).
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    // ---- CORE section 1: the registry suite, canary-bracketed
-    // (VERDICT r14 next #4: start+end triples so a consumer can see
-    // mid-section pollution arrival)
-    runSection("queries", "registry") {
-      val start = KernelBench.canaryTriple()
-      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            System.err.println(s"[bench] $name FAILED: ${errors(name)}")
-            name -> -1.0
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def forkTimeoutS: Long = math.max(120L, remainingS.toLong + 120L)
+
+    // ---- CORE section 1: the registry suite, canary-bracketed, in a
+    // RIGHT-SIZED 12g fork (round 15): on this host, page supply to a
+    // guest JVM collapses as its resident set grows (8g pre-touch 4 s →
+    // 31g 105 s, measured), so the suite's shuffle-heavy queries read
+    // 3-18× slow inside the 31g bench JVM on a degraded day (q79:
+    // 77.7 s warm at 31g vs 7.6 s at 8g, same host, same minute). The
+    // leg body lives in BenchLegs.registry; the fork returns one JSON
+    // that is decomposed here into the artifact's canonical fields.
+    if (skipped("registry")) { emitter.set("queries", """{"skipped":true}"""); () }
+    else {
+      val regJson = forked("registry", forkTimeoutS, Some(12),
+        () => BenchLegs.registry(spark, sfDir))
+      try {
+        val node = mapper.readTree(regJson)
+        emitter.set("value", f3(node.get("value").asDouble))
+        emitter.set("queries", mapper.writeValueAsString(node.get("queries")))
+        val meta = node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        meta.remove("queries")
+        meta.remove("errors")
+        emitter.set("registry_meta", mapper.writeValueAsString(meta))
+        val errNode = node.get("errors")
+        if (errNode != null && errNode.isObject) {
+          val it = errNode.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            errors(e.getKey) = e.getValue.asText()
+          }
         }
+        def ratio(key: String): String =
+          Option(node.get(key)).map(v => f3(v.asDouble)).getOrElse("-1")
+        emitter.setCompact("reg_can_r", ratio("canary_ratio"))
+        emitter.setCompact("reg_can_sh_r", ratio("canary_shuffle_ratio"))
+        emitter.setCompact("reg_can_end_sh_r", ratio("canary_end_shuffle_ratio"))
+      } catch {
+        case e: Throwable =>
+          errors("registry") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          emitter.set("queries",
+            s"""{"error":${jstr("registry leg unparseable: " + errors("registry"))}}""")
       }
-      val end = KernelBench.canaryTriple()
-      emitter.set("registry_canaries", s"{${KernelBench.canaryBracketJson(start, end)}}")
-      emitter.setCompact("reg_can_r", f3(KernelBench.canaryRatios(start.singleMs, start.scanMs)._1))
-      emitter.setCompact("reg_can_sh_r", f3(KernelBench.canaryShuffleRatio(start.shuffleMs)))
-      emitter.setCompact("reg_can_end_sh_r", f3(KernelBench.canaryShuffleRatio(end.shuffleMs)))
-      emitter.set("value",
-        f3(results.collect { case (_, v) if v >= 0 => v }.sum))
       publishErrors()
-      // Keep the line SHORT: the driver parses it from a bounded stdout
-      // tail (r2's full-precision line overflowed the buffer).
-      results.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
     }
 
     // ---- CORE section 2: the 1M×384 kernel ladder — the like-for-like
     // BASELINE.md comparison. Runs immediately after the registry
-    // (VERDICT r14 next #2: core first; the graph-slope leg's old
-    // run-first slot is served by its canary bracket now).
-    runSection("kernel_1m_384", "kernel") {
-      try {
-        spark.catalog.clearCache() // drop query-suite caches before the 1.5 GB corpus
-        System.gc()
-        // start the section the way BenchFork starts every fork: sync +
-        // drop the page cache, and stamp whether that worked (VERDICT
-        // r12 wrong #1: the old in-session 1M section read its bin
-        // headline 9× wrong after the registry churn, silently)
-        val kernelCacheDropped = operators.ColdScan.dropPageCache()
-        val start = KernelBench.canaryTriple()
-        val r = KernelBench.run(spark)
-        val f4 = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        // held-out queries (r6 advice): recall varies with nProbe; the
-        // sweep proves the speed/recall dial is real at 1M scale
-        val sweep = r.annRecallByProbe
-          .map { case (np, rc) => s""""$np":${f4(rc)}""" }.mkString("{", ",", "}")
-        val pqSweep = r.pqSweep
-          .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
-        val sqSweep = r.sqSweep
-          .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
-        val graphSweep = r.graphSweep
-          .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
-        val binSweep = r.binSweep
-          .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
-        // close the report loop at bench scale (r6 next #7): write the
-        // per-method reports the engine just measured, read them back
-        // through the 005-compare pipeline, quote the speedup column
-        val reportsDir =
-          s"/tmp/graft_reports_${ProcessHandle.current().pid()}/kernel1m"
-        KernelBench.writeReports(spark, KernelBench.Default, r, reportsDir, "19700101000000")
-        val compared = graft.sources.Report.compare(spark, s"$reportsDir/*/")
-          .collect()
-          .map(row => s""""${row.getAs[String]("method")}":${f3(
-            row.getAs[Double]("speedup_vs_bf"))}""")
-          .mkString("{", ",", "}")
-        val end = KernelBench.canaryTriple()
-        // compact-trailer headlines: the BASELINE-comparable scalars the
-        // driver's 2000-char tail can actually hold
-        val f4c = (v: Double) => String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        Seq(
-          "bf_ms" -> f3(r.bfMsPerQuery), "bf_base_ms" -> "699.43",
-          "ivf_ms" -> f3(r.annMsPerQuery), "ivf_r" -> f4c(r.annRecallVsExact),
-          "sq_ms" -> f3(r.sqMsPerQuery), "sq_r" -> f4c(r.sqRecallVsExact),
-          "pq_ms" -> f3(r.pqMsPerQuery), "pq_r" -> f4c(r.pqRecallVsExact),
-          "bin_ms" -> f3(r.binMsPerQuery), "bin_op_ms" -> f3(r.binOpMsPerQuery),
-          "bin_op_r10" -> f4c(r.binOpHoldRecall),
-          "g_ms" -> f3(r.graphMsPerQuery), "g_build_s" -> f3(r.graphBuildSec),
-          "ivf_build_s" -> f3(r.annBuildSec), "pq_build_s" -> f3(r.pqBuildSec),
-          "k1m_can_r" -> f3(KernelBench.canaryRatios(start.singleMs, start.scanMs)._1),
-          "k1m_can_sh_r" -> f3(KernelBench.canaryShuffleRatio(start.shuffleMs)),
-          "k1m_can_end_sh_r" -> f3(KernelBench.canaryShuffleRatio(end.shuffleMs))
-        ).foreach { case (k, v) => emitter.setCompact(k, v) }
-        def passes(ts: Seq[Double]): String = ts.map(f3).mkString("[", ",", "]")
-        val medians = s""""ms_per_query_median":{"bf":${f3(r.bfMsPerQueryMedian)},"ivf":${f3(r.annMsPerQueryMedian)},"sq":${f3(r.sqMsPerQueryMedian)},"pq":${f3(r.pqMsPerQueryMedian)},"bin":${f3(r.binMsPerQueryMedian)}}"""
-        s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},${KernelBench.canaryBracketJson(start, end)},"latency_stat":"min_over_same_dial_passes",$medians,"page_cache_dropped":$kernelCacheDropped,"pass_sec":{"bf":${passes(r.bfPassSec)},"ivf":${passes(r.annPassSec)},"sq":${passes(r.sqPassSec)},"pq":${passes(r.pqPassSec)},"bin":${passes(r.binPassSec)}},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_operating_point":{"pool":${r.binOpPool},"target":${KernelBench.BinOpTarget},"tune_recall_10":${f4(r.binOpTuneRecall)},"heldout_recall_10":${f4(r.binOpHoldRecall)},"ms_per_query":${f3(r.binOpMsPerQuery)}},"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
-      } catch {
-        case e: Throwable =>
-          errors("kernel_1m_384") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          publishErrors()
-          "null"
-      }
+    // (VERDICT r14 next #2: core first), in a RIGHT-SIZED 16g fork (the
+    // ladder's cached structures are ~4-5 GB; the 31g heap's only role
+    // here was exposure to the degraded page-supply regime — r14's
+    // pq_build 43.9 s vs ~13 clean is exactly that class). Body in
+    // BenchLegs.kernel1m.
+    val kJson = runSection("kernel_1m_384", "kernel") {
+      spark.catalog.clearCache()
+      System.gc()
+      forked("kernel1m", forkTimeoutS, Some(16), () => BenchLegs.kernel1m(spark))
     }
+    if (kJson.contains("\"error\"")) {
+      errors("kernel_1m_384") =
+        Option(mapper.readTree(kJson).get("error")).map(_.asText).getOrElse("?").take(200)
+      publishErrors()
+    } else compactFrom(kJson, "k1m",
+      "ms_per_query" -> "_bf_ms",
+      "ann_ms_per_query" -> "_ivf_ms", "ann_recall_vs_exact" -> "_ivf_r",
+      "sq_ms_per_query" -> "_sq_ms", "sq_recall_vs_exact" -> "_sq_r",
+      "pq_ms_per_query" -> "_pq_ms", "pq_recall_vs_exact" -> "_pq_r",
+      "bin_ms_per_query" -> "_bin_ms",
+      "graph_ms_per_query" -> "_g_ms", "graph_build_sec" -> "_g_build_s",
+      "ann_build_sec" -> "_ivf_build_s", "pq_build_sec" -> "_pq_build_s",
+      "canary_ratio" -> "_can_r",
+      "canary_shuffle_ratio" -> "_can_sh_r",
+      "canary_end_shuffle_ratio" -> "_can_end_sh_r")
 
     // ---- diagnostic legs, budget-gated in priority order. COLD-SCAN
     // first (VERDICT r14 next #7: it was the kill's casualty and the
@@ -423,40 +419,36 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
 
+    // Cold-scan forked RIGHT-SIZED too (16g): its encode phase writes
+    // ~2 GB of tier artifacts — allocation-heavy, the degraded-page-
+    // supply class — and its purpose is an IO measurement that must not
+    // be distorted by the parent's 31g residency.
     val coldJson = budgetGated("kernel_cold_scan", "cold", estS = 300.0) {
-      try {
+      forked("coldscan", forkTimeoutS, Some(16), () => {
         spark.catalog.clearCache()
-        val start = KernelBench.canaryTriple()
-        val cfgC = KernelBench.Default
-        // root carries an encode-cfg fingerprint so a changed cfg can
-        // never reuse stale artifacts behind _COLD_READY (ADVICE r10)
-        val rootC = operators.ColdScan.artifactRoot("/tmp/graft_coldscan", cfgC)
-        val c = operators.ColdScan.run(spark, cfgC, rootC, passes = 3)
-        val end = KernelBench.canaryTriple()
-        c.tiers.foreach { t =>
-          emitter.setCompact(s"cold_${t.name}_ms",
-            f3(t.passSec.min * 1000.0 / cfgC.nQueries))
-        }
-        emitter.setCompact("cold_can_end_sh_r",
-          f3(KernelBench.canaryShuffleRatio(end.shuffleMs)))
-        def f1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-        val tiers = c.tiers.map { t =>
-          s""""${t.name}":{"mb_disk":${f1(t.bytesDisk / 1e6)},"mb_read":${f1(t.bytesRead.min / 1e6)},"ms_per_query":${f3(t.passSec.min * 1000.0 / cfgC.nQueries)},"pass_sec":[${t.passSec.map(f3).mkString(",")}]}"""
-        }.mkString(",")
-        s"""{"n":${cfgC.n},"dim":${cfgC.dim},${KernelBench.canaryBracketJson(start, end)},"page_cache_dropped":${c.pageCacheDropped},$tiers}"""
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] kernel_cold_scan failed (non-fatal): ${e.getMessage}")
-          s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
-      }
+        BenchLegs.coldScan(spark)
+      })
     }
+    if (coldJson.contains("\"skipped\"") || coldJson.contains("\"error\""))
+      emitter.setCompact("cold", if (coldJson.contains("\"error\"")) "\"err\"" else "\"skip\"")
+    else try {
+      val node = mapper.readTree(coldJson)
+      val it = node.fields()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getValue.isObject && f.getValue.has("ms_per_query"))
+          emitter.setCompact(s"cold_${f.getKey}_ms",
+            f3(f.getValue.get("ms_per_query").asDouble))
+      }
+      Option(node.get("canary_end_shuffle_ratio"))
+        .foreach(v => emitter.setCompact("cold_can_end_sh_r", f3(v.asDouble)))
+    } catch { case _: Throwable => emitter.setCompact("cold", "\"unparseable\"") }
 
-    // cold section registers its compacts inline; the skip path here
-    if (coldJson.contains("\"skipped\"")) emitter.setCompact("cold", "\"skip\"")
-
-    def forkTimeoutS: Long = math.max(120L, remainingS.toLong + 120L)
     val slopeJson = budgetGated("graph_build_slope", "graphslope", estS = 600.0) {
-      forked("graphslope", forkTimeoutS, () => {
+      // 16g: the slope leg's structures top out ~5 GB at the 1M rung;
+      // right-sizing keeps its timed windows out of the degraded
+      // big-resident page-supply regime (the r14 graph-tier weak flag)
+      forked("graphslope", forkTimeoutS, Some(16), () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.graphSlope(spark)
       })
@@ -465,7 +457,9 @@ object Bench {
       "slope_loglog" -> "_loglog",
       "canary_shuffle_ratio" -> "_can_sh_r", "canary_end_shuffle_ratio" -> "_can_end_sh_r")
     val json2m = budgetGated("kernel_2m_384", "full2m", estS = 360.0) {
-      forked("full2m", forkTimeoutS, () => {
+      // 2M ladder: 14g measured-sufficient; 16g keeps headroom while
+      // staying under the degraded-regime knee
+      forked("full2m", forkTimeoutS, Some(16), () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.full2m(spark)
       })
@@ -474,7 +468,10 @@ object Bench {
       "ms_per_query" -> "_bf_ms", "ann_ms_per_query" -> "_ivf_ms",
       "pq_ms_per_query" -> "_pq_ms")
     val json4m = budgetGated("kernel_4m_384", "float4m", estS = 600.0) {
-      forked("float4m", forkTimeoutS, () => {
+      // 4M ladder genuinely needs the big heap (28g gate) — it inherits
+      // the parent's 31g and pays whatever the host charges for it; its
+      // canary bracket stamps the exposure
+      forked("float4m", forkTimeoutS, None, () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.float4m(spark)
       })

@@ -33,6 +33,116 @@ object BenchLegs {
   private def err(e: Throwable): String =
     s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
 
+  /** The REGISTRY suite as a forkable leg (round 15): every registry
+    * query timed once at `sfDir`, canary-bracketed. Runs in a
+    * RIGHT-SIZED (12g) fork rather than the parent's 31g JVM: on this
+    * host, supplying fresh pages to a guest JVM collapses as its
+    * resident set grows (8g pre-touch 4 s, 31g 105 s — measured r15),
+    * so the suite's shuffle-heavy queries read 3-18× slow inside the
+    * big-heap bench JVM on a degraded host-day (q79: 77.7 s warm at
+    * 31g vs 7.6 s at 8g, same host, same minute) while the queries
+    * themselves are shape-clean. The scale rungs need the big heap;
+    * the registry does not.
+    *
+    * Returns `{"value":…, <canary bracket>, "queries":{…}, "errors":{…}}`
+    * — the parent decomposes it into the artifact's canonical fields. */
+  def registry(spark: SparkSession, sfDir: String): String = {
+    spark.catalog.clearCache() // no-op in a fresh fork; real in the fallback
+    // JVM/codegen/scheduler start-up must not be billed to the first
+    // timed query (measured ~10× inflation)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val start = KernelBench.canaryTriple()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+          name -> -1.0
+      }
+    }
+    val end = KernelBench.canaryTriple()
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    s"""{"value":${f3(total)},${KernelBench.canaryBracketJson(start, end)},"queries":$qs,"errors":$errJson}"""
+  }
+
+  /** The 1M×384 kernel ladder as a forkable leg (round 15) — the
+    * like-for-like BASELINE.md comparison, right-sized to a 16g fork
+    * for the same page-supply reason as [[registry]] (the ladder's
+    * cached structures are ~4-5 GB; 16g holds them without entering
+    * the degraded big-resident regime whose build phases read 3× on
+    * bad days — r14 pq_build 43.9 s vs ~13 clean). Returns the section
+    * JSON [[graft.Bench]] always published, or `{"error":…}`. */
+  def kernel1m(spark: SparkSession): String =
+    try {
+      spark.catalog.clearCache()
+      val kernelCacheDropped = graft.operators.ColdScan.dropPageCache()
+      val start = KernelBench.canaryTriple()
+      val r = KernelBench.run(spark)
+      val sweep = r.annRecallByProbe
+        .map { case (np, rc) => s""""$np":${f4(rc)}""" }.mkString("{", ",", "}")
+      val pqSweep = r.pqSweep
+        .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
+      val sqSweep = r.sqSweep
+        .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
+      val graphSweep = r.graphSweep
+        .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
+      val binSweep = r.binSweep
+        .map(l => s""""${l.ef}":${f4(l.recall10)}""").mkString("{", ",", "}")
+      // close the report loop at bench scale (r6 next #7): write the
+      // per-method reports the engine just measured, read them back
+      // through the 005-compare pipeline, quote the speedup column
+      val reportsDir =
+        s"/tmp/graft_reports_${ProcessHandle.current().pid()}/kernel1m"
+      KernelBench.writeReports(spark, KernelBench.Default, r, reportsDir, "19700101000000")
+      val compared = graft.sources.Report.compare(spark, s"$reportsDir/*/")
+        .collect()
+        .map(row => s""""${row.getAs[String]("method")}":${f3(
+          row.getAs[Double]("speedup_vs_bf"))}""")
+        .mkString("{", ",", "}")
+      val end = KernelBench.canaryTriple()
+      def passes(ts: Seq[Double]): String = ts.map(f3).mkString("[", ",", "]")
+      val medians = s""""ms_per_query_median":{"bf":${f3(r.bfMsPerQueryMedian)},"ivf":${f3(r.annMsPerQueryMedian)},"sq":${f3(r.sqMsPerQueryMedian)},"pq":${f3(r.pqMsPerQueryMedian)},"bin":${f3(r.binMsPerQueryMedian)}}"""
+      s"""{"n":${KernelBench.N},"dim":${KernelBench.Dim},${KernelBench.canaryBracketJson(start, end)},"latency_stat":"min_over_same_dial_passes",$medians,"leg_cache_dropped":$kernelCacheDropped,"pass_sec":{"bf":${passes(r.bfPassSec)},"ivf":${passes(r.annPassSec)},"sq":${passes(r.sqPassSec)},"pq":${passes(r.pqPassSec)},"bin":${passes(r.binPassSec)}},"ms_per_query":${f3(r.bfMsPerQuery)},"qps":${f3(r.bfQps)},"baseline_ms_per_query":699.43,"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_qps":${f3(r.annQps)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"ann_recall_sweep":$sweep,"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_qps":${f3(r.pqQps)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"pq_recall_sweep":$pqSweep,"pq_bytes_per_doc":${KernelBench.Dim / KernelBench.PqSubDim},"pq_nprobe":${KernelBench.NProbe},"pq_train_iters":${KernelBench.PqTrainIters},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_qps":${f3(r.sqQps)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"sq_recall_sweep":$sqSweep,"sq_bytes_per_doc":${KernelBench.Dim},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_qps":${f3(r.binQps)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_sweep":$binSweep,"bin_operating_point":{"pool":${r.binOpPool},"target":${KernelBench.BinOpTarget},"tune_recall_10":${f4(r.binOpTuneRecall)},"heldout_recall_10":${f4(r.binOpHoldRecall)},"ms_per_query":${f3(r.binOpMsPerQuery)}},"bin_bytes_per_doc":${(KernelBench.Dim + 7) / 8},"graph_build_sec":${f3(r.graphBuildSec)},"graph_ms_per_query":${f3(r.graphMsPerQuery)},"graph_recall_sweep":$graphSweep,"graph_k":${KernelBench.Default.graphK},"baseline_ann_ms_per_query":0.46,"baseline_ann_recall_pct_of_bf":0.918,"report_speedup_vs_bf":$compared}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] kernel_1m_384 failed: ${e.getMessage}")
+        err(e)
+    }
+
+  /** COLD-SCAN leg (VERDICT r9 next #1, forkable since r15): the
+    * compression ladder's bytes-per-doc claim measured IO-bound — each
+    * tier's packed artifact re-read from parquet per pass, page cache
+    * dropped before every pass, bytes-read (syscall-level) + ms/query
+    * per tier. Right-sized fork (16g): the encode phase writes ~2 GB of
+    * tier artifacts (allocation-heavy) and the measurement must not be
+    * distorted by big-resident page-supply degradation. */
+  def coldScan(spark: SparkSession): String =
+    try {
+      val start = KernelBench.canaryTriple()
+      val cfgC = KernelBench.Default
+      // root carries an encode-cfg fingerprint so a changed cfg can
+      // never reuse stale artifacts behind _COLD_READY (ADVICE r10)
+      val rootC = graft.operators.ColdScan.artifactRoot("/tmp/graft_coldscan", cfgC)
+      val c = graft.operators.ColdScan.run(spark, cfgC, rootC, passes = 3)
+      val end = KernelBench.canaryTriple()
+      def f1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      val tiers = c.tiers.map { t =>
+        s""""${t.name}":{"mb_disk":${f1(t.bytesDisk / 1e6)},"mb_read":${f1(t.bytesRead.min / 1e6)},"ms_per_query":${f3(t.passSec.min * 1000.0 / cfgC.nQueries)},"pass_sec":[${t.passSec.map(f3).mkString(",")}]}"""
+      }.mkString(",")
+      s"""{"n":${cfgC.n},"dim":${cfgC.dim},${KernelBench.canaryBracketJson(start, end)},"leg_cache_dropped":${c.pageCacheDropped},$tiers}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] kernel_cold_scan failed (non-fatal): ${e.getMessage}")
+        err(e)
+    }
+
   /** One full-ladder scale rung (bf + IVF + SQ8 + PQ + binary, one
     * sweep level, no kNN graph): the JSON body shared by the 2M and 4M
     * legs. Every tier carries its recall-vs-exact, so the compression

@@ -36,6 +36,10 @@ object BenchFork {
       case "float4m" => BenchLegs.float4m(spark)
       case "full2m" => BenchLegs.full2m(spark)
       case "graphslope" => BenchLegs.graphSlope(spark)
+      case "registry" => BenchLegs.registry(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      case "kernel1m" => BenchLegs.kernel1m(spark)
+      case "coldscan" => BenchLegs.coldScan(spark)
       case other => throw new IllegalArgumentException(s"unknown leg: $other")
     }
     spark.stop()
