@@ -457,9 +457,13 @@ object Bench {
       "slope_loglog" -> "_loglog",
       "canary_shuffle_ratio" -> "_can_sh_r", "canary_end_shuffle_ratio" -> "_can_end_sh_r")
     val json2m = budgetGated("kernel_2m_384", "full2m", estS = 360.0) {
-      // 2M ladder: 14g measured-sufficient; 16g keeps headroom while
-      // staying under the degraded-regime knee
-      forked("full2m", forkTimeoutS, Some(16), () => {
+      // 2M ladder: 24g — the smallest heap whose storage pool keeps the
+      // rung's ~7.8 GB of cached structures resident (build.sbt's r10
+      // measurement: at 16g the disk tier turned every probed-method
+      // slope superlinear, sq build 0.5 → 18.6 s; re-confirmed r15 at
+      // 16g: bf 67.2 ms/q vs 31.6 with the set resident). 24g still
+      // sits below the 31g page-supply knee.
+      forked("full2m", forkTimeoutS, Some(24), () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.full2m(spark)
       })
