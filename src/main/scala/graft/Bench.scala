@@ -58,7 +58,7 @@ final class BenchEmitter(
   /** The ≤1900-char trailer: top-level scalars mirrored from the full
     * artifact plus the headline fields sections registered. */
   def compactLine(): String = synchronized {
-    val mirrored = Seq("metric", "value", "unit", "killed", "bench_seq_today")
+    val mirrored = Seq("metric", "value", "unit", "killed", "bench_seq_today", "host_factor")
       .flatMap(k => fields.get(k).map(v => s""""$k":$v"""))
     val hs = compact.map { case (k, v) => s""""$k":$v""" }
     val l = (mirrored ++ hs ++ Seq(""""detail":"bench_result.json""""))
@@ -66,6 +66,28 @@ final class BenchEmitter(
     // the whole point is fitting the driver's tail — never exceed it
     require(l.length <= 1900, s"compact bench line grew past the driver tail: ${l.length} chars")
     l
+  }
+
+  /** An always-parseable degraded trailer: what [[emitTrailer]] and the
+    * kill hook print if [[compactLine]] ever outgrows its 1900-char
+    * require (key count is data-dependent — the overflow must be loud
+    * in tests, never a lost artifact in a real run; ADVICE r15). */
+  private def minimalTrailer: String = synchronized {
+    val killed = fields.getOrElse("killed", "false")
+    s"""{"metric":"total","killed":$killed,"trailer_overflow":true,"detail":"bench_result.json"}"""
+  }
+
+  /** Print the freshest trailer and flush (VERDICT r15 next #1): called
+    * after EVERY completed section, so whatever instant the driver's
+    * bounded stdout tail is snapshotted — SIGTERM mid-leg, wall-clock
+    * kill during a fallback, SIGKILL with no hooks — its last parseable
+    * line carries every section completed so far. The r15 post-mortem
+    * proved both the end-of-run print and the SIGTERM hook can miss the
+    * captured tail (the tail ended at a fallback stderr line); a
+    * per-section print cannot, because it is already THERE. */
+  def emitTrailer(): Unit = {
+    println(scala.util.Try(compactLine()).getOrElse(minimalTrailer))
+    System.out.flush()
   }
 
   private def writeFile(): Unit = {
@@ -102,12 +124,15 @@ final class BenchEmitter(
         // the hook must never die half-printed: an overgrown trailer
         // (loud in tests via compactLine's require) degrades to a
         // minimal-but-parseable one here
-        val trailer = scala.util.Try(compactLine()).getOrElse(
-          """{"metric":"total","killed":true,"detail":"bench_result.json"}""")
+        val trailer = scala.util.Try(compactLine()).getOrElse(minimalTrailer)
         (line(), trailer)
       }
       println(l)
       println(c) // LAST: the line the driver's bounded tail parses
+      // shutdown hooks run concurrently — flush so a racing hook (e.g.
+      // Spark's own) cannot leave the trailer stranded in the buffer
+      // behind its output (ADVICE r15)
+      System.out.flush()
     }
   }
 }
@@ -143,18 +168,30 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** A fork that exhausted its budget-capped wall clock. Distinct from
+    * a crash on purpose (VERDICT r15 next #2): a timeout means the
+    * budget is SPENT — the only correct response is a
+    * `{"skipped":"fork_timeout"}` stamp; the in-session fallback exists
+    * for crash exits, and re-running a timed-out leg in-session is
+    * guaranteed to burn past whatever budget remains (exactly the r15
+    * failure: the 4M fork burned 1031 s, the catch-all re-ran it
+    * in-session, and the driver's wall clock expired mid-fallback). */
+  private final class ForkTimeout(val mode: String, val timeoutS: Long)
+    extends RuntimeException(s"fork $mode timed out after ${timeoutS}s")
+
   /** Run one scale leg in a FRESH JVM via [[tools.BenchFork]] and return
     * its JSON body. The child inherits this JVM's full argument list
     * (heap size, --add-opens, -D flags — sbt forked us, so
     * `java.class.path` is the real application classpath) plus the
     * environment (SPARK_GRAFT_* knobs). Stdout is scanned for the single
-    * `BENCHFORK_JSON` line; stderr passes through. On any failure the
-    * in-session `fallback` runs instead, stamped
-    * `"suspect_session_age":true` so a JSON consumer can tell a clean
-    * fresh-JVM point from a heap-aged one (VERDICT r11 next #2).
-    * `timeoutS` bounds the child's wall clock — sized to the REMAINING
-    * internal budget, not the old fixed 45 min, so one hung leg can no
-    * longer eat every later section's slot (r14 wrong #1).
+    * `BENCHFORK_JSON` line; stderr passes through. Throws [[ForkTimeout]]
+    * on wall-clock exhaustion and any other Throwable on a crash exit —
+    * the POLICY (skip stamp vs budget-checked in-session fallback) lives
+    * in main's `forkedLeg`, not here.
+    * `timeoutS` bounds the child's wall clock — capped at the REMAINING
+    * internal budget (no grace past it: grace beyond the budget is
+    * exactly the r15 overrun), so one hung leg can no longer eat every
+    * later section's slot (r14 wrong #1).
     *
     * `heapGb` RIGHT-SIZES the child's heap instead of inheriting the
     * parent's 31g (round 15, measured on this host): supplying fresh
@@ -167,9 +204,8 @@ object Bench {
     * corpora); the registry and 1M sections do not, and right-sizing
     * them removes the exposure entirely. */
   private def forked(
-      mode: String, timeoutS: Long, heapGb: Option[Int],
-      fallback: () => String): String =
-    try {
+      mode: String, timeoutS: Long, heapGb: Option[Int]): String =
+    {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
@@ -204,7 +240,7 @@ object Bench {
       drain.setDaemon(true)
       drain.start()
       val done = p.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) { p.destroyForcibly(); sys.error(s"fork $mode timed out after ${timeoutS}s") }
+      if (!done) { p.destroyForcibly(); throw new ForkTimeout(mode, timeoutS) }
       drain.join(60000)
       // a still-alive drain means the pipe never reached EOF: fail the
       // fork explicitly rather than iterate a list the drain thread may
@@ -219,12 +255,6 @@ object Bench {
         .collectFirst { case l if l.startsWith("BENCHFORK_JSON ") =>
           l.stripPrefix("BENCHFORK_JSON ") }
         .getOrElse(sys.error(s"fork $mode printed no BENCHFORK_JSON line"))
-    } catch {
-      case e: Throwable =>
-        System.err.println(
-          s"[bench] fork $mode failed (${e.getMessage}) — in-session fallback, stamped suspect")
-        val j = fallback()
-        if (j.startsWith("{")) """{"suspect_session_age":true,""" + j.drop(1) else j
     }
 
   def main(args: Array[String]): Unit = {
@@ -276,6 +306,8 @@ object Bench {
         "killed" -> "false",
         "bench_seq_today" -> benchSeqToday.toString,
         "budget_s" -> f3(budgetS),
+        "host_factor" -> "1.000",
+        "host_canary_start" -> "null",
         "canary_reference" -> KernelBench.canaryReferenceJson,
         "registry_meta" -> "null",
         "queries" -> "null",
@@ -316,16 +348,81 @@ object Bench {
       emitter.set(field, json)
       json
     }
+
+    // ---- host-state factor (VERDICT r15 next #2c): the budget gate's
+    // leg estimates are CLEAN-day wall-clocks, but on a degraded
+    // host-day every allocation-heavy leg runs 1.3-4× those — r15's 4M
+    // leg passed its 600 s gate with 911 s remaining and burned 1031 s.
+    // One canary triple measured before any leg scales every estimate
+    // by the day the run actually got; the factor is published at top
+    // level and in the trailer so the skip decisions are auditable.
+    val hostCanaryStart = KernelBench.canaryTriple()
+    val hostFactor = {
+      val (r1, r2) = KernelBench.canaryRatios(
+        hostCanaryStart.singleMs, hostCanaryStart.scanMs)
+      val r3 = KernelBench.canaryShuffleRatio(hostCanaryStart.shuffleMs)
+      val rs = Seq(r1, r2, r3).filter(_ > 0).sorted
+      // MEDIAN of the three kernels, not max: the scan canary measured
+      // inside this 31g parent reads up to ~5× on the degraded epoch
+      // while the legs actually run in right-sized 12-24g forks whose
+      // own start ratios read 1.1-1.3 — max would budget-skip every
+      // gated leg on days the forks handle fine. Clamp [1, 2.5]: with
+      // delivery kill-proof (per-section trailers, timeout→skip stamp),
+      // an optimistic estimate costs at worst one self-describing
+      // fork_timeout stamp, never a lost artifact; a pessimistic one
+      // costs real data.
+      if (rs.isEmpty) 1.0
+      else math.min(2.5, math.max(1.0, rs(rs.length / 2)))
+    }
+    emitter.set("host_factor", f3(hostFactor))
+    emitter.set("host_canary_start",
+      "{" + KernelBench.canaryStemJson("canary", hostCanaryStart) + "}")
+
     // Diagnostic legs only — the core never budget-skips. Estimates are
-    // clean-day wall-clock with headroom; a leg whose estimate exceeds
-    // the remaining budget self-describes instead of risking the kill
-    // that lost r14's whole artifact.
-    def budgetGated(field: String, skipKey: String, estS: Double)(body: => String): String =
+    // clean-day wall-clock with headroom, scaled by the day's measured
+    // host factor; a leg whose estimate exceeds the remaining budget
+    // self-describes instead of risking the kill that lost r14's whole
+    // artifact (and overran r15's).
+    def budgetGated(field: String, skipKey: String, estS: Double)(body: Double => String): String =
       runSection(field, skipKey) {
-        if (remainingS < estS)
-          s"""{"skipped":"budget","estimated_s":${f3(estS)},"remaining_s":${f3(remainingS)}}"""
-        else body
+        val estAdj = estS * hostFactor
+        if (remainingS < estAdj)
+          s"""{"skipped":"budget","estimated_s":${f3(estAdj)},"host_factor":${f3(hostFactor)},"remaining_s":${f3(remainingS)}}"""
+        else body(estAdj)
       }
+
+    // ---- fork policy (VERDICT r15 next #2): a fork TIMEOUT means the
+    // budget is spent — stamp `{"skipped":"fork_timeout"}` and move on,
+    // NEVER re-run in-session (re-running a timed-out leg is guaranteed
+    // to burn past whatever budget remains: exactly how r15 died). A
+    // fork CRASH (non-zero exit, no JSON line) falls back in-session
+    // only while the remaining budget still covers the leg's
+    // host-adjusted estimate. The fork's wall clock is capped at the
+    // remaining budget — no grace beyond it — and at 2.5× the leg's own
+    // estimate, so one pathological leg cannot consume every later
+    // section's slot even when budget is plentiful.
+    def forkedLeg(mode: String, heapGb: Option[Int], estAdjS: Double,
+        fallback: () => String): String = {
+      val timeoutS = math.max(60L, math.min(remainingS.toLong, (2.5 * estAdjS).toLong))
+      try forked(mode, timeoutS, heapGb)
+      catch {
+        case te: ForkTimeout =>
+          System.err.println(s"[bench] ${te.getMessage} — stamped skipped, no in-session re-run")
+          s"""{"skipped":"fork_timeout","timeout_s":${te.timeoutS},"estimated_s":${f3(estAdjS)},"remaining_s":${f3(remainingS)}}"""
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          if (remainingS >= estAdjS) {
+            System.err.println(
+              s"[bench] fork $mode crashed ($msg) — in-session fallback, stamped suspect")
+            val j = fallback()
+            if (j.startsWith("{")) """{"suspect_session_age":true,""" + j.drop(1) else j
+          } else {
+            System.err.println(
+              s"[bench] fork $mode crashed ($msg) — no budget for a fallback, stamped skipped")
+            s"""{"skipped":"fork_crash_no_budget","error":${jstr(msg)},"estimated_s":${f3(estAdjS)},"remaining_s":${f3(remainingS)}}"""
+          }
+      }
+    }
 
     // fraction 0.75 (not the 0.6 default): the bench is the one entry
     // point that holds multi-GB block caches while building more of
@@ -337,7 +434,6 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def forkTimeoutS: Long = math.max(120L, remainingS.toLong + 120L)
 
     // ---- CORE section 1: the registry suite, canary-bracketed, in a
     // RIGHT-SIZED 12g fork (round 15): on this host, page supply to a
@@ -347,11 +443,16 @@ object Bench {
     // 77.7 s warm at 31g vs 7.6 s at 8g, same host, same minute). The
     // leg body lives in BenchLegs.registry; the fork returns one JSON
     // that is decomposed here into the artifact's canonical fields.
-    if (skipped("registry")) { emitter.set("queries", """{"skipped":true}"""); () }
-    else {
-      val regJson = forked("registry", forkTimeoutS, Some(12),
+    if (skipped("registry")) {
+      emitter.set("queries", """{"skipped":true}""")
+      emitter.setCompact("reg", "\"skip\"")
+    } else {
+      val regJson = forkedLeg("registry", Some(12), 240.0 * hostFactor,
         () => BenchLegs.registry(spark, sfDir))
-      try {
+      if (regJson.contains("\"skipped\"")) {
+        emitter.set("queries", regJson)
+        emitter.setCompact("reg", "\"skip\"")
+      } else try {
         val node = mapper.readTree(regJson)
         emitter.set("value", f3(node.get("value").asDouble))
         emitter.set("queries", mapper.writeValueAsString(node.get("queries")))
@@ -381,6 +482,7 @@ object Bench {
       }
       publishErrors()
     }
+    emitter.emitTrailer() // per-section delivery (VERDICT r15 next #1)
 
     // ---- CORE section 2: the 1M×384 kernel ladder — the like-for-like
     // BASELINE.md comparison. Runs immediately after the registry
@@ -392,7 +494,7 @@ object Bench {
     val kJson = runSection("kernel_1m_384", "kernel") {
       spark.catalog.clearCache()
       System.gc()
-      forked("kernel1m", forkTimeoutS, Some(16), () => BenchLegs.kernel1m(spark))
+      forkedLeg("kernel1m", Some(16), 330.0 * hostFactor, () => BenchLegs.kernel1m(spark))
     }
     if (kJson.contains("\"error\"")) {
       errors("kernel_1m_384") =
@@ -409,6 +511,7 @@ object Bench {
       "canary_ratio" -> "_can_r",
       "canary_shuffle_ratio" -> "_can_sh_r",
       "canary_end_shuffle_ratio" -> "_can_end_sh_r")
+    emitter.emitTrailer()
 
     // ---- diagnostic legs, budget-gated in priority order. COLD-SCAN
     // first (VERDICT r14 next #7: it was the kill's casualty and the
@@ -423,8 +526,8 @@ object Bench {
     // ~2 GB of tier artifacts — allocation-heavy, the degraded-page-
     // supply class — and its purpose is an IO measurement that must not
     // be distorted by the parent's 31g residency.
-    val coldJson = budgetGated("kernel_cold_scan", "cold", estS = 300.0) {
-      forked("coldscan", forkTimeoutS, Some(16), () => {
+    val coldJson = budgetGated("kernel_cold_scan", "cold", estS = 300.0) { estAdj =>
+      forkedLeg("coldscan", Some(16), estAdj, () => {
         spark.catalog.clearCache()
         BenchLegs.coldScan(spark)
       })
@@ -443,12 +546,13 @@ object Bench {
       Option(node.get("canary_end_shuffle_ratio"))
         .foreach(v => emitter.setCompact("cold_can_end_sh_r", f3(v.asDouble)))
     } catch { case _: Throwable => emitter.setCompact("cold", "\"unparseable\"") }
+    emitter.emitTrailer()
 
-    val slopeJson = budgetGated("graph_build_slope", "graphslope", estS = 600.0) {
+    val slopeJson = budgetGated("graph_build_slope", "graphslope", estS = 600.0) { estAdj =>
       // 16g: the slope leg's structures top out ~5 GB at the 1M rung;
       // right-sizing keeps its timed windows out of the degraded
       // big-resident page-supply regime (the r14 graph-tier weak flag)
-      forked("graphslope", forkTimeoutS, Some(16), () => {
+      forkedLeg("graphslope", Some(16), estAdj, () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.graphSlope(spark)
       })
@@ -456,14 +560,15 @@ object Bench {
     compactFrom(slopeJson, "slope",
       "slope_loglog" -> "_loglog",
       "canary_shuffle_ratio" -> "_can_sh_r", "canary_end_shuffle_ratio" -> "_can_end_sh_r")
-    val json2m = budgetGated("kernel_2m_384", "full2m", estS = 360.0) {
+    emitter.emitTrailer()
+    val json2m = budgetGated("kernel_2m_384", "full2m", estS = 360.0) { estAdj =>
       // 2M ladder: 24g — the smallest heap whose storage pool keeps the
       // rung's ~7.8 GB of cached structures resident (build.sbt's r10
       // measurement: at 16g the disk tier turned every probed-method
       // slope superlinear, sq build 0.5 → 18.6 s; re-confirmed r15 at
       // 16g: bf 67.2 ms/q vs 31.6 with the set resident). 24g still
       // sits below the 31g page-supply knee.
-      forked("full2m", forkTimeoutS, Some(24), () => {
+      forkedLeg("full2m", Some(24), estAdj, () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.full2m(spark)
       })
@@ -471,11 +576,13 @@ object Bench {
     compactFrom(json2m, "m2",
       "ms_per_query" -> "_bf_ms", "ann_ms_per_query" -> "_ivf_ms",
       "pq_ms_per_query" -> "_pq_ms")
-    val json4m = budgetGated("kernel_4m_384", "float4m", estS = 600.0) {
+    emitter.emitTrailer()
+    val json4m = budgetGated("kernel_4m_384", "float4m", estS = 600.0) { estAdj =>
       // 4M ladder genuinely needs the big heap (28g gate) — it inherits
       // the parent's 31g and pays whatever the host charges for it; its
-      // canary bracket stamps the exposure
-      forked("float4m", forkTimeoutS, None, () => {
+      // canary bracket stamps the exposure. min-of-2 timed passes
+      // (r15 next #4: the rung must fit degraded days too).
+      forkedLeg("float4m", None, estAdj, () => {
         spark.catalog.clearCache(); System.gc()
         BenchLegs.float4m(spark)
       })
@@ -486,10 +593,9 @@ object Bench {
 
     publishErrors()
     val line = emitter.finish()
-    val trailer = emitter.compactLine()
     spark.stop() // stop BEFORE printing so no further logging can push the
-    println(line) // JSON lines out of the driver's bounded stdout tail
-    println(trailer) // LAST LINE: small enough that the tail's parse succeeds
+    println(line) // JSON line out of the driver's bounded stdout tail
+    emitter.emitTrailer() // LAST LINE: the guarded trailer, never a throw
     if (errors.nonEmpty) sys.exit(1)
   }
 }

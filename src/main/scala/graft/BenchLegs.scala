@@ -162,10 +162,15 @@ object BenchLegs {
     // rescore cost stays linear in n, the 100 TB slope claim this rung
     // exists to measure. The scaled pool is published beside the recall.
     val scale = math.max(1, n / KernelBench.Default.n)
+    // the 4M rung runs min-of-2 timed passes (VERDICT r15 next #4): on
+    // this host epoch the 31g-resident leg pays degraded page supply
+    // throughout, and 2 passes at fixed dials keep it inside degraded-
+    // day budgets where 3 overran (r15: 1031 s and unfinished)
     val cfg = KernelBench.Default.copy(
       n = n, sweepProbes = Seq(KernelBench.Default.nProbe), graphK = 0,
       binRescore = KernelBench.Default.binRescore * scale,
-      binSweepPools = KernelBench.Default.binSweepPools.map(_ * scale))
+      binSweepPools = KernelBench.Default.binSweepPools.map(_ * scale),
+      timedPasses = if (n >= 4000000) 2 else 3)
     val r = KernelBench.run(spark, cfg)
     val canaryEnd = KernelBench.canaryTriple()
     s"""{"n":${cfg.n},"dim":${cfg.dim},${KernelBench.canaryBracketJson(canaryStart, canaryEnd)},"ms_per_query":${f3(r.bfMsPerQuery)},"ann_build_sec":${f3(r.annBuildSec)},"ann_ms_per_query":${f3(r.annMsPerQuery)},"ann_recall_vs_exact":${f4(r.annRecallVsExact)},"sq_build_sec":${f3(r.sqBuildSec)},"sq_ms_per_query":${f3(r.sqMsPerQuery)},"sq_recall_vs_exact":${f4(r.sqRecallVsExact)},"pq_build_sec":${f3(r.pqBuildSec)},"pq_ms_per_query":${f3(r.pqMsPerQuery)},"pq_recall_vs_exact":${f4(r.pqRecallVsExact)},"bin_build_sec":${f3(r.binBuildSec)},"bin_ms_per_query":${f3(r.binMsPerQuery)},"bin_recall_vs_exact":${f4(r.binRecallVsExact)},"bin_rescore_pool":${cfg.binRescore}}"""
@@ -252,13 +257,23 @@ object BenchLegs {
         (n, graphBuildOnly(spark, KernelBench.Default.copy(n = n), passes = p))
       }
       val xs = rungs.map { case (n, _) => math.log(n.toDouble) }
-      val ys = secs.map { case (_, ps) => math.log(ps.min) }
+      val ys = secs.map { case (_, ps) => math.log(ps.map(_.sec).min) }
       val xm = xs.sum / xs.length
       val ym = ys.sum / ys.length
       val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
         xs.map(x => (x - xm) * (x - xm)).sum
+      // Per-pass evidence (VERDICT r15 next #3): every pass publishes a
+      // canary triple measured right after it plus the window's Spark
+      // stage telemetry, so a slow rung names its cause — bytes/stages
+      // unchanged with run-vs-cpu inflated = environmental stall class;
+      // bytes or stage counts grown = code. The rung's own start triple
+      // brackets the first pass.
       val points = secs.map { case (n, ps) =>
-        s""""$n":{"sec":${f3(ps.min)},"pass_sec":[${ps.map(f3).mkString(",")}]}"""
+        val passes = ps.map { p =>
+          s"""{"sec":${f3(p.sec)},"telemetry":${p.telemetry},""" +
+            s""""canary_after":{${KernelBench.canaryStemJson("canary", p.canaryAfter)}}}"""
+        }.mkString("[", ",", "]")
+        s""""$n":{"sec":${f3(ps.map(_.sec).min)},"pass_sec":[${ps.map(p => f3(p.sec)).mkString(",")}],"passes":$passes}"""
       }.mkString("{", ",", "}")
       val canaryEnd = KernelBench.canaryTriple()
       s"""{${KernelBench.canaryBracketJson(canaryStart, canaryEnd)},"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
@@ -268,13 +283,18 @@ object BenchLegs {
         err(e)
     }
 
+  /** One timed pass's full evidence record (VERDICT r15 next #3). */
+  final case class GraphPass(
+      sec: Double, telemetry: String, canaryAfter: KernelBench.CanaryTriple)
+
   /** One timed graph build at cfg.n: same prerequisites as
     * [[KernelBench.run]] (packed blocks, trained coarse quantizer,
     * assignment, residual-PQ index), none of it billed to the graph
     * window — the window is the pqKnnGraph job + the driver collect,
-    * exactly what the 1M section times. */
+    * exactly what the 1M section times. Each pass is wrapped in
+    * [[BenchTelemetry.measure]] and followed by a canary triple. */
   private def graphBuildOnly(
-      spark: SparkSession, cfg: KernelBench.Cfg, passes: Int = 1): Seq[Double] = {
+      spark: SparkSession, cfg: KernelBench.Cfg, passes: Int = 1): Seq[GraphPass] = {
     import spark.implicits._
     import graft.operators.VectorBlocks
     val bcCfg = cfg
@@ -301,12 +321,15 @@ object BenchLegs {
       // bench leg's) pending pages
       try new ProcessBuilder("sync").start().waitFor()
       catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      val edges = VectorBlocks
-        .pqKnnGraph(indexed, pqIndex, cents, codebook, cfg.pqSubDim, cfg.graphK, gp = 2)
-        .collect()
-      require(edges.length > 0, "graph build produced no adjacency rows")
-      (System.nanoTime() - t0) / 1e9
+      val (sec, tel) = BenchTelemetry.measure(spark.sparkContext) {
+        val t0 = System.nanoTime()
+        val edges = VectorBlocks
+          .pqKnnGraph(indexed, pqIndex, cents, codebook, cfg.pqSubDim, cfg.graphK, gp = 2)
+          .collect()
+        require(edges.length > 0, "graph build produced no adjacency rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      GraphPass(sec, tel, KernelBench.canaryTriple())
     }
     blocks.unpersist(blocking = true)
     indexed.unpersist(blocking = true)

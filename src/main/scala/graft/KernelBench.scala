@@ -49,7 +49,12 @@ object KernelBench {
       sqRescore: Int = 64,
       graphK: Int = 8,
       binRescore: Int = 3000,
-      binSweepPools: Seq[Int] = Seq(100, 300, 1000, 3000))
+      binSweepPools: Seq[Int] = Seq(100, 300, 1000, 3000),
+      // interleaved timed passes per method (min wins). 3 is the bench
+      // discipline; the 4M rung runs 2 so it fits degraded host-days
+      // (VERDICT r15 next #4) — min-of-2 at fixed dials loses almost
+      // nothing vs min-of-3, absence of the rung loses the slope point
+      timedPasses: Int = 3)
 
   /** The reference's published scale: 1M × 384, 100 queries, top-100.
     * PQ: 384 dims = 96 subspaces × 4 dims, 256 k-means-TRAINED codewords
@@ -237,8 +242,16 @@ object KernelBench {
     def pass(): Double = {
       val t0 = System.nanoTime()
       val acc = new java.util.concurrent.atomic.LongAdder
+      // a worker that dies early (e.g. temp-file creation failing on a
+      // full /tmp — precisely the degraded-host condition this canary
+      // exists to flag) must FAIL the pass, not shorten it: join() on a
+      // dead thread returns fine and the timing would read artificially
+      // FAST on exactly the sick host it monitors (ADVICE r15)
+      val firstFailure =
+        new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val completed = new java.util.concurrent.atomic.AtomicInteger(0)
       val threads = (0 until nThreads).map { t =>
-        val th = new Thread(() => {
+        val th = new Thread(() => try {
           // map side: fresh key array + fresh bucket arrays, hash-scatter
           val keys = new Array[Long](rows)
           var state = 0x9E3779B97F4A7C15L ^ (t.toLong << 17)
@@ -304,10 +317,19 @@ object KernelBench {
             }
             acc.add(chk)
           } finally { f.delete(); () }
+          completed.incrementAndGet()
+          ()
+        } catch {
+          case e: Throwable => firstFailure.compareAndSet(null, e); ()
         })
         th.start(); th
       }
       threads.foreach(_.join())
+      if (firstFailure.get() != null)
+        throw new IllegalStateException(
+          "canary shuffle worker failed — pass timing would be invalid", firstFailure.get())
+      require(completed.get() == nThreads,
+        s"canary shuffle pass incomplete: ${completed.get()}/$nThreads workers finished")
       canaryShuffleSink = acc.sum() // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e6
     }
@@ -417,15 +439,16 @@ object KernelBench {
     * `canary_end_` prefix so a consumer brackets mid-section pollution
     * arrival (r14: a clean start stamp around bin passes that spread
     * 5.25 → 116.7 s). */
-  def canaryBracketJson(start: CanaryTriple, end: CanaryTriple): String = {
+  def canaryBracketJson(start: CanaryTriple, end: CanaryTriple): String =
+    canaryStemJson("canary", start) + "," + canaryStemJson("canary_end", end)
+
+  /** One triple's measurements + ratios under a field-name stem. */
+  def canaryStemJson(stem: String, t: CanaryTriple): String = {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def one(stem: String, t: CanaryTriple): String = {
-      val (r1, r2) = canaryRatios(t.singleMs, t.scanMs)
-      val r3 = canaryShuffleRatio(t.shuffleMs)
-      s""""${stem}_ms":${f3(t.singleMs)},"${stem}_scan_ms":${f3(t.scanMs)},"${stem}_shuffle_ms":${f3(t.shuffleMs)},""" +
-        s""""${stem}_ratio":${f3(r1)},"${stem}_scan_ratio":${f3(r2)},"${stem}_shuffle_ratio":${f3(r3)}"""
-    }
-    one("canary", start) + "," + one("canary_end", end)
+    val (r1, r2) = canaryRatios(t.singleMs, t.scanMs)
+    val r3 = canaryShuffleRatio(t.shuffleMs)
+    s""""${stem}_ms":${f3(t.singleMs)},"${stem}_scan_ms":${f3(t.scanMs)},"${stem}_shuffle_ms":${f3(t.shuffleMs)},""" +
+      s""""${stem}_ratio":${f3(r1)},"${stem}_scan_ratio":${f3(r2)},"${stem}_shuffle_ratio":${f3(r3)}"""
   }
 
   /** Top-level `canary_reference` JSON value: the committed clean-day
@@ -974,12 +997,13 @@ object KernelBench {
     var sqTopK: Array[Array[Long]] = null
     var pqTopK: Array[Array[Long]] = null
     var binTopK: Array[Array[Long]] = null
-    val bfTimes = Array.ofDim[Double](3)
-    val annTimes = Array.ofDim[Double](3)
-    val sqTimes = Array.ofDim[Double](3)
-    val pqTimes = Array.ofDim[Double](3)
-    val binTimes = Array.ofDim[Double](3)
-    (0 until 3).foreach { rep =>
+    val nPasses = math.max(1, cfg.timedPasses)
+    val bfTimes = Array.ofDim[Double](nPasses)
+    val annTimes = Array.ofDim[Double](nPasses)
+    val sqTimes = Array.ofDim[Double](nPasses)
+    val pqTimes = Array.ofDim[Double](nPasses)
+    val binTimes = Array.ofDim[Double](nPasses)
+    (0 until nPasses).foreach { rep =>
       val t0 = System.nanoTime()
       exactRanked = rankedOf(
         queries, VectorBlocks.bfSearch(blocks, queries, cfg.k, excludeSelf = false))

@@ -1018,9 +1018,13 @@ object Ann extends QModule {
       if (c.isInstanceOf[java.io.FileNotFoundException] ||
         msg.contains("FAILED_READ_FILE") || msg.contains("FILE_NOT_EXIST") ||
         msg.contains("PATH_NOT_FOUND"))
-        // strip the sentence-final period Spark's prose wraps the path in
-        return pathRe.findFirstIn(msg).map(_.stripSuffix("."))
-          .getOrElse(if (msg.nonEmpty) msg else null)
+        // strip the sentence-final period Spark's prose wraps the path in.
+        // No extractable path → null (skip persistence detection): the
+        // recurring-missing abort must only fire on a CONFIDENTLY-named
+        // path — two different non-matching messages that happen to read
+        // identically (or empty-path wrappers) would otherwise compare
+        // equal and abort the heal on attempt 2 (ADVICE r15)
+        return pathRe.findFirstIn(msg).map(_.stripSuffix(".")).orNull
       c = if (c.getCause eq c) null else c.getCause
       depth += 1
     }

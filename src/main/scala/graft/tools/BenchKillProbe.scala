@@ -27,6 +27,13 @@ object BenchKillProbe {
       Set("section_one", "section_two"))
     emitter.installShutdownHook()
     emitter.set("section_one", """{"value":1.0}""")
+    // the per-section delivery channel (VERDICT r15 next #1): the
+    // trailer is printed after EVERY completed section, exactly as
+    // Bench does, so a kill that silences the shutdown hook (SIGKILL,
+    // or a captured-tail race) still leaves the newest trailer in
+    // stdout carrying every completed section's headline
+    emitter.setCompact("s1_ms", "1.0")
+    emitter.emitTrailer()
     println("SECTION_ONE_DONE")
     System.out.flush()
     Thread.sleep(600000) // killed mid-"section_two" by the spec

@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * (`org.apache.spark.sql.classic.ExpressionUtils`): Spark 4 removed the
   * public `Column(expr)` constructor, and a library shipping custom
   * Catalyst expressions (graft.functions.TopKAgg) still needs to surface
-  * them as Columns. This is the only file outside the `graft` namespace.
+  * them as Columns. One of two files outside the `graft` namespace (the
+  * other: `org.apache.spark.GraftSparkInternal`, the bench telemetry's
+  * listener-bus drain).
   */
 object GraftInternal {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)

@@ -114,6 +114,114 @@ class BenchSpec extends AnyFunSuite {
     Files.deleteIfExists(out)
   }
 
+  test("emitTrailer: prints a parseable line even when the compact trailer overflows") {
+    // ADVICE r15 (medium): the success path called compactLine() bare —
+    // an overgrown trailer would throw AFTER finished=true had silenced
+    // the hook, so a fully successful run printed NO JSON. emitTrailer
+    // must degrade to a minimal parseable line, never throw.
+    val out = tmpJson()
+    val em = emitter(out)
+    em.set("s1", """{"ms":1.0}""")
+    (1 to 200).foreach(i => em.setCompact(s"pad_$i", "1.234567"))
+    intercept[IllegalArgumentException](em.compactLine()) // still loud in tests
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(buf)(em.emitTrailer())
+    val printed = buf.toString("UTF-8").trim
+    val j = parse(printed)
+    assert(j.get("trailer_overflow").asBoolean, printed)
+    assert(j.get("detail").asText == "bench_result.json")
+    assert(printed.length <= 1900)
+    Files.deleteIfExists(out)
+  }
+
+  test("final trailer covers every section's headline after a full run and fits the tail") {
+    // VERDICT r15 next #6: with per-section prints the trailer is
+    // emitted ~7×; each must fit the driver tail and the LAST one must
+    // carry every section's headline keys.
+    val out = tmpJson()
+    val sections = Seq("queries", "kernel_1m_384", "kernel_cold_scan",
+      "graph_build_slope", "kernel_2m_384", "kernel_4m_384")
+    val em = new BenchEmitter(out,
+      Seq("metric" -> "\"total\"", "value" -> "-1.000", "unit" -> "\"sec\"",
+        "killed" -> "false", "bench_seq_today" -> "1", "host_factor" -> "1.250") ++
+        sections.map(_ -> "null") :+ ("errors" -> "{}"),
+      sections.toSet)
+    // realistic per-section headline loads (k1m is the widest: ~16 keys)
+    val headlines = Map(
+      "queries" -> Seq("reg_can_r", "reg_can_sh_r", "reg_can_end_sh_r"),
+      "kernel_1m_384" -> Seq("k1m_bf_ms", "k1m_ivf_ms", "k1m_ivf_r", "k1m_sq_ms",
+        "k1m_sq_r", "k1m_pq_ms", "k1m_pq_r", "k1m_bin_ms", "k1m_g_ms",
+        "k1m_g_build_s", "k1m_ivf_build_s", "k1m_pq_build_s", "k1m_can_r",
+        "k1m_can_sh_r", "k1m_can_end_sh_r"),
+      "kernel_cold_scan" -> Seq("cold_float_ms", "cold_sq8_ms", "cold_pq_ms",
+        "cold_bin_ms", "cold_can_end_sh_r"),
+      "graph_build_slope" -> Seq("slope_loglog", "slope_can_sh_r", "slope_can_end_sh_r"),
+      "kernel_2m_384" -> Seq("m2_bf_ms", "m2_ivf_ms", "m2_pq_ms"),
+      "kernel_4m_384" -> Seq("m4_bf_ms", "m4_ivf_ms", "m4_pq_ms"))
+    val trailers = sections.map { s =>
+      em.set(s, """{"ok":true}""")
+      headlines(s).foreach(k => em.setCompact(k, "123.456"))
+      val t = em.compactLine()
+      assert(t.length <= 1900, s"trailer after $s: ${t.length} chars")
+      t
+    }
+    em.setCompact("n_err", "0")
+    em.finish()
+    val last = parse(em.compactLine())
+    headlines.values.flatten.foreach(k =>
+      assert(last.has(k), s"final trailer missing headline $k"))
+    assert(last.get("host_factor").asDouble == 1.25)
+    // every intermediate trailer parsed too
+    trailers.foreach(parse)
+    Files.deleteIfExists(out)
+  }
+
+  test("SIGKILL mid-section: no hooks run, yet the tail's last line is a parseable trailer") {
+    // the per-section print channel (VERDICT r15 next #1): r15 proved
+    // the SIGTERM hook's trailer can miss the driver's captured tail —
+    // SIGKILL is the limit case where NO exit path runs at all. The
+    // trailer printed after the last COMPLETED section must already be
+    // the final stdout line, carrying that section's headline.
+    val out = tmpJson()
+    val stdoutFile = Files.createTempFile("graft_bench_spec_stdout9", ".log")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cmd = java.util.Arrays.asList(javaBin, "-cp",
+      System.getProperty("java.class.path"),
+      "graft.tools.BenchKillProbe", out.toString)
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectOutput(stdoutFile.toFile)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val p = pb.start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!Files.readString(stdoutFile).contains("SECTION_ONE_DONE")) {
+        assert(p.isAlive, "probe exited before section one")
+        assert(System.nanoTime() < deadline, "probe never completed section one")
+        Thread.sleep(50)
+      }
+      p.destroyForcibly() // SIGKILL — no shutdown hooks
+      assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+      val jsonLines = Files.readString(stdoutFile).linesIterator.toSeq
+        .filter(_.startsWith("{"))
+      assert(jsonLines.nonEmpty, "no trailer reached stdout before SIGKILL")
+      val trailer = parse(jsonLines.last)
+      assert(trailer.get("s1_ms").asDouble == 1.0,
+        "per-section trailer does not carry the completed section's headline")
+      assert(trailer.get("detail").asText == "bench_result.json")
+      assert(!trailer.get("killed").asBoolean, "no hook ran — killed must still read false")
+      // the incrementally-written on-disk artifact survived the SIGKILL
+      val onDisk = parse(Files.readString(out))
+      assert(onDisk.get("section_one").get("value").asDouble == 1.0)
+      assert(onDisk.get("section_two").get("pending").asBoolean)
+    } finally {
+      p.destroyForcibly()
+      Files.deleteIfExists(stdoutFile)
+      Files.deleteIfExists(out)
+      ()
+    }
+  }
+
   test("unknown field and undeclared section are loud") {
     val out = tmpJson()
     val em = emitter(out)
