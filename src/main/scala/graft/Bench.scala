@@ -179,6 +179,41 @@ object Bench {
   private final class ForkTimeout(val mode: String, val timeoutS: Long)
     extends RuntimeException(s"fork $mode timed out after ${timeoutS}s")
 
+  /** The budget math behind the fork policy, extracted pure so
+    * BenchPolicySpec can replay the r15 timeline against it (VERDICT
+    * r15 next #2's done-criterion: a degraded day with the 2400 s
+    * budget must end the bench INSIDE the budget with the 4M leg
+    * self-described, not overrun it). */
+  private[graft] object ForkPolicy {
+    /** Day factor from the start canary's three ratios: MEDIAN (the
+      * scan kernel measured inside the 31g parent reads ~5× on the
+      * degraded epoch while right-sized forks read 1.1-1.3 — max would
+      * budget-skip legs the forks handle fine), clamped [1, 2.5]
+      * (below 1 is measurement luck; with delivery kill-proof an
+      * optimistic estimate costs at worst one self-describing
+      * fork_timeout stamp, a pessimistic one costs real data). */
+    def hostFactor(ratios: Seq[Double]): Double = {
+      val rs = ratios.filter(_ > 0).sorted
+      if (rs.isEmpty) 1.0
+      else math.min(2.5, math.max(1.0, rs(rs.length / 2)))
+    }
+
+    /** A leg fork's wall-clock cap: the remaining budget — never
+      * beyond it (grace past the budget is exactly the r15 overrun) —
+      * and at most 2.5× the leg's host-adjusted estimate, so one
+      * pathological leg cannot eat every later section's slot even
+      * when budget is plentiful. Floor 60 s so a fork can always at
+      * least start and fail loudly. */
+    def timeoutS(remainingS: Double, estAdjS: Double): Long =
+      math.max(60L, math.min(remainingS.toLong, (2.5 * estAdjS).toLong))
+
+    /** Whether a CRASHED fork may re-run in-session: only while the
+      * remaining budget still covers the leg's estimate. (A TIMED-OUT
+      * fork never re-runs — that decision is not budget-dependent.) */
+    def crashFallbackAllowed(remainingS: Double, estAdjS: Double): Boolean =
+      remainingS >= estAdjS
+  }
+
   /** Run one scale leg in a FRESH JVM via [[tools.BenchFork]] and return
     * its JSON body. The child inherits this JVM's full argument list
     * (heap size, --add-opens, -D flags — sbt forked us, so
@@ -361,18 +396,7 @@ object Bench {
       val (r1, r2) = KernelBench.canaryRatios(
         hostCanaryStart.singleMs, hostCanaryStart.scanMs)
       val r3 = KernelBench.canaryShuffleRatio(hostCanaryStart.shuffleMs)
-      val rs = Seq(r1, r2, r3).filter(_ > 0).sorted
-      // MEDIAN of the three kernels, not max: the scan canary measured
-      // inside this 31g parent reads up to ~5× on the degraded epoch
-      // while the legs actually run in right-sized 12-24g forks whose
-      // own start ratios read 1.1-1.3 — max would budget-skip every
-      // gated leg on days the forks handle fine. Clamp [1, 2.5]: with
-      // delivery kill-proof (per-section trailers, timeout→skip stamp),
-      // an optimistic estimate costs at worst one self-describing
-      // fork_timeout stamp, never a lost artifact; a pessimistic one
-      // costs real data.
-      if (rs.isEmpty) 1.0
-      else math.min(2.5, math.max(1.0, rs(rs.length / 2)))
+      ForkPolicy.hostFactor(Seq(r1, r2, r3))
     }
     emitter.set("host_factor", f3(hostFactor))
     emitter.set("host_canary_start",
@@ -403,7 +427,7 @@ object Bench {
     // section's slot even when budget is plentiful.
     def forkedLeg(mode: String, heapGb: Option[Int], estAdjS: Double,
         fallback: () => String): String = {
-      val timeoutS = math.max(60L, math.min(remainingS.toLong, (2.5 * estAdjS).toLong))
+      val timeoutS = ForkPolicy.timeoutS(remainingS, estAdjS)
       try forked(mode, timeoutS, heapGb)
       catch {
         case te: ForkTimeout =>
@@ -411,7 +435,7 @@ object Bench {
           s"""{"skipped":"fork_timeout","timeout_s":${te.timeoutS},"estimated_s":${f3(estAdjS)},"remaining_s":${f3(remainingS)}}"""
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          if (remainingS >= estAdjS) {
+          if (ForkPolicy.crashFallbackAllowed(remainingS, estAdjS)) {
             System.err.println(
               s"[bench] fork $mode crashed ($msg) — in-session fallback, stamped suspect")
             val j = fallback()

@@ -579,6 +579,10 @@ object KernelBench {
       binOpHoldRecall: Double,
       binOpMsPerQuery: Double,
       graphBuildSec: Double,
+      // the build window's Spark stage telemetry JSON (VERDICT r15
+      // next #3): the leg's dominant cost carries its own
+      // work-vs-stall evidence in the artifact
+      graphBuildTelemetry: String,
       graphMsPerQuery: Double,
       graphQps: Double,
       graphSweep: Seq[Report.SweepLevel],
@@ -965,14 +969,17 @@ object KernelBench {
     // scoped n²·gp/C cost quadruples at 2× n — out of budget for a
     // slope probe that only compares the four scan ladders); refine
     // over the all-null adjacency degenerates to plain IVF.
-    val tgb = System.nanoTime()
     val graph = new Array[Array[Long]](cfg.n)
-    if (cfg.graphK > 0)
-      VectorBlocks
-        .pqKnnGraph(indexed, pqIndex, cents, codebook, cfg.pqSubDim, cfg.graphK, gp = 2)
-        .collect()
-        .foreach { case (id, nb) => graph(id.toInt) = nb }
-    val graphBuildSec = (System.nanoTime() - tgb) / 1e9
+    val (graphBuildSec, graphBuildTel) =
+      BenchTelemetry.measure(spark.sparkContext) {
+        val tgb = System.nanoTime()
+        if (cfg.graphK > 0)
+          VectorBlocks
+            .pqKnnGraph(indexed, pqIndex, cents, codebook, cfg.pqSubDim, cfg.graphK, gp = 2)
+            .collect()
+            .foreach { case (id, nb) => graph(id.toInt) = nb }
+        (System.nanoTime() - tgb) / 1e9
+      }
 
     // warm-ups for the probed, fused-IVFSQ and fused-IVFPQ kernels
     // (2 queries each): JIT + broadcast setup, not billed
@@ -1279,6 +1286,7 @@ object KernelBench {
       binOpHoldRecall = binOpHold,
       binOpMsPerQuery = binOpSec * 1000.0 / cfg.nQueries,
       graphBuildSec = graphBuildSec,
+      graphBuildTelemetry = graphBuildTel,
       graphMsPerQuery = graphSecH * 1000.0 / cfg.nQueries,
       graphQps = cfg.nQueries / graphSecH,
       graphSweep = graphSweep,
