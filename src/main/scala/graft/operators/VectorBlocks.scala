@@ -1067,7 +1067,7 @@ object VectorBlocks {
     * same cluster-scoped (gp/C)·n² bound as the probed search itself
     * with a ~16× smaller constant, never a global n²·dim; the only
     * corpus-sized shuffle carries the probe rows (gp SQ8-quantized
-    * vectors per doc, ~430 B each vs 1,544 B float — 3,178 → 971 MB
+    * vectors per doc, ~430 B each vs 1,544 B float — 3,178 → 972 MB
     * measured at 1M×384) and the m-byte code rows.
     */
   def pqKnnGraph(
@@ -1121,11 +1121,16 @@ object VectorBlocks {
     // round(v/scale) at ±127, so the byte can't wrap) shrinks the row
     // 1,544 → ~430 B; the reducer dequantizes once per probe row into
     // a per-list scratch, so everything downstream runs the identical
-    // float code. Measured at 1M×384 (same host-day A/B): shuffle
-    // 3,178 → 971 MB (3.3×), task CPU 3,166 → 953 s, executor run
-    // 3,661 → 992 s, and graph_recall_sweep IDENTICAL at every dial
-    // ({1:.846, 2:.942, 4:.998, 8+:1.0}); determinism preserved
-    // (quantization is a pure function of the input).
+    // float code. Measured at 1M×384 (same host-day A/B, matched 32
+    // cores and identical 4-stage/192-task profiles): shuffle 3,178 →
+    // 972 MB (3.3×), wall and task-CPU at parity within window noise
+    // (147.7 vs 134.0 s on a window whose start shuffle canary read
+    // 2.81× vs 2.12×), graph_recall_sweep IDENTICAL at every dial
+    // ({1:.846, 2:.942, 4:.998, 8+:1.0}) and pq/sq/ivf headlines
+    // untouched. At 1M on one box the build is CPU-bound, so the win
+    // is the WIRE cost: at cluster scale the probe shuffle crosses the
+    // network, and it is the build's dominant movement; determinism
+    // preserved (quantization is a pure function of the input).
     val probes: RDD[(Int, (Long, Float, Array[Byte]))] = indexed.flatMap { b =>
       val cents = bcC.value
       val n = b.ids.length
@@ -1136,20 +1141,7 @@ object VectorBlocks {
         val top = Array.range(0, cents.length)
           .sortBy(c => (-scores(c), c))
           .take(gp)
-        var mx = 0f
-        var j = 0
-        while (j < dim) {
-          val a = math.abs(b.data(off + j))
-          if (a > mx) mx = a
-          j += 1
-        }
-        val scale = if (mx == 0f) 1f else mx / 127f
-        val q = new Array[Byte](dim)
-        j = 0
-        while (j < dim) {
-          q(j) = math.round(b.data(off + j) / scale).toByte
-          j += 1
-        }
+        val (scale, q) = sq8Quantize(b.data, off, dim)
         top.iterator.map(c => (c, (b.ids(r), scale, q)))
       }
     }
@@ -1310,6 +1302,40 @@ object VectorBlocks {
     * GraphPoolProps pins the equality on arbitrary inputs. Assumes
     * Σ hist ≥ hpool (the caller only nominates when the list exceeds
     * the pool). */
+  /** Per-vector symmetric SQ8 for the probe-row shuffle: `scale =
+    * max|v|/127`, bytes `round(v/scale)`; dequantization is
+    * `q(i) * scale`. A correctly-rounded scale division (error ≤ ½ ulp)
+    * cannot push `|v/scale|` past `127·(1+2⁻²³) < 127.5`, so the
+    * rounded byte stays in [-127, 127] and never wraps to -128 —
+    * GraphPoolProps pins the bound, the ≤ scale/2 round-trip error,
+    * and determinism on adversarial floats (denormals, huge/tiny
+    * magnitudes, all-zero vectors). */
+  private[graft] def sq8Quantize(
+      data: Array[Float], off: Int, dim: Int): (Float, Array[Byte]) = {
+    var mx = 0f
+    var j = 0
+    while (j < dim) {
+      val a = math.abs(data(off + j))
+      if (a > mx) mx = a
+      j += 1
+    }
+    val scale =
+      if (mx == 0f) 1f
+      else {
+        val s = mx / 127f
+        // subnormal-only vector: mx/127 underflows to 0 and v/0 would
+        // wrap through Inf; mx < ~63.5·MIN there, so MIN keeps |q| < 127
+        if (s == 0f) java.lang.Float.MIN_VALUE else s
+      }
+    val q = new Array[Byte](dim)
+    j = 0
+    while (j < dim) {
+      q(j) = math.round(data(off + j) / scale).toByte
+      j += 1
+    }
+    (scale, q)
+  }
+
   private[graft] def poolThreshold(
       hist: Array[Int], hpool: Int, maxHd: Int): (Int, Int) = {
     var t = 0
