@@ -572,7 +572,12 @@ object Bench {
     } catch { case _: Throwable => emitter.setCompact("cold", "\"unparseable\"") }
     emitter.emitTrailer()
 
-    val slopeJson = budgetGated("graph_build_slope", "graphslope", estS = 600.0) { estAdj =>
+    // 450 s: the SQ8 probe-row shuffle (round 16) cut the leg's measured
+    // cost to ~195 s of passes + prereqs/fork startup (1M rung 45-53 s/
+    // pass vs the r15 epoch's 74-131; clean-bracket run 2026-08-16) —
+    // 600 s was the pre-quantization estimate and over-skipped the leg
+    // on degraded days
+    val slopeJson = budgetGated("graph_build_slope", "graphslope", estS = 450.0) { estAdj =>
       // 16g: the slope leg's structures top out ~5 GB at the 1M rung;
       // right-sizing keeps its timed windows out of the degraded
       // big-resident page-supply regime (the r14 graph-tier weak flag)
