@@ -212,6 +212,24 @@ object Bench {
       * fork never re-runs — that decision is not budget-dependent.) */
     def crashFallbackAllowed(remainingS: Double, estAdjS: Double): Boolean =
       remainingS >= estAdjS
+
+    /** Projected cost of the slope leg's opportunistic 2M rung, from
+      * the SAME run's evidence: the timed window scales as
+      * `t_1M · 2^slope` (the leg's own log-log fit — automatically
+      * host-aware because both inputs were measured minutes ago), the
+      * prereq build as ~2.2× the measured 1M prereq (pack/assign/
+      * encode/index are linear-ish; 2.2 covers the constant). */
+    def slope2mProjectedS(prereq1mS: Double, t1mMinS: Double, slope: Double): Double =
+      2.2 * prereq1mS + t1mMinS * math.pow(2.0, slope)
+
+    /** Whether the slope fork's own wall allowance covers the 2M rung:
+      * elapsed + projection + a 120 s margin (end canary, collect,
+      * unpersist, JVM teardown — the fork must EXIT inside its
+      * timeout, or the whole leg is stamped fork_timeout and the three
+      * canonical rungs' data is lost with it). */
+    def slope2mAffordable(
+        wallBudgetS: Double, elapsedS: Double, projectedS: Double): Boolean =
+      elapsedS + projectedS + 120.0 <= wallBudgetS
   }
 
   /** Run one scale leg in a FRESH JVM via [[tools.BenchFork]] and return
@@ -252,8 +270,11 @@ object Bench {
             s"-Xmx${g}g"
         case None => inherited
       }
+      // the child gets its own wall allowance as argv(1): budget-aware
+      // legs (graphslope's opportunistic 2M rung) size themselves to it
       val cmd = Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", System.getProperty("java.class.path"), "graft.tools.BenchFork", mode)
+        Seq("-cp", System.getProperty("java.class.path"), "graft.tools.BenchFork",
+          mode, timeoutS.toString)
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
@@ -576,7 +597,10 @@ object Bench {
     // cost to ~195 s of passes + prereqs/fork startup (1M rung 45-53 s/
     // pass vs the r15 epoch's 74-131; clean-bracket run 2026-08-16) —
     // 600 s was the pre-quantization estimate and over-skipped the leg
-    // on degraded days
+    // on degraded days. The opportunistic 2M rung (+~235 s clean-day)
+    // is NOT in the estimate: it self-gates on the fork's granted
+    // timeout (2.5× this estimate when budget allows) and declines
+    // self-describingly when the canonical rungs have eaten the slack
     val slopeJson = budgetGated("graph_build_slope", "graphslope", estS = 450.0) { estAdj =>
       // 16g: the slope leg's structures top out ~5 GB at the 1M rung;
       // right-sizing keeps its timed windows out of the degraded
@@ -588,6 +612,8 @@ object Bench {
     }
     compactFrom(slopeJson, "slope",
       "slope_loglog" -> "_loglog",
+      // present only when the opportunistic 2M rung ran — its 4-rung fit
+      "slope_loglog_ext" -> "_loglog_ext",
       "canary_shuffle_ratio" -> "_can_sh_r", "canary_end_shuffle_ratio" -> "_can_end_sh_r")
     emitter.emitTrailer()
     val json2m = budgetGated("kernel_2m_384", "full2m", estS = 360.0) { estAdj =>

@@ -207,10 +207,22 @@ object BenchLegs {
     * the one index build whose cost is cluster-scoped n²
     * (`(gp/C)·n²·m` byte-ops — [[operators.VectorBlocks.pqKnnGraph]]'s
     * documented bound), 54× the IVF build at 1M, and until now the
-    * claim had no measured point. Two half-scale rungs (a 2M rung would
-    * cost ~24 min, out of bench budget) time EXACTLY what the 1M
+    * claim had no measured point. The rungs time EXACTLY what the 1M
     * section bills: prerequisite structures built untimed, then
     * `pqKnnGraph(...).collect()` inside the window.
+    *
+    * An OPPORTUNISTIC 2M rung (round 16): the SQ8 probe-row shuffle cut
+    * the 1M rung to ~45 s/pass, which brings a 2M point (projected
+    * ~2.5 min with prereqs) inside reach — but only on days whose
+    * budget allows. The leg receives its own wall allowance from the
+    * parent (argv(1) of the fork), projects the 2M cost FROM ITS OWN
+    * same-run fit (`t_2M = t_1M_min · 2^slope` plus ~2.2× the measured
+    * 1M prereq build), and runs a single telemetry-bracketed pass only
+    * when `elapsed + projected + margin` fits the allowance —
+    * publishing `rung_2m` as data or as a self-describing skip stamp
+    * with the projection it declined. The canonical 3-rung
+    * `slope_loglog` stays comparable across rounds; when the 2M point
+    * exists, `slope_loglog_ext` publishes the 4-rung, 8×-span fit.
     *
     * Measured history (fresh JVM, warmed kernel, min-of-2 passes):
     * the pre-r12 FULL-SCAN kernel read 250k 23.4–33.5 s, 500k
@@ -229,8 +241,10 @@ object BenchLegs {
     * guidance scales C with n and keeps members/list — and therefore
     * the build — linear. The rungs keep timing the build so any future
     * kernel change re-measures itself. */
-  def graphSlope(spark: SparkSession): String =
+  def graphSlope(spark: SparkSession, wallBudgetS: Option[Double] = None): String =
     try {
+      val legT0 = System.nanoTime()
+      def legElapsedS: Double = (System.nanoTime() - legT0) / 1e9
       val canaryStart = KernelBench.canaryTriple()
       // UNTIMED warm-up build first: in the full bench the ADC scan
       // kernel is C2-compiled long before the graph section (the PQ
@@ -256,27 +270,66 @@ object BenchLegs {
         spark.catalog.clearCache()
         (n, graphBuildOnly(spark, KernelBench.Default.copy(n = n), passes = p))
       }
-      val xs = rungs.map { case (n, _) => math.log(n.toDouble) }
-      val ys = secs.map { case (_, ps) => math.log(ps.map(_.sec).min) }
-      val xm = xs.sum / xs.length
-      val ym = ys.sum / ys.length
-      val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
-        xs.map(x => (x - xm) * (x - xm)).sum
+      def fitSlope(pts: Seq[(Int, Double)]): Double = {
+        val xs = pts.map { case (n, _) => math.log(n.toDouble) }
+        val ys = pts.map { case (_, s) => math.log(s) }
+        val xm = xs.sum / xs.length
+        val ym = ys.sum / ys.length
+        xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+          xs.map(x => (x - xm) * (x - xm)).sum
+      }
+      val canonical = secs.map { case (n, (_, ps)) => n -> ps.map(_.sec).min }
+      val slope = fitSlope(canonical)
       // Per-pass evidence (VERDICT r15 next #3): every pass publishes a
       // canary triple measured right after it plus the window's Spark
       // stage telemetry, so a slow rung names its cause — bytes/stages
       // unchanged with run-vs-cpu inflated = environmental stall class;
       // bytes or stage counts grown = code. The rung's own start triple
       // brackets the first pass.
-      val points = secs.map { case (n, ps) =>
+      def pointJson(n: Int, prereqS: Double, ps: Seq[GraphPass]): String = {
         val passes = ps.map { p =>
           s"""{"sec":${f3(p.sec)},"telemetry":${p.telemetry},""" +
             s""""canary_after":{${KernelBench.canaryStemJson("canary", p.canaryAfter)}}}"""
         }.mkString("[", ",", "]")
-        s""""$n":{"sec":${f3(ps.map(_.sec).min)},"pass_sec":[${ps.map(p => f3(p.sec)).mkString(",")}],"passes":$passes}"""
-      }.mkString("{", ",", "}")
+        s""""$n":{"sec":${f3(ps.map(_.sec).min)},"pass_sec":[${ps.map(p => f3(p.sec)).mkString(",")}],"prereq_s":${f3(prereqS)},"passes":$passes}"""
+      }
+      val points = secs.map { case (n, (pre, ps)) => pointJson(n, pre, ps) }
+        .mkString("{", ",", "}")
+      // ---- opportunistic 2M rung: projected from THIS run's fit
+      val prereq1m = secs.last._2._1
+      val t1mMin = canonical.last._2
+      val projected2m = Bench.ForkPolicy.slope2mProjectedS(prereq1m, t1mMin, slope)
+      // stamps use "declined"/"rung_2m_error", NEVER "skipped"/"error":
+      // the parent's compactFrom scans the whole leg JSON for those
+      // literals to classify the SECTION — a nested stamp must not make
+      // three measured rungs read as a skipped or errored leg
+      val rung2m: String = wallBudgetS match {
+        case Some(budget)
+            if Bench.ForkPolicy.slope2mAffordable(budget, legElapsedS, projected2m) =>
+          // optional work: a crash here (e.g. the 16g heap under a
+          // degraded day's page supply) must not lose the canonical data
+          try {
+            spark.catalog.clearCache()
+            val (pre2m, ps2m) =
+              graphBuildOnly(spark, KernelBench.Default.copy(n = 2000000), passes = 1)
+            val ext = fitSlope(canonical :+ (2000000 -> ps2m.map(_.sec).min))
+            s"""{"sec":${f3(ps2m.map(_.sec).min)},"prereq_s":${f3(pre2m)},"projected_s":${f3(projected2m)},"slope_loglog_ext":${f3(ext)},"passes":${
+              ps2m.map { p =>
+                s"""{"sec":${f3(p.sec)},"telemetry":${p.telemetry},""" +
+                  s""""canary_after":{${KernelBench.canaryStemJson("canary", p.canaryAfter)}}}"""
+              }.mkString("[", ",", "]")}}"""
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] 2M rung failed (canonical rungs intact): ${e.getMessage}")
+              s"""{"rung_2m_error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))},"projected_s":${f3(projected2m)}}"""
+          }
+        case Some(budget) =>
+          s"""{"declined":"leg_budget","projected_s":${f3(projected2m)},"wall_budget_s":${f3(budget)},"elapsed_s":${f3(legElapsedS)}}"""
+        case None =>
+          s"""{"declined":"no_wall_budget","projected_s":${f3(projected2m)}}"""
+      }
       val canaryEnd = KernelBench.canaryTriple()
-      s"""{${KernelBench.canaryBracketJson(canaryStart, canaryEnd)},"points":$points,"slope_loglog":${f3(slope)},"graph_k":${KernelBench.Default.graphK},"gp":2}"""
+      s"""{${KernelBench.canaryBracketJson(canaryStart, canaryEnd)},"points":$points,"slope_loglog":${f3(slope)},"rung_2m":$rung2m,"graph_k":${KernelBench.Default.graphK},"gp":2}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] graph_build_slope failed (non-fatal): ${e.getMessage}")
@@ -292,11 +345,14 @@ object BenchLegs {
     * assignment, residual-PQ index), none of it billed to the graph
     * window — the window is the pqKnnGraph job + the driver collect,
     * exactly what the 1M section times. Each pass is wrapped in
-    * [[BenchTelemetry.measure]] and followed by a canary triple. */
+    * [[BenchTelemetry.measure]] and followed by a canary triple.
+    * @return (prereq build seconds, timed passes) — the prereq time
+    *         feeds the opportunistic 2M rung's cost projection */
   private def graphBuildOnly(
-      spark: SparkSession, cfg: KernelBench.Cfg, passes: Int = 1): Seq[GraphPass] = {
+      spark: SparkSession, cfg: KernelBench.Cfg, passes: Int = 1): (Double, Seq[GraphPass]) = {
     import spark.implicits._
     import graft.operators.VectorBlocks
+    val preT0 = System.nanoTime()
     val bcCfg = cfg
     val corpus = spark.range(cfg.n.toLong)
       .map(id => (id, KernelBench.vec(bcCfg, id)))
@@ -315,6 +371,7 @@ object BenchLegs {
       .buildPqIndex(indexed, encoded, cfg.centroids, cfg.pqCodebook, cfg.pqSubDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pqIndex.count()
+    val prereqS = (System.nanoTime() - preT0) / 1e9
     val secs = (1 to passes).map { _ =>
       // flush dirty writeback OUT of the timed window: the window's own
       // shuffle writes must not queue behind a prior rung's (or a prior
@@ -334,6 +391,6 @@ object BenchLegs {
     blocks.unpersist(blocking = true)
     indexed.unpersist(blocking = true)
     pqIndex.unpersist(blocking = true)
-    secs
+    (prereqS, secs)
   }
 }

@@ -32,10 +32,13 @@ object BenchFork {
     val spark = GraftSession.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
       Some(sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.75")))
+    // argv(1), when present, is the wall allowance (seconds) the parent
+    // granted this fork — budget-aware legs size optional work to it
+    val wallBudgetS = args.lift(1).flatMap(_.toDoubleOption)
     val json = args(0) match {
       case "float4m" => BenchLegs.float4m(spark)
       case "full2m" => BenchLegs.full2m(spark)
-      case "graphslope" => BenchLegs.graphSlope(spark)
+      case "graphslope" => BenchLegs.graphSlope(spark, wallBudgetS)
       case "registry" => BenchLegs.registry(spark,
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
       case "kernel1m" => BenchLegs.kernel1m(spark)

@@ -36,6 +36,23 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(ForkPolicy.timeoutS(remainingS = 10.0, estAdjS = 300.0) == 60L)
   }
 
+  test("opportunistic 2M rung: projection from the leg's own fit, affordability has margin") {
+    // tonight's measured inputs (2026-08-16, SQ8 kernel): 1M prereq
+    // ~45 s, 1M min 45.4 s, slope 1.581 → projected ≈ 2.2·45 + 45.4·2^1.581
+    val proj = ForkPolicy.slope2mProjectedS(45.0, 45.4, 1.581)
+    assert(proj > 200 && proj < 240, s"projection off: $proj")
+    // clean day: fork timeout 1125 s (2.5 × 450), ~300 s elapsed after
+    // the canonical rungs → affordable
+    assert(ForkPolicy.slope2mAffordable(1125.0, 300.0, proj))
+    // degraded day: the fork got only the remaining budget (500 s) and
+    // the rungs took longer → declined, canonical data ships intact
+    assert(!ForkPolicy.slope2mAffordable(500.0, 400.0, proj))
+    // the margin is the fork's own teardown: a projection that fits
+    // exactly does NOT pass
+    assert(!ForkPolicy.slope2mAffordable(420.0, 100.0, 201.0))
+    assert(ForkPolicy.slope2mAffordable(421.0, 100.0, 201.0))
+  }
+
   test("crash fallback only while the budget still covers the estimate") {
     assert(ForkPolicy.crashFallbackAllowed(remainingS = 900.0, estAdjS = 768.0))
     assert(!ForkPolicy.crashFallbackAllowed(remainingS = 500.0, estAdjS = 768.0))
