@@ -1427,24 +1427,25 @@ object TextPipeline extends QModule {
     * ever materialized: codes are computed straight off the text, so
     * nothing but integers reaches the explode or any shuffle. */
   private def triCounts(docsDf: DataFrame): DataFrame = {
-    // lower() is PROJECTED once per row BEFORE the per-position lambda:
-    // referenced inside it, the codegen'd lambda re-lowercases the whole
-    // text per array element — O(L²) chars/doc (measured: the entire
-    // 25 s cold cost of q62's first cut at sf0.1)
-    val t = col("__t")
-    // guarded: sequence(1, len-2) would DESCEND at len < 3 (q55's lesson)
-    val codes = when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i =>
-        ascii(t.substr(i, lit(1))) * 65536L +
-          ascii(t.substr(i + 1, lit(1))) * 256L +
-          ascii(t.substr(i + 2, lit(1)))))
-      .otherwise(array().cast("array<long>"))
+    // ONE-PASS codegen trigram kernel (round 16, guide §1.2 "per-task
+    // work"): the former interpreted HOF form — `transform(sequence(…))`
+    // with 3 `ascii(substr(…))` per gram — is CodegenFallback and
+    // measured 4-5 µs/gram, ~73 s of task CPU at sf0.1 (the suite's
+    // single largest expression cost, and the most host-degradation-
+    // exposed: q62 read 3.9-32.8 s across same-day runs). TriGramCodes
+    // walks the UTF-8 bytes once per ROW; GramCodesSpec pins value
+    // equality against the HOF form (kept there as the oracle), and the
+    // DuckDB oracle SQL is unchanged. lower() evaluates once per row as
+    // the expression's argument — the old `__t` pre-projection trick is
+    // unnecessary without a HOF lambda re-evaluating its free subtrees.
+    val codes = org.apache.spark.sql.GraftInternal.column(
+      graft.functions.TriGramCodes(
+        org.apache.spark.sql.GraftInternal.expression(lower(col("text")))))
     // see [[rebalanced]] — hash-partitioning by doc_id additionally
     // co-locates every gram of a doc, so BOTH doc-side aggregates below
     // are satisfied by this one distribution (no further doc-side
     // exchange)
     rebalanced(docsDf)
-      .withColumn("__t", lower(col("text")))
       .select(col("doc_id"), col("lang"), explode(codes).as("h"))
       .groupBy(col("doc_id"), col("lang"), col("h"))
       .agg(count(lit(1)).as("cnt"))
