@@ -51,6 +51,7 @@ object BenchLegs {
     // JVM/codegen/scheduler start-up must not be billed to the first
     // timed query (measured ~10× inflation)
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    warmIoPaths(spark)
     val start = KernelBench.canaryTriple()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -70,6 +71,39 @@ object BenchLegs {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     s"""{"value":${f3(total)},${KernelBench.canaryBracketJson(start, end)},"queries":$qs,"errors":$errJson}"""
+  }
+
+  /** Warm the parquet-reader / shuffle-exchange / broadcast-join code
+    * paths on THROWAWAY synthetic data (round 16): the suite's first
+    * timed query was additionally billed the one-time class-init of the
+    * vectorized parquet reader, codecs and exchange machinery — q01
+    * measured 7.1 s wall against 5.3 s of executor time on 6 tasks at
+    * sf0.1, i.e. several seconds of driver-side first-use cost. The
+    * fixture parquet itself is deliberately NOT read here: warming is
+    * code-path-only, never input-page-cache. */
+  private[graft] def warmIoPaths(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val dir = s"/tmp/graft_warm_${ProcessHandle.current().pid()}"
+    try {
+      spark.range(0, 10000)
+        .selectExpr("id", "cast(id % 7 as string) k", "cast(id as double) v")
+        .write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val agg = back.groupBy("k").count()
+      agg.join(broadcast(agg.limit(3).withColumnRenamed("count", "c2")), Seq("k"))
+        .orderBy("k")
+        .collect()
+      ()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] IO warm-up failed (non-fatal): ${e.getMessage}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   /** The 1M×384 kernel ladder as a forkable leg (round 15) — the

@@ -56,9 +56,65 @@ case class TriGramCodes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Static kernel for [[TriGramCodes]] (plain object with no companion
-  * class → Java-visible static forwarder, callable from janino). */
+/** Distinct word-3-gram shingles of a token array in ONE pass — the
+  * codegen replacement for the shingle HOF
+  *
+  *   `when(n >= 3, array_distinct(transform(sequence(1, n - 2), i =>
+  *      concat_ws(" ", element_at(ws,i), element_at(ws,i+1),
+  *                element_at(ws,i+2))))).otherwise(empty)`
+  *
+  * whose per-shingle interpreted evaluation (transform is
+  * CodegenFallback) was a top task-CPU cost of the whole near-dup family
+  * (q21-q26, q46-q49, q75, q79 share the memoized shingle frame).
+  * Semantics pinned by GramCodesSpec against the HOF form: shingles are
+  * `UTF8String.concatWs` (null words skipped — concat_ws semantics) and
+  * dedup preserves FIRST-occurrence order exactly like `array_distinct`.
+  * NULL input evaluates to NULL (HOF form: empty array) — identical
+  * downstream of the `explode` both feed.
+  */
+case class WordTriShingles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_tri_shingles needs an ARRAY<STRING> arg, got $other")
+  }
+
+  override protected def nullSafeEval(ws: Any): Any =
+    GramCodes.triShingles(ws.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramCodes.triShingles($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordTriShingles =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[TriGramCodes]] / [[WordTriShingles]] (plain object
+  * with no companion class → Java-visible static forwarder, callable
+  * from janino). */
 object GramCodes {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct word-3-gram shingles, first-occurrence order. */
+  def triShingles(ws: ArrayData): ArrayData = {
+    val n = ws.numElements()
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + 2 < n) {
+      // concat_ws semantics: null inputs skipped, no doubled separator
+      seen.add(UTF8String.concatWs(Space,
+        ws.getUTF8String(i), ws.getUTF8String(i + 1), ws.getUTF8String(i + 2)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
 
   private val Empty = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
 

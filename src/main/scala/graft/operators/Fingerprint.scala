@@ -174,7 +174,15 @@ object Fingerprint extends QModule {
       .join(fps.select($"doc_id".as("doc_a"), $"f".as("fa")), Seq("doc_a"))
       .join(fps.select($"doc_id".as("doc_b"), $"f".as("fb")), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
-        size(array_intersect($"fa", $"fb")).cast("long").as("shared"),
+        // fingerprint arrays are sorted-distinct by construction
+        // (SortedSet.toArray in computeFingerprints) — the merge-count
+        // kernel replaces array_intersect's per-pair hash-set build
+        // (round 16; see graft.functions.SortedLongIntersectSize)
+        org.apache.spark.sql.GraftInternal.column(
+          graft.functions.SortedLongIntersectSize(
+            org.apache.spark.sql.GraftInternal.expression($"fa"),
+            org.apache.spark.sql.GraftInternal.expression($"fb")))
+          .cast("long").as("shared"),
         size($"fa").cast("long").as("na"),
         size($"fb").cast("long").as("nb"))
       .withColumn("sim_raw", $"shared".cast("double") / ($"na" + $"nb" - $"shared"))

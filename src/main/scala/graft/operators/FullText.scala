@@ -60,7 +60,12 @@ object FullText extends QModule {
 
   private def toks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables(s, d, "documents")
+    // rebalanced (round 16): the doc table is ONE input split at fixture
+    // scale, so every consumer's tokenize+explode ran single-task —
+    // wall-exposed to per-task stalls (q63 measured 2.2 s clean but 24.6 s
+    // on a degraded window, all on that one task). TextPipeline.rebalanced
+    // skips the shuffle when the scan already has natural parallelism.
+    TextPipeline.rebalanced(Tables(s, d, "documents"))
       .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
   }
 

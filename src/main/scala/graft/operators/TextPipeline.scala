@@ -30,15 +30,19 @@ object TextPipeline extends QModule {
     * exprs — stream-safe). */
   def shingleArray(text: Column): Column = shingles(text)
 
-  private def shingles(text: Column): Column = {
-    val ws = split(trim(text), "\\s+")
-    val n = size(ws)
-    when(n >= 3,
-      array_distinct(transform(
-        sequence(lit(1), n - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  // ONE-PASS codegen shingle kernel (round 16, guide §1.2): the former
+  // interpreted `transform(sequence(…), i => concat_ws(…))` HOF evaluated
+  // per-shingle through CodegenFallback — a top task-CPU frame of the
+  // whole near-dup family. graft.functions.WordTriShingles is pinned
+  // value-equal (incl. array_distinct's first-occurrence order) by
+  // GramCodesSpec; oracle SQL unchanged.
+  private def shingleOf(ws: Column): Column =
+    org.apache.spark.sql.GraftInternal.column(
+      graft.functions.WordTriShingles(
+        org.apache.spark.sql.GraftInternal.expression(ws)))
+
+  private def shingles(text: Column): Column =
+    shingleOf(split(trim(text), "\\s+"))
 
   /** (doc_id, s) shingle frame. The tokenization is a SEPARATE projection
     * from the shingle lambda: inside a higher-order function Catalyst
@@ -72,7 +76,14 @@ object TextPipeline extends QModule {
     * unconditional corpus repartition would be pure overhead there. */
   private[graft] def rebalanced(docsDf: DataFrame): DataFrame = {
     val target = docsDf.sparkSession.sessionState.conf.numShufflePartitions
-    if (docsDf.rdd.getNumPartitions * 2 < target) docsDf.repartition(col("doc_id"))
+    // EXPLICIT partition count (round 16): `repartition(col)` with no N
+    // is an AQE-coalescible exchange, and on a KB-scale doc table AQE's
+    // 1 MB minPartitionSize folds it back to 1-2 partitions — exactly
+    // the single-task expansion this helper exists to prevent (q63
+    // measured 15 one-task stages with the N-less form). An explicit N
+    // pins the fan-out; `target` tracks the session's shuffle
+    // parallelism, so the value stays scale- and host-adaptive.
+    if (docsDf.rdd.getNumPartitions * 2 < target) docsDf.repartition(target, col("doc_id"))
     else docsDf
   }
 
@@ -81,17 +92,8 @@ object TextPipeline extends QModule {
     * dir-loading path above. */
   private[graft] def shingleFrameOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     import s.implicits._
-    val ws = $"ws"
-    val n = size(ws)
     rebalanced(docsDf)
-      .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
-      .select(
-        $"doc_id",
-        when(n >= 3,
-          array_distinct(transform(
-            sequence(lit(1), n - 2),
-            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
-          .otherwise(array().cast("array<string>")).as("s"))
+      .select($"doc_id", shingles($"text").as("s"))
   }
 
   private val duckShingles =
@@ -105,6 +107,48 @@ object TextPipeline extends QModule {
   /** Portable shingle hash in [0, 2^31−1) — see
     * [[graft.functions.PortableHash]] for the cross-engine contract. */
   private def shingleHash(x: Column): Column = graft.functions.PortableHash.hash(x)
+
+  /** Per-doc SORTED shingle-hash set (doc_id, sh: array<long>) — the
+    * verify-side frame q22/q23/q79 share (round 16). Exact verification
+    * on hash sets instead of string sets rests on the SAME injectivity
+    * contract the prefix filter already declares (see [[ppjoinPairs]]'s
+    * note: 24-char PortableHash injective on the corpus vocabulary ⇒
+    * hash-set Jaccard ≡ string-set Jaccard exactly), guarded by the same
+    * gates (pp≡exact and capped≡uncapped specs, the shared q22 oracle).
+    * Sorting enables the zero-allocation merge kernel
+    * ([[graft.functions.SortedLongIntersectSize]]) in place of
+    * `array_intersect`'s per-pair hash-set build — sampled as the
+    * family's top task-CPU frames. */
+  private def shingleHashFrameCached(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Memo.cached(s, s"shingle-hashes:$d")(
+      shingleFrameCached(s, d)
+        .select($"doc_id", sort_array(transform($"s", x => shingleHash(x))).as("sh")))
+  }
+
+  /** Shared exact-verification tail of the near-dup family: join the
+    * candidate pairs to both docs' sorted hash sets, merge-count the
+    * intersection, report pairs with J ≥ tau. Output identical to the
+    * former per-site `size(array_intersect(sa, sb))` string form (see
+    * [[shingleHashFrameCached]] for the contract). */
+  private def verifyJaccard(
+      s: SparkSession, d: String, cand: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val shf = shingleHashFrameCached(s, d)
+    val inter = org.apache.spark.sql.GraftInternal.column(
+      graft.functions.SortedLongIntersectSize(
+        org.apache.spark.sql.GraftInternal.expression($"sa"),
+        org.apache.spark.sql.GraftInternal.expression($"sb")))
+    cand
+      .join(shf.select($"doc_id".as("doc_a"), $"sh".as("sa")), Seq("doc_a"))
+      .join(shf.select($"doc_id".as("doc_b"), $"sh".as("sb")), Seq("doc_b"))
+      .withColumn("inter", inter)
+      .withColumn("jaccard_raw",
+        $"inter".cast("double") / (size($"sa") + size($"sb") - $"inter"))
+      .filter($"jaccard_raw" >= tau)
+      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   private def duckHash(x: String): String = graft.functions.PortableHash.duckHash(x)
 
@@ -248,15 +292,7 @@ object TextPipeline extends QModule {
       .withColumn("imax", $"rinter" + least($"ha", $"hb"))
       .filter($"imax".cast("double") / ($"na" + $"nb" - $"imax") >= tau)
       .select($"doc_a", $"doc_b")
-    survivors
-      .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect($"sa", $"sb")))
-      .withColumn("jaccard_raw",
-        $"inter".cast("double") / (size($"sa") + size($"sb") - $"inter"))
-      .filter($"jaccard_raw" >= tau)
-      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+    verifyJaccard(s, d, survivors, tau)
   }
 
   def jaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
@@ -347,7 +383,6 @@ object TextPipeline extends QModule {
     "q23_minhash_lsh_neardup",
     (s, d) => {
       import s.implicits._
-      val sh = shingleFrameCached(s, d)
       // memo: the band frame feeds BOTH sides of the candidate self-join
       // (uncached, the full 32-permutation signature computation runs
       // twice) and is evicted with the session (ADVICE r2).
@@ -358,15 +393,7 @@ object TextPipeline extends QModule {
         .select($"doc_a", $"doc_b")
         .distinct()
       // Exact verification on candidates only.
-      cands
-        .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), Seq("doc_a"))
-        .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect($"sa", $"sb")))
-        .withColumn("jaccard_raw",
-          $"inter".cast("double") / (size($"sa") + size($"sb") - $"inter"))
-        .filter($"jaccard_raw" >= 0.5)
-        .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
-        .orderBy($"doc_a", $"doc_b")
+      verifyJaccard(s, d, cands, 0.5)
     },
     Some(duckJaccardPairs(0.5)))
 
@@ -1779,13 +1806,21 @@ object TextPipeline extends QModule {
     (s, d) => {
       import s.implicits._
       val P = graft.functions.PortableHash.P
-      val tok = docs(s, d)
+      // rebalanced + memoized vocab (round 16, guide §2.4/§2.6): the
+      // un-cached plan recomputed the whole explode+groupBy subtree FOUR
+      // times (once per bucket-sum frame + once for the top-k), each on
+      // the doc table's single input split — 15 s of one-task CPU for a
+      // 31-row vocabulary. The vocab frame is sketch-state-sized (≤
+      // corpus vocabulary), so caching it is the streaming design's own
+      // claim ("the bucket frames are the sketch state")
+      val tok = rebalanced(docs(s, d))
         .select(explode(split(trim($"text"), "\\s+")).as("token"))
         .filter(length($"token") > 0)
-      val cnt = tok
-        .groupBy($"token")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("h", graft.functions.PortableHash.hash($"token"))
+      val cnt = graft.Memo.cached(s, s"cms-vocab:$d")(
+        tok
+          .groupBy($"token")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("h", graft.functions.PortableHash.hash($"token")))
       def bucket(j: Int): Column =
         ((lit(CmsA(j)) * col("h") + lit(CmsB(j))) % lit(P)) % lit(CmsW.toLong)
       val sums = (0 until 3).map { j =>
@@ -2066,15 +2101,7 @@ object TextPipeline extends QModule {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b")
       .distinct()
-    cand
-      .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect($"sa", $"sb")))
-      .withColumn("jaccard_raw",
-        $"inter".cast("double") / (size($"sa") + size($"sb") - $"inter"))
-      .filter($"jaccard_raw" >= tau)
-      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+    verifyJaccard(s, d, cand, tau)
   }
 
   // ---------------------------------------------------------------- q83

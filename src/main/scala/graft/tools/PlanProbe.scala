@@ -23,6 +23,7 @@ object PlanProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.build(cpus)
     spark.range(1000000L).selectExpr("sum(id)").collect() // JIT/scheduler warm-up
+    graft.BenchLegs.warmIoPaths(spark) // mirror the bench leg's warm-up
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.exists(n.contains)) }
     // optional in-JVM stack sampler (GRAFT_PROBE_SAMPLE=1): counts the

@@ -57,6 +57,76 @@ class GramCodesSpec extends SparkSpec {
     assert(fromEval === fromDf)
   }
 
+  test("WordTriShingles == the interpreted HOF form on edge and fixture docs") {
+    import spark.implicits._
+    def hofShingles(text: Column): Column = {
+      val ws = split(trim(text), "\\s+")
+      val n = size(ws)
+      when(n >= 3,
+        array_distinct(transform(
+          sequence(lit(1), n - 2),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def fastShingles(text: Column): Column =
+      GraftInternal.column(graft.functions.WordTriShingles(
+        GraftInternal.expression(split(trim(text), "\\s+"))))
+    val edgeDocs = Seq(
+      "", "one", "one two", "one two three", "a b c d e",
+      "dup dup dup dup dup", // repeated shingles → distinct must dedup
+      "x y z x y z x y z", // repeats later — first-occurrence order matters
+      "  leading and trailing  ", "tabs\tand spaces mixed")
+      .toDF("text")
+    val fixture = Tables(spark, sf001, "documents").select($"text")
+    for (df <- Seq(edgeDocs, fixture)) {
+      // exact ARRAY equality — content AND order (array_distinct keeps
+      // first occurrence; the kernel must too)
+      val mismatch = df
+        .select(hofShingles($"text").as("a"), fastShingles($"text").as("b"))
+        .filter(not($"a" <=> $"b"))
+        .count()
+      assert(mismatch === 0)
+    }
+  }
+
+  test("PortableHashExpr == the 24-node expression chain on fixture tokens and edges") {
+    import spark.implicits._
+    val edge = Seq("", "_", "a", "exactly_24_chars_stringg", "longer than twenty four characters total",
+      "short", "with spaces in it", "0123456789", "über-token", "丁丂七", "a😀b")
+      .toDF("x")
+    val fixtureTokens = Tables(spark, sf001, "documents")
+      .select(explode(split(trim($"text"), "\\s+")).as("x"))
+      .filter(length($"x") > 0)
+    val fixtureShingles = Tables(spark, sf001, "documents")
+      .select(explode(graft.operators.TextPipeline.shingleArray($"text")).as("x"))
+    for (df <- Seq(edge, fixtureTokens, fixtureShingles)) {
+      val mismatch = df
+        .select(
+          graft.functions.PortableHash.hashHof($"x").as("a"),
+          graft.functions.PortableHash.hash($"x").as("b"))
+        .filter(not($"a" <=> $"b"))
+        .count()
+      assert(mismatch === 0)
+    }
+  }
+
+  test("SortedLongIntersectSize == size(array_intersect) on generated sorted-distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { _ =>
+      def arr() = Array.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong).distinct.sorted.toSeq
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+    val kernel = GraftInternal.column(graft.functions.SortedLongIntersectSize(
+      GraftInternal.expression($"a"), GraftInternal.expression($"b")))
+    val mismatch = df
+      .select(size(array_intersect($"a", $"b")).as("x"), kernel.as("y"))
+      .filter(not($"x" <=> $"y"))
+      .count()
+    assert(mismatch === 0)
+  }
+
   test("TriGramCodes is null-safe (null in, null out; explode drops both forms)") {
     import spark.implicits._
     val df = Seq(Some("abc"), None, Some("xy")).toDF("text")
