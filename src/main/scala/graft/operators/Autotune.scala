@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,18 +120,41 @@ object Autotune extends QModule {
       val exact10 = VectorSearch.searchFrame(s, d)
         .filter($"rnk" <= 10 && $"query_id" < MaxQ)
         .select($"query_id", $"doc_id", lit(1).as("in_exact"))
-      val frames = cells.map { case (tier, dial) =>
-        val f = tier match {
-          case "ivf" => Ann.search(s, d, MaxQ, K, dial)
-          case "ivfsq" => Sq.searchIvf(s, d, MaxQ, K, dial)
-          case "pq" => Pq.search(s, d, MaxQ, K, dial)
-          case "bin" => Compact.searchBinary(s, d, MaxQ, K, dial)
-          case "graph" => VectorSearch.graphRefined(s, d, MaxQ, K, dial)
-          case "ivfpq" => Pq.searchIvfPq(s, d, MaxQ, K, dial)
-        }
-        f.select($"query_id", $"doc_id", $"rnk")
-          .withColumn("tier", lit(tier)).withColumn("dial", lit(dial))
-      }
+      // Overlapped construction (round 16, guide §2.6): the 16 cell
+      // frames' EAGER prep (build-if-absent index loads, centroid/
+      // codebook collects) ran sequentially on the driver — fn-time was
+      // ~60% of the query's wall. Constructions run one thread per TIER
+      // (Spark job submission is thread-safe and FIFO back-fills the
+      // tail), grouped so no two concurrent threads build the same
+      // tier's persisted artifact; within a tier, dials stay sequential.
+      // Frame ORDER is restored to `cells` order, so the unioned output
+      // is byte-identical to the sequential form.
+      val byTier = cells.groupBy(_._1)
+      val tierOrder = cells.map(_._1).distinct
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tierOrder.size)
+      val futs = tierOrder.map { t =>
+        t -> pool.submit(new java.util.concurrent.Callable[Seq[DataFrame]] {
+          def call(): Seq[DataFrame] = byTier(t).map { case (tier, dial) =>
+            val f = tier match {
+              case "ivf" => Ann.search(s, d, MaxQ, K, dial)
+              case "ivfsq" => Sq.searchIvf(s, d, MaxQ, K, dial)
+              case "pq" => Pq.search(s, d, MaxQ, K, dial)
+              case "bin" => Compact.searchBinary(s, d, MaxQ, K, dial)
+              case "graph" => VectorSearch.graphRefined(s, d, MaxQ, K, dial)
+              case "ivfpq" => Pq.searchIvfPq(s, d, MaxQ, K, dial)
+            }
+            f.select($"query_id", $"doc_id", $"rnk")
+              .withColumn("tier", lit(tier)).withColumn("dial", lit(dial))
+          }
+        })
+      }.toMap
+      val frames =
+        try tierOrder.flatMap { t =>
+          try futs(t).get()
+          catch { // surface the real failure, not the Future wrapper
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        } finally pool.shutdown()
       val po = frames.reduce(_ unionByName _)
         .join(exact10, Seq("query_id", "doc_id"), "left_outer")
         .na.fill(0, Seq("in_exact"))
